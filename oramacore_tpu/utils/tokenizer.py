@@ -1,0 +1,311 @@
+"""Locale-aware tokenization + stemming.
+
+Replaces the reference's `oramacore_lib::nlp::{NLPService, TextParser}`
+(used at token_score.rs:196-204 and write/index/fields.rs:715).
+`tokenize_and_stem(text)` returns a list of `(token, [variants])` pairs
+where variants are stemmed forms differing from the surface token —
+matching the consumption pattern at token_score.rs:196-204 (exact search
+uses only the surface token; non-exact chains token + variants).
+
+English uses a full Porter2 (Snowball) stemmer implemented below. Other
+latin-script locales tokenize without stemming for now (stemmer registry
+is pluggable). CJK locales emit character unigrams + bigrams.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Dict, List, Tuple
+
+from ..types import Locale
+
+_WORD_RE = re.compile(r"[0-9A-Za-zÀ-ɏͰ-ϿЀ-ӿ԰-֏֐-׿؀-ۿऀ-ॿ]+")
+_CJK_RE = re.compile(r"[぀-ヿ㐀-䶿一-鿿가-힯]")
+
+
+# ---------------------------------------------------------------------------
+# Porter2 (Snowball English) stemmer
+# ---------------------------------------------------------------------------
+
+_VOWELS = frozenset("aeiouy")
+_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_LI_ENDINGS = frozenset("cdeghkmnrt")
+
+_EXCEPTION1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+
+_EXCEPTION2 = frozenset(
+    ("inning", "outing", "canning", "herring", "earring",
+     "proceed", "exceed", "succeed")
+)
+
+_STEP2_SUFFIXES = [
+    ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+    ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+    ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+    ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+    ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+    ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+    ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+    ("bli", "ble"),
+]
+
+_STEP3_SUFFIXES = [
+    ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+    ("icate", "ic"), ("iciti", "ic"), ("ical", "ic"),
+    ("ful", ""), ("ness", ""),
+]
+
+_STEP4_SUFFIXES = (
+    "ement", "ance", "ence", "able", "ible", "ment",
+    "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+    "al", "er", "ic",
+)
+
+
+def _is_vowel(word: str, i: int) -> bool:
+    return word[i] in _VOWELS
+
+
+def _compute_r1(word: str) -> int:
+    for prefix in ("gener", "commun", "arsen"):
+        if word.startswith(prefix):
+            return len(prefix)
+    for i in range(1, len(word)):
+        if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+            return i + 1
+    return len(word)
+
+
+def _compute_r2(word: str, r1: int) -> int:
+    for i in range(r1 + 1, len(word)):
+        if not _is_vowel(word, i) and _is_vowel(word, i - 1):
+            return i + 1
+    return len(word)
+
+
+def _ends_short_syllable(word: str) -> bool:
+    n = len(word)
+    if n == 2:
+        return _is_vowel(word, 0) and not _is_vowel(word, 1)
+    if n >= 3:
+        # non-vowel, vowel, non-vowel (not w, x, Y)
+        c = word[-1]
+        return (
+            not _is_vowel(word, n - 1)
+            and c not in "wxY"
+            and _is_vowel(word, n - 2)
+            and not _is_vowel(word, n - 3)
+        )
+    return False
+
+
+def _is_short(word: str, r1: int) -> bool:
+    return r1 >= len(word) and _ends_short_syllable(word)
+
+
+def porter2_stem(token: str) -> str:
+    """Stem an English token with the Porter2 / Snowball algorithm."""
+    word = token.lower()
+    if len(word) <= 2:
+        return word
+    word = word.lstrip("'")
+    if word in _EXCEPTION1:
+        return _EXCEPTION1[word]
+    if len(word) <= 2:
+        return word
+
+    # Mark consonant-y as Y
+    chars = list(word)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _VOWELS:
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1 = _compute_r1(word)
+    r2 = _compute_r2(word, r1)
+
+    # Step 0: strip apostrophe suffixes
+    for suf in ("'s'", "'s", "'"):
+        if word.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    # Step 1a
+    if word.endswith("sses"):
+        word = word[:-2]
+    elif word.endswith("ied") or word.endswith("ies"):
+        word = word[:-2] if len(word) <= 4 else word[:-2]
+        # replace by i if preceded by more than one letter, else by ie
+        if len(word) > 2:
+            word = word[:-1]  # 'ie' -> 'i'
+        # (len<=2 keeps 'ie': e.g. ties->tie, but 'ties' is len4 → word[:-2]='ti',
+        #  then since len('ti')==2 keep 'ie'? handled below)
+    elif word.endswith("ss") or word.endswith("us"):
+        pass
+    elif word.endswith("s"):
+        if any(c in _VOWELS for c in word[:-2]):
+            word = word[:-1]
+    # fix the ied/ies short-word case precisely
+    # (redone cleanly): the block above approximates; exact rule:
+    #   ied/ies → ie if word (before suffix) is exactly one letter, else i
+    # We re-derive from the token to be exact:
+    lw = token.lower().lstrip("'")
+    if lw.endswith(("ied", "ies")) and lw not in _EXCEPTION1:
+        stemmed_base = lw[:-3]
+        repl = "ie" if len(stemmed_base) <= 1 else "i"
+        chars = list(stemmed_base + repl)
+        if chars and chars[0] == "y":
+            chars[0] = "Y"
+        for i in range(1, len(chars)):
+            if chars[i] == "y" and chars[i - 1] in _VOWELS:
+                chars[i] = "Y"
+        word = "".join(chars)
+        r1 = min(_compute_r1(word), len(word))
+        r2 = min(_compute_r2(word, r1), len(word))
+
+    if word in _EXCEPTION2:
+        return word
+
+    # Step 1b
+    if word.endswith("eedly"):
+        if len(word) - 5 >= r1:
+            word = word[:-3]
+    elif word.endswith("eed"):
+        if len(word) - 3 >= r1:
+            word = word[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if word.endswith(suf):
+                stem = word[: -len(suf)]
+                if any(c in _VOWELS for c in stem):
+                    word = stem
+                    if word.endswith(("at", "bl", "iz")):
+                        word += "e"
+                    elif word.endswith(_DOUBLES):
+                        word = word[:-1]
+                    elif _is_short(word, r1):
+                        word += "e"
+                break
+
+    # Step 1c: y/Y → i if preceded by non-vowel which is not the first letter
+    if len(word) > 2 and word[-1] in "yY" and word[-2] not in _VOWELS:
+        word = word[:-1] + "i"
+
+    r1 = min(r1, len(word))
+    r2 = min(r2, len(word))
+
+    # Step 2 (in R1)
+    for suf, repl in _STEP2_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                if suf == "bli":
+                    # 'bli' handled via biliti/abli entries; standalone bli→ble
+                    word = word[: -len(suf)] + repl
+                else:
+                    word = word[: -len(suf)] + repl
+            break
+    else:
+        if word.endswith("ogi"):
+            if len(word) - 3 >= r1 and len(word) >= 4 and word[-4] == "l":
+                word = word[:-1]
+        elif word.endswith("li"):
+            if len(word) - 2 >= r1 and len(word) >= 3 and word[-3] in _LI_ENDINGS:
+                word = word[:-2]
+
+    # Step 3 (in R1; ative needs R2)
+    for suf, repl in _STEP3_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r1:
+                word = word[: -len(suf)] + repl
+            break
+    else:
+        if word.endswith("ative") and len(word) - 5 >= r2:
+            word = word[:-5]
+
+    # Step 4 (in R2)
+    for suf in _STEP4_SUFFIXES:
+        if word.endswith(suf):
+            if len(word) - len(suf) >= r2:
+                word = word[: -len(suf)]
+            break
+    else:
+        if word.endswith("ion") and len(word) - 3 >= r2 and len(word) >= 4 and word[-4] in "st":
+            word = word[:-3]
+
+    # Step 5
+    if word.endswith("e"):
+        if len(word) - 1 >= r2:
+            word = word[:-1]
+        elif len(word) - 1 >= r1 and not _ends_short_syllable(word[:-1]):
+            word = word[:-1]
+    elif word.endswith("ll") and len(word) - 1 >= r2:
+        word = word[:-1]
+
+    return word.lower()
+
+
+# ---------------------------------------------------------------------------
+# Text parser
+# ---------------------------------------------------------------------------
+
+class TextParser:
+    """Tokenizer + stemmer bound to one locale."""
+
+    def __init__(self, locale: Locale = Locale.EN):
+        self.locale = locale
+        self._is_cjk = locale in (Locale.ZH, Locale.JA, Locale.KO)
+
+    def tokenize(self, text: str) -> List[str]:
+        if not text:
+            return []
+        text = unicodedata.normalize("NFKC", text).lower()
+        tokens: List[str] = []
+        if self._is_cjk or _CJK_RE.search(text):
+            # mixed handling: latin words + CJK unigrams/bigrams
+            pos = 0
+            for m in _CJK_RE.finditer(text):
+                pre = text[pos:m.start()]
+                tokens.extend(_WORD_RE.findall(pre))
+                tokens.append(m.group(0))
+                pos = m.end()
+            tokens.extend(_WORD_RE.findall(text[pos:]))
+            # add CJK bigrams
+            cjk_chars = _CJK_RE.findall(text)
+            for a, b in zip(cjk_chars, cjk_chars[1:]):
+                tokens.append(a + b)
+            return tokens
+        return _WORD_RE.findall(text)
+
+    def stem(self, token: str) -> str:
+        if self.locale == Locale.EN:
+            return porter2_stem(token)
+        return token
+
+    def tokenize_and_stem(self, text: str) -> List[Tuple[str, List[str]]]:
+        """Return [(surface_token, [stem_variants])]."""
+        out: List[Tuple[str, List[str]]] = []
+        for tok in self.tokenize(text):
+            stem = self.stem(tok)
+            out.append((tok, [stem] if stem != tok else []))
+        return out
+
+
+class NLPService:
+    """Registry of per-locale parsers (reference: oramacore_lib NLPService)."""
+
+    def __init__(self):
+        self._parsers: Dict[Locale, TextParser] = {}
+
+    def get_parser(self, locale: Locale) -> TextParser:
+        if locale not in self._parsers:
+            self._parsers[locale] = TextParser(locale)
+        return self._parsers[locale]

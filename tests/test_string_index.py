@@ -1,0 +1,182 @@
+"""String index + TPU BM25F kernel parity tests."""
+
+import numpy as np
+import pytest
+
+from oramacore_tpu.index.search_exec import (
+    StringSearchExecutor,
+    host_bm25_reference,
+)
+from oramacore_tpu.index.string_index import StringIndex
+from oramacore_tpu.types import Locale
+from oramacore_tpu.utils.tokenizer import TextParser
+
+PARSER = TextParser(Locale.EN)
+
+
+def build_index(docs, commit=False):
+    """docs: list of dicts {path: text}; doc ids are list positions."""
+    idx = StringIndex()
+    for doc_id, doc in enumerate(docs):
+        for path, text in doc.items():
+            idx.index_text(doc_id, path, PARSER.tokenize_and_stem(text))
+    if commit:
+        idx.commit()
+    return idx
+
+
+def flatten_tokens(term, exact=False):
+    parsed = PARSER.tokenize_and_stem(term)
+    if exact:
+        return [t for t, _ in parsed]
+    out = []
+    for t, variants in parsed:
+        out.append(t)
+        out.extend(variants)
+    return out
+
+
+def tpu_scores(idx, tokens, properties, n_docs, cap, exact=False, boost=None):
+    ex = StringSearchExecutor()
+    plan = idx.plan_query(tokens, properties, boost or {}, None)
+    scores, matched = ex.score(idx, [plan], [n_docs], cap, exact=exact)
+    return scores[0], matched[0]
+
+
+DOCS = [
+    {"title": "The quick brown fox", "body": "jumps over the lazy dog"},
+    {"title": "A fox tale", "body": "foxes are quick and cunning animals"},
+    {"title": "Dog days", "body": "the dog sleeps all day long"},
+    {"title": "Quick reference", "body": "a quick guide to brown bears"},
+]
+
+
+@pytest.mark.parametrize("committed", [False, True])
+def test_tpu_matches_host_reference(committed):
+    idx = build_index(DOCS, commit=committed)
+    props = ["title", "body"]
+    n = len(DOCS)
+    for term in ["quick fox", "dog", "brown bears", "cunning animal"]:
+        tokens = flatten_tokens(term)
+        expected = host_bm25_reference(idx, tokens, props, {}, n)
+        got, _ = tpu_scores(idx, tokens, props, n, cap=n)
+        for d in range(n):
+            assert got[d] == pytest.approx(expected.get(d, 0.0), abs=1e-4), (
+                term, d)
+
+
+def test_mixed_live_and_committed():
+    idx = build_index(DOCS[:2], commit=True)
+    for doc_id, doc in enumerate(DOCS[2:], start=2):
+        for path, text in doc.items():
+            idx.index_text(doc_id, path, PARSER.tokenize_and_stem(text))
+    props = ["title", "body"]
+    n = len(DOCS)
+    tokens = flatten_tokens("quick dog")
+    expected = host_bm25_reference(idx, tokens, props, {}, n)
+    got, _ = tpu_scores(idx, tokens, props, n, cap=n)
+    for d in range(n):
+        assert got[d] == pytest.approx(expected.get(d, 0.0), abs=1e-4)
+
+
+def test_exact_mode_behaviour():
+    # reference tests/fulltext_search.rs:603 test_fulltext_exact
+    docs = [
+        {"text": "Christopher Nolan"},
+        {"text": "Foxes"},
+        {"text": "Fox"},
+    ]
+    idx = build_index(docs)
+    n = len(docs)
+
+    # exact 'christoph' → no hits (stem exists but no exact occurrence)
+    got, _ = tpu_scores(idx, flatten_tokens("christoph", exact=True),
+                        ["text"], n, cap=n, exact=True)
+    assert (got > 0).sum() == 0
+
+    # non-exact 'christoph' → matches doc 0 via stem
+    got, _ = tpu_scores(idx, flatten_tokens("christoph"), ["text"], n, cap=n)
+    assert got[0] > 0 and got[1] == 0 and got[2] == 0
+
+    # exact 'fox' → only doc 2
+    got, _ = tpu_scores(idx, flatten_tokens("Fox", exact=True),
+                        ["text"], n, cap=n, exact=True)
+    assert got[2] > 0 and got[1] == 0 and got[0] == 0
+
+    # non-exact 'fox' → docs 1 (stem) and 2
+    got, _ = tpu_scores(idx, flatten_tokens("Fox"), ["text"], n, cap=n)
+    assert got[2] > 0 and got[1] > 0 and got[0] == 0
+
+    # a query with distinct surface+stem variants scores the exact-form
+    # doc higher: 'foxes' → tokens [foxes, fox]; doc 1 matches both terms
+    got, _ = tpu_scores(idx, flatten_tokens("Foxes"), ["text"], n, cap=n)
+    assert got[1] > got[2] > 0
+
+
+def test_threshold_matched_counts():
+    # reference tests/fulltext_search.rs:478 test_fulltext_threshold
+    docs = [
+        {"text": "The pen is on the table"},
+        {"text": "the pen", "text2": "is on the table"},
+        {"text": "the pen"},
+    ]
+    idx = build_index(docs)
+    n = len(docs)
+    tokens = flatten_tokens("the pen is on the table")
+    props = ["text", "text2"]
+    got, matched = tpu_scores(idx, tokens, props, n, cap=n)
+    thr = int(np.floor(len(tokens) * 0.7))
+    hits = [d for d in range(n) if matched[d] >= thr and got[d] > 0]
+    assert sorted(hits) == [0, 1]
+    thr = int(np.floor(len(tokens) * 1.0))
+    hits = [d for d in range(n) if matched[d] >= thr and got[d] > 0]
+    assert sorted(hits) == [0, 1]
+
+
+def test_tolerance_fuzzy_match():
+    docs = [{"text": "hello world"}, {"text": "goodbye stranger"}]
+    idx = build_index(docs)
+    plan = idx.plan_query(["helo"], ["text"], {}, tolerance=1)
+    ex = StringSearchExecutor()
+    scores, _ = ex.score(idx, [plan], [2], cap=2)
+    assert scores[0][0] > 0  # 'helo' ~ 'hello' (distance 1)
+    assert scores[0][1] == 0
+
+
+def test_delete_live_doc():
+    idx = build_index(DOCS)
+    idx.delete_doc_live(1)
+    tokens = flatten_tokens("cunning")
+    got, _ = tpu_scores(idx, tokens, ["title", "body"], 3, cap=4)
+    assert (got > 0).sum() == 0
+
+
+def test_commit_with_tombstones():
+    idx = build_index(DOCS, commit=True)
+    idx.commit(deleted={0})
+    tokens = flatten_tokens("quick")
+    got, _ = tpu_scores(idx, tokens, ["title", "body"], 3, cap=4)
+    assert got[0] == 0
+    assert got[1] > 0 and got[3] > 0
+
+
+def test_update_doc_after_commit():
+    idx = build_index(DOCS, commit=True)
+    # re-index doc 0 with new content (delete is handled by tombstone+mask
+    # at the read-index level; here we just verify added live text scores)
+    idx.index_text(4, "title", PARSER.tokenize_and_stem("zebra stripes"))
+    got, _ = tpu_scores(idx, flatten_tokens("zebra"), ["title"], 5, cap=5)
+    assert got[4] > 0
+
+
+def test_batched_queries_consistent_with_single():
+    idx = build_index(DOCS, commit=True)
+    props = ["title", "body"]
+    n = len(DOCS)
+    terms = ["quick fox", "lazy dog", "brown"]
+    ex = StringSearchExecutor()
+    plans = [idx.plan_query(flatten_tokens(t), props, {}) for t in terms]
+    batch_scores, _ = ex.score(idx, plans, [n] * 3, cap=n)
+    for i, t in enumerate(terms):
+        single, _ = tpu_scores(idx, flatten_tokens(t), props, n, cap=n)
+        np.testing.assert_allclose(batch_scores[i], single, atol=1e-5)
