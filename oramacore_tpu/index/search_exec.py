@@ -37,6 +37,7 @@ class StringSearchExecutor:
         n_docs: Sequence[float],
         cap: int,
         exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Score B queries; returns (scores f32[B, cap], matched f32[B, cap])
         as numpy arrays."""
@@ -58,6 +59,7 @@ class StringSearchExecutor:
         field_b = np.full((Bb, Tb, NRb), 0.75, np.float32)
         avg_flen = np.ones((Bb, Tb, NRb), np.float32)
         nd = np.ones((Bb,), np.float32)
+        masks = np.ones((Bb, capb), bool)
         for i, p in enumerate(plans):
             t, r = p.starts.shape
             starts[i, :t, :r] = p.starts
@@ -66,11 +68,16 @@ class StringSearchExecutor:
             field_b[i, :t, :r] = p.field_b
             avg_flen[i, :t, :r] = p.avg_flen
             nd[i] = max(float(n_docs[i]), 1.0)
+            if doc_masks is not None and doc_masks[i] is not None:
+                m = doc_masks[i]
+                masks[i, : len(m)] = m
+                masks[i, len(m):] = False
 
         scores, matched = bm25_score_batch(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(starts), jnp.asarray(lens), jnp.asarray(weights),
             jnp.asarray(field_b), jnp.asarray(avg_flen), jnp.asarray(nd),
+            jnp.asarray(masks),
             lr=LRb, exact=exact, cap=capb,
         )
         return np.asarray(scores[:B, :cap]), np.asarray(matched[:B, :cap])
@@ -91,6 +98,7 @@ def host_bm25_reference(
     exact: bool = False,
     tolerance: Optional[int] = None,
     k1: float = 1.2,
+    doc_mask: Optional[np.ndarray] = None,
 ) -> Dict[int, float]:
     p_doc, p_tf, p_etf, p_flen = index.slab()
     scores: Dict[int, float] = {}
@@ -110,6 +118,8 @@ def host_bm25_reference(
                 for p in range(start, start + length):
                     tf = float(p_etf[p] if exact else p_tf[p])
                     if tf <= 0:
+                        continue
+                    if doc_mask is not None and not doc_mask[int(p_doc[p])]:
                         continue
                     flen = float(p_flen[p])
                     ntf = tf / (1.0 - 0.75 + 0.75 * flen / avg)

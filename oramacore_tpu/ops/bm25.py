@@ -63,6 +63,10 @@ def bm25_score_batch(
     field_b: jax.Array,      # float32[B, T, NR] BM25 b per range's field
     avg_flen: jax.Array,     # float32[B, T, NR] avg field len per range's field
     n_docs: jax.Array,       # float32[B] total docs (corpus size per query)
+    doc_mask: jax.Array,     # bool[B, cap] filter mask (True = doc allowed);
+                             # pushed into scoring so corpus df / IDF are
+                             # computed over the FILTERED doc set (reference
+                             # collect_contributions_with_filter semantics)
     *,
     lr: int,                 # static: max range length (LR)
     exact: bool,
@@ -92,9 +96,14 @@ def bm25_score_batch(
         b_ = fb[:, :, None]
         denom = (1.0 - b_) + b_ * flen / jnp.maximum(av[:, :, None], 1e-9)
         ntf = wt[:, :, None] * tf / jnp.maximum(denom, 1e-9)
-        ntf = jnp.where(valid & (tf > 0), ntf, 0.0)
+        safe_docs = jnp.clip(docs, 0, cap - 1)
+        allowed = jnp.take_along_axis(
+            doc_mask, safe_docs.reshape(B, -1), axis=1
+        ).reshape(docs.shape)
+        keep = valid & (tf > 0) & allowed
+        ntf = jnp.where(keep, ntf, 0.0)
         # invalid slots scatter into the overflow bucket `cap`
-        docs = jnp.where(valid & (tf > 0), docs, cap)
+        docs = jnp.where(keep, docs, cap)
 
         def scatter_one(docs_b, ntf_b):
             acc = jnp.zeros((cap + 1,), jnp.float32)

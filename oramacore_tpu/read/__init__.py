@@ -1,0 +1,867 @@
+"""Read side (query): CQRS query side.
+
+Reference: src/collection_manager/sides/read/ — ReadSide facade
+(mod.rs:159: op-log consumer w/ offset dedup :511-517, search :621,
+commit w/ thresholds :394), CollectionReader (collection.rs:116),
+search orchestration (search.rs:104-501), sort + pin rules (sort.rs),
+facets (facet.rs), groups (group.rs).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import threading
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from ..config import OramacoreConfig
+from ..embeddings import EmbeddingsService, Intent
+from ..index.search_exec import StringSearchExecutor
+from ..oplog import Operation, OperationReceiver
+from ..storage.docstore import DocumentStore
+from ..storage.files import atomic_write_json, read_json
+from ..storage.kv import KV
+from ..types import (
+    AutoMode,
+    FacetResult,
+    FulltextMode,
+    GroupedResult,
+    HybridMode,
+    SearchMode,
+    SearchParams,
+    SearchResult,
+    SearchResultHit,
+    VectorMode,
+    WhereFilter,
+)
+from ..utils.tokenizer import NLPService
+from .pin_rules import Consequence, apply_promotions, apply_rules
+from .read_index import ReadIndex
+
+
+class ReadError(Exception):
+    def __init__(self, message: str, status: int = 400):
+        super().__init__(message)
+        self.status = status
+
+
+class CollectionReader:
+    def __init__(
+        self,
+        collection_id: str,
+        read_api_key: str,
+        default_locale: str,
+        embedding_model: str,
+        nlp: NLPService,
+        data_dir: str,
+        description: Optional[str] = None,
+        mcp_description: Optional[str] = None,
+    ):
+        self.collection_id = collection_id
+        self.read_api_key = read_api_key
+        self.default_locale = default_locale
+        self.embedding_model = embedding_model
+        self.description = description
+        self.mcp_description = mcp_description
+        self.nlp = nlp
+        self.data_dir = data_dir
+        self.indexes: Dict[str, ReadIndex] = {}
+        self.aliases: Dict[str, str] = {}  # temp id -> runtime id after replace
+        self.doc_storage = DocumentStore(os.path.join(data_dir, "docstore"))
+        self.hooks: Dict[str, str] = {}
+        self.pin_rules: Dict[str, Dict[str, Any]] = {}
+        self.shelves: Dict[str, Dict[str, Any]] = {}
+        self.values: Dict[str, str] = {}
+        self._executors: Dict[str, StringSearchExecutor] = {}
+
+    def resolve_index(self, index_id: str) -> Optional[ReadIndex]:
+        real = self.aliases.get(index_id, index_id)
+        return self.indexes.get(real)
+
+    def executor(self, index_id: str) -> StringSearchExecutor:
+        ex = self._executors.get(index_id)
+        if ex is None:
+            ex = self._executors[index_id] = StringSearchExecutor()
+        return ex
+
+    def runtime_indexes(self) -> List[ReadIndex]:
+        return [i for i in self.indexes.values()]
+
+    def document_count(self) -> int:
+        return sum(i.document_count() for i in self.indexes.values())
+
+
+ResolveModeFn = Callable[[str], str]
+
+
+class ReadSide:
+    """Applies the op stream and serves searches."""
+
+    def __init__(
+        self,
+        config: OramacoreConfig,
+        receiver_factory: Callable[[int], OperationReceiver],
+        embeddings: EmbeddingsService,
+        nlp: NLPService,
+        llm_resolve_mode: Optional[ResolveModeFn] = None,
+    ):
+        self.config = config
+        self.embeddings = embeddings
+        self.nlp = nlp
+        self.llm_resolve_mode = llm_resolve_mode
+        self.data_dir = os.path.join(config.data_dir, "reader")
+        os.makedirs(self.data_dir, exist_ok=True)
+        self.collections: Dict[str, CollectionReader] = {}
+        self.kv = KV(os.path.join(self.data_dir, "kv.msgpack"))
+        self.committed_offset = 0
+        self.live_offset = 0
+        self._commit_lock = threading.Lock()
+        self._lock = threading.RLock()
+        self._ops_since_commit = 0
+        self._load()
+        self.receiver = receiver_factory(self.committed_offset)
+        self._stop = False
+        self._consumer: Optional[threading.Thread] = None
+        self.analytics: List[Dict[str, Any]] = []
+
+    # ------------------------------------------------------------------
+    # Op consumption (SURVEY §3.3)
+    # ------------------------------------------------------------------
+
+    def start(self):
+        """Spawn the op consumer loop (reference read/mod.rs:1159)."""
+        if self._consumer is None:
+            self._consumer = threading.Thread(
+                target=self._consume_loop, name="op-consumer", daemon=True
+            )
+            self._consumer.start()
+
+    def _consume_loop(self):
+        while not self._stop:
+            item = self.receiver.recv(timeout=0.1)
+            if item is None:
+                continue
+            offset, op = item
+            try:
+                self.update(offset, op)
+            except Exception:  # noqa: BLE001
+                import traceback
+
+                traceback.print_exc()
+
+    def pump(self, max_ops: Optional[int] = None) -> int:
+        """Synchronously drain pending ops (test harness path)."""
+        n = 0
+        while max_ops is None or n < max_ops:
+            item = self.receiver.recv(timeout=0)
+            if item is None:
+                break
+            self.update(*item)
+            n += 1
+        return n
+
+    def update(self, offset: int, op: Operation):
+        # replay dedup (reference read/mod.rs:511-517)
+        if offset <= self.committed_offset and offset <= self.live_offset:
+            return
+        if offset <= self.live_offset:
+            return
+        self.live_offset = offset
+        self._apply(op)
+        self._ops_since_commit += 1
+        if self._ops_since_commit >= self.config.reader_side.insert_batch_commit_size:
+            self.commit()
+
+    def _apply(self, op: Operation):
+        kind = op.kind
+        cid = op.collection
+        b = op.body
+        if kind == "create_collection":
+            self.collections[cid] = CollectionReader(
+                collection_id=cid,
+                read_api_key=b["read_api_key"],
+                default_locale=b.get("default_locale", "english"),
+                embedding_model=b.get("embedding_model", "builtin-minihash-384"),
+                nlp=self.nlp,
+                data_dir=os.path.join(self.data_dir, "collections", cid),
+                description=b.get("description"),
+                mcp_description=b.get("mcp_description"),
+            )
+            return
+        if kind == "delete_collection":
+            coll = self.collections.pop(cid, None)
+            if coll is not None:
+                shutil.rmtree(coll.data_dir, ignore_errors=True)
+            return
+        if kind in ("kv_insert", "kv_delete"):
+            if kind == "kv_insert":
+                self.kv.insert(b["key"], b["value"])
+            else:
+                self.kv.remove(b["key"])
+            return
+        coll = self.collections.get(cid)
+        if coll is None:
+            return
+        if kind == "create_index":
+            coll.indexes[b["index"]] = ReadIndex(
+                b["index"], b.get("locale", coll.default_locale),
+                b.get("embedding_model", coll.embedding_model), self.nlp,
+            )
+            return
+        if kind == "delete_index":
+            coll.indexes.pop(b["index"], None)
+            coll._executors.pop(b["index"], None)
+            return
+        if kind == "replace_index":
+            # promote temp to runtime id, alias old temp id (index/mod.rs:864)
+            temp = coll.indexes.pop(b["temp"], None)
+            if temp is not None:
+                old = coll.indexes.pop(b["target"], None)
+                if old is not None:
+                    coll.doc_storage.remove(old.doc_user_ids.keys())
+                temp.index_id = b["target"]
+                coll.indexes[b["target"]] = temp
+                coll.aliases[b["temp"]] = b["target"]
+                coll._executors.pop(b["target"], None)
+                coll._executors.pop(b["temp"], None)
+            return
+        if kind == "update_read_api_key":
+            coll.read_api_key = b["read_api_key"]
+            return
+        if kind == "hook_insert":
+            coll.hooks[b["name"]] = b["code"]
+            return
+        if kind == "hook_delete":
+            coll.hooks.pop(b["name"], None)
+            return
+        if kind == "pin_rule_insert":
+            coll.pin_rules[b["id"]] = b
+            return
+        if kind == "pin_rule_delete":
+            coll.pin_rules.pop(b["id"], None)
+            return
+        if kind == "shelf_insert":
+            coll.shelves[b["id"]] = b
+            return
+        if kind == "shelf_delete":
+            coll.shelves.pop(b["id"], None)
+            return
+        if kind == "value_set":
+            coll.values[b["key"]] = b["value"]
+            return
+        if kind == "value_delete":
+            coll.values.pop(b["key"], None)
+            return
+        idx = coll.resolve_index(b.get("index", ""))
+        if idx is None:
+            return
+        if kind == "create_field":
+            idx.apply_create_field(b)
+        elif kind == "index_document":
+            idx.apply_index_document(b)
+            raw = b.get("raw")
+            if raw is not None:
+                coll.doc_storage.insert(
+                    int(b["doc_id"]), json.dumps(raw).encode()
+                )
+        elif kind == "index_embedding":
+            idx.apply_index_embedding(b)
+        elif kind == "delete_documents":
+            idx.apply_delete_documents(b)
+            coll.doc_storage.remove(int(d) for d in b["doc_ids"])
+
+    # ------------------------------------------------------------------
+    # Auth
+    # ------------------------------------------------------------------
+
+    def check_read_key(self, collection_id: str, key: Optional[str]) -> CollectionReader:
+        coll = self.collections.get(collection_id)
+        if coll is None:
+            raise ReadError(f"collection {collection_id!r} not found", 404)
+        if key != coll.read_api_key and key != self.config.auth.master_api_key:
+            raise ReadError("invalid read api key", 401)
+        return coll
+
+    # ------------------------------------------------------------------
+    # Search (SURVEY §3.4)
+    # ------------------------------------------------------------------
+
+    def resolve_mode(self, mode: SearchMode) -> SearchMode:
+        if isinstance(mode, AutoMode):
+            choice = "fulltext"
+            if self.llm_resolve_mode is not None:
+                try:
+                    choice = self.llm_resolve_mode(mode.term) or "fulltext"
+                except Exception:  # noqa: BLE001
+                    choice = "fulltext"
+            if choice == "vector":
+                return VectorMode(mode.term)
+            if choice == "hybrid":
+                return HybridMode(mode.term)
+            return FulltextMode(mode.term)
+        return mode
+
+    def search(
+        self,
+        collection_id: str,
+        read_key: Optional[str],
+        params: SearchParams,
+    ) -> SearchResult:
+        coll = self.check_read_key(collection_id, read_key)
+        t0 = time.perf_counter()
+        mode = self.resolve_mode(params.mode)
+
+        # select indexes
+        if params.indexes is not None:
+            indexes = []
+            for iid in params.indexes:
+                idx = coll.resolve_index(iid.value)
+                if idx is None:
+                    raise ReadError(f"index {iid.value!r} not found", 404)
+                indexes.append(idx)
+        else:
+            indexes = coll.runtime_indexes()
+
+        # pin rules triggered by the term (search.rs:257-281)
+        consequences: List[Consequence] = []
+        if coll.pin_rules:
+            for idx in indexes:
+                consequences.extend(
+                    apply_rules(list(coll.pin_rules.values()), mode.term, idx.parser)
+                )
+
+        all_scores: Dict[int, float] = {}
+        facet_results: Dict[str, FacetResult] = {}
+        group_values_by_doc: Dict[int, Dict[str, List[Any]]] = {}
+        filter_fields_seen: Set[str] = set()
+        has_filter = not params.where.is_empty()
+
+        for idx in indexes:
+            cap = idx.cap()
+            for f in idx.filters.all_fields():
+                filter_fields_seen.add(f)
+            filter_mask = (
+                idx.filters.eval_where(params.where, cap) if has_filter else None
+            )
+            mask = idx.combined_mask(filter_mask)
+            scores = self._token_scores(coll, idx, mode, params, mask)
+            # OMC multipliers (search.rs:342, apply_omc_multipliers :39)
+            if idx.omc:
+                for d in list(scores.keys()):
+                    m = idx.omc.get(d)
+                    if m is not None:
+                        scores[d] *= m
+            all_scores.update(scores)
+
+            if params.facets:
+                # facet quirk (search.rs:345-396): with filters present,
+                # facets are computed over the UNFILTERED scored doc set
+                if has_filter:
+                    facet_scores = self._token_scores(
+                        coll, idx, mode, params, idx.alive_mask()
+                    )
+                else:
+                    facet_scores = scores
+                self._compute_facets(idx, params, facet_scores, facet_results)
+
+            if params.group_by:
+                self._collect_group_values(idx, params, scores, group_values_by_doc)
+
+        # error semantics (search.rs:434-460)
+        if not all_scores and has_filter:
+            for cond in _walk_filter_keys(params.where):
+                if cond not in filter_fields_seen:
+                    raise ReadError(f"filter field {cond!r} not found", 400)
+        if params.facets:
+            missing = [f for f in params.facets if f not in facet_results]
+            if missing:
+                raise ReadError(f"facet fields not found: {missing}", 400)
+
+        count = len(all_scores)
+
+        # resolve user-id -> internal for pin rules across indexes
+        resolve: Dict[str, int] = {}
+        if consequences:
+            for idx in indexes:
+                resolve.update(idx.user_to_internal)
+
+        ranked = self._rank(
+            indexes, all_scores, params, consequences, resolve
+        )
+        page = ranked[params.offset : params.offset + params.limit]
+
+        groups = None
+        if params.group_by:
+            groups = self._build_groups(
+                coll, indexes, all_scores, group_values_by_doc, params,
+                consequences, resolve,
+            )
+
+        hits = self._hydrate(coll, indexes, page)
+        self.analytics.append(
+            {
+                "type": "search",
+                "collection": collection_id,
+                "mode": params.mode_str,
+                "duration_ms": (time.perf_counter() - t0) * 1000,
+                "has_filter": has_filter,
+                "has_facets": bool(params.facets),
+                "has_pin_rules": bool(consequences),
+                "results": count,
+                "at": time.time(),
+            }
+        )
+        return SearchResult(
+            hits=hits,
+            count=count,
+            facets=facet_results if params.facets else None,
+            groups=groups,
+        )
+
+    # -- scoring ---------------------------------------------------------
+
+    def _token_scores(
+        self,
+        coll: CollectionReader,
+        idx: ReadIndex,
+        mode: SearchMode,
+        params: SearchParams,
+        mask: Optional[np.ndarray],
+    ) -> Dict[int, float]:
+        if isinstance(mode, (FulltextMode,)):
+            return self._fulltext_scores(coll, idx, mode, params, mask)
+        if isinstance(mode, VectorMode):
+            return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
+        if isinstance(mode, HybridMode):
+            # (token_score.rs:357-422)
+            vec = self._vector_scores(idx, mode.term, mode.similarity, params, mask)
+            ft = self._fulltext_scores(
+                coll, idx,
+                FulltextMode(mode.term, mode.threshold, mode.exact, mode.tolerance),
+                params, mask,
+            )
+            return _normalize_and_combine(vec, ft)
+        raise ReadError(f"unsupported mode {mode!r}", 400)
+
+    def _fulltext_scores(
+        self,
+        coll: CollectionReader,
+        idx: ReadIndex,
+        mode: FulltextMode,
+        params: SearchParams,
+        mask: Optional[np.ndarray],
+    ) -> Dict[int, float]:
+        parser = idx.parser
+        parsed = parser.tokenize_and_stem(mode.term)
+        if mode.exact:
+            tokens = [t for t, _ in parsed]
+        else:
+            tokens = []
+            for t, variants in parsed:
+                tokens.append(t)
+                tokens.extend(variants)
+        if not tokens:
+            tokens = [""]
+
+        # properties: specified (string fields only) or all string fields
+        if params.properties is not None:
+            props = [
+                p for p in params.properties
+                if idx.field_types.get(p, "").startswith("string")
+            ]
+        else:
+            props = [
+                p for p, t in idx.field_types.items() if t.startswith("string")
+            ]
+        if not props:
+            return {}
+        plan = idx.string.plan_query(
+            tokens, props, params.boost,
+            tolerance=(0 if mode.exact else mode.tolerance) or None,
+        )
+        cap = idx.cap()
+        ex = coll.executor(idx.index_id)
+        scores, matched = ex.score(
+            idx.string, [plan], [idx.document_count()], cap,
+            exact=mode.exact,
+            doc_masks=[mask] if mask is not None else None,
+        )
+        s, m = scores[0], matched[0]
+        if mode.threshold is not None:
+            thr = math.floor(len(tokens) * mode.threshold)
+            keep = (s > 0) & (m >= thr)
+        else:
+            keep = s > 0
+        nz = np.nonzero(keep)[0]
+        return {int(d): float(s[d]) for d in nz}
+
+    def _vector_scores(
+        self,
+        idx: ReadIndex,
+        term: str,
+        similarity: float,
+        params: SearchParams,
+        mask: Optional[np.ndarray],
+    ) -> Dict[int, float]:
+        if idx.vector is None:
+            return {}
+        targets = self.embeddings.calculate_embeddings(
+            [term], Intent.QUERY, idx.embedding_model
+        )[0]
+        limit = max(params.limit + params.offset, params.limit)
+        return idx.vector.search(
+            targets, limit=limit, similarity=similarity,
+            filter_mask=mask, cap=idx.cap(),
+        )
+
+    # -- facets ----------------------------------------------------------
+
+    def _compute_facets(
+        self,
+        idx: ReadIndex,
+        params: SearchParams,
+        scores: Dict[int, float],
+        out: Dict[str, FacetResult],
+    ):
+        cap = idx.cap()
+        doc_mask = np.zeros(cap, bool)
+        for d in scores:
+            if d < cap:
+                doc_mask[d] = True
+        for name, facet in params.facets.items():
+            if facet.kind == "number" and name in idx.filters.numbers:
+                ranges = [(r.from_, r.to) for r in facet.ranges]
+                counts = idx.filters.numbers[name].range_counts(ranges, doc_mask)
+                values = {
+                    f"{_fmt_num(r.from_)}-{_fmt_num(r.to)}": c
+                    for r, c in zip(facet.ranges, counts)
+                }
+                prev = out.get(name)
+                if prev:
+                    for k, v in values.items():
+                        prev.values[k] = prev.values.get(k, 0) + v
+                    prev.count = len(prev.values)
+                else:
+                    out[name] = FacetResult(count=len(values), values=values)
+            elif facet.kind == "bool" and name in idx.filters.bools:
+                counts = idx.filters.bools[name].counts(doc_mask)
+                prev = out.get(name)
+                if prev:
+                    for k, v in counts.items():
+                        prev.values[k] = prev.values.get(k, 0) + v
+                    prev.count = len(prev.values)
+                else:
+                    out[name] = FacetResult(count=len(counts), values=dict(counts))
+            elif facet.kind == "string" and name in idx.filters.strings:
+                counts = idx.filters.strings[name].value_counts(doc_mask)
+                prev = out.get(name)
+                if prev:
+                    for k, v in counts.items():
+                        prev.values[k] = prev.values.get(k, 0) + v
+                    prev.count = len(prev.values)
+                else:
+                    out[name] = FacetResult(count=len(counts), values=counts)
+
+    # -- groups -----------------------------------------------------------
+
+    def _collect_group_values(
+        self,
+        idx: ReadIndex,
+        params: SearchParams,
+        scores: Dict[int, float],
+        out: Dict[int, Dict[str, List[Any]]],
+    ):
+        docs = list(scores.keys())
+        for prop in params.group_by.properties:
+            if prop in idx.filters.strings:
+                vals = idx.filters.strings[prop].doc_values(docs)
+                for d, vs in vals.items():
+                    out.setdefault(d, {}).setdefault(prop, []).extend(vs)
+            elif prop in idx.filters.numbers:
+                col = idx.filters.numbers[prop]
+                dd, vv = col.slab()
+                wanted = set(docs)
+                for d, v in zip(dd.tolist(), vv.tolist()):
+                    if d in wanted:
+                        out.setdefault(d, {}).setdefault(prop, []).append(v)
+            elif prop in idx.filters.bools:
+                col = idx.filters.bools[prop]
+                dd, vv = col.slab()
+                wanted = set(docs)
+                for d, v in zip(dd.tolist(), vv.tolist()):
+                    if d in wanted:
+                        out.setdefault(d, {}).setdefault(prop, []).append(bool(v))
+
+    def _build_groups(
+        self,
+        coll: CollectionReader,
+        indexes: List[ReadIndex],
+        all_scores: Dict[int, float],
+        group_values: Dict[int, Dict[str, List[Any]]],
+        params: SearchParams,
+        consequences: List[Consequence],
+        resolve: Dict[str, int],
+    ) -> List[GroupedResult]:
+        props = params.group_by.properties
+        max_results = params.group_by.max_results
+        groups: Dict[Tuple, List[int]] = {}
+        for d in all_scores:
+            vals = group_values.get(d)
+            if not vals or any(p not in vals for p in props):
+                continue
+            # cartesian product over multi-valued fields
+            combos: List[Tuple] = [()]
+            for p in props:
+                combos = [c + (v,) for c in combos for v in vals[p]]
+            for combo in combos:
+                groups.setdefault(combo, []).append(d)
+        out: List[GroupedResult] = []
+        for combo, docs in groups.items():
+            ranked = sorted(docs, key=lambda d: -all_scores[d])
+            ranked_pairs = [(d, all_scores[d]) for d in ranked]
+            if consequences:
+                group_set = set(docs)
+                filtered_cons = [
+                    Consequence([
+                        p for p in c.promote
+                        if resolve.get(p.doc_id) in group_set
+                    ])
+                    for c in consequences
+                ]
+                filtered_cons = [c for c in filtered_cons if c.promote]
+                ranked_pairs = apply_promotions(
+                    filtered_cons, resolve, all_scores, ranked_pairs
+                )
+            page = ranked_pairs[:max_results]
+            hits = self._hydrate(coll, indexes, page)
+            out.append(GroupedResult(values=list(combo), result=hits))
+        out.sort(key=lambda g: [str(v) for v in g.values])
+        return out
+
+    # -- ranking -----------------------------------------------------------
+
+    def _rank(
+        self,
+        indexes: List[ReadIndex],
+        scores: Dict[int, float],
+        params: SearchParams,
+        consequences: List[Consequence],
+        resolve: Dict[str, int],
+    ) -> List[Tuple[int, float]]:
+        top_count = params.limit + params.offset
+        if consequences:
+            top_count *= 2  # pin rules can push items past the page (sort.rs:25-46)
+        if params.sort_by is not None:
+            ranked = self._sort_by_field(indexes, scores, params.sort_by)
+            ranked = ranked[:top_count] if top_count < len(ranked) else ranked
+        else:
+            ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_count]
+        return apply_promotions(consequences, resolve, scores, ranked)
+
+    def _sort_by_field(
+        self,
+        indexes: List[ReadIndex],
+        scores: Dict[int, float],
+        sort_by,
+    ) -> List[Tuple[int, float]]:
+        prop, order = sort_by.property, sort_by.order
+        keys: Dict[int, Any] = {}
+        for idx in indexes:
+            for group in (idx.filters.numbers, idx.filters.dates, idx.filters.bools):
+                col = group.get(prop)
+                if col is None:
+                    continue
+                dd, vv = col.slab()
+                for d, v in zip(dd.tolist(), vv.tolist()):
+                    if d in scores and d not in keys:
+                        keys[d] = v
+        missing = [d for d in scores if d not in keys]
+        present = sorted(
+            (d for d in scores if d in keys),
+            key=lambda d: (keys[d], d),
+            reverse=(order == "desc"),
+        )
+        # docs without the sort field rank after sorted ones
+        return [(d, scores[d]) for d in present] + [
+            (d, scores[d]) for d in sorted(missing)
+        ]
+
+    # -- hydration ----------------------------------------------------------
+
+    def _hydrate(
+        self,
+        coll: CollectionReader,
+        indexes: List[ReadIndex],
+        page: List[Tuple[int, float]],
+    ) -> List[SearchResultHit]:
+        blobs = coll.doc_storage.get_documents_by_ids([d for d, _ in page])
+        doc_index: Dict[int, ReadIndex] = {}
+        for idx in indexes:
+            for d in idx.doc_user_ids:
+                doc_index.setdefault(d, idx)
+        hits = []
+        for d, score in page:
+            idx = doc_index.get(d)
+            user_id = idx.doc_user_ids.get(d, str(d)) if idx else str(d)
+            iid = idx.index_id if idx else ""
+            raw = blobs.get(d)
+            doc = json.loads(raw) if raw else None
+            hits.append(
+                SearchResultHit(id=f"{iid}:{user_id}", score=score, document=doc)
+            )
+        return hits
+
+    # ------------------------------------------------------------------
+    # Stats / docs API
+    # ------------------------------------------------------------------
+
+    def collection_stats(self, collection_id: str, read_key: Optional[str]) -> Dict[str, Any]:
+        coll = self.check_read_key(collection_id, read_key)
+        return {
+            "id": coll.collection_id,
+            "document_count": coll.document_count(),
+            "description": coll.description,
+            "default_locale": coll.default_locale,
+            "indexes": [i.stats() for i in coll.indexes.values()],
+        }
+
+    def filterable_fields(self, collection_id: str, read_key: Optional[str]) -> Dict[str, str]:
+        coll = self.check_read_key(collection_id, read_key)
+        out: Dict[str, str] = {}
+        for idx in coll.indexes.values():
+            out.update(idx.filters.all_fields())
+        return out
+
+    def batch_get_documents(
+        self, collection_id: str, read_key: Optional[str], user_ids: Sequence[str]
+    ) -> List[Dict[str, Any]]:
+        coll = self.check_read_key(collection_id, read_key)
+        internal = []
+        for idx in coll.indexes.values():
+            for uid in user_ids:
+                d = idx.user_to_internal.get(uid)
+                if d is not None:
+                    internal.append(d)
+        blobs = coll.doc_storage.get_documents_by_ids(internal)
+        return [json.loads(v) for v in blobs.values()]
+
+    # ------------------------------------------------------------------
+    # Commit / load (SURVEY §5.4)
+    # ------------------------------------------------------------------
+
+    def commit(self, force: bool = False):
+        with self._commit_lock:
+            offset = self.live_offset
+            for coll in self.collections.values():
+                cdir = coll.data_dir
+                for iid, idx in coll.indexes.items():
+                    idx.commit(os.path.join(cdir, "indexes", iid))
+                coll.doc_storage.commit()
+                atomic_write_json(
+                    os.path.join(cdir, "collection.json"),
+                    {
+                        "collection_id": coll.collection_id,
+                        "read_api_key": coll.read_api_key,
+                        "default_locale": coll.default_locale,
+                        "embedding_model": coll.embedding_model,
+                        "description": coll.description,
+                        "mcp_description": coll.mcp_description,
+                        "aliases": coll.aliases,
+                        "hooks": coll.hooks,
+                        "pin_rules": coll.pin_rules,
+                        "shelves": coll.shelves,
+                        "values": coll.values,
+                        "indexes": list(coll.indexes.keys()),
+                    },
+                )
+            self.kv.commit()
+            atomic_write_json(
+                os.path.join(self.data_dir, "read.info.json"),
+                {"v": 1, "offset": offset},
+            )
+            self.committed_offset = offset
+            self._ops_since_commit = 0
+
+    def _load(self):
+        info = read_json(os.path.join(self.data_dir, "read.info.json"))
+        if not info:
+            return
+        self.committed_offset = info.get("offset", 0)
+        self.live_offset = self.committed_offset
+        coll_root = os.path.join(self.data_dir, "collections")
+        if not os.path.isdir(coll_root):
+            return
+        for cid in os.listdir(coll_root):
+            cdir = os.path.join(coll_root, cid)
+            meta = read_json(os.path.join(cdir, "collection.json"))
+            if not meta:
+                continue
+            coll = CollectionReader(
+                collection_id=meta["collection_id"],
+                read_api_key=meta["read_api_key"],
+                default_locale=meta.get("default_locale", "english"),
+                embedding_model=meta.get("embedding_model", "builtin-minihash-384"),
+                nlp=self.nlp,
+                data_dir=cdir,
+                description=meta.get("description"),
+                mcp_description=meta.get("mcp_description"),
+            )
+            coll.aliases = dict(meta.get("aliases", {}))
+            coll.hooks = dict(meta.get("hooks", {}))
+            coll.pin_rules = dict(meta.get("pin_rules", {}))
+            coll.shelves = dict(meta.get("shelves", {}))
+            coll.values = dict(meta.get("values", {}))
+            for iid in meta.get("indexes", []):
+                idx = ReadIndex.load(os.path.join(cdir, "indexes", iid), self.nlp)
+                if idx is not None:
+                    coll.indexes[iid] = idx
+            self.collections[cid] = coll
+
+    def stop(self):
+        self._stop = True
+        if self._consumer:
+            self._consumer.join(timeout=5)
+        self.commit(force=True)
+
+
+# ---------------------------------------------------------------------------
+
+def _normalize_and_combine(
+    vector: Dict[int, float], fulltext: Dict[int, float]
+) -> Dict[int, float]:
+    """Hybrid fusion (token_score.rs:393-422): min-max over BOTH sets,
+    normalize each, sum."""
+    vmax = max(vector.values(), default=0.0)
+    fmax = max(fulltext.values(), default=0.0)
+    hi = max(vmax, fmax, 0.0)
+    vmin = min(vector.values(), default=0.0)
+    fmin = min(fulltext.values(), default=0.0)
+    lo = min(vmin, fmin, 0.0)
+    span = hi - lo
+    if span <= 0:
+        span = 1.0
+    out = {d: (s - lo) / span for d, s in fulltext.items()}
+    for d, s in vector.items():
+        out[d] = out.get(d, 0.0) + (s - lo) / span
+    return out
+
+
+def _walk_filter_keys(where: WhereFilter) -> List[str]:
+    keys = [c.path for c in where.conditions]
+    for sub in where.and_ + where.or_:
+        keys.extend(_walk_filter_keys(sub))
+    if where.not_:
+        keys.extend(_walk_filter_keys(where.not_))
+    return keys
+
+
+def _fmt_num(x) -> str:
+    if isinstance(x, float) and x.is_integer():
+        return str(int(x))
+    return str(x)

@@ -1,0 +1,215 @@
+"""Per-index read state: string + filter + vector storages, op apply.
+
+Reference: read/index/mod.rs — `Index` (:107): per-field storage maps,
+deleted-doc set, OMC log (:172-179), aliases (:112-118), search-store
+snapshots (:404), structural vs data ops (:1246,:1436), commit (:466-719).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Set
+
+import numpy as np
+
+from ..embeddings import MODELS
+from ..index.filter_fields import (
+    FilterFields,
+    load_filter_fields,
+    save_filter_fields,
+)
+from ..index.string_index import StringIndex, load_string_index, save_string_index
+from ..index.vector_index import (
+    VectorIndex,
+    VectorIndexConfig,
+    load_vector_index,
+    save_vector_index,
+)
+from ..storage.files import atomic_write_json, read_json
+from ..types import Locale
+from ..utils.tokenizer import NLPService
+
+
+class ReadIndex:
+    def __init__(self, index_id: str, locale: str, embedding_model: str, nlp: NLPService):
+        self.index_id = index_id
+        self.locale = locale
+        self.embedding_model = embedding_model
+        self.nlp = nlp
+        self.string = StringIndex()
+        self.filters = FilterFields()
+        self.vector: Optional[VectorIndex] = None
+        # internal doc id -> user id (for hit assembly) + membership
+        self.doc_user_ids: Dict[int, str] = {}
+        self.user_to_internal: Dict[str, int] = {}
+        self.deleted: Set[int] = set()
+        self.omc: Dict[int, float] = {}
+        self.max_doc_id = -1
+        # declared field types (from create_field ops): path -> type
+        self.field_types: Dict[str, str] = {}
+
+    # ------------------------------------------------------------------
+
+    @property
+    def parser(self):
+        return self.nlp.get_parser(Locale.parse(self.locale))
+
+    def document_count(self) -> int:
+        return len(self.doc_user_ids)
+
+    def cap(self) -> int:
+        return max(self.max_doc_id + 1, 1)
+
+    def _ensure_vector(self, dim: int):
+        if self.vector is None:
+            info = MODELS.get(self.embedding_model)
+            rescale = info.score_rescale if info else None
+            self.vector = VectorIndex(
+                VectorIndexConfig(
+                    dim=dim, model=self.embedding_model, score_rescale=rescale
+                )
+            )
+
+    # ------------------------------------------------------------------
+    # Op application (reference update_structure / update_data)
+    # ------------------------------------------------------------------
+
+    def apply_create_field(self, body: Dict[str, Any]):
+        self.field_types[body["path"]] = body["type"]
+        if body["type"] in ("string", "string[]"):
+            self.string.ensure_field(body["path"])
+
+    def apply_index_document(self, body: Dict[str, Any]):
+        doc_id = int(body["doc_id"])
+        user_id = body["user_id"]
+        self.max_doc_id = max(self.max_doc_id, doc_id)
+        self.doc_user_ids[doc_id] = user_id
+        self.user_to_internal[user_id] = doc_id
+        self.deleted.discard(doc_id)
+        for path, parsed in (body.get("strings") or {}).items():
+            self.string.index_text(
+                doc_id, path, [(t, list(v)) for t, v in parsed]
+            )
+        for path, values in (body.get("numbers") or {}).items():
+            self.filters.number(path).insert(doc_id, values)
+        for path, value in (body.get("bools") or {}).items():
+            self.filters.bool_(path).insert(doc_id, value)
+        for path, values in (body.get("string_filters") or {}).items():
+            self.filters.string(path).insert(doc_id, values)
+        for path, latlon in (body.get("geos") or {}).items():
+            self.filters.geo(path).insert(doc_id, latlon[0], latlon[1])
+        omc = body.get("omc")
+        if omc is not None:
+            self.omc[doc_id] = float(omc)
+
+    def apply_index_embedding(self, body: Dict[str, Any]):
+        vectors = [np.asarray(v, np.float32) for v in body["vectors"]]
+        if not vectors:
+            return
+        self._ensure_vector(len(vectors[0]))
+        doc_id = int(body["doc_id"])
+        if doc_id in self.deleted or doc_id not in self.doc_user_ids:
+            # late embedding for an already-deleted doc: skip
+            return
+        self.vector.insert(doc_id, vectors)
+
+    def apply_delete_documents(self, body: Dict[str, Any]):
+        for d in body["doc_ids"]:
+            d = int(d)
+            user = self.doc_user_ids.pop(d, None)
+            if user is not None:
+                self.user_to_internal.pop(user, None)
+            self.deleted.add(d)
+            self.string.delete_doc_live(d)
+            self.filters.delete_doc_live(d)
+            if self.vector is not None:
+                self.vector.delete_doc_live(d)
+            self.omc.pop(d, None)
+
+    # ------------------------------------------------------------------
+    # Masks
+    # ------------------------------------------------------------------
+
+    def alive_mask(self) -> Optional[np.ndarray]:
+        """None when no tombstones (all committed docs alive)."""
+        if not self.deleted:
+            return None
+        mask = np.ones(self.cap(), bool)
+        for d in self.deleted:
+            if d < len(mask):
+                mask[d] = False
+        return mask
+
+    def combined_mask(self, filter_mask: Optional[np.ndarray]) -> Optional[np.ndarray]:
+        alive = self.alive_mask()
+        if alive is None:
+            return filter_mask
+        if filter_mask is None:
+            return alive
+        return alive & filter_mask
+
+    # ------------------------------------------------------------------
+    # Commit / load (offset-N snapshot dirs)
+    # ------------------------------------------------------------------
+
+    def commit(self, dir_path: str):
+        self.string.commit(self.deleted)
+        self.filters.commit(self.deleted)
+        if self.vector is not None:
+            self.vector.commit(self.deleted)
+        self.deleted.clear()
+        os.makedirs(dir_path, exist_ok=True)
+        save_string_index(self.string, os.path.join(dir_path, "string"))
+        save_filter_fields(self.filters, os.path.join(dir_path, "filters"))
+        if self.vector is not None:
+            save_vector_index(self.vector, os.path.join(dir_path, "vector"))
+        atomic_write_json(
+            os.path.join(dir_path, "index.json"),
+            {
+                "index_id": self.index_id,
+                "locale": self.locale,
+                "embedding_model": self.embedding_model,
+                "field_types": self.field_types,
+                "doc_user_ids": {str(k): v for k, v in self.doc_user_ids.items()},
+                "omc": {str(k): v for k, v in self.omc.items()},
+                "max_doc_id": self.max_doc_id,
+                "vector_dim": self.vector.config.dim if self.vector else None,
+            },
+        )
+
+    @classmethod
+    def load(cls, dir_path: str, nlp: NLPService) -> Optional["ReadIndex"]:
+        meta = read_json(os.path.join(dir_path, "index.json"))
+        if not meta:
+            return None
+        idx = cls(
+            meta["index_id"], meta.get("locale", "english"),
+            meta.get("embedding_model", "builtin-minihash-384"), nlp,
+        )
+        idx.field_types = dict(meta.get("field_types", {}))
+        idx.doc_user_ids = {int(k): v for k, v in meta.get("doc_user_ids", {}).items()}
+        idx.user_to_internal = {v: k for k, v in idx.doc_user_ids.items()}
+        idx.omc = {int(k): float(v) for k, v in meta.get("omc", {}).items()}
+        idx.max_doc_id = meta.get("max_doc_id", -1)
+        idx.string = load_string_index(os.path.join(dir_path, "string"))
+        idx.filters = load_filter_fields(os.path.join(dir_path, "filters"))
+        dim = meta.get("vector_dim")
+        if dim:
+            info = MODELS.get(idx.embedding_model)
+            rescale = info.score_rescale if info else None
+            idx.vector = load_vector_index(
+                os.path.join(dir_path, "vector"),
+                VectorIndexConfig(dim=dim, model=idx.embedding_model, score_rescale=rescale),
+            )
+        return idx
+
+    def stats(self) -> Dict[str, Any]:
+        return {
+            "id": self.index_id,
+            "document_count": self.document_count(),
+            "fields": self.field_types,
+            "locale": self.locale,
+            "embedding_model": self.embedding_model,
+            "string_info": self.string.info(),
+            "vector_rows": self.vector.n_rows() if self.vector else 0,
+        }

@@ -376,7 +376,7 @@ def _parse_field_condition(path: str, value: Any) -> FieldFilter:
 # Search modes (reference SearchMode types.rs:925 — flattened serde)
 # ---------------------------------------------------------------------------
 
-DEFAULT_SIMILARITY = 0.8  # reference Similarity::default()
+DEFAULT_SIMILARITY = 0.7  # reference Similarity::default() (types.rs:881-885)
 
 
 @dataclass
@@ -457,10 +457,12 @@ class FacetDefinition:
     def from_json(cls, raw: Any) -> "FacetDefinition":
         if not isinstance(raw, dict):
             raise ValueError(f"invalid facet definition: {raw!r}")
+        # number: {"ranges": [...]}; bool: {"true": .., "false": ..};
+        # string: any other map (reference types.rs:770-815)
         if "ranges" in raw:
             ranges = [NumberFacetRange(r["from"], r["to"]) for r in raw["ranges"]]
             return cls("number", ranges)
-        if raw.get("true") is not None or raw.get("false") is not None or raw == {}:
+        if "true" in raw or "false" in raw:
             return cls("bool")
         return cls("string")
 

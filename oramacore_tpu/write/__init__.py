@@ -469,6 +469,7 @@ class WriteSide:
             raise WriteError(f"index {index_id!r} not found", 404)
         stats = InsertStats()
         ops: List[Operation] = []
+        embed_jobs: List[Tuple[str, str, int, str, str]] = []
         parser = self.nlp.get_parser(Locale.parse(idx.locale))
         for doc in docs:
             if not isinstance(doc, dict):
@@ -506,13 +507,18 @@ class WriteSide:
             ops.append(
                 Operation(kind="index_document", collection=collection_id, body=body)
             )
-            # embeddings: async queue
+            # embeddings: async queue — submitted AFTER the index ops batch
+            # so index_embedding ops always follow their index_document op
+            # in the stream (matching the reference's async embedding loop
+            # ordering, write/embedding.rs:126)
             text = self._embedding_text(idx, flat)
             if text:
-                self.embedding_queue.submit(
-                    collection_id, index_id, internal, idx.embedding_model, text
+                embed_jobs.append(
+                    (collection_id, index_id, internal, idx.embedding_model, text)
                 )
         self.op_sender.send_batch(ops)
+        for job in embed_jobs:
+            self.embedding_queue.submit(*job)
         self._count_op(len(ops))
         return stats
 

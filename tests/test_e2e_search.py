@@ -1,0 +1,421 @@
+"""End-to-end writer→oplog→reader tests, modeled on the reference's
+integration suites (src/tests/fulltext_search.rs, filter.rs, facets.rs,
+groupby.rs, sort.rs, vector_search.rs, pin_rules.rs, commit.rs)."""
+
+import pytest
+
+from .utils import TestContext, ids_of
+
+
+@pytest.fixture()
+def ctx():
+    c = TestContext()
+    yield c
+    c.close()
+
+
+def test_fulltext_search_simple(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "title": "The quick brown fox"},
+            {"id": "2", "title": "The lazy dog"},
+        ]
+    )
+    out = coll.search({"term": "quick fox"})
+    assert out.count == 1
+    assert ids_of(out) == ["1"]
+    assert out.hits[0].document["title"] == "The quick brown fox"
+    assert out.hits[0].id.startswith("index-1:")
+
+
+def test_fulltext_search_works_after_commit(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": str(i), "t": f"word{i} common"} for i in range(10)])
+    before = coll.search({"term": "common"})
+    assert before.count == 10
+    ctx.commit_all()
+    after = coll.search({"term": "common"})
+    assert after.count == 10
+    assert coll.search({"term": "word3"}).count == 1
+
+
+def test_search_documents_order(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "This is a long text with enough words"},
+            {"id": "2", "text": "short text"},
+        ]
+    )
+    out = coll.search({"term": "text"})
+    # shorter field gets higher normalized TF → doc 2 first
+    assert ids_of(out) == ["2", "1"]
+
+
+def test_limit_and_offset(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [{"id": str(i), "text": "common " * (i + 1)} for i in range(10)]
+    )
+    page1 = coll.search({"term": "common", "limit": 3})
+    assert len(page1.hits) == 3
+    assert page1.count == 10
+    page2 = coll.search({"term": "common", "limit": 3, "offset": 3})
+    assert len(page2.hits) == 3
+    assert set(ids_of(page1)).isdisjoint(ids_of(page2))
+
+
+def test_multi_index_collection(ctx):
+    coll = ctx.create_collection()
+    idx1 = coll.create_index()
+    idx2 = coll.create_index()
+    idx1.insert_documents([{"id": "a", "text": "apple pie"}])
+    idx2.insert_documents([{"id": "b", "text": "apple juice"}])
+    out = coll.search({"term": "apple"})
+    assert out.count == 2
+    index_ids = {h.id.split(":")[0] for h in out.hits}
+    assert index_ids == {"index-1", "index-2"}
+    # restrict to one index
+    out = coll.search({"term": "apple", "indexes": ["index-1"]})
+    assert out.count == 1
+
+
+def test_threshold(ctx):
+    # reference tests/fulltext_search.rs:478
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "The pen is on the table"},
+            {"id": "2", "text": "the pen", "text2": "is on the table"},
+            {"id": "3", "text": "the pen"},
+        ]
+    )
+    out = coll.search({"term": "the pen is on the table", "threshold": 0.7})
+    assert out.count == 2
+    out = coll.search({"term": "the pen is on the table", "threshold": 1.0})
+    assert out.count == 2
+    out = coll.search({"term": "pen", "threshold": 0.0})
+    assert out.count == 3
+    out = coll.search({"term": "pen", "threshold": 1.0})
+    assert out.count == 3
+    ctx.commit_all()
+    out = coll.search({"term": "the pen is on the table", "threshold": 0.7})
+    assert out.count == 2
+
+
+def test_exact(ctx):
+    # reference tests/fulltext_search.rs:603
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "Christopher Nolan"},
+            {"id": "2", "text": "Foxes"},
+            {"id": "3", "text": "Fox"},
+        ]
+    )
+    assert coll.search({"term": "christoph", "exact": True}).count == 0
+    assert coll.search({"term": "christoph", "exact": False}).count == 1
+    out = coll.search({"term": "Fox", "exact": True})
+    assert ids_of(out) == ["3"]
+
+
+def test_empty_term(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": "1", "text": "something"}])
+    assert coll.search({"term": ""}).count == 0
+
+
+def test_filters_where(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "name": "laptop pro", "price": 1200, "inStock": True, "brand": "apex"},
+            {"id": "2", "name": "laptop air", "price": 800, "inStock": False, "brand": "apex"},
+            {"id": "3", "name": "laptop mini", "price": 500, "inStock": True, "brand": "zen"},
+        ]
+    )
+    out = coll.search({"term": "laptop", "where": {"price": {"lt": 1000}}})
+    assert sorted(ids_of(out)) == ["2", "3"]
+    out = coll.search({"term": "laptop", "where": {"inStock": True, "brand": "apex"}})
+    assert ids_of(out) == ["1"]
+    out = coll.search(
+        {"term": "laptop", "where": {"or": [{"price": {"gt": 1000}}, {"brand": "zen"}]}}
+    )
+    assert sorted(ids_of(out)) == ["1", "3"]
+
+
+def test_filter_unknown_field_errors(ctx):
+    from oramacore_tpu.read import ReadError
+
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": "1", "text": "hello"}])
+    with pytest.raises(ReadError):
+        coll.search({"term": "hello", "where": {"nope": 5}})
+
+
+def test_facets(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": str(i), "text": "game", "rating": i, "genre": "rpg" if i % 2 else "fps",
+             "active": i < 3}
+            for i in range(6)
+        ]
+    )
+    out = coll.search(
+        {
+            "term": "game",
+            "facets": {
+                "rating": {"ranges": [{"from": 0, "to": 2}, {"from": 3, "to": 5}]},
+                "genre": {},
+                "active": {"true": True, "false": True},
+            },
+        }
+    )
+    assert out.facets["rating"].values == {"0-2": 3, "3-5": 3}
+    assert out.facets["genre"].values == {"rpg": 3, "fps": 3}
+    assert out.facets["active"].values == {"true": 3, "false": 3}
+
+
+def test_facets_with_filters_use_unfiltered_scores(ctx):
+    # the reference facet quirk (search.rs:345-396)
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": str(i), "text": "game", "genre": "rpg" if i % 2 else "fps"}
+            for i in range(6)
+        ]
+    )
+    out = coll.search(
+        {
+            "term": "game",
+            "where": {"genre": "rpg"},
+            "facets": {"genre": {}},
+        }
+    )
+    assert out.count == 3  # hits are filtered
+    # but facets reflect the unfiltered result set
+    assert out.facets["genre"].values == {"rpg": 3, "fps": 3}
+
+
+def test_group_by(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "shoe red", "color": "red"},
+            {"id": "2", "text": "shoe blue", "color": "blue"},
+            {"id": "3", "text": "shoe dark red", "color": "red"},
+        ]
+    )
+    out = coll.search(
+        {"term": "shoe", "groupBy": {"properties": ["color"], "maxResults": 5}}
+    )
+    groups = {tuple(g.values): ids_of_group(g) for g in out.groups}
+    assert sorted(groups[("red",)]) == ["1", "3"]
+    assert groups[("blue",)] == ["2"]
+
+
+def ids_of_group(g):
+    return [h.id.split(":", 1)[1] for h in g.result]
+
+
+def test_sort_by_number(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "item", "price": 30},
+            {"id": "2", "text": "item", "price": 10},
+            {"id": "3", "text": "item", "price": 20},
+        ]
+    )
+    out = coll.search({"term": "item", "sortBy": {"property": "price"}})
+    assert ids_of(out) == ["2", "3", "1"]
+    out = coll.search({"term": "item", "sortBy": {"property": "price", "order": "desc"}})
+    assert ids_of(out) == ["1", "3", "2"]
+
+
+def test_vector_and_hybrid_search(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "greek mythology gods of olympus"},
+            {"id": "2", "text": "modern javascript web frameworks"},
+        ]
+    )
+    out = coll.search({"term": "ancient greek gods", "mode": "vector", "similarity": 0.01})
+    assert "1" in ids_of(out)
+    if out.count == 2:
+        assert ids_of(out)[0] == "1"
+    out = coll.search({"term": "greek gods", "mode": "hybrid", "similarity": 0.01})
+    assert ids_of(out)[0] == "1"
+
+
+def test_delete_documents(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": str(i), "text": "target"} for i in range(4)])
+    assert coll.search({"term": "target"}).count == 4
+    idx.delete_documents(["1", "2"])
+    out = coll.search({"term": "target"})
+    assert sorted(ids_of(out)) == ["0", "3"]
+    ctx.commit_all()
+    assert coll.search({"term": "target"}).count == 2
+
+
+def test_update_document_upsert(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    stats = idx.insert_documents([{"id": "1", "text": "original content"}])
+    assert stats.inserted == 1
+    stats = idx.insert_documents([{"id": "1", "text": "replaced content"}])
+    assert stats.replaced == 1
+    assert coll.search({"term": "original"}).count == 0
+    out = coll.search({"term": "replaced"})
+    assert ids_of(out) == ["1"]
+
+
+def test_pin_rules(ctx):
+    # reference tests/pin_rules.rs:9
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [{"id": str(i), "c": f"c-{i}", "run": f"run-{i}"} for i in range(20)]
+    )
+    idx.insert_pin_rule(
+        {
+            "id": "rule-1",
+            "conditions": [
+                {"pattern": "c", "anchoring": "is"},
+                {"pattern": "running", "anchoring": "is", "normalization": "stem"},
+            ],
+            "consequence": {
+                "promote": [
+                    {"doc_id": "5", "position": 1},
+                    {"doc_id": "7", "position": 2},
+                ]
+            },
+        }
+    )
+    out = coll.search({"term": "c"})
+    assert out.hits[1].id.endswith(":5")
+    assert out.hits[2].id.endswith(":7")
+    # non-matching term → no promotion of missing docs
+    out = coll.search({"term": "zzz"})
+    assert out.count == 0
+
+
+def test_omc_multiplier(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "match word"},
+            {"id": "2", "text": "match word", "_omc": 5.0},
+        ]
+    )
+    out = coll.search({"term": "match"})
+    assert ids_of(out)[0] == "2"
+    assert out.hits[0].score == pytest.approx(out.hits[1].score * 5.0, rel=1e-4)
+
+
+def test_reload_roundtrip(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "title": "persistent data", "price": 10, "tag": "a"},
+            {"id": "2", "title": "volatile data", "price": 20, "tag": "b"},
+        ]
+    )
+    ctx2 = ctx.reload()
+    try:
+        out = ctx2.reader.search(
+            coll.collection_id, coll.read_key,
+            __import__("oramacore_tpu.types", fromlist=["SearchParams"]).SearchParams.from_json(
+                {"term": "persistent"}
+            ),
+        )
+        assert out.count == 1
+        assert out.hits[0].document["title"] == "persistent data"
+        # filters survive reload
+        out = ctx2.reader.search(
+            coll.collection_id, coll.read_key,
+            __import__("oramacore_tpu.types", fromlist=["SearchParams"]).SearchParams.from_json(
+                {"term": "data", "where": {"price": {"gt": 15}}}
+            ),
+        )
+        assert ids_of(out) == ["2"]
+    finally:
+        ctx2.close()
+
+
+def test_replace_index_promotion(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index("main")
+    idx.insert_documents([{"id": "1", "text": "old content"}])
+    writer = ctx.writer
+    temp = writer.create_temporary_index(
+        coll.collection_id, coll.write_key, "main"
+    )
+    writer.insert_documents(
+        coll.collection_id, temp.index_id, coll.write_key,
+        [{"id": "1", "text": "new content"}],
+    )
+    writer.replace_index(
+        coll.collection_id, coll.write_key, "main", temp.index_id
+    )
+    ctx.pump()
+    out = coll.search({"term": "new"})
+    assert out.count == 1
+    assert out.hits[0].id.startswith("main:")
+    assert coll.search({"term": "old"}).count == 0
+
+
+def test_reindex(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index("main")
+    idx.insert_documents([{"id": str(i), "text": f"doc number {i}"} for i in range(5)])
+    ctx.writer.reindex(coll.collection_id, coll.write_key)
+    ctx.pump()
+    out = coll.search({"term": "doc"})
+    assert out.count == 5
+    stats = coll.stats()
+    assert [i["id"] for i in stats["indexes"]] == ["main"]
+
+
+def test_auto_mode_with_llm_stub():
+    ctx = TestContext(llm_resolve_mode=lambda term: "vector")
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{"id": "1", "text": "greek gods mythology"}])
+        out = coll.search({"term": "greek gods mythology", "mode": "auto"})
+        assert out.count >= 1
+    finally:
+        ctx.close()
+
+
+def test_stats_and_filterable_fields(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": "1", "text": "hello", "n": 5, "flag": True}])
+    stats = coll.stats()
+    assert stats["document_count"] == 1
+    fields = ctx.reader.filterable_fields(coll.collection_id, coll.read_key)
+    assert fields["n"] == "number"
+    assert fields["flag"] == "bool"
