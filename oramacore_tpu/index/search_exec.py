@@ -26,7 +26,14 @@ class StringSearchExecutor:
         slab = index.slab()
         slab_id = id(slab[0])
         if self._slab_id != slab_id:
-            self._device_slab = tuple(jnp.asarray(a) for a in slab)
+            # pad with MAX_RANGE_LEN zeros so vmapped dynamic_slice windows
+            # never clamp (tf=0 padding contributes nothing)
+            from ..ops.bm25 import MAX_RANGE_LEN
+
+            self._device_slab = tuple(
+                jnp.asarray(np.concatenate([a, np.zeros(MAX_RANGE_LEN, a.dtype)]))
+                for a in slab
+            )
             self._slab_id = slab_id
         return self._device_slab
 
@@ -142,3 +149,92 @@ def host_bm25_reference(
             if bin(masks.get(d, 0)).count("1") >= thr
         }
     return scores
+
+
+class _PlanBatch:
+    """Padded descriptor arrays for a batch of plans (host side)."""
+
+    __slots__ = ("starts", "lens", "weights", "field_b", "avg_flen", "nd",
+                 "masks", "LRb", "capb", "B")
+
+    def __init__(self, plans, n_docs, cap, doc_masks=None):
+        from ..ops.bm25 import round_up_pow2
+
+        B = len(plans)
+        Bb = round_up_pow2(B, 1)
+        T = max(p.starts.shape[0] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NR = max(p.starts.shape[1] for p in plans)
+        NRb = round_up_pow2(NR, 1)
+        LR = max(p.max_range_len for p in plans)
+        self.LRb = round_up_pow2(LR, 8)
+        self.capb = round_up_pow2(cap, 128)
+        self.B = B
+        self.starts = np.zeros((Bb, Tb, NRb), np.int32)
+        self.lens = np.zeros((Bb, Tb, NRb), np.int32)
+        self.weights = np.zeros((Bb, Tb, NRb), np.float32)
+        self.field_b = np.full((Bb, Tb, NRb), 0.75, np.float32)
+        self.avg_flen = np.ones((Bb, Tb, NRb), np.float32)
+        self.nd = np.ones((Bb,), np.float32)
+        self.masks = np.ones((Bb, self.capb), bool)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            self.starts[i, :t, :r] = p.starts
+            self.lens[i, :t, :r] = p.lens
+            self.weights[i, :t, :r] = p.weights
+            self.field_b[i, :t, :r] = p.field_b
+            self.avg_flen[i, :t, :r] = p.avg_flen
+            self.nd[i] = max(float(n_docs[i]), 1.0)
+            if doc_masks is not None and doc_masks[i] is not None:
+                m = doc_masks[i]
+                self.masks[i, : len(m)] = m
+                self.masks[i, len(m):] = False
+
+
+class StringSearchTopK(StringSearchExecutor):
+    """Fused path: scoring + threshold + OMC + top-k in ONE device call;
+    only (B, k) values/ids transfer back."""
+
+    def search_topk(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,  # distinct-token counts
+        omc: Optional[np.ndarray] = None,              # f32[cap]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        from ..ops.bm25 import bm25_search_topk_packed, round_up_pow2
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap, doc_masks)
+        Bb = pb.starts.shape[0]
+        # pack descriptors to minimize H2D round-trips (tunnel latency)
+        idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        scalars = np.stack([pb.nd, np.zeros((Bb,), np.float32)])
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                scalars[1, i] = t or 0.0
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        has_omc = omc is not None
+        mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
+        omc_arr = np.ones((pb.capb,), np.float32)
+        if has_omc:
+            omc_arr[: len(omc)] = omc
+        else:
+            omc_arr = np.ones((1,), np.float32)
+        kb = min(round_up_pow2(k, 8), pb.capb)
+        vals, idx = bm25_search_topk_packed(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
+            jnp.asarray(mask_arr), jnp.asarray(omc_arr),
+            lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
+            has_mask=has_mask, has_omc=has_omc,
+        )
+        return np.asarray(vals[: pb.B, :k]), np.asarray(idx[: pb.B, :k])

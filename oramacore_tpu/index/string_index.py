@@ -392,6 +392,8 @@ class StringIndex:
         if self._dirty or self._slab_arrays is None:
             self._build_slab()
 
+        from ..ops.bm25 import MAX_RANGE_LEN
+
         per_token: List[List[Tuple[int, int, float, float, float]]] = []
         for token in tokens:
             ranges: List[Tuple[int, int, float, float, float]] = []
@@ -402,6 +404,11 @@ class StringIndex:
                 w = boost.get(path, 1.0)
                 avg = stats.avg_len if stats.avg_len > 0 else 1.0
                 for (start, length) in self._match_terms(path, token, tolerance):
+                    # split over-long ranges so device slices stay bounded
+                    while length > MAX_RANGE_LEN:
+                        ranges.append((start, MAX_RANGE_LEN, w, DEFAULT_B, avg))
+                        start += MAX_RANGE_LEN
+                        length -= MAX_RANGE_LEN
                     ranges.append((start, length, w, DEFAULT_B, avg))
             per_token.append(ranges[:MAX_RANGES])
 

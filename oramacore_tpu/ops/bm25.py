@@ -11,14 +11,21 @@ src/collection_manager/sides/read/index/token_score.rs:186-303):
     score(d) = sum_t score_t(d)
     threshold: keep d only if (# distinct query tokens matched) >= thr
 
-TPU-first design: instead of the reference's per-doc hash maps, postings
-live as flat device arrays (doc, tf, exact_tf, field_len per posting).
-A query batch carries padded posting-range descriptors; the kernel
-gathers postings, computes length-normalized TFs on the VPU, scatter-adds
-into a dense per-token accumulator over the doc space, derives the
-corpus document frequency with a dense reduction, applies IDF saturation
-and accumulates — one fused XLA computation per (B, T, NR, LR, cap)
-shape bucket, compiled once and reused.
+TPU-first design notes (measured on TPU v5e):
+- postings ranges are CONTIGUOUS, so they are fetched with vmapped
+  `dynamic_slice` (XLA gather-of-slices → sequential DMA). An
+  elementwise `take` formulation was 16x slower (random-gather path).
+- per-token aggregation into the dense doc space uses a chunked one-hot
+  matmul on the MXU for small doc capacities (~3x faster than XLA
+  scatter) and falls back to scatter-add for large capacities where the
+  one-hot FLOPs would dominate.
+- the filter mask applies to the DENSE accumulator (not per posting), so
+  corpus df / IDF are still computed over the filtered doc set
+  (reference collect_contributions_with_filter semantics) without a
+  per-posting random gather.
+- the slab must be padded with MAX_RANGE_LEN trailing zeros so
+  dynamic_slice never clamps (clamping would silently shift a window);
+  plan builders split ranges longer than MAX_RANGE_LEN.
 """
 
 from __future__ import annotations
@@ -30,6 +37,10 @@ import jax
 import jax.numpy as jnp
 
 K1 = 1.2  # reference k parameter (token_score.rs:283)
+
+MAX_RANGE_LEN = 131072   # ranges longer than this are split at plan time
+ONEHOT_CAP_MAX = 32768   # one-hot matmul aggregation up to this doc capacity
+ONEHOT_CHUNK = 2048
 
 
 class PostingsDevice(NamedTuple):
@@ -48,27 +59,66 @@ def round_up_pow2(n: int, lo: int = 8) -> int:
     return c
 
 
+def _aggregate_dense(docs, ntf, cap: int):
+    """Per-token dense aggregation: acc[b, c] = sum of ntf where doc==c.
+
+    docs int32[B, L] (cap = overflow slot), ntf f32[B, L].
+    """
+    B, L = docs.shape
+    if cap <= ONEHOT_CAP_MAX:
+        ch = min(ONEHOT_CHUNK, L)
+        if L % ch:
+            pad = ch - (L % ch)
+            docs = jnp.pad(docs, ((0, 0), (0, pad)), constant_values=cap)
+            ntf = jnp.pad(ntf, ((0, 0), (0, pad)))
+            L = docs.shape[1]
+
+        def chunk(c, i):
+            d = jax.lax.dynamic_slice(docs, (0, i * ch), (B, ch))
+            v = jax.lax.dynamic_slice(ntf, (0, i * ch), (B, ch))
+            # f32 one-hot: the matrix is 0/1 so the matmul is EXACT —
+            # bf16 here loses ~1e-3 relative accuracy on ntf (measured)
+            onehot = jax.nn.one_hot(d, cap, dtype=jnp.float32)
+            return (
+                c
+                + jnp.einsum(
+                    "bl,blc->bc",
+                    v,
+                    onehot,
+                    preferred_element_type=jnp.float32,
+                ),
+                None,
+            )
+
+        acc, _ = jax.lax.scan(chunk, jnp.zeros((B, cap), jnp.float32),
+                              jnp.arange(L // ch))
+        return acc
+
+    def scatter_one(docs_b, ntf_b):
+        acc = jnp.zeros((cap + 1,), jnp.float32)
+        return acc.at[docs_b].add(ntf_b)[:cap]
+
+    return jax.vmap(scatter_one)(docs, ntf)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("exact", "cap", "lr"),
 )
 def bm25_score_batch(
-    p_doc: jax.Array,        # int32[P]
-    p_tf: jax.Array,         # float32[P]
-    p_exact_tf: jax.Array,   # float32[P]
-    p_flen: jax.Array,       # float32[P]
+    p_doc: jax.Array,        # int32[P + MAX_RANGE_LEN pad]
+    p_tf: jax.Array,         # float32[...]
+    p_exact_tf: jax.Array,   # float32[...]
+    p_flen: jax.Array,       # float32[...]
     starts: jax.Array,       # int32[B, T, NR] posting-range starts
-    lens: jax.Array,         # int32[B, T, NR] posting-range lengths (<= LR)
+    lens: jax.Array,         # int32[B, T, NR] posting-range lengths (<= lr)
     weights: jax.Array,      # float32[B, T, NR] field boost per range
     field_b: jax.Array,      # float32[B, T, NR] BM25 b per range's field
     avg_flen: jax.Array,     # float32[B, T, NR] avg field len per range's field
     n_docs: jax.Array,       # float32[B] total docs (corpus size per query)
-    doc_mask: jax.Array,     # bool[B, cap] filter mask (True = doc allowed);
-                             # pushed into scoring so corpus df / IDF are
-                             # computed over the FILTERED doc set (reference
-                             # collect_contributions_with_filter semantics)
+    doc_mask: jax.Array,     # bool[B, cap] filter mask (True = doc allowed)
     *,
-    lr: int,                 # static: max range length (LR)
+    lr: int,                 # static: max range length bucket
     exact: bool,
     cap: int,                # static: doc-id capacity (scores width)
 ):
@@ -78,38 +128,38 @@ def bm25_score_batch(
     """
     B, T, NR = starts.shape
     LR = int(lr)
+    tf_src = p_exact_tf if exact else p_tf
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, NR, LR), 2)  # (1, NR, LR)
+
+    def slice_all(flat_starts):
+        d = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (LR,)))(flat_starts)
+        t = jax.vmap(lambda s: jax.lax.dynamic_slice(tf_src, (s,), (LR,)))(flat_starts)
+        f = jax.vmap(lambda s: jax.lax.dynamic_slice(p_flen, (s,), (LR,)))(flat_starts)
+        return d, t, f
 
     def per_token(tok_carry, tok_in):
         scores, matched = tok_carry
         st, ln, wt, fb, av = tok_in  # each (B, NR)
 
-        idx = st[:, :, None] + slot          # (B, NR, LR)
+        docs, tf, flen = slice_all(st.reshape(-1))
+        docs = docs.reshape(B, NR, LR)
+        tf = tf.reshape(B, NR, LR)
+        flen = flen.reshape(B, NR, LR)
         valid = slot < ln[:, :, None]        # (B, NR, LR)
-        safe_idx = jnp.clip(idx, 0, p_doc.shape[0] - 1)
-
-        docs = jnp.take(p_doc, safe_idx, axis=0)
-        tf = jnp.take(p_exact_tf if exact else p_tf, safe_idx, axis=0)
-        flen = jnp.take(p_flen, safe_idx, axis=0)
 
         b_ = fb[:, :, None]
         denom = (1.0 - b_) + b_ * flen / jnp.maximum(av[:, :, None], 1e-9)
         ntf = wt[:, :, None] * tf / jnp.maximum(denom, 1e-9)
-        safe_docs = jnp.clip(docs, 0, cap - 1)
-        allowed = jnp.take_along_axis(
-            doc_mask, safe_docs.reshape(B, -1), axis=1
-        ).reshape(docs.shape)
-        keep = valid & (tf > 0) & allowed
+        keep = valid & (tf > 0)
         ntf = jnp.where(keep, ntf, 0.0)
-        # invalid slots scatter into the overflow bucket `cap`
+        # invalid slots aggregate into the overflow bucket `cap`
         docs = jnp.where(keep, docs, cap)
 
-        def scatter_one(docs_b, ntf_b):
-            acc = jnp.zeros((cap + 1,), jnp.float32)
-            return acc.at[docs_b.reshape(-1)].add(ntf_b.reshape(-1))[:cap]
-
-        acc = jax.vmap(scatter_one)(docs, ntf)  # (B, cap) == S_t per doc
+        acc = _aggregate_dense(
+            docs.reshape(B, NR * LR), ntf.reshape(B, NR * LR), cap
+        )  # (B, cap) == S_t per doc
+        acc = jnp.where(doc_mask, acc, 0.0)  # filtered-IDF semantics
         present = acc > 0.0
         df = jnp.sum(present, axis=1).astype(jnp.float32)  # (B,)
         df = jnp.maximum(df, 1.0)  # corpus_df = max(1, ...) token_score.rs:275
@@ -144,13 +194,66 @@ def masked_topk(
     *,
     k: int,
 ):
-    """Apply threshold + filter mask + OMC multipliers, then top-k.
-
-    Returns (values f32[B, k], indices int32[B, k]); masked-out docs get
-    score 0 and may appear with value<=0 — callers drop non-positive hits.
-    """
+    """Apply threshold + filter mask + OMC multipliers, then top-k."""
     s = scores * omc[None, :]
     keep = (matched >= thr_counts[:, None]) & filter_mask & (scores > 0.0)
+    s = jnp.where(keep, s, -jnp.inf)
+    vals, idx = jax.lax.top_k(s, k)
+    return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exact", "cap", "lr", "k")
+)
+def bm25_search_topk(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    starts, lens, weights, field_b, avg_flen,
+    n_docs, doc_mask,
+    thr_counts,          # float32[B] min distinct tokens (0 = no threshold)
+    omc,                 # float32[cap] score multipliers
+    *,
+    lr: int, exact: bool, cap: int, k: int,
+):
+    """Fused scoring + threshold + OMC + top-k: one device dispatch, only
+    (B, k) results come back to the host."""
+    scores, matched = bm25_score_batch(
+        p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
+        avg_flen, n_docs, doc_mask, lr=lr, exact=exact, cap=cap,
+    )
+    s = scores * omc[None, :]
+    keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    s = jnp.where(keep, s, -jnp.inf)
+    vals, idx = jax.lax.top_k(s, k)
+    return vals, idx
+
+
+@functools.partial(
+    jax.jit, static_argnames=("exact", "cap", "lr", "k", "has_mask", "has_omc")
+)
+def bm25_search_topk_packed(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    idesc,               # int32[2, B, T, NR]: starts, lens
+    fdesc,               # float32[3, B, T, NR]: weights, field_b, avg_flen
+    scalars,             # float32[2, B]: n_docs, thr_counts
+    doc_mask,            # bool[B, cap] (dummy (1,1) when has_mask=False)
+    omc,                 # float32[cap] (dummy (1,) when has_omc=False)
+    *,
+    lr: int, exact: bool, cap: int, k: int,
+    has_mask: bool, has_omc: bool,
+):
+    """Transfer-minimized fused search: 3 small H2D arrays per call (plus
+    mask/omc only when actually used)."""
+    starts, lens = idesc[0], idesc[1]
+    weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
+    n_docs, thr_counts = scalars[0], scalars[1]
+    B = starts.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
+    scores, matched = bm25_score_batch(
+        p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
+        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+    )
+    s = scores * omc[None, :] if has_omc else scores
+    keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
     s = jnp.where(keep, s, -jnp.inf)
     vals, idx = jax.lax.top_k(s, k)
     return vals, idx
