@@ -36,6 +36,24 @@ class Orama:
             self.read_side.stop()
 
 
+def _init_jax_main_thread():
+    """Force JAX backend initialization on the caller's (main) thread.
+
+    Plugin-based backends (the axon TPU tunnel in this environment) fail
+    to initialize lazily from executor worker threads; touching devices
+    here makes later jnp calls from any thread safe.
+    """
+    try:
+        import jax
+
+        jax.devices()
+    except Exception:  # noqa: BLE001 — fall back to CPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.devices()
+
+
 def build_orama(
     config: OramacoreConfig,
     *,
@@ -43,6 +61,7 @@ def build_orama(
     start_consumer: bool = True,
     llm_resolve_mode=None,
 ) -> Orama:
+    _init_jax_main_thread()
     embeddings = EmbeddingsService(config.ai.embeddings_model)
     nlp = NLPService()
 
