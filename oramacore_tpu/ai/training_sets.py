@@ -1,0 +1,68 @@
+"""Training sets: generate/store query-planner & optimizer data in KV.
+
+Reference: src/ai/training_sets.rs — `TrainingSetInterface` (:75):
+LLM-generated training examples per named set, persisted in KV.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional
+
+from .llms import LLMService, parse_json_response
+
+KNOWN_SETS = ("queries_generator", "queries_optimizer")
+
+
+class TrainingSetsInterface:
+    def __init__(self, kv, llm: Optional[LLMService] = None, read_side=None):
+        self.kv = kv
+        self.llm = llm
+        self.read_side = read_side
+
+    @staticmethod
+    def _key(collection_id: str, set_name: str) -> str:
+        return f"training_set:{collection_id}:{set_name}"
+
+    def get(self, collection_id: str, set_name: str) -> Optional[List[Any]]:
+        return self.kv.get(self._key(collection_id, set_name))
+
+    def insert(self, collection_id: str, set_name: str, data: List[Any]) -> None:
+        self.kv.insert(self._key(collection_id, set_name), data)
+
+    def delete(self, collection_id: str, set_name: str) -> None:
+        self.kv.remove(self._key(collection_id, set_name))
+
+    async def generate(
+        self, collection_id: str, set_name: str, count: int = 20,
+        read_api_key: Optional[str] = None,
+    ) -> List[Any]:
+        if self.llm is None:
+            raise RuntimeError("no LLM configured")
+        properties: Dict[str, str] = {}
+        sample_docs: List[Any] = []
+        if self.read_side is not None:
+            try:
+                properties = self.read_side.filterable_fields(
+                    collection_id, read_api_key
+                )
+            except Exception:  # noqa: BLE001
+                pass
+        if set_name == "queries_optimizer":
+            base = self.get(collection_id, "queries_generator") or []
+            raw = await self.llm.run_known_prompt(
+                "training_sets_queries_optimizer",
+                variables=[("queries", json.dumps(base[:count]))],
+            )
+        else:
+            raw = await self.llm.run_known_prompt(
+                "training_sets_queries_generator",
+                variables=[
+                    ("count", str(count)),
+                    ("properties", json.dumps(properties)),
+                    ("documents", json.dumps(sample_docs)),
+                ],
+            )
+        data = parse_json_response(raw)
+        self.insert(collection_id, set_name, data)
+        return data

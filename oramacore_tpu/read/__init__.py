@@ -129,6 +129,8 @@ class ReadSide:
         self._stop = False
         self._consumer: Optional[threading.Thread] = None
         self.analytics: List[Dict[str, Any]] = []
+        # sandboxed hook runtime, attached by the AI service when present
+        self.hooks_runtime = None
 
     # ------------------------------------------------------------------
     # Op consumption (SURVEY §3.3)
@@ -315,6 +317,21 @@ class ReadSide:
     ) -> SearchResult:
         coll = self.check_read_key(collection_id, read_key)
         t0 = time.perf_counter()
+
+        # BeforeSearch hook may rewrite the search params (read/mod.rs:642)
+        if self.hooks_runtime is not None:
+            code = coll.hooks.get("BeforeSearch")
+            if code:
+                out = self.hooks_runtime.exec_hook(
+                    collection_id, "BeforeSearch",
+                    code, {"term": params.term, "limit": params.limit},
+                )
+                if isinstance(out, dict):
+                    if out.get("term") is not None:
+                        params.mode.term = str(out["term"])
+                    if out.get("limit") is not None:
+                        params.limit = int(out["limit"])
+
         mode = self.resolve_mode(params.mode)
 
         # select indexes
@@ -404,6 +421,21 @@ class ReadSide:
             )
 
         hits = self._hydrate(coll, indexes, page)
+
+        # TransformDocumentAfterSearch hook (search.rs:158-179)
+        if self.hooks_runtime is not None:
+            code = coll.hooks.get("TransformDocumentAfterSearch")
+            if code:
+                for h in hits:
+                    if h.document is None:
+                        continue
+                    out = self.hooks_runtime.exec_hook(
+                        collection_id, "TransformDocumentAfterSearch",
+                        code, h.document,
+                    )
+                    if isinstance(out, dict):
+                        h.document = out
+
         self.analytics.append(
             {
                 "type": "search",

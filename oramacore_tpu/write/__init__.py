@@ -289,6 +289,8 @@ class WriteSide:
             synchronous=sync_embeddings,
         )
         self._ops_since_commit = 0
+        # sandboxed hook runtime, attached by the AI service when present
+        self.hooks_runtime = None
         self._load()
 
     # ------------------------------------------------------------------
@@ -471,6 +473,22 @@ class WriteSide:
         ops: List[Operation] = []
         embed_jobs: List[Tuple[str, str, int, str, str]] = []
         parser = self.nlp.get_parser(Locale.parse(idx.locale))
+        # TransformDocumentBeforeSave hook (reference write/mod.rs:817-879)
+        hook_code = self.kv.get(f"hook:{collection_id}:TransformDocumentBeforeSave")
+        if hook_code and self.hooks_runtime is not None:
+            transformed = []
+            for doc in docs:
+                out = self.hooks_runtime.exec_hook(
+                    collection_id, "TransformDocumentBeforeSave", hook_code, doc
+                )
+                if isinstance(out, dict):
+                    # id must not change (reference :855-871)
+                    if doc.get("id") is not None and out.get("id") != doc.get("id"):
+                        out["id"] = doc["id"]
+                    transformed.append(out)
+                else:
+                    transformed.append(doc)
+            docs = transformed
         for doc in docs:
             if not isinstance(doc, dict):
                 stats.failed += 1

@@ -1,0 +1,197 @@
+"""AI endpoints over HTTP: answer SSE, OpenAI-compatible chat, MCP."""
+
+import asyncio
+import json
+import tempfile
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from oramacore_tpu.ai.service import AIService
+from oramacore_tpu.config import OramacoreConfig
+from oramacore_tpu.runtime import build_orama
+from oramacore_tpu.server import ApiServer
+
+from .ai_mock import MockLLMServer
+
+MASTER = "mk"
+
+SCRIPT = [
+    ("Decide how to retrieve", '{"strategy": "simple"}'),
+    ("Rewrite the user", "mechanical keyboard"),
+    ("helpful search assistant", "It costs $80."),
+    ("classify a search query", '{"mode": "fulltext"}'),
+    ("suggested queries", '["cheap keyboards", "mice"]'),
+    ("concise title", "Keyboard shopping"),
+]
+
+
+def ai_http_test(fn):
+    def wrapper():
+        async def run():
+            mock = MockLLMServer(SCRIPT)
+            await mock.start()
+            with tempfile.TemporaryDirectory() as tmp:
+                cfg = OramacoreConfig()
+                cfg.data_dir = tmp
+                cfg.auth.master_api_key = MASTER
+                cfg.ai.remote_llms = [
+                    {"name": "mock", "url": mock.url, "model": "m"}
+                ]
+                orama = build_orama(cfg, sync_embeddings=True, start_consumer=True)
+                ai = AIService(cfg, orama.write_side, orama.read_side)
+                server = ApiServer(cfg, orama.write_side, orama.read_side, ai)
+                tc = TestClient(TestServer(server.app))
+                await tc.start_server()
+                # seed data
+                coll = orama.write_side.create_collection(MASTER, "c")
+                orama.write_side.create_index("c", coll.write_api_key, "main")
+                orama.write_side.insert_documents(
+                    "c", "main", coll.write_api_key,
+                    [{"id": "1", "name": "mechanical keyboard", "price": 80}],
+                )
+                orama.write_side.embedding_queue.flush_and_wait()
+                for _ in range(200):
+                    if orama.read_side.collections.get("c") and \
+                       orama.read_side.collections["c"].document_count() == 1:
+                        break
+                    await asyncio.sleep(0.01)
+                try:
+                    await fn(tc, coll.read_api_key, coll.write_api_key)
+                finally:
+                    await tc.close()
+                    await ai.llm.close()
+                    orama.stop()
+            await mock.stop()
+
+        asyncio.run(run())
+
+    wrapper.__name__ = fn.__name__
+    return wrapper
+
+
+def auth(key):
+    return {"Authorization": f"Bearer {key}"}
+
+
+def parse_sse(text):
+    events = []
+    for line in text.splitlines():
+        if line.startswith("data: ") and line != "data: [DONE]":
+            events.append(json.loads(line[6:]))
+    return events
+
+
+@ai_http_test
+async def test_answer_sse_endpoint(client, rk, wk):
+    resp = await client.post(
+        "/v1/collections/c/answer",
+        json={"interactionID": "i1", "query": "price of mechanical keyboard?",
+              "searchMode": "fulltext"},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    assert resp.headers["Content-Type"].startswith("text/event-stream")
+    events = parse_sse(await resp.text())
+    types = [e["type"] for e in events]
+    assert "acknowledged" in types
+    assert "answer_token" in types
+    answer = "".join(e["token"] for e in events if e["type"] == "answer_token")
+    assert "80" in answer
+
+
+@ai_http_test
+async def test_openai_compatible_endpoint(client, rk, wk):
+    # non-streaming
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m",
+              "messages": [{"role": "user", "content": "keyboard price?"}]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    body = await resp.json()
+    assert body["object"] == "chat.completion"
+    assert "80" in body["choices"][0]["message"]["content"]
+    # streaming
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m", "stream": True,
+              "messages": [{"role": "user", "content": "keyboard price?"}]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    text = await resp.text()
+    assert "chat.completion.chunk" in text
+    assert "data: [DONE]" in text
+
+
+@ai_http_test
+async def test_mcp_over_http(client, rk, wk):
+    resp = await client.post(
+        "/v1/collections/c/mcp",
+        json={"jsonrpc": "2.0", "id": 1, "method": "tools/list"},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    tools = (await resp.json())["result"]["tools"]
+    assert any(t["name"] == "search" for t in tools)
+    resp = await client.post(
+        "/v1/collections/c/mcp",
+        json={"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+              "params": {"name": "search", "arguments": {"term": "keyboard"}}},
+        headers=auth(rk),
+    )
+    payload = json.loads((await resp.json())["result"]["content"][0]["text"])
+    assert payload["count"] == 1
+
+
+@ai_http_test
+async def test_suggestions_and_title(client, rk, wk):
+    resp = await client.post(
+        "/v1/collections/c/suggestions",
+        json={"messages": [{"role": "user", "content": "keyboards"}]},
+        headers=auth(rk),
+    )
+    assert (await resp.json())["suggestions"] == ["cheap keyboards", "mice"]
+    resp = await client.post(
+        "/v1/collections/c/title",
+        json={"messages": [{"role": "user", "content": "keyboards"}]},
+        headers=auth(rk),
+    )
+    assert (await resp.json())["title"] == "Keyboard shopping"
+
+
+@ai_http_test
+async def test_system_prompts_http(client, rk, wk):
+    resp = await client.post(
+        "/v1/collections/c/system_prompts/insert",
+        json={"id": "sp1", "prompt": "be terse"},
+        headers=auth(wk),
+    )
+    assert resp.status == 200
+    resp = await client.post(
+        "/v1/collections/c/system_prompts/all", json={}, headers=auth(rk)
+    )
+    prompts = (await resp.json())["system_prompts"]
+    assert prompts[0]["id"] == "sp1"
+
+
+@ai_http_test
+async def test_tools_http(client, rk, wk):
+    resp = await client.post(
+        "/v1/collections/c/tools/insert",
+        json={"id": "t1", "description": "demo",
+              "parameters": {"type": "object", "properties": {}}},
+        headers=auth(wk),
+    )
+    assert resp.status == 200
+    resp = await client.post(
+        "/v1/collections/c/tools/all", json={}, headers=auth(rk)
+    )
+    assert (await resp.json())["tools"][0]["id"] == "t1"
+    # auth: read key cannot insert
+    resp = await client.post(
+        "/v1/collections/c/tools/insert",
+        json={"id": "t2"}, headers=auth(rk),
+    )
+    assert resp.status == 401
