@@ -258,11 +258,28 @@ def porter2_stem(token: str) -> str:
 # ---------------------------------------------------------------------------
 
 class TextParser:
-    """Tokenizer + stemmer bound to one locale."""
+    """Tokenizer + stemmer bound to one locale.
 
-    def __init__(self, locale: Locale = Locale.EN):
+    For English ASCII-dominant text the hot path runs in the native C++
+    tokenizer (oramacore_tpu/native) when the toolchain is available;
+    the pure-Python implementation is the semantic oracle and fallback.
+    """
+
+    _native_lib = None
+    _native_checked = False
+
+    def __init__(self, locale: Locale = Locale.EN, use_native: bool = True):
         self.locale = locale
         self._is_cjk = locale in (Locale.ZH, Locale.JA, Locale.KO)
+        self._use_native = use_native and locale == Locale.EN
+        if self._use_native and not TextParser._native_checked:
+            TextParser._native_checked = True
+            try:
+                from ..native import load_tokenizer
+
+                TextParser._native_lib = load_tokenizer()
+            except Exception:  # noqa: BLE001
+                TextParser._native_lib = None
 
     def tokenize(self, text: str) -> List[str]:
         if not text:
@@ -292,6 +309,14 @@ class TextParser:
 
     def tokenize_and_stem(self, text: str) -> List[Tuple[str, List[str]]]:
         """Return [(surface_token, [stem_variants])]."""
+        if (
+            self._use_native
+            and TextParser._native_lib is not None
+            and text.isascii()
+        ):
+            from ..native import native_tokenize_and_stem
+
+            return native_tokenize_and_stem(TextParser._native_lib, text)
         out: List[Tuple[str, List[str]]] = []
         for tok in self.tokenize(text):
             stem = self.stem(tok)

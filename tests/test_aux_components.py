@@ -1,0 +1,284 @@
+"""Auxiliary component tests: oplog transports, storage, JWT, code parser,
+locks, secrets, accelerator manager, notifier."""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from oramacore_tpu.auth import JwtManager, JwtProvider, make_hs256_token
+from oramacore_tpu.oplog import (
+    FileStreamTransport,
+    InMemoryTransport,
+    Operation,
+)
+from oramacore_tpu.storage.docstore import DocumentStore
+from oramacore_tpu.storage.kv import KV
+from oramacore_tpu.utils.code_parser import (
+    CodeParser,
+    extract_tool_params,
+    split_identifier,
+)
+from oramacore_tpu.utils.locks import InstrumentedLock, InstrumentedRWLock
+from oramacore_tpu.utils.secrets import LocalSecretsProvider, SecretsService
+
+
+# ---------------------------------------------------------------------------
+# oplog
+# ---------------------------------------------------------------------------
+
+def test_in_memory_transport_multi_receiver():
+    t = InMemoryTransport()
+    s = t.sender()
+    r1 = t.receiver(0)
+    s.send(Operation(kind="a"))
+    s.send(Operation(kind="b"))
+    assert r1.recv(timeout=0)[1].kind == "a"
+    r2 = t.receiver(0)  # independent cursor
+    assert r2.recv(timeout=0)[1].kind == "a"
+    assert r1.recv(timeout=0)[1].kind == "b"
+
+
+def test_file_stream_transport_durable_and_resume(tmp_path):
+    path = str(tmp_path / "ops.stream")
+    t = FileStreamTransport(path)
+    s = t.sender()
+    for i in range(5):
+        s.send(Operation(kind="op", body={"i": i}))
+    # reader from offset 0
+    r = t.receiver(0)
+    got = [r.recv(timeout=0) for _ in range(5)]
+    assert [g[1].body["i"] for g in got] == [0, 1, 2, 3, 4]
+    assert r.recv(timeout=0) is None
+    # resume from offset 3 (replay dedup semantics)
+    r2 = t.receiver(3)
+    assert r2.recv(timeout=0)[1].body["i"] == 3
+    # a NEW sender process resumes the offset counter
+    s.close()
+    s2 = FileStreamTransport(path).sender()
+    off = s2.send(Operation(kind="op", body={"i": 5}))
+    assert off == 6
+    assert r2.recv(timeout=0)[1].body["i"] == 4
+    assert r2.recv(timeout=0)[1].body["i"] == 5
+
+
+def test_file_stream_tolerates_truncated_tail(tmp_path):
+    path = str(tmp_path / "ops.stream")
+    t = FileStreamTransport(path)
+    s = t.sender()
+    s.send(Operation(kind="good"))
+    s.close()
+    with open(path, "ab") as fh:
+        fh.write(b"\x07\x00\x00")  # garbage partial frame
+    r = FileStreamTransport(path).receiver(0)
+    assert r.recv(timeout=0)[1].kind == "good"
+    assert r.recv(timeout=0) is None
+
+
+# ---------------------------------------------------------------------------
+# storage
+# ---------------------------------------------------------------------------
+
+def test_docstore_roundtrip_and_compact(tmp_path):
+    ds = DocumentStore(str(tmp_path / "docs"))
+    for i in range(100):
+        ds.insert(i, json.dumps({"i": i}).encode())
+    ds.commit()
+    assert len(ds) == 100
+    blobs = ds.get_documents_by_ids([5, 50, 99])
+    assert json.loads(blobs[50]) == {"i": 50}
+    ds.remove(range(50))
+    ds.compact()
+    assert len(ds) == 50
+    assert ds.get(10) is None
+    assert json.loads(ds.get(75)) == {"i": 75}
+    # reload from disk
+    ds2 = DocumentStore(str(tmp_path / "docs"))
+    assert len(ds2) == 50
+    assert json.loads(ds2.get(75)) == {"i": 75}
+
+
+def test_kv_persistence_and_forwarding(tmp_path):
+    forwarded = []
+    kv = KV(str(tmp_path / "kv.msgpack"),
+            on_write=lambda k, v: forwarded.append((k, v)))
+    kv.insert("a", {"x": 1})
+    kv.insert("prefix:1", "one")
+    kv.insert("prefix:2", "two")
+    kv.remove("a")
+    assert forwarded == [("a", {"x": 1}), ("prefix:1", "one"),
+                         ("prefix:2", "two"), ("a", None)]
+    assert dict(kv.scan_prefix("prefix:")) == {"prefix:1": "one", "prefix:2": "two"}
+    kv.commit()
+    kv2 = KV(str(tmp_path / "kv.msgpack"))
+    assert kv2.get("prefix:1") == "one"
+    assert kv2.get("a") is None
+
+
+# ---------------------------------------------------------------------------
+# JWT
+# ---------------------------------------------------------------------------
+
+def test_jwt_hs256_roundtrip():
+    provider = JwtProvider(issuer="iss", audience="aud", hs256_secret="s3cret")
+    mgr = JwtManager([provider])
+    token = make_hs256_token(
+        "s3cret",
+        {"iss": "iss", "aud": "aud", "collectionID": "c1",
+         "exp": time.time() + 60, "scope": "read"},
+    )
+    assert JwtManager.looks_like_jwt(token)
+    claims = mgr.customer_claims(token)
+    assert claims.collection_id == "c1"
+    assert claims.extra["scope"] == "read"
+
+
+def test_jwt_rejections():
+    from oramacore_tpu.auth import JwtError
+
+    provider = JwtProvider(issuer="iss", audience="aud", hs256_secret="s3cret")
+    mgr = JwtManager([provider])
+    with pytest.raises(JwtError):
+        mgr.verify(make_hs256_token("wrong", {"iss": "iss", "aud": "aud"}))
+    with pytest.raises(JwtError):
+        mgr.verify(make_hs256_token("s3cret", {"iss": "other", "aud": "aud"}))
+    with pytest.raises(JwtError):
+        mgr.verify(
+            make_hs256_token(
+                "s3cret", {"iss": "iss", "aud": "aud", "exp": time.time() - 10}
+            )
+        )
+
+
+# ---------------------------------------------------------------------------
+# code parser
+# ---------------------------------------------------------------------------
+
+TSX = """
+import React, { useState } from 'react';
+import { searchClient } from './lib/search';
+// renders the results list
+export default function SearchResults({ query }) {
+  const [items, setItems] = useState([]);
+  /* fetch on mount */
+  const fetchItems = async () => searchClient.find(query);
+  return <ResultList items={items} />;
+}
+class HelperThing {}
+"""
+
+
+def test_code_parser_token_classes():
+    tokens = CodeParser().parse(TSX)
+    kinds = {(t.kind, t.value) for t in tokens}
+    assert ("import", "useState") in kinds
+    assert ("import", "./lib/search") in kinds
+    assert ("function", "SearchResults") in kinds
+    assert ("function", "fetchItems") in kinds
+    assert ("class", "HelperThing") in kinds
+    assert ("jsx", "ResultList") in kinds
+    assert any(t.kind == "comment" and "results list" in t.value for t in tokens)
+
+
+def test_identifier_splitting():
+    assert split_identifier("fooBarBaz") == ["foo", "bar", "baz"]
+    assert split_identifier("HTTPServer2") == ["http", "server", "2"]
+    assert split_identifier("snake_case_name") == ["snake", "case", "name"]
+
+
+def test_tool_param_extraction():
+    schema = extract_tool_params(
+        "export default function run({ city, units = 'metric' }) { return 1; }"
+    )
+    assert set(schema["properties"]) == {"city", "units"}
+    schema = extract_tool_params("export default async (a, b) => a + b")
+    assert set(schema["properties"]) == {"a", "b"}
+    assert extract_tool_params("function notExported() {}") is None
+
+
+# ---------------------------------------------------------------------------
+# locks / secrets / accelerator / notifier
+# ---------------------------------------------------------------------------
+
+def test_instrumented_locks():
+    lock = InstrumentedLock("test")
+    with lock.acquire("unit test"):
+        pass
+    rw = InstrumentedRWLock("rw")
+    seen = []
+
+    def reader():
+        with rw.read("r"):
+            seen.append("r")
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    with rw.write("w"):
+        seen.append("w")
+    assert seen.count("r") == 4 and seen[-1] == "w"
+
+
+def test_secrets_service(tmp_path):
+    path = tmp_path / "secrets.json"
+    path.write_text(json.dumps({"coll-a": "sekrit"}))
+    svc = SecretsService(LocalSecretsProvider(str(path)),
+                         key_pattern="{collection}")
+    assert svc.get_for_collection("coll-a") == "sekrit"
+    assert svc.get_for_collection("missing") is None
+    # env fallback
+    os.environ["SECRET_COLL_B"] = "env-secret"
+    try:
+        svc2 = SecretsService(LocalSecretsProvider(None))
+        assert svc2.get_for_collection("coll-b") == "env-secret"
+    finally:
+        del os.environ["SECRET_COLL_B"]
+
+
+def test_accelerator_manager():
+    from oramacore_tpu.ai.accelerator import AcceleratorManager
+
+    mgr = AcceleratorManager(load_threshold_per_cpu=10_000.0,
+                             latency_threshold_ms=100.0)
+    assert not mgr.is_overloaded()
+    for _ in range(200):
+        mgr.record_search_latency(500.0)
+    assert mgr.is_overloaded()
+
+
+def test_notifier_posts_with_retries():
+    import asyncio
+
+    from aiohttp import web
+
+    received = []
+
+    async def run():
+        async def handler(request):
+            received.append(await request.json())
+            return web.json_response({"ok": True})
+
+        app = web.Application()
+        app.router.add_post("/", handler)
+        runner = web.AppRunner(app)
+        await runner.setup()
+        site = web.TCPSite(runner, "127.0.0.1", 0)
+        await site.start()
+        port = site._server.sockets[0].getsockname()[1]
+
+        from oramacore_tpu.read.notify import Notifier
+
+        n = Notifier(f"http://127.0.0.1:{port}/")
+        n.notify("index_replaced", {"collection": "c1"})
+        for _ in range(100):
+            if received:
+                break
+            await asyncio.sleep(0.05)
+        await runner.cleanup()
+        assert received and received[0]["event"] == "index_replaced"
+
+    asyncio.run(run())
