@@ -128,7 +128,12 @@ class ReadSide:
         self.receiver = receiver_factory(self.committed_offset)
         self._stop = False
         self._consumer: Optional[threading.Thread] = None
-        self.analytics: List[Dict[str, Any]] = []
+        from .analytics import AnalyticsLog
+
+        self.analytics = AnalyticsLog(
+            os.path.join(self.data_dir, "analytics.jsonl"),
+            enabled=config.reader_side.analytics_enabled,
+        )
         # sandboxed hook runtime, attached by the AI service when present
         self.hooks_runtime = None
 
@@ -283,12 +288,23 @@ class ReadSide:
     # ------------------------------------------------------------------
 
     def check_read_key(self, collection_id: str, key: Optional[str]) -> CollectionReader:
+        """ApiKey or JWT bearer (reference read/mod.rs:904, ReadApiKey
+        types.rs:613: CustomerClaims scoped to the collection)."""
         coll = self.collections.get(collection_id)
         if coll is None:
             raise ReadError(f"collection {collection_id!r} not found", 404)
-        if key != coll.read_api_key and key != self.config.auth.master_api_key:
-            raise ReadError("invalid read api key", 401)
-        return coll
+        if key == coll.read_api_key or key == self.config.auth.master_api_key:
+            return coll
+        jwt_manager = getattr(self, "jwt_manager", None)
+        if key and jwt_manager is not None and jwt_manager.looks_like_jwt(key):
+            try:
+                claims = jwt_manager.customer_claims(key)
+            except Exception as e:  # noqa: BLE001
+                raise ReadError(f"invalid jwt: {e}", 401)
+            if claims.collection_id not in (None, collection_id):
+                raise ReadError("jwt not valid for this collection", 401)
+            return coll
+        raise ReadError("invalid read api key", 401)
 
     # ------------------------------------------------------------------
     # Search (SURVEY §3.4)
@@ -436,18 +452,14 @@ class ReadSide:
                     if isinstance(out, dict):
                         h.document = out
 
-        self.analytics.append(
-            {
-                "type": "search",
-                "collection": collection_id,
-                "mode": params.mode_str,
-                "duration_ms": (time.perf_counter() - t0) * 1000,
-                "has_filter": has_filter,
-                "has_facets": bool(params.facets),
-                "has_pin_rules": bool(consequences),
-                "results": count,
-                "at": time.time(),
-            }
+        self.analytics.add_search_event(
+            collection_id,
+            mode=params.mode_str,
+            duration_ms=(time.perf_counter() - t0) * 1000,
+            has_filter=has_filter,
+            has_facets=bool(params.facets),
+            has_pin_rules=bool(consequences),
+            results=count,
         )
         return SearchResult(
             hits=hits,

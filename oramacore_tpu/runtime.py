@@ -65,6 +65,20 @@ def build_orama(
     embeddings = EmbeddingsService(config.ai.embeddings_model)
     nlp = NLPService()
 
+    jwt_manager = None
+    if config.auth.jwt_providers:
+        from .auth import JwtManager, JwtProvider
+
+        jwt_manager = JwtManager(
+            [
+                JwtProvider(
+                    issuer=p.issuer, audience=p.audience,
+                    hs256_secret=p.hs256_secret, jwks_url=p.jwks_url,
+                )
+                for p in config.auth.jwt_providers
+            ]
+        )
+
     role = config.role
     write_side = None
     read_side = None
@@ -86,6 +100,10 @@ def build_orama(
             llm_resolve_mode=llm_resolve_mode,
         )
 
+    if write_side is not None:
+        write_side.jwt_manager = jwt_manager
+    if read_side is not None:
+        read_side.jwt_manager = jwt_manager
     if read_side is not None and start_consumer:
         read_side.start()
     return Orama(config, write_side, read_side)

@@ -648,8 +648,7 @@ class ApiServer:
         reader = self._reader()
         if key != self.config.auth.master_api_key:
             return _error(401, "invalid api key")
-        events = list(reader.analytics)
-        reader.analytics.clear()
+        events = await self._run(reader.analytics.get_and_erase)
         return web.json_response({"events": events})
 
     # -- AI routes ---------------------------------------------------------------

@@ -302,12 +302,32 @@ class WriteSide:
             raise WriteError("invalid master api key", 401)
 
     def check_write_key(self, collection_id: str, key: Optional[str]) -> WriteCollection:
+        """ApiKey or JWT bearer (reference write auth: DashboardClaims,
+        types.rs:576, with doc-count claim limitations)."""
         coll = self.collections.get(collection_id)
         if coll is None:
             raise WriteError(f"collection {collection_id!r} not found", 404)
-        if key not in (coll.write_api_key, self.master_api_key):
-            raise WriteError("invalid write api key", 401)
-        return coll
+        if key in (coll.write_api_key, self.master_api_key):
+            return coll
+        jwt_manager = getattr(self, "jwt_manager", None)
+        if key and jwt_manager is not None and jwt_manager.looks_like_jwt(key):
+            try:
+                claims = jwt_manager.dashboard_claims(key)
+            except Exception as e:  # noqa: BLE001
+                raise WriteError(f"invalid jwt: {e}", 401)
+            if claims.collection_id not in (None, collection_id):
+                raise WriteError("jwt not valid for this collection", 401)
+            if claims.claim_limitations is not None:
+                current = sum(
+                    len(i.doc_id_map) for i in coll.indexes.values()
+                )
+                if current >= claims.claim_limitations:
+                    raise WriteError(
+                        f"claim limitation reached: {claims.claim_limitations} docs",
+                        403,
+                    )
+            return coll
+        raise WriteError("invalid write api key", 401)
 
     # ------------------------------------------------------------------
     # Collection / index CRUD

@@ -1,0 +1,79 @@
+"""IVF clustered vector search: recall vs exact (BASELINE config 4)."""
+
+import numpy as np
+import pytest
+
+import oramacore_tpu.index.vector_index as vi
+from oramacore_tpu.index.vector_index import VectorIndex, VectorIndexConfig
+from oramacore_tpu.ops.vector import l2_normalize
+
+
+@pytest.fixture()
+def small_ivf(monkeypatch):
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 2000)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 8)
+    yield
+
+
+def clustered_corpus(n, dim, n_clusters=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = l2_normalize(rng.normal(size=(n_clusters, dim)).astype(np.float32))
+    assign = rng.integers(0, n_clusters, n)
+    vecs = centers[assign] + 0.15 * rng.normal(size=(n, dim)).astype(np.float32)
+    return l2_normalize(vecs.astype(np.float32))
+
+
+def test_ivf_activates_and_recall(small_ivf):
+    dim, n = 32, 4000
+    vecs = clustered_corpus(n, dim)
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    for i in range(n):
+        idx.insert(i, [vecs[i]])
+    idx.commit()
+    assert idx._ivf is not None, "IVF should build above the row threshold"
+
+    rng = np.random.default_rng(7)
+    queries = l2_normalize(
+        vecs[rng.choice(n, 20)] + 0.05 * rng.normal(size=(20, dim)).astype(np.float32)
+    )
+    k = 10
+    recalls = []
+    for q in queries:
+        exact = set(np.argsort(-(vecs @ q))[:k].tolist())
+        got = idx.search([q], limit=k, similarity=-1.0)
+        approx = set(
+            d for d, _ in sorted(got.items(), key=lambda kv: -kv[1])[:k]
+        )
+        recalls.append(len(exact & approx) / k)
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall >= 0.95, f"IVF recall@10 {mean_recall:.3f} < 0.95"
+
+
+def test_ivf_with_live_inserts_falls_back_to_flat(small_ivf):
+    dim, n = 16, 2500
+    vecs = clustered_corpus(n, dim, seed=3)
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    for i in range(n):
+        idx.insert(i, [vecs[i]])
+    idx.commit()
+    assert idx._ivf is not None
+    # live insert after commit → search must still see both layers
+    new_vec = l2_normalize(np.ones(dim, np.float32))
+    idx.insert(n, [new_vec])
+    got = idx.search([new_vec], limit=5, similarity=-1.0)
+    assert n in got
+    assert got[n] == pytest.approx(1.0, abs=2e-2)
+
+
+def test_ivf_filter_pushdown(small_ivf):
+    dim, n = 16, 2500
+    vecs = clustered_corpus(n, dim, seed=4)
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    for i in range(n):
+        idx.insert(i, [vecs[i]])
+    idx.commit()
+    mask = np.zeros(n, bool)
+    mask[:100] = True
+    got = idx.search([vecs[50]], limit=10, similarity=-1.0, filter_mask=mask)
+    assert got and all(d < 100 for d in got)
+    assert 50 in got
