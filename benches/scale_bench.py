@@ -1,0 +1,157 @@
+"""Scale benchmarks on the real TPU (BASELINE.json configs 1-4).
+
+Run:  python benches/scale_bench.py [bm25_1m|vector_1m|hybrid|all]
+Writes results to benches/RESULTS.md-ready lines on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oramacore_tpu_jax_cache")
+
+import numpy as np
+
+
+def synth_corpus_postings(n_docs: int, vocab: int, postings_per_doc: int, seed=0):
+    """Synthetic postings with a zipf-ish term distribution, packed CSR."""
+    rng = np.random.default_rng(seed)
+    # term frequencies ~ zipf: term t has weight 1/(t+1)
+    weights = 1.0 / np.arange(1, vocab + 1)
+    weights /= weights.sum()
+    print(f"[synth] drawing {n_docs * postings_per_doc:,} postings...",
+          file=sys.stderr)
+    terms = rng.choice(vocab, size=n_docs * postings_per_doc, p=weights)
+    docs = np.repeat(np.arange(n_docs, dtype=np.int32), postings_per_doc)
+    # sort by term → CSR
+    order = np.argsort(terms, kind="stable")
+    terms_s, docs_s = terms[order], docs[order]
+    starts = np.searchsorted(terms_s, np.arange(vocab))
+    lens = np.diff(np.append(starts, len(terms_s))).astype(np.int32)
+    tf = rng.integers(1, 4, len(docs_s)).astype(np.float32)
+    flen = np.full(len(docs_s), float(postings_per_doc), np.float32)
+    return docs_s.astype(np.int32), tf, flen, starts.astype(np.int64), lens
+
+
+def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
+    import jax.numpy as jnp
+
+    from oramacore_tpu.index.search_exec import StringSearchTopK
+    from oramacore_tpu.index.string_index import QueryPlan, StringIndex, _CommittedField, FieldStats
+
+    docs, tf, flen, starts, lens = synth_corpus_postings(n_docs, vocab, ppd)
+    idx = StringIndex()
+    terms = [f"t{i}" for i in range(vocab)]
+    idx._committed["body"] = _CommittedField(
+        terms=terms,
+        term_to_tid={t: i for i, t in enumerate(terms)},
+        starts=starts, lens=lens,
+        doc=docs, tf=tf, exact_tf=tf, flen=flen,
+        stats=FieldStats(doc_count=n_docs, sum_len=float(n_docs * ppd)),
+    )
+    idx._stats["body"] = FieldStats(n_docs, float(n_docs * ppd))
+
+    rng = np.random.default_rng(1)
+    ex = StringSearchTopK()
+    # realistic queries: mix of common (low ids) and rare terms
+    def make_plans():
+        plans = []
+        for _ in range(B):
+            toks = [f"t{int(rng.zipf(1.3))+10}" for _ in range(T)]
+            plans.append(idx.plan_query(toks, ["body"], {}))
+        return plans
+
+    plans = make_plans()
+    lr = max(p.max_range_len for p in plans)
+    print(f"[bm25_1m] max range len in batch: {lr:,}", file=sys.stderr)
+    t0 = time.perf_counter()
+    ex.search_topk(idx, plans, [n_docs] * B, n_docs, k=10)
+    compile_t = time.perf_counter() - t0
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ex.search_topk(idx, plans, [n_docs] * B, n_docs, k=10)
+    dt = (time.perf_counter() - t0) / iters
+    qps = B / dt
+    print(f"[bm25_1m] compile {compile_t:.1f}s batch {B} lat {dt*1000:.1f}ms "
+          f"qps {qps:.0f}", file=sys.stderr)
+    return {"metric": "bm25_1m_docs_qps", "value": round(qps, 1), "unit": "qps"}
+
+
+def bench_vector_1m(n=1_000_000, dim=384, B=64, k=10):
+    from oramacore_tpu.index.vector_index import VectorIndex, VectorIndexConfig
+    from oramacore_tpu.ops.vector import l2_normalize
+
+    rng = np.random.default_rng(0)
+    print(f"[vector_1m] building {n:,}x{dim} corpus...", file=sys.stderr)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    vecs = l2_normalize(vecs)
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    idx._committed_matrix = vecs
+    idx._committed_docs = np.arange(n, dtype=np.int32)
+    idx._gen += 1
+
+    queries = l2_normalize(rng.normal(size=(B, dim)).astype(np.float32))
+    t0 = time.perf_counter()
+    idx.search(list(queries), limit=k, similarity=-1.0)
+    compile_t = time.perf_counter() - t0
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx.search(list(queries), limit=k, similarity=-1.0)
+    dt = (time.perf_counter() - t0) / iters
+    qps = B / dt
+    print(f"[vector_1m flat-exact] compile {compile_t:.1f}s batch {B} "
+          f"lat {dt*1000:.1f}ms qps {qps:.0f}", file=sys.stderr)
+
+    # IVF variant
+    print("[vector_1m] building IVF...", file=sys.stderr)
+    t0 = time.perf_counter()
+    idx._build_ivf()
+    print(f"[vector_1m] IVF build {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    idx.search(list(queries), limit=k, similarity=-1.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        got = idx.search(list(queries), limit=k, similarity=-1.0)
+    dt_ivf = (time.perf_counter() - t0) / iters
+    qps_ivf = B / dt_ivf
+
+    # recall of IVF vs exact on a query subset
+    sub = queries[:8]
+    exact_sets = []
+    scores = vecs @ sub.T  # (n, 8) — host, slow but fine for 8
+    for i in range(8):
+        exact_sets.append(set(np.argsort(-scores[:, i])[:k].tolist()))
+    recalls = []
+    for i, q in enumerate(sub):
+        got = idx.search([q], limit=k, similarity=-1.0)
+        approx = set(sorted(got, key=got.get, reverse=True)[:k])
+        recalls.append(len(approx & exact_sets[i]) / k)
+    recall = float(np.mean(recalls))
+    print(f"[vector_1m IVF] lat {dt_ivf*1000:.1f}ms qps {qps_ivf:.0f} "
+          f"recall@10 {recall:.3f}", file=sys.stderr)
+    return {
+        "metric": "vector_1m_384d",
+        "flat_qps": round(qps, 1),
+        "ivf_qps": round(qps_ivf, 1),
+        "ivf_recall_at_10": round(recall, 3),
+    }
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = []
+    if which in ("bm25_1m", "all"):
+        out.append(bench_bm25_1m())
+    if which in ("vector_1m", "all"):
+        out.append(bench_vector_1m())
+    for o in out:
+        print(json.dumps(o))
+
+
+if __name__ == "__main__":
+    main()

@@ -255,5 +255,7 @@ def bm25_search_topk_packed(
     s = scores * omc[None, :] if has_omc else scores
     keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
     s = jnp.where(keep, s, -jnp.inf)
-    vals, idx = jax.lax.top_k(s, k)
+    from .vector import topk_2level
+
+    vals, idx = topk_2level(s, k)
     return vals, idx

@@ -1,0 +1,141 @@
+"""Commit-threshold, concurrency and shutdown tests (reference:
+src/tests/commit.rs, concurrency.rs:13, shutdown.rs)."""
+
+import threading
+
+from oramacore_tpu.config import OramacoreConfig
+from oramacore_tpu.runtime import build_orama
+from oramacore_tpu.types import SearchParams
+
+from .utils import TestContext, ids_of, wait_for
+
+
+def test_commit_after_operation_limit_reached(tmp_path):
+    """Batch size 5, insert 30 docs → auto-commits happen
+    (reference commit.rs:10 semantics, scaled down)."""
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.insert_batch_commit_size = 5
+    cfg.reader_side.insert_batch_commit_size = 5
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    try:
+        coll = orama.write_side.create_collection("mk", "c")
+        orama.write_side.create_index("c", coll.write_api_key, "main")
+        for i in range(30):
+            orama.write_side.insert_documents(
+                "c", "main", coll.write_api_key,
+                [{"id": str(i), "t": f"doc {i} common"}],
+            )
+        orama.write_side.embedding_queue.flush_and_wait()
+        orama.read_side.pump()
+        # read side auto-committed at least once
+        assert orama.read_side.committed_offset > 0
+        out = orama.read_side.search(
+            "c", coll.read_api_key, SearchParams.from_json({"term": "common"})
+        )
+        assert out.count == 30
+        # reload picks up committed state + replays the tail
+        orama.write_side.commit()
+        orama.read_side.commit(force=True)
+        orama.stop()
+        orama2 = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+        out = orama2.read_side.search(
+            "c", coll.read_api_key, SearchParams.from_json({"term": "common"})
+        )
+        assert out.count == 30
+        orama2.stop()
+    finally:
+        try:
+            orama.stop()
+        except Exception:
+            pass
+
+
+def test_insert_create_collection_concurrency():
+    """Interleave inserts with collection creation on worker threads
+    (reference concurrency.rs:13)."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        errors = []
+
+        def inserter(worker):
+            try:
+                for i in range(20):
+                    ctx.writer.insert_documents(
+                        coll.collection_id, idx.index_id, coll.write_key,
+                        [{"id": f"w{worker}-{i}", "t": f"worker {worker} doc"}],
+                    )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def creator(n):
+            try:
+                for i in range(5):
+                    ctx.writer.create_collection("master-key-test", f"side-{n}-{i}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=inserter, args=(w,)) for w in range(3)]
+        threads += [threading.Thread(target=creator, args=(n,)) for n in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert errors == []
+        ctx.pump()
+        out = coll.search({"term": "worker", "limit": 100})
+        assert out.count == 60
+        assert len(ctx.reader.collections) == 1 + 10
+    finally:
+        ctx.close()
+
+
+def test_shutdown_commits_everything(tmp_path):
+    """Graceful shutdown force-commits both sides (reference shutdown.rs,
+    lib.rs:178-185)."""
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=True)
+    coll = orama.write_side.create_collection("mk", "c")
+    orama.write_side.create_index("c", coll.write_api_key, "main")
+    orama.write_side.insert_documents(
+        "c", "main", coll.write_api_key, [{"id": "1", "t": "survivor"}]
+    )
+    orama.write_side.embedding_queue.flush_and_wait()
+    wait_for(lambda: orama.read_side.collections.get("c") is not None
+             and orama.read_side.collections["c"].document_count() == 1)
+    # no explicit commit calls — stop() must flush
+    orama.stop()
+
+    orama2 = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    out = orama2.read_side.search(
+        "c", coll.read_api_key, SearchParams.from_json({"term": "survivor"})
+    )
+    assert out.count == 1
+    orama2.stop()
+
+
+def test_index_id_reuse_after_delete():
+    """Deleting and recreating an index with the same id must not leak
+    old docs (reference index_id_reuse_bug.rs)."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index("main")
+        idx.insert_documents([{"id": "1", "t": "old world"}])
+        assert coll.search({"term": "old"}).count == 1
+        ctx.writer.delete_index(coll.collection_id, coll.write_key, "main")
+        ctx.pump()
+        idx2 = coll.create_index("main")
+        idx2.insert_documents([{"id": "1", "t": "new world"}])
+        assert coll.search({"term": "old"}).count == 0
+        out = coll.search({"term": "new"})
+        assert ids_of(out) == ["1"]
+    finally:
+        ctx.close()
