@@ -28,8 +28,58 @@ class Orama:
         self.config = config
         self.write_side = write_side
         self.read_side = read_side
+        self._stop_event = None
+        self._maintenance = None
+
+    def start_maintenance(self):
+        """Periodic commit + temp-index GC loops (reference write/mod.rs:
+        321-342 commit loop, :1731 temp-index cleanup; read/mod.rs:334)."""
+        import threading
+
+        if self._maintenance is not None:
+            return
+        self._stop_event = threading.Event()
+
+        def loop():
+            interval = min(
+                self.config.writer_side.commit_interval,
+                self.config.reader_side.commit_interval,
+            )
+            last_commit = 0.0
+            last_gc = 0.0
+            import time as _t
+
+            while not self._stop_event.wait(timeout=1.0):
+                now = _t.time()
+                if now - last_commit >= interval:
+                    last_commit = now
+                    try:
+                        if self.write_side:
+                            self.write_side.commit()
+                        if self.read_side:
+                            self.read_side.commit()
+                    except Exception:  # noqa: BLE001
+                        import traceback
+
+                        traceback.print_exc()
+                if self.write_side and now - last_gc >= 3600:
+                    last_gc = now
+                    try:
+                        self.write_side.gc_temp_indexes()
+                    except Exception:  # noqa: BLE001
+                        pass
+
+        self._maintenance = threading.Thread(
+            target=loop, name="maintenance", daemon=True
+        )
+        self._maintenance.start()
 
     def stop(self):
+        if self._stop_event is not None:
+            self._stop_event.set()
+        if self._maintenance is not None:
+            self._maintenance.join(timeout=5)
+            self._maintenance = None
         if self.write_side:
             self.write_side.stop()
         if self.read_side:

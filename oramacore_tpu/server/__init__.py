@@ -800,6 +800,7 @@ def main():
     config = load_config(args.config)
 
     orama = build_orama(config)
+    orama.start_maintenance()
     ai_service = None
     try:
         from ..ai.service import AIService

@@ -419,3 +419,74 @@ def test_stats_and_filterable_fields(ctx):
     fields = ctx.reader.filterable_fields(coll.collection_id, coll.read_key)
     assert fields["n"] == "number"
     assert fields["flag"] == "bool"
+
+
+def test_late_embedding_lands_via_alias(ctx):
+    """After replace_index, in-flight index_embedding ops addressed to the
+    temp id must still land through the alias (reference read/index/
+    mod.rs:112-118,864)."""
+    from oramacore_tpu.oplog import Operation
+
+    coll = ctx.create_collection()
+    idx = coll.create_index("main")
+    idx.insert_documents([{"id": "1", "text": "aliased doc"}])
+    temp = ctx.writer.create_temporary_index(
+        coll.collection_id, coll.write_key, "main"
+    )
+    ctx.writer.insert_documents(
+        coll.collection_id, temp.index_id, coll.write_key,
+        [{"id": "1", "text": "fresh content"}],
+    )
+    temp_id = temp.index_id
+    ctx.writer.replace_index(
+        coll.collection_id, coll.write_key, "main", temp_id
+    )
+    ctx.pump()
+    # simulate a LATE embedding op still addressed to the (gone) temp id
+    internal = ctx.reader.collections[coll.collection_id].indexes["main"]
+    doc_id = internal.user_to_internal["1"]
+    ctx.writer.op_sender.send(
+        Operation(
+            kind="index_embedding",
+            collection=coll.collection_id,
+            body={
+                "index": temp_id,  # alias target
+                "doc_id": doc_id,
+                "model": "builtin-minihash-384",
+                "vectors": [[0.1] * 384],
+            },
+        )
+    )
+    ctx.pump()
+    assert internal.vector is not None
+    assert internal.vector.n_rows() >= 1
+
+
+def test_maintenance_loop_commits(tmp_path):
+    import time as _t
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.commit_interval = 0.2
+    cfg.reader_side.commit_interval = 0.2
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=True)
+    orama.start_maintenance()
+    try:
+        coll = orama.write_side.create_collection("mk", "c")
+        orama.write_side.create_index("c", coll.write_api_key, "main")
+        orama.write_side.insert_documents(
+            "c", "main", coll.write_api_key, [{"id": "1", "t": "tick"}]
+        )
+        orama.write_side.embedding_queue.flush_and_wait()
+        deadline = _t.time() + 10
+        while _t.time() < deadline:
+            if orama.read_side.committed_offset > 0:
+                break
+            _t.sleep(0.05)
+        assert orama.read_side.committed_offset > 0
+    finally:
+        orama.stop()
