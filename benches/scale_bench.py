@@ -51,9 +51,9 @@ def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
         term_to_tid={t: i for i, t in enumerate(terms)},
         starts=starts, lens=lens,
         doc=docs, tf=tf, exact_tf=tf, flen=flen,
-        stats=FieldStats(doc_count=n_docs, sum_len=float(n_docs * ppd)),
+        stats=FieldStats(doc_count=n_docs, sum_len=float(flen.sum())),
     )
-    idx._stats["body"] = FieldStats(n_docs, float(n_docs * ppd))
+    idx._stats["body"] = FieldStats(n_docs, float(flen.sum()))
 
     rng = np.random.default_rng(1)
     ex = StringSearchTopK()
@@ -65,21 +65,45 @@ def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
             plans.append(idx.plan_query(toks, ["body"], {}))
         return plans
 
-    plans = make_plans()
-    lr = max(p.max_range_len for p in plans)
-    print(f"[bm25_1m] max range len in batch: {lr:,}", file=sys.stderr)
+    from oramacore_tpu.index.search_exec import SharedBatchExecutor
+
+    rngq = np.random.default_rng(1)
+    token_sets = [
+        [f"t{int(rngq.zipf(1.3))+10}" for _ in range(T)] for _ in range(B)
+    ]
+    n_unique = len({t for toks in token_sets for t in toks})
+    print(f"[bm25_1m] {B} queries x {T} tokens, {n_unique} unique terms "
+          f"(shared exact scoring)", file=sys.stderr)
+
+    shared = SharedBatchExecutor()
     t0 = time.perf_counter()
-    ex.search_topk(idx, plans, [n_docs] * B, n_docs, k=10)
+    shared.search_topk_shared(idx, token_sets, ["body"], {}, n_docs,
+                              cap=n_docs, k=10)
     compile_t = time.perf_counter() - t0
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        ex.search_topk(idx, plans, [n_docs] * B, n_docs, k=10)
+        vals, ids = shared.search_topk_shared(
+            idx, token_sets, ["body"], {}, n_docs, cap=n_docs, k=10
+        )
     dt = (time.perf_counter() - t0) / iters
     qps = B / dt
-    print(f"[bm25_1m] compile {compile_t:.1f}s batch {B} lat {dt*1000:.1f}ms "
-          f"qps {qps:.0f}", file=sys.stderr)
-    return {"metric": "bm25_1m_docs_qps", "value": round(qps, 1), "unit": "qps"}
+    print(f"[bm25_1m shared-exact] compile {compile_t:.1f}s batch {B} "
+          f"lat {dt*1000:.1f}ms qps {qps:.0f}", file=sys.stderr)
+
+    # cross-check vs the per-query exact path on a subset
+    sub = 8
+    plans = [idx.plan_query(toks, ["body"], {}) for toks in token_sets[:sub]]
+    ev, ei = ex.search_topk(idx, plans, [n_docs] * sub, n_docs, k=10)
+    agree = []
+    for b in range(sub):
+        agree.append(len(set(ei[b].tolist()) & set(ids[b].tolist())) / 10.0)
+    overlap = float(np.mean(agree))
+    print(f"[bm25_1m] shared vs per-query top-10 overlap: {overlap:.3f}",
+          file=sys.stderr)
+    return {"metric": "bm25_1m_docs_qps", "value": round(qps, 1),
+            "unit": "qps", "exact": True,
+            "per_query_overlap": round(overlap, 3)}
 
 
 def bench_vector_1m(n=1_000_000, dim=384, B=64, k=10):

@@ -43,6 +43,10 @@ class ReaderSideConfig:
     time_threshold: float = 300.0
     analytics_enabled: bool = True
     notifier_url: Optional[str] = None
+    # impact-ordered postings prefix cap for fulltext scoring; None = exact.
+    # Bounds per-term device work on huge postings lists (max-score-style
+    # pruning) — recommended ~8192 for multi-million-doc corpora.
+    impact_cap: Optional[int] = None
 
 
 @dataclass

@@ -238,3 +238,142 @@ class StringSearchTopK(StringSearchExecutor):
             has_mask=has_mask, has_omc=has_omc,
         )
         return np.asarray(vals[: pb.B, :k]), np.asarray(idx[: pb.B, :k])
+
+
+class SharedBatchExecutor(StringSearchExecutor):
+    """Term-deduplicated batched scoring: each unique query token is
+    scored once into dense per-token rows; a (B, U) assignment matmul
+    distributes rows to queries. Exact for unfiltered searches. Unique
+    tokens are partitioned into range-length classes so each device call
+    has homogeneous static shapes."""
+
+    LENGTH_CLASSES = (1024, 16384, 131072)
+    CHUNK_BY_CLASS = {1024: 64, 16384: 16, 131072: 8}
+
+    def search_topk_shared(
+        self,
+        index: StringIndex,
+        tokens_per_query: Sequence[Sequence[str]],
+        properties: Sequence[str],
+        boost: Dict[str, float],
+        n_docs: float,
+        cap: int,
+        k: int,
+        thresholds: Optional[Sequence[float]] = None,
+        exact: bool = False,
+        tolerance: Optional[int] = None,
+        impact_cap: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from ..ops.bm25 import (
+            MAX_RANGE_LEN,
+            bm25_shared_partial,
+            finalize_topk,
+            round_up_pow2,
+        )
+        from .string_index import DEFAULT_B
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        if index._dirty or index._slab_arrays is None:
+            index._build_slab()
+            p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+
+        B = len(tokens_per_query)
+        T = max(1, max(len(t) for t in tokens_per_query))
+        capb = round_up_pow2(cap, 128)
+
+        # ---- unique tokens + their ranges --------------------------------
+        unique: Dict[str, int] = {}
+        u_ranges: List[List[Tuple[int, int, float, float, float]]] = []
+        tol = 0 if exact else tolerance
+        for toks in tokens_per_query:
+            for tok in toks:
+                if tok in unique:
+                    continue
+                ranges: List[Tuple[int, int, float, float, float]] = []
+                for path in properties:
+                    stats = index._stats.get(path)
+                    if stats is None or stats.doc_count == 0:
+                        continue
+                    w = boost.get(path, 1.0)
+                    avg = stats.avg_len or 1.0
+                    for (start, length) in index._match_terms(path, tok, tol):
+                        if impact_cap is not None and length > impact_cap:
+                            length = impact_cap
+                        while length > MAX_RANGE_LEN:
+                            ranges.append((start, MAX_RANGE_LEN, w, DEFAULT_B, avg))
+                            start += MAX_RANGE_LEN
+                            length -= MAX_RANGE_LEN
+                        ranges.append((start, length, w, DEFAULT_B, avg))
+                unique[tok] = len(u_ranges)
+                u_ranges.append(ranges)
+
+        U = len(u_ranges)
+        token_map_global = np.full((B, T), -1, np.int32)
+        for b, toks in enumerate(tokens_per_query):
+            for t, tok in enumerate(toks[:T]):
+                token_map_global[b, t] = unique[tok]
+
+        # ---- partition unique tokens by max range length -----------------
+        classes: Dict[int, List[int]] = {c: [] for c in self.LENGTH_CLASSES}
+        for ui, ranges in enumerate(u_ranges):
+            ml = max((l for (_, l, *_rest) in ranges), default=0)
+            for c in self.LENGTH_CLASSES:
+                if ml <= c:
+                    classes[c].append(ui)
+                    break
+
+        scores = jnp.zeros((B, capb), jnp.float32)
+        matched = jnp.zeros((B, capb), jnp.float32)
+
+        for lr_class, uids in classes.items():
+            if not uids:
+                continue
+            cu = self.CHUNK_BY_CLASS[lr_class]
+            Up = max(cu, ((len(uids) + cu - 1) // cu) * cu)
+            NR = max(1, max(len(u_ranges[u]) for u in uids))
+            NRb = round_up_pow2(NR, 1)
+            st = np.zeros((Up, NRb), np.int32)
+            ln = np.zeros((Up, NRb), np.int32)
+            wt = np.zeros((Up, NRb), np.float32)
+            fb = np.full((Up, NRb), 0.75, np.float32)
+            av = np.ones((Up, NRb), np.float32)
+            local_of = {}
+            for li, ui in enumerate(uids):
+                local_of[ui] = li
+                for ri, (s0, l0, w0, b0, a0) in enumerate(u_ranges[ui][:NRb]):
+                    st[li, ri] = s0
+                    ln[li, ri] = l0
+                    wt[li, ri] = w0
+                    fb[li, ri] = b0
+                    av[li, ri] = a0
+            # per-class token map: slots of other classes -> Up (no match)
+            tmap = np.full((B, T), Up, np.int32)
+            for b in range(B):
+                for t in range(T):
+                    g = token_map_global[b, t]
+                    if g >= 0 and g in local_of:
+                        tmap[b, t] = local_of[g]
+            lrb = round_up_pow2(
+                max(1, max(int(ln.max()), 1)), 8
+            )
+            scores, matched = bm25_shared_partial(
+                p_doc, p_tf, p_etf, p_flen,
+                jnp.asarray(st), jnp.asarray(ln), jnp.asarray(wt),
+                jnp.asarray(fb), jnp.asarray(av), jnp.asarray(tmap),
+                jnp.float32(max(n_docs, 1.0)),
+                scores, matched,
+                lr=int(lrb), cap=capb, cu=cu, exact=exact,
+            )
+
+        thr = np.zeros((B,), np.float32)
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                thr[i] = t or 0.0
+        omc = np.ones((capb,), np.float32)
+        kb = min(round_up_pow2(k, 8), capb)
+        vals, idx = finalize_topk(
+            scores, matched, jnp.asarray(thr), jnp.asarray(omc), k=kb
+        )
+        return np.asarray(vals[:, :k]), np.asarray(idx[:, :k])

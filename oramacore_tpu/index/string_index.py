@@ -257,7 +257,16 @@ class StringIndex:
                 entry = merged[t]
                 starts[i] = pos
                 lens[i] = len(entry)
-                for d in sorted(entry):
+                # IMPACT ORDERING: postings sorted by normalized TF
+                # descending (tf / field_len), so a query-time impact cap
+                # scans the highest-scoring prefix of huge postings lists
+                # (max-score/WAND pruning, TPU-style: prefix truncation
+                # instead of pointer skipping)
+                def impact(d):
+                    tf, _ = entry[d]
+                    return -tf / max(flen_map.get(d, 1.0), 1e-9)
+
+                for d in sorted(entry, key=impact):
                     tf, etf = entry[d]
                     docs_l.append(d)
                     tf_l.append(tf)
@@ -387,8 +396,16 @@ class StringIndex:
         properties: Sequence[str],
         boost: Dict[str, float],
         tolerance: Optional[int] = None,
+        impact_cap: Optional[int] = None,
     ) -> QueryPlan:
-        """Build padded range descriptors (T, NR) for the scoring kernel."""
+        """Build padded range descriptors (T, NR) for the scoring kernel.
+
+        `impact_cap` truncates each COMMITTED term range to its first
+        `impact_cap` postings. Commit stores postings impact-ordered
+        (highest normalized TF first), so truncation keeps the postings
+        that can reach the top-k — approximate max-score pruning with
+        bounded device work. None = exact (scan everything).
+        """
         if self._dirty or self._slab_arrays is None:
             self._build_slab()
 
@@ -404,6 +421,8 @@ class StringIndex:
                 w = boost.get(path, 1.0)
                 avg = stats.avg_len if stats.avg_len > 0 else 1.0
                 for (start, length) in self._match_terms(path, token, tolerance):
+                    if impact_cap is not None and length > impact_cap:
+                        length = impact_cap
                     # split over-long ranges so device slices stay bounded
                     while length > MAX_RANGE_LEN:
                         ranges.append((start, MAX_RANGE_LEN, w, DEFAULT_B, avg))

@@ -259,3 +259,99 @@ def bm25_search_topk_packed(
 
     vals, idx = topk_2level(s, k)
     return vals, idx
+
+
+# ---------------------------------------------------------------------------
+# Shared (term-deduplicated) batched scoring.
+#
+# A batch of queries repeats terms — especially the heavy ones. Scoring
+# per (query, token) re-scans a heavy term's postings once PER QUERY.
+# This path scores each UNIQUE token once into a dense per-token row,
+# then distributes rows to queries with a (B, U) assignment matmul on
+# the MXU:
+#
+#     acc_u   = aggregate(postings of unique token u)        # (U, cap)
+#     sat_u   = idf(df_u) * (k+1) * acc_u / (k + acc_u)
+#     scores  = A @ sat        A[b, u] = multiplicity of u in query b
+#     matched = A @ (acc_u > 0)
+#
+# EXACT for unfiltered searches (a per-query filter changes each query's
+# df, so filtered searches use the per-query path). Unique tokens are
+# processed in chunks so the (CU, cap) rows stay within HBM budget.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "cap", "cu", "exact")
+)
+def bm25_shared_partial(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    u_starts,    # int32[U, NR] posting ranges of unique tokens (U % cu == 0)
+    u_lens,      # int32[U, NR]
+    u_weights,   # f32[U, NR]
+    u_field_b,   # f32[U, NR]
+    u_avg,       # f32[U, NR]
+    token_map,   # int32[B, T] unique-token index per query slot (U = padding)
+    n_docs,      # f32[] corpus size
+    scores_in,   # f32[B, cap] accumulated scores from previous length classes
+    matched_in,  # f32[B, cap]
+    *,
+    lr: int, cap: int, cu: int, exact: bool,
+):
+    U, NR = u_starts.shape
+    B, T = token_map.shape
+    LR = int(lr)
+    tf_src = p_exact_tf if exact else p_tf
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, NR, LR), 2)
+
+    def chunk_step(carry, ci):
+        scores, matched = carry
+        st = jax.lax.dynamic_slice(u_starts, (ci * cu, 0), (cu, NR))
+        ln = jax.lax.dynamic_slice(u_lens, (ci * cu, 0), (cu, NR))
+        wt = jax.lax.dynamic_slice(u_weights, (ci * cu, 0), (cu, NR))
+        fb = jax.lax.dynamic_slice(u_field_b, (ci * cu, 0), (cu, NR))
+        av = jax.lax.dynamic_slice(u_avg, (ci * cu, 0), (cu, NR))
+
+        flat = st.reshape(-1)
+        docs = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        tf = jax.vmap(lambda s: jax.lax.dynamic_slice(tf_src, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        flen = jax.vmap(lambda s: jax.lax.dynamic_slice(p_flen, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        valid = slot < ln[:, :, None]
+        b_ = fb[:, :, None]
+        denom = (1.0 - b_) + b_ * flen / jnp.maximum(av[:, :, None], 1e-9)
+        ntf = wt[:, :, None] * tf / jnp.maximum(denom, 1e-9)
+        keep = valid & (tf > 0)
+        ntf = jnp.where(keep, ntf, 0.0)
+        docs = jnp.where(keep, docs, cap)
+        acc = _aggregate_dense(
+            docs.reshape(cu, NR * LR), ntf.reshape(cu, NR * LR), cap
+        )  # (cu, cap)
+        present = (acc > 0.0).astype(jnp.float32)
+        df = jnp.maximum(jnp.sum(present, axis=1), 1.0)
+        idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
+        sat = idf[:, None] * (K1 + 1.0) * acc / (K1 + acc) * present
+
+        # assignment: A[b, j] = # of slots t with token_map[b, t] == ci*cu + j
+        uid = ci * cu + jax.lax.broadcasted_iota(jnp.int32, (1, 1, cu), 2)
+        A = jnp.sum(
+            (token_map[:, :, None] == uid).astype(jnp.float32), axis=1
+        )  # (B, cu)
+        scores = scores + jnp.dot(A, sat, preferred_element_type=jnp.float32)
+        matched = matched + jnp.dot(
+            A, present, preferred_element_type=jnp.float32
+        )
+        return (scores, matched), None
+
+    (scores, matched), _ = jax.lax.scan(
+        chunk_step, (scores_in, matched_in), jnp.arange(U // cu)
+    )
+    return scores, matched
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def finalize_topk(scores, matched, thr_counts, omc, *, k: int):
+    from .vector import topk_2level
+
+    s = scores * omc[None, :]
+    keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    s = jnp.where(keep, s, -jnp.inf)
+    return topk_2level(s, k)

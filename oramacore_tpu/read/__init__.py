@@ -528,6 +528,7 @@ class ReadSide:
         plan = idx.string.plan_query(
             tokens, props, params.boost,
             tolerance=(0 if mode.exact else mode.tolerance) or None,
+            impact_cap=self.config.reader_side.impact_cap,
         )
         cap = idx.cap()
         ex = coll.executor(idx.index_id)
@@ -667,8 +668,12 @@ class ReadSide:
                 groups.setdefault(combo, []).append(d)
         out: List[GroupedResult] = []
         for combo, docs in groups.items():
-            ranked = sorted(docs, key=lambda d: -all_scores[d])
-            ranked_pairs = [(d, all_scores[d]) for d in ranked]
+            if params.sort_by is not None:
+                scoped = {d: all_scores[d] for d in docs}
+                ranked_pairs = self._sort_by_field(indexes, scoped, params.sort_by)
+            else:
+                ranked = sorted(docs, key=lambda d: -all_scores[d])
+                ranked_pairs = [(d, all_scores[d]) for d in ranked]
             if consequences:
                 group_set = set(docs)
                 filtered_cons = [

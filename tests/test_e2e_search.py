@@ -490,3 +490,24 @@ def test_maintenance_loop_commits(tmp_path):
         assert orama.read_side.committed_offset > 0
     finally:
         orama.stop()
+
+
+def test_group_by_with_sort_by(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "shoe", "color": "red", "price": 30},
+            {"id": "2", "text": "shoe", "color": "red", "price": 10},
+            {"id": "3", "text": "shoe", "color": "blue", "price": 20},
+        ]
+    )
+    out = coll.search(
+        {
+            "term": "shoe",
+            "groupBy": {"properties": ["color"]},
+            "sortBy": {"property": "price"},
+        }
+    )
+    groups = {tuple(g.values): ids_of_group(g) for g in out.groups}
+    assert groups[("red",)] == ["2", "1"]  # ascending price within group

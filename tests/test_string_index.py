@@ -180,3 +180,28 @@ def test_batched_queries_consistent_with_single():
     for i, t in enumerate(terms):
         single, _ = tpu_scores(idx, flatten_tokens(t), props, n, cap=n)
         np.testing.assert_allclose(batch_scores[i], single, atol=1e-5)
+
+
+def test_shared_batch_executor_matches_per_query():
+    from oramacore_tpu.index.search_exec import SharedBatchExecutor
+
+    idx = build_index(DOCS, commit=True)
+    # add live docs so both layers are exercised
+    idx.index_text(4, "title", PARSER.tokenize_and_stem("quick zebra"))
+    props = ["title", "body"]
+    n = 5
+    queries = ["quick fox", "lazy dog", "quick fox", "brown bears", "zebra"]
+    token_lists = [flatten_tokens(q) for q in queries]
+
+    ex = SharedBatchExecutor()
+    vals, ids = ex.search_topk_shared(
+        idx, token_lists, props, {}, n, cap=n, k=4
+    )
+    for qi, toks in enumerate(token_lists):
+        expected = host_bm25_reference(idx, toks, props, {}, n)
+        ranked = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        got = [(int(i), float(v)) for v, i in zip(vals[qi], ids[qi]) if v > 0]
+        assert len(got) == len(ranked), (qi, got, ranked)
+        for (gd, gv), (ed, ev) in zip(got, ranked):
+            assert gv == pytest.approx(ev, abs=1e-4), (qi, got, ranked)
+            # ids may differ under exact score ties; values must match
