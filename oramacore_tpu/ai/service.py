@@ -136,6 +136,7 @@ class AIService:
     ):
         self._check_read(collection_id, key)
         sm = self._answer_machine(collection_id, key)
+        t0 = time.time()
         resp = web.StreamResponse(
             headers={
                 "Content-Type": "text/event-stream",
@@ -148,6 +149,14 @@ class AIService:
                 await resp.write(f"data: {json.dumps(ev)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
         except (ConnectionResetError, asyncio.CancelledError):
+            pass
+        # interaction analytics (reference read/analytics.rs:198)
+        try:
+            self.read_side.analytics.add_interaction_event(
+                collection_id, interaction.interaction_id,
+                interaction.query, (time.time() - t0) * 1000,
+            )
+        except Exception:  # noqa: BLE001
             pass
         return resp
 

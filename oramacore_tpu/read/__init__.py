@@ -914,3 +914,105 @@ def _fmt_num(x) -> str:
     if isinstance(x, float) and x.is_integer():
         return str(int(x))
     return str(x)
+
+
+# ---------------------------------------------------------------------------
+# Batched search — TPU-native first-class API (no reference counterpart:
+# the reference serves one query per request; batching is where the TPU
+# wins, so the engine exposes it directly).
+# ---------------------------------------------------------------------------
+
+def _can_use_shared(params_list: List[SearchParams]) -> bool:
+    first = params_list[0]
+    for p in params_list:
+        if not isinstance(p.mode, FulltextMode) or p.mode_str not in (
+            "fulltext", "default"
+        ):
+            return False
+        if not p.where.is_empty() or p.facets or p.group_by or p.sort_by:
+            return False
+        if p.mode.exact or p.mode.tolerance:
+            return False
+        if p.properties != first.properties or p.boost != first.boost:
+            return False
+    return True
+
+
+def _search_batch(
+    self: "ReadSide",
+    collection_id: str,
+    read_key: Optional[str],
+    params_list: List[SearchParams],
+) -> List[SearchResult]:
+    """Execute many queries in one device pass when they are homogeneous
+    plain fulltext searches (term-dedup shared scoring); falls back to
+    per-query execution otherwise."""
+    coll = self.check_read_key(collection_id, read_key)
+    if not params_list:
+        return []
+    indexes = coll.runtime_indexes()
+    if (
+        len(indexes) != 1
+        or not _can_use_shared(params_list)
+        or indexes[0].deleted
+    ):
+        return [self.search(collection_id, read_key, p) for p in params_list]
+
+    from ..index.search_exec import SharedBatchExecutor
+
+    idx = indexes[0]
+    first = params_list[0]
+    if first.properties is not None:
+        props = [
+            p for p in first.properties
+            if idx.field_types.get(p, "").startswith("string")
+        ]
+    else:
+        props = [p for p, t in idx.field_types.items() if t.startswith("string")]
+    if not props:
+        return [self.search(collection_id, read_key, p) for p in params_list]
+
+    parser = idx.parser
+    token_lists: List[List[str]] = []
+    thresholds: List[float] = []
+    for p in params_list:
+        parsed = parser.tokenize_and_stem(p.mode.term)
+        toks: List[str] = []
+        for t, variants in parsed:
+            toks.append(t)
+            toks.extend(variants)
+        if not toks:
+            toks = [""]
+        token_lists.append(toks)
+        thresholds.append(
+            float(np.floor(len(toks) * p.mode.threshold))
+            if p.mode.threshold is not None else 0.0
+        )
+
+    ex = getattr(self, "_shared_executor", None)
+    if ex is None:
+        ex = self._shared_executor = SharedBatchExecutor()
+    max_k = max(p.limit + p.offset for p in params_list)
+    vals, ids = ex.search_topk_shared(
+        idx.string, token_lists, props, first.boost,
+        idx.document_count(), idx.cap(), max(max_k, 1),
+        thresholds=thresholds,
+        impact_cap=self.config.reader_side.impact_cap,
+    )
+    results: List[SearchResult] = []
+    for qi, p in enumerate(params_list):
+        pairs = [
+            (int(d), float(v))
+            for v, d in zip(vals[qi], ids[qi])
+            if v > 0 and int(d) in idx.doc_user_ids
+        ]
+        if idx.omc:
+            pairs = [(d, s * idx.omc.get(d, 1.0)) for d, s in pairs]
+            pairs.sort(key=lambda kv: -kv[1])
+        page = pairs[p.offset : p.offset + p.limit]
+        hits = self._hydrate(coll, indexes, page)
+        results.append(SearchResult(hits=hits, count=len(pairs)))
+    return results
+
+
+ReadSide.search_batch = _search_batch

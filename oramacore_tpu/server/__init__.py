@@ -86,6 +86,7 @@ class ApiServer:
 
         # search (reader) — search.rs:25-32
         r.add_post("/v1/collections/{c}/search", self.h_search)
+        r.add_post("/v1/collections/{c}/search/batch", self.h_search_batch)
         r.add_post("/v1/collections/{c}/stats", self.h_stats)
         r.add_get("/v1/collections/{c}/stats", self.h_stats)
         r.add_post("/v1/collections/{c}/filterable_fields", self.h_filterable)
@@ -415,6 +416,20 @@ class ApiServer:
             },
         )
         return web.json_response(result.to_json())
+
+    @_wrap
+    async def h_search_batch(self, request):
+        """Batched search: {"searches": [<params>...]} → {"results": [...]}.
+        TPU-native extension: homogeneous fulltext batches run in one
+        device pass with term-deduplicated shared scoring."""
+        body = await self._json(request)
+        raw = body.get("searches", body if isinstance(body, list) else [])
+        key = extract_api_key(request)
+        params = [SearchParams.from_json(x) for x in raw]
+        results = await self._run(
+            self._reader().search_batch, request.match_info["c"], key, params
+        )
+        return web.json_response({"results": [r.to_json() for r in results]})
 
     @_wrap
     async def h_stats(self, request):
@@ -798,6 +813,15 @@ def main():
     p.add_argument("--config", default=None)
     args = p.parse_args()
     config = load_config(args.config)
+
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s %(message)s",
+    )
+    for module, level in config.log_levels.items():
+        logging.getLogger(module).setLevel(level.upper())
 
     orama = build_orama(config)
     orama.start_maintenance()

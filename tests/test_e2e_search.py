@@ -511,3 +511,54 @@ def test_group_by_with_sort_by(ctx):
     )
     groups = {tuple(g.values): ids_of_group(g) for g in out.groups}
     assert groups[("red",)] == ["2", "1"]  # ascending price within group
+
+
+def test_search_batch_shared_path(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "t": "red apple pie"},
+            {"id": "2", "t": "green apple juice"},
+            {"id": "3", "t": "banana split"},
+        ]
+    )
+    ctx.commit_all()
+    from oramacore_tpu.types import SearchParams
+
+    params = [
+        SearchParams.from_json({"term": "apple"}),
+        SearchParams.from_json({"term": "banana"}),
+        SearchParams.from_json({"term": "apple pie"}),
+        SearchParams.from_json({"term": "nothing matches this zz"}),
+    ]
+    results = ctx.reader.search_batch(
+        coll.collection_id, coll.read_key, params
+    )
+    assert results[0].count == 2
+    assert ids_of(results[1]) == ["3"]
+    assert ids_of(results[2])[0] == "1"
+    assert results[3].count == 0
+    # each matches the single-query path
+    for p, batch_result in zip(params, results):
+        single = ctx.reader.search(coll.collection_id, coll.read_key, p)
+        assert ids_of(single) == ids_of(batch_result)
+
+
+def test_search_batch_falls_back_for_filters(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [{"id": "1", "t": "thing", "n": 1}, {"id": "2", "t": "thing", "n": 2}]
+    )
+    from oramacore_tpu.types import SearchParams
+
+    params = [
+        SearchParams.from_json({"term": "thing", "where": {"n": {"gt": 1}}}),
+        SearchParams.from_json({"term": "thing"}),
+    ]
+    results = ctx.reader.search_batch(
+        coll.collection_id, coll.read_key, params
+    )
+    assert ids_of(results[0]) == ["2"]
+    assert results[1].count == 2

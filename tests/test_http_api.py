@@ -277,3 +277,24 @@ async def test_analytics_export(client):
     # claim-gated
     resp = await client.get("/v1/analytics", headers=auth("bad"))
     assert resp.status == 401
+
+
+@http_test
+async def test_search_batch_endpoint(client):
+    keys = await create_coll(client, "cb")
+    wk, rk = keys["write_api_key"], keys["read_api_key"]
+    await client.post(
+        "/v1/collections/cb/indexes/main/insert",
+        json=[{"id": "1", "t": "alpha beta"}, {"id": "2", "t": "gamma"}],
+        headers=auth(wk),
+    )
+    await wait_search(client, "cb", rk, {"term": "alpha"})
+    resp = await client.post(
+        "/v1/collections/cb/search/batch",
+        json={"searches": [{"term": "alpha"}, {"term": "gamma"},
+                           {"term": "zzz"}]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    results = (await resp.json())["results"]
+    assert [r["count"] for r in results] == [1, 1, 0]
