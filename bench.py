@@ -28,7 +28,7 @@ import numpy as np
 def main():
     import jax
 
-    from oramacore_tpu.index.search_exec import StringSearchTopK
+    from oramacore_tpu.index.search_exec import SharedBatchExecutor
     from oramacore_tpu.index.string_index import StringIndex
     from oramacore_tpu.ops.bm25 import masked_topk, round_up_pow2
     from oramacore_tpu.types import Locale
@@ -47,42 +47,40 @@ def main():
 
     n = len(docs)
     cap = round_up_pow2(n, 128)
-    ex = StringSearchTopK()
+    ex = SharedBatchExecutor()
 
-    queries = [
-        "adventure", "war strategy", "open world rpg", "racing cars",
-        "puzzle platformer", "space exploration", "zombie survival",
-        "fantasy magic", "sports football", "city building",
-        "stealth action", "horror dark", "pixel indie", "multiplayer shooter",
-        "dragons dungeons", "ancient gods", "wild hunt", "story rich",
-        "rogue like dungeon", "crafting survival", "detective mystery",
-        "samurai sword", "galaxy ships", "farm simulator", "card battle",
-        "music rhythm", "battle royale", "turn based tactics",
-        "post apocalyptic wasteland", "medieval kingdom", "ninja fight",
-        "alien invasion",
-    ]
-    B = 2048
+    # DISTINCT realistic queries: 2-3 word combos drawn from the corpus
+    # vocabulary (duplicated query lists would overstate the term-dedup win)
+    rng = np.random.default_rng(42)
+    vocab = sorted(
+        {w for d in docs for w in parser.tokenize(d["description"])[:40]
+         if len(w) > 3}
+    )[:2000]
+    B = 16384
+    queries = []
+    seen = set()
+    while len(queries) < B:
+        nwords = int(rng.integers(2, 4))
+        q = " ".join(rng.choice(vocab, nwords, replace=False))
+        if q not in seen:
+            seen.add(q)
+            queries.append(q)
 
-    def make_plans():
-        plans = []
-        qlist = (queries * ((B + len(queries) - 1) // len(queries)))[:B]
-        for q in qlist:
-            toks = []
-            for t, v in parser.tokenize_and_stem(q):
-                toks.append(t)
-                toks.extend(v)
-            plans.append(sidx.plan_query(toks, ["title", "description"], {}))
-        return plans
-
-    plans = make_plans()
-    omc = None
-
-    import jax.numpy as jnp
-
-    ones_omc = jnp.ones((cap,), jnp.float32)
+    token_lists = []
+    for q in queries:
+        toks = []
+        for t, v in parser.tokenize_and_stem(q):
+            toks.append(t)
+            toks.extend(v)
+        token_lists.append(toks)
+    n_unique = len({t for toks in token_lists for t in toks})
+    print(f"[bench] {B} distinct queries, {n_unique} unique tokens",
+          file=sys.stderr)
 
     def run_batch():
-        return ex.search_topk(sidx, plans, [n] * B, cap, k=10)
+        return ex.search_topk_shared(
+            sidx, token_lists, ["title", "description"], {}, n, cap, k=10
+        )
 
     # warmup (compile)
     for _ in range(3):
