@@ -94,7 +94,7 @@ def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
     # cross-check vs the per-query exact path on a subset
     sub = 8
     plans = [idx.plan_query(toks, ["body"], {}) for toks in token_sets[:sub]]
-    ev, ei = ex.search_topk(idx, plans, [n_docs] * sub, n_docs, k=10)
+    ev, ei, _ = ex.search_topk(idx, plans, [n_docs] * sub, n_docs, k=10)
     agree = []
     for b in range(sub):
         agree.append(len(set(ei[b].tolist()) & set(ids[b].tolist())) / 10.0)
@@ -166,6 +166,75 @@ def bench_vector_1m(n=1_000_000, dim=384, B=64, k=10):
     }
 
 
+def bench_hybrid_filtered(n=200_000, dim=128, B=64, k=10):
+    """BASELINE config 3: hybrid BM25+vector with filter predicates,
+    end-to-end through the read side."""
+    import tempfile
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+    from oramacore_tpu.types import SearchParams
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg = OramacoreConfig()
+        cfg.data_dir = tmp
+        cfg.auth.master_api_key = "mk"
+        cfg.writer_side.insert_batch_commit_size = 10**9
+        cfg.reader_side.insert_batch_commit_size = 10**9
+        orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+        coll = orama.write_side.create_collection("mk", "c")
+        orama.write_side.create_index("c", coll.write_api_key, "main")
+        words = [f"w{i}" for i in range(2000)]
+        print(f"[hybrid] ingesting {n:,} docs...", file=sys.stderr)
+        t0 = time.perf_counter()
+        batch = []
+        for i in range(n):
+            batch.append({
+                "id": str(i),
+                "text": " ".join(rng.choice(words, 12)),
+                "price": float(rng.integers(1, 1000)),
+                "cat": f"c{int(rng.integers(0, 20))}",
+            })
+            if len(batch) == 5000:
+                orama.write_side.insert_documents(
+                    "c", "main", coll.write_api_key, batch)
+                batch = []
+        if batch:
+            orama.write_side.insert_documents("c", "main", coll.write_api_key, batch)
+        orama.write_side.embedding_queue.flush_and_wait(timeout=600)
+        orama.read_side.pump()
+        ingest_t = time.perf_counter() - t0
+        print(f"[hybrid] ingest {ingest_t:.1f}s "
+              f"({n/ingest_t:.0f} docs/s) commit...", file=sys.stderr)
+        t0 = time.perf_counter()
+        orama.read_side.commit(force=True)
+        print(f"[hybrid] commit {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        queries = [
+            SearchParams.from_json({
+                "term": " ".join(rng.choice(words, 2)),
+                "mode": "hybrid", "similarity": 0.0,
+                "where": {"price": {"lt": float(rng.integers(100, 900))}},
+                "limit": k,
+            })
+            for _ in range(B)
+        ]
+        # warm
+        for q in queries[:4]:
+            orama.read_side.search("c", coll.read_api_key, q)
+        t0 = time.perf_counter()
+        for q in queries:
+            orama.read_side.search("c", coll.read_api_key, q)
+        dt = time.perf_counter() - t0
+        qps = B / dt
+        print(f"[hybrid+filter {n//1000}k docs] {qps:.0f} qps "
+              f"({dt/B*1000:.1f} ms/query e2e)", file=sys.stderr)
+        orama.stop()
+        return {"metric": "hybrid_filtered_200k_qps", "value": round(qps, 1),
+                "unit": "qps", "ingest_docs_per_s": round(n / ingest_t, 1)}
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     out = []
@@ -173,6 +242,8 @@ def main():
         out.append(bench_bm25_1m())
     if which in ("vector_1m", "all"):
         out.append(bench_vector_1m())
+    if which in ("hybrid", "all"):
+        out.append(bench_hybrid_filtered())
     for o in out:
         print(json.dumps(o))
 

@@ -230,14 +230,18 @@ class StringSearchTopK(StringSearchExecutor):
         else:
             omc_arr = np.ones((1,), np.float32)
         kb = min(round_up_pow2(k, 8), pb.capb)
-        vals, idx = bm25_search_topk_packed(
+        vals, idx, counts = bm25_search_topk_packed(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             jnp.asarray(mask_arr), jnp.asarray(omc_arr),
             lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
             has_mask=has_mask, has_omc=has_omc,
         )
-        return np.asarray(vals[: pb.B, :k]), np.asarray(idx[: pb.B, :k])
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(idx[: pb.B, :k]),
+            np.asarray(counts[: pb.B]),
+        )
 
 
 class SharedBatchExecutor(StringSearchExecutor):

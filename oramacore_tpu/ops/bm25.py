@@ -254,11 +254,12 @@ def bm25_search_topk_packed(
     )
     s = scores * omc[None, :] if has_omc else scores
     keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)  # exact match counts
     s = jnp.where(keep, s, -jnp.inf)
     from .vector import topk_2level
 
     vals, idx = topk_2level(s, k)
-    return vals, idx
+    return vals, idx, counts
 
 
 # ---------------------------------------------------------------------------

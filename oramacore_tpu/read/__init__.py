@@ -84,10 +84,12 @@ class CollectionReader:
         real = self.aliases.get(index_id, index_id)
         return self.indexes.get(real)
 
-    def executor(self, index_id: str) -> StringSearchExecutor:
+    def executor(self, index_id: str):
+        from ..index.search_exec import StringSearchTopK
+
         ex = self._executors.get(index_id)
         if ex is None:
-            ex = self._executors[index_id] = StringSearchExecutor()
+            ex = self._executors[index_id] = StringSearchTopK()
         return ex
 
     def runtime_indexes(self) -> List[ReadIndex]:
@@ -370,6 +372,7 @@ class ReadSide:
                 )
 
         all_scores: Dict[int, float] = {}
+        fused_counts: Optional[int] = None
         facet_results: Dict[str, FacetResult] = {}
         group_values_by_doc: Dict[int, Dict[str, List[Any]]] = {}
         filter_fields_seen: Set[str] = set()
@@ -383,7 +386,19 @@ class ReadSide:
                 idx.filters.eval_where(params.where, cap) if has_filter else None
             )
             mask = idx.combined_mask(filter_mask)
-            scores = self._token_scores(coll, idx, mode, params, mask)
+            # fused low-latency path: only top candidates + exact counts
+            # cross the device boundary when nothing downstream needs the
+            # dense score set
+            fused_ok = (
+                not params.facets
+                and params.group_by is None
+                and params.sort_by is None
+            )
+            scores = self._token_scores(
+                coll, idx, mode, params, mask, fused_ok=fused_ok
+            )
+            if self._last_fused_count is not None:
+                fused_counts = fused_counts + self._last_fused_count                     if fused_counts is not None else self._last_fused_count
             # OMC multipliers (search.rs:342, apply_omc_multipliers :39)
             if idx.omc:
                 for d in list(scores.keys()):
@@ -416,7 +431,7 @@ class ReadSide:
             if missing:
                 raise ReadError(f"facet fields not found: {missing}", 400)
 
-        count = len(all_scores)
+        count = fused_counts if fused_counts is not None else len(all_scores)
 
         # resolve user-id -> internal for pin rules across indexes
         resolve: Dict[str, int] = {}
@@ -477,20 +492,35 @@ class ReadSide:
         mode: SearchMode,
         params: SearchParams,
         mask: Optional[np.ndarray],
+        fused_ok: bool = False,
     ) -> Dict[int, float]:
+        self._last_fused_count = None
         if isinstance(mode, (FulltextMode,)):
-            return self._fulltext_scores(coll, idx, mode, params, mask)
+            return self._fulltext_scores(
+                coll, idx, mode, params, mask, fused_ok=fused_ok
+            )
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
         if isinstance(mode, HybridMode):
-            # (token_score.rs:357-422)
+            # (token_score.rs:357-422). With fused_ok the fulltext side
+            # returns top candidates + exact count; min-max fusion over
+            # candidates is exact because the reference folds its min from
+            # 0.0 (scores are non-negative) and the global max is within
+            # the candidate set.
             vec = self._vector_scores(idx, mode.term, mode.similarity, params, mask)
             ft = self._fulltext_scores(
                 coll, idx,
                 FulltextMode(mode.term, mode.threshold, mode.exact, mode.tolerance),
-                params, mask,
+                params, mask, fused_ok=fused_ok,
             )
-            return _normalize_and_combine(vec, ft)
+            ft_count = self._last_fused_count
+            out = _normalize_and_combine(vec, ft)
+            if ft_count is not None:
+                # union estimate: exact ft count + vector-only candidates
+                self._last_fused_count = ft_count + sum(
+                    1 for d in vec if d not in ft
+                )
+            return out
         raise ReadError(f"unsupported mode {mode!r}", 400)
 
     def _fulltext_scores(
@@ -500,7 +530,12 @@ class ReadSide:
         mode: FulltextMode,
         params: SearchParams,
         mask: Optional[np.ndarray],
+        fused_ok: bool = False,
     ) -> Dict[int, float]:
+        """When fused_ok, returns only the top candidates (enough for the
+        requested page) via one fused device call and stashes the exact
+        match count on self._last_fused_count — only (k,) results cross
+        the tunnel instead of dense (cap,) score vectors."""
         parser = idx.parser
         parsed = parser.tokenize_and_stem(mode.term)
         if mode.exact:
@@ -532,6 +567,24 @@ class ReadSide:
         )
         cap = idx.cap()
         ex = coll.executor(idx.index_id)
+        if fused_ok:
+            k = max(2 * (params.limit + params.offset), 16)
+            k = min(k, cap)
+            thr = None
+            if mode.threshold is not None:
+                thr = float(math.floor(len(tokens) * mode.threshold))
+            vals, ids, counts = ex.search_topk(
+                idx.string, [plan], [idx.document_count()], cap, k=k,
+                exact=mode.exact,
+                doc_masks=[mask] if mask is not None else None,
+                thresholds=[thr] if thr is not None else None,
+            )
+            self._last_fused_count = int(counts[0])
+            return {
+                int(d): float(v)
+                for v, d in zip(vals[0], ids[0])
+                if v > 0
+            }
         scores, matched = ex.score(
             idx.string, [plan], [idx.document_count()], cap,
             exact=mode.exact,

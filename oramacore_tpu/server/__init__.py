@@ -762,7 +762,10 @@ class ApiServer:
             )
             return web.json_response(out)
 
-        return lambda request: handler(self, request)
+        async def route(request):
+            return await handler(self, request)
+
+        return route
 
     def _system_prompt_handler(self, action: str):
         @self._wrap
@@ -775,7 +778,10 @@ class ApiServer:
             )
             return web.json_response(out)
 
-        return lambda request: handler(self, request)
+        async def route(request):
+            return await handler(self, request)
+
+        return route
 
     def _training_set_handler(self, action: str):
         @self._wrap
@@ -789,7 +795,10 @@ class ApiServer:
             )
             return web.json_response(out)
 
-        return lambda request: handler(self, request)
+        async def route(request):
+            return await handler(self, request)
+
+        return route
 
     # ------------------------------------------------------------------
 
