@@ -207,86 +207,150 @@ class StringIndex:
     # ------------------------------------------------------------------
 
     def commit(self, deleted: Optional[set] = None) -> None:
+        """Numpy-vectorized merge of the live layer into the committed CSR:
+        one pass over the live dicts builds flat arrays, then the merged
+        postings are lexsorted by (term, doc) to combine duplicates and
+        re-lexsorted by (term, -impact) for IMPACT ORDERING — postings
+        within a term are stored by normalized TF descending, so a
+        query-time impact cap scans the highest-scoring prefix of huge
+        lists (max-score/WAND pruning, TPU-style prefix truncation)."""
         deleted = deleted or set()
         paths = set(self._stats) | set(self._committed) | set(self._live)
         for path in paths:
             live = self._live.get(path, {})
             old = self._committed.get(path)
-            # merge term -> {doc: [tf, exact]}
-            merged: Dict[str, Dict[int, Tuple[float, float]]] = {}
+
+            # union term vocabulary (sorted)
+            term_set = set(live.keys())
             if old is not None:
+                term_set.update(old.terms)
+            terms = sorted(term_set)
+            term_to_new = {t: i for i, t in enumerate(terms)}
+
+            parts_t: List[np.ndarray] = []
+            parts_d: List[np.ndarray] = []
+            parts_tf: List[np.ndarray] = []
+            parts_etf: List[np.ndarray] = []
+            if old is not None and len(old.doc):
+                old_tid = np.empty(len(old.doc), np.int64)
                 for tid, term in enumerate(old.terms):
                     s, l = int(old.starts[tid]), int(old.lens[tid])
-                    entry = merged.setdefault(term, {})
-                    for p in range(s, s + l):
-                        d = int(old.doc[p])
-                        if d in deleted:
-                            continue
-                        entry[d] = (float(old.tf[p]), float(old.exact_tf[p]))
-            for term, postings in live.items():
-                entry = merged.setdefault(term, {})
-                for d, (tf, etf) in postings.items():
-                    if d in deleted:
-                        continue
-                    if d in entry:
-                        tf0, e0 = entry[d]
-                        entry[d] = (tf0 + tf, e0 + etf)
-                    else:
-                        entry[d] = (tf, etf)
+                    old_tid[s : s + l] = term_to_new[term]
+                parts_t.append(old_tid)
+                parts_d.append(old.doc.astype(np.int64))
+                parts_tf.append(old.tf.astype(np.float64))
+                parts_etf.append(old.exact_tf.astype(np.float64))
+            if live:
+                n_live = sum(len(p) for p in live.values())
+                lt = np.empty(n_live, np.int64)
+                ld = np.empty(n_live, np.int64)
+                ltf = np.empty(n_live, np.float64)
+                letf = np.empty(n_live, np.float64)
+                i = 0
+                for term, postings in live.items():
+                    tid = term_to_new[term]
+                    for d, (tf, etf) in postings.items():
+                        lt[i] = tid
+                        ld[i] = d
+                        ltf[i] = tf
+                        letf[i] = etf
+                        i += 1
+                parts_t.append(lt)
+                parts_d.append(ld)
+                parts_tf.append(ltf)
+                parts_etf.append(letf)
 
-            # rebuild flen map
-            flen_map: Dict[int, float] = {}
-            if old is not None:
-                seen = set()
-                for p in range(len(old.doc)):
-                    d = int(old.doc[p])
-                    if d not in seen and d not in deleted:
-                        flen_map[d] = float(old.flen[p])
-                        seen.add(d)
-            for d, n in self._live_flens.get(path, {}).items():
-                if d not in deleted:
-                    flen_map[d] = flen_map.get(d, 0.0) + float(n)
+            # field lengths per doc (committed value + live additions)
+            flen_by_doc: Dict[int, float] = {}
+            max_doc = -1
+            if old is not None and len(old.doc):
+                od = old.doc.astype(np.int64)
+                max_doc = int(od.max())
+            live_flens = self._live_flens.get(path, {})
+            if live_flens:
+                max_doc = max(max_doc, max(live_flens))
+            if max_doc < 0:
+                self._committed.pop(path, None)
+                self._stats[path] = FieldStats()
+                continue
+            flen_arr = np.zeros(max_doc + 1, np.float64)
+            if old is not None and len(old.doc):
+                flen_arr[old.doc.astype(np.int64)] = old.flen.astype(np.float64)
+            for d, n in live_flens.items():
+                flen_arr[d] += float(n)
 
-            terms = sorted(t for t, e in merged.items() if e)
+            t_all = np.concatenate(parts_t) if parts_t else np.zeros(0, np.int64)
+            d_all = np.concatenate(parts_d) if parts_d else np.zeros(0, np.int64)
+            tf_all = np.concatenate(parts_tf) if parts_tf else np.zeros(0)
+            etf_all = np.concatenate(parts_etf) if parts_etf else np.zeros(0)
+
+            if deleted:
+                keep = ~np.isin(d_all, np.fromiter(deleted, np.int64, len(deleted)))
+                t_all, d_all = t_all[keep], d_all[keep]
+                tf_all, etf_all = tf_all[keep], etf_all[keep]
+
+            if len(t_all):
+                # combine duplicate (term, doc) pairs (doc updated in both
+                # layers): segment-sum after a (term, doc) lexsort
+                order = np.lexsort((d_all, t_all))
+                t_all, d_all = t_all[order], d_all[order]
+                tf_all, etf_all = tf_all[order], etf_all[order]
+                new_run = np.empty(len(t_all), bool)
+                new_run[0] = True
+                new_run[1:] = (t_all[1:] != t_all[:-1]) | (d_all[1:] != d_all[:-1])
+                run_id = np.cumsum(new_run) - 1
+                n_runs = int(run_id[-1]) + 1
+                tf_m = np.zeros(n_runs)
+                etf_m = np.zeros(n_runs)
+                np.add.at(tf_m, run_id, tf_all)
+                np.add.at(etf_m, run_id, etf_all)
+                t_m = t_all[new_run]
+                d_m = d_all[new_run]
+
+                # impact ordering within each term
+                flen_post = flen_arr[d_m]
+                impact = tf_m / np.maximum(flen_post, 1e-9)
+                order2 = np.lexsort((-impact, t_m))
+                t_m, d_m = t_m[order2], d_m[order2]
+                tf_m, etf_m = tf_m[order2], etf_m[order2]
+                flen_post = flen_post[order2]
+
+                starts = np.searchsorted(t_m, np.arange(len(terms))).astype(np.int64)
+                lens = np.diff(np.append(starts, len(t_m))).astype(np.int32)
+            else:
+                d_m = np.zeros(0, np.int64)
+                tf_m = etf_m = np.zeros(0)
+                flen_post = np.zeros(0)
+                starts = np.zeros(len(terms), np.int64)
+                lens = np.zeros(len(terms), np.int32)
+
+            # drop terms that ended up empty (all postings deleted)
+            nz = lens > 0
+            if not nz.all():
+                kept_terms = [t for t, ok in zip(terms, nz) if ok]
+                starts = starts[nz]
+                lens = lens[nz]
+                terms = kept_terms
             term_to_tid = {t: i for i, t in enumerate(terms)}
-            starts = np.zeros(len(terms), np.int64)
-            lens = np.zeros(len(terms), np.int32)
-            docs_l, tf_l, etf_l, flen_l = [], [], [], []
-            pos = 0
-            for i, t in enumerate(terms):
-                entry = merged[t]
-                starts[i] = pos
-                lens[i] = len(entry)
-                # IMPACT ORDERING: postings sorted by normalized TF
-                # descending (tf / field_len), so a query-time impact cap
-                # scans the highest-scoring prefix of huge postings lists
-                # (max-score/WAND pruning, TPU-style: prefix truncation
-                # instead of pointer skipping)
-                def impact(d):
-                    tf, _ = entry[d]
-                    return -tf / max(flen_map.get(d, 1.0), 1e-9)
 
-                for d in sorted(entry, key=impact):
-                    tf, etf = entry[d]
-                    docs_l.append(d)
-                    tf_l.append(tf)
-                    etf_l.append(etf)
-                    flen_l.append(flen_map.get(d, 1.0))
-                pos += len(entry)
-
+            present = flen_arr > 0
+            if deleted:
+                for d in deleted:
+                    if d < len(present):
+                        present[d] = False
             stats = FieldStats(
-                doc_count=len(flen_map),
-                sum_len=float(sum(flen_map.values())),
+                doc_count=int(present.sum()),
+                sum_len=float(flen_arr[present].sum()),
             )
             self._committed[path] = _CommittedField(
                 terms=terms,
                 term_to_tid=term_to_tid,
                 starts=starts,
                 lens=lens,
-                doc=np.asarray(docs_l, np.int32),
-                tf=np.asarray(tf_l, np.float32),
-                exact_tf=np.asarray(etf_l, np.float32),
-                flen=np.asarray(flen_l, np.float32),
+                doc=d_m.astype(np.int32),
+                tf=tf_m.astype(np.float32),
+                exact_tf=etf_m.astype(np.float32),
+                flen=flen_post.astype(np.float32),
                 stats=stats,
             )
             self._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
