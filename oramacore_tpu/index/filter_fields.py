@@ -380,7 +380,19 @@ class FilterFields:
             return f.filter_mask(payload, cap) if f else np.zeros(cap, bool)
         if kind == "date":
             f = self.dates.get(path)
-            return f.filter_mask(payload, cap) if f else np.zeros(cap, bool)
+            if f is not None:
+                return f.filter_mask(payload, cap)
+            # date literal over an auto-discovered NUMBER field: compare
+            # as epoch milliseconds (dates are stored as i64 epochs)
+            nf = self.numbers.get(path)
+            if nf is not None:
+                num = NumberFilter(
+                    payload.op,
+                    list(payload.value) if isinstance(payload.value, tuple)
+                    else payload.value,
+                )
+                return nf.filter_mask(num, cap)
+            return np.zeros(cap, bool)
         if kind == "bool":
             f = self.bools.get(path)
             return f.filter_mask(payload, cap) if f else np.zeros(cap, bool)

@@ -562,3 +562,71 @@ def test_search_batch_falls_back_for_filters(ctx):
     )
     assert ids_of(results[0]) == ["2"]
     assert results[1].count == 2
+
+
+def test_field_boost(ctx):
+    # reference tests: boost_integration.rs — boosting a field reorders hits
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "title": "banana", "body": "apple apple apple"},
+            {"id": "2", "title": "apple", "body": "banana banana banana"},
+        ]
+    )
+    out = coll.search({"term": "apple", "boost": {"title": 10.0}})
+    assert ids_of(out)[0] == "2"
+    out = coll.search({"term": "apple", "boost": {"body": 10.0}})
+    assert ids_of(out)[0] == "1"
+
+
+def test_geosearch_e2e(ctx):
+    # reference tests: geosearch.rs
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "milan", "name": "office milan", "loc": {"lat": 45.46, "lon": 9.19}},
+            {"id": "rome", "name": "office rome", "loc": {"lat": 41.90, "lon": 12.49}},
+            {"id": "nyc", "name": "office nyc", "loc": {"lat": 40.71, "lon": -74.0}},
+        ]
+    )
+    out = coll.search(
+        {"term": "office",
+         "where": {"loc": {"radius": {"coordinates": {"lat": 45.0, "lon": 9.0},
+                                       "value": 100, "unit": "km"}}}}
+    )
+    assert ids_of(out) == ["milan"]
+    out = coll.search(
+        {"term": "office",
+         "where": {"loc": {"polygon": {"coordinates": [
+             {"lat": 36.0, "lon": 6.0}, {"lat": 47.5, "lon": 6.0},
+             {"lat": 47.5, "lon": 19.0}, {"lat": 36.0, "lon": 19.0}]}}}}
+    )
+    assert sorted(ids_of(out)) == ["milan", "rome"]
+
+
+def test_date_filter_e2e(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "old", "t": "event", "when": {"gte": 0}},  # not a date field
+        ]
+    )
+    # declare date semantics by filtering with date strings on a number col
+    coll2 = ctx.create_collection()
+    idx2 = coll2.create_index()
+    import time as _t
+    from oramacore_tpu.types import parse_date_to_epoch_ms
+
+    idx2.insert_documents(
+        [
+            {"id": "a", "t": "meeting", "at": parse_date_to_epoch_ms("2024-01-15")},
+            {"id": "b", "t": "meeting", "at": parse_date_to_epoch_ms("2025-06-20")},
+        ]
+    )
+    out = coll2.search(
+        {"term": "meeting", "where": {"at": {"gte": "2025-01-01"}}}
+    )
+    assert ids_of(out) == ["b"]
