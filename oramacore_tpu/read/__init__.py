@@ -126,6 +126,9 @@ class ReadSide:
         self._commit_lock = threading.Lock()
         self._lock = threading.RLock()
         self._ops_since_commit = 0
+        # per-collection commit thresholds (reference read/mod.rs:100-113)
+        self._coll_ops_since_commit: Dict[str, int] = {}
+        self._coll_last_commit: Dict[str, float] = {}
         self._load()
         self.receiver = receiver_factory(self.committed_offset)
         self._stop = False
@@ -184,6 +187,15 @@ class ReadSide:
         self.live_offset = offset
         self._apply(op)
         self._ops_since_commit += 1
+        if op.collection:
+            n = self._coll_ops_since_commit.get(op.collection, 0) + 1
+            self._coll_ops_since_commit[op.collection] = n
+            now = time.time()
+            last = self._coll_last_commit.setdefault(op.collection, now)
+            rs = self.config.reader_side
+            if n >= rs.operation_threshold or now - last >= rs.time_threshold:
+                # CommitScope::SelectedCollection analog
+                self.commit_collection(op.collection)
         if self._ops_since_commit >= self.config.reader_side.insert_batch_commit_size:
             self.commit()
 
@@ -857,6 +869,40 @@ class ReadSide:
     # Commit / load (SURVEY §5.4)
     # ------------------------------------------------------------------
 
+    def commit_collection(self, collection_id: str):
+        """Commit ONE collection's indexes + doc storage (per-collection
+        threshold path). The global offset only advances on full commits,
+        preserving at-least-once replay safety for other collections."""
+        coll = self.collections.get(collection_id)
+        if coll is None:
+            return
+        with self._commit_lock:
+            for iid, idx in coll.indexes.items():
+                idx.commit(os.path.join(coll.data_dir, "indexes", iid))
+            coll.doc_storage.commit()
+            self._write_collection_manifest(coll)
+            self._coll_ops_since_commit[collection_id] = 0
+            self._coll_last_commit[collection_id] = time.time()
+
+    def _write_collection_manifest(self, coll: CollectionReader):
+        atomic_write_json(
+            os.path.join(coll.data_dir, "collection.json"),
+            {
+                "collection_id": coll.collection_id,
+                "read_api_key": coll.read_api_key,
+                "default_locale": coll.default_locale,
+                "embedding_model": coll.embedding_model,
+                "description": coll.description,
+                "mcp_description": coll.mcp_description,
+                "aliases": coll.aliases,
+                "hooks": coll.hooks,
+                "pin_rules": coll.pin_rules,
+                "shelves": coll.shelves,
+                "values": coll.values,
+                "indexes": list(coll.indexes.keys()),
+            },
+        )
+
     def commit(self, force: bool = False):
         with self._commit_lock:
             offset = self.live_offset
@@ -889,6 +935,10 @@ class ReadSide:
             )
             self.committed_offset = offset
             self._ops_since_commit = 0
+            now = time.time()
+            for cid in self.collections:
+                self._coll_ops_since_commit[cid] = 0
+                self._coll_last_commit[cid] = now
 
     def _load(self):
         info = read_json(os.path.join(self.data_dir, "read.info.json"))

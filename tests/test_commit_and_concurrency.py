@@ -139,3 +139,35 @@ def test_index_id_reuse_after_delete():
         assert ids_of(out) == ["1"]
     finally:
         ctx.close()
+
+
+def test_per_collection_operation_threshold(tmp_path):
+    """A collection exceeding operation_threshold ops gets committed on
+    its own (reference read/mod.rs:100-113 CommitScope::SelectedCollection)."""
+    import os
+
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.operation_threshold = 10
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    try:
+        coll = orama.write_side.create_collection("mk", "busy")
+        orama.write_side.create_index("busy", coll.write_api_key, "main")
+        orama.write_side.insert_documents(
+            "busy", "main", coll.write_api_key,
+            [{"id": str(i), "t": f"doc {i}"} for i in range(20)],
+        )
+        orama.write_side.embedding_queue.flush_and_wait()
+        orama.read_side.pump()
+        # the per-collection threshold fired: index snapshot dir exists
+        idx_dir = os.path.join(
+            cfg.data_dir, "reader", "collections", "busy", "indexes", "main"
+        )
+        assert os.path.exists(os.path.join(idx_dir, "index.json"))
+        # but the GLOBAL offset did not advance (only full commits move it)
+        assert orama.read_side.committed_offset == 0
+    finally:
+        orama.stop()
