@@ -425,6 +425,7 @@ class WriteSide:
         embedding_fields: Optional[List[str]] = None,
         is_temp: bool = False,
         copy_from: Optional[str] = None,
+        locale: Optional[str] = None,
     ) -> WriteIndex:
         coll = self.check_write_key(collection_id, write_key)
         IndexId(index_id)
@@ -433,12 +434,12 @@ class WriteSide:
                 raise WriteError(f"index {index_id!r} already exists", 409)
             idx = WriteIndex(
                 index_id=index_id,
-                locale=coll.default_locale,
+                locale=locale or coll.default_locale,
                 embedding_model=embedding_model or coll.embedding_model,
                 embedding_fields=embedding_fields or [],
                 is_temp=is_temp,
             )
-            if copy_from and copy_from in coll.indexes:
+            if locale is None and copy_from and copy_from in coll.indexes:
                 src = coll.indexes[copy_from]
                 idx.locale = src.locale
             coll.indexes[index_id] = idx
@@ -699,6 +700,7 @@ class WriteSide:
         source_index_id: str,
         temp_index_id: Optional[str] = None,
         embedding_model: Optional[str] = None,
+        locale: Optional[str] = None,
     ) -> WriteIndex:
         coll = self.check_write_key(collection_id, write_key)
         if source_index_id not in coll.indexes:
@@ -711,6 +713,7 @@ class WriteSide:
             embedding_model=embedding_model,
             is_temp=True,
             copy_from=source_index_id,
+            locale=locale,
         )
 
     def replace_index(
@@ -769,8 +772,8 @@ class WriteSide:
             temp = self.create_temporary_index(
                 collection_id, write_key, idx.index_id,
                 embedding_model=embedding_model,
+                locale=coll.default_locale,
             )
-            temp.locale = coll.default_locale
             # stream docs from storage in batches (write/mod.rs:544-547)
             ids = sorted(idx.doc_id_map.values())
             blobs = self.doc_storage.get_documents_by_ids(ids)

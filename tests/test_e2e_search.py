@@ -630,3 +630,20 @@ def test_date_filter_e2e(ctx):
         {"term": "meeting", "where": {"at": {"gte": "2025-01-01"}}}
     )
     assert ids_of(out) == ["b"]
+
+
+def test_reindex_with_language_change(ctx):
+    """Reindex with a new locale retokenizes every stored document
+    (reference write/mod.rs:494-639 change_runtime_config)."""
+    coll = ctx.create_collection(language="en")
+    idx = coll.create_index("main")
+    idx.insert_documents([{"id": "1", "text": "running foxes"}])
+    # english stemming active: 'run' matches 'running'
+    assert coll.search({"term": "run"}).count == 1
+    ctx.writer.reindex(coll.collection_id, coll.write_key, language="it")
+    ctx.pump()
+    # italian tokenizer has no english stemmer: 'run' no longer matches
+    assert coll.search({"term": "run"}).count == 0
+    assert coll.search({"term": "running"}).count == 1
+    stats = coll.stats()
+    assert stats["indexes"][0]["locale"] == "italian"
