@@ -298,3 +298,67 @@ async def test_search_batch_endpoint(client):
     assert resp.status == 200
     results = (await resp.json())["results"]
     assert [r["count"] for r in results] == [1, 1, 0]
+
+
+@http_test
+async def test_regenerate_read_key_rotation(client):
+    keys = await create_coll(client, "rot")
+    wk, rk = keys["write_api_key"], keys["read_api_key"]
+    await client.post(
+        "/v1/collections/rot/indexes/main/insert",
+        json=[{"id": "1", "t": "secret data"}], headers=auth(wk),
+    )
+    await wait_search(client, "rot", rk, {"term": "secret"})
+    resp = await client.post(
+        "/v1/collections/rot/regenerate-read-api-key",
+        json={}, headers=auth(MASTER),
+    )
+    new_rk = (await resp.json())["read_api_key"]
+    assert new_rk != rk
+    # old key rejected after the rotation op propagates
+    import asyncio as _a
+
+    for _ in range(200):
+        r1 = await client.post(
+            "/v1/collections/rot/search", json={"term": "secret"},
+            headers=auth(rk),
+        )
+        if r1.status == 401:
+            break
+        await _a.sleep(0.02)
+    assert r1.status == 401
+    r2 = await client.post(
+        "/v1/collections/rot/search", json={"term": "secret"},
+        headers=auth(new_rk),
+    )
+    assert r2.status == 200 and (await r2.json())["count"] == 1
+
+
+@http_test
+async def test_vector_and_hybrid_over_http(client):
+    keys = await create_coll(client, "vec")
+    wk, rk = keys["write_api_key"], keys["read_api_key"]
+    await client.post(
+        "/v1/collections/vec/indexes/main/insert",
+        json=[
+            {"id": "1", "t": "greek mythology gods of olympus"},
+            {"id": "2", "t": "modern web frameworks"},
+        ],
+        headers=auth(wk),
+    )
+    await wait_search(client, "vec", rk, {"term": "greek"})
+    resp = await client.post(
+        "/v1/collections/vec/search",
+        json={"term": "greek mythology gods of olympus", "mode": "vector",
+              "similarity": 0.5},
+        headers=auth(rk),
+    )
+    out = await resp.json()
+    assert out["count"] >= 1 and out["hits"][0]["id"] == "main:1"
+    resp = await client.post(
+        "/v1/collections/vec/search",
+        json={"term": "greek gods", "mode": "hybrid", "similarity": 0.0},
+        headers=auth(rk),
+    )
+    out = await resp.json()
+    assert out["hits"][0]["id"] == "main:1"
