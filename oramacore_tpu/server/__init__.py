@@ -227,9 +227,24 @@ class ApiServer:
     # ------------------------------------------------------------------
 
     async def handle_root(self, request):
-        return web.json_response(
-            {"service": "oramacore_tpu", "uptime_s": time.time() - self._started_at}
-        )
+        info = {
+            "service": "oramacore_tpu",
+            "uptime_s": time.time() - self._started_at,
+            "role": self.config.role,
+        }
+        if self.read_side is not None:
+            # replication lag visibility for reader fleets
+            info["reader"] = {
+                "live_offset": self.read_side.live_offset,
+                "committed_offset": self.read_side.committed_offset,
+                "collections": len(self.read_side.collections),
+            }
+        if self.write_side is not None:
+            info["writer"] = {
+                "sent_offset": self.write_side.op_sender.offset,
+                "collections": len(self.write_side.collections),
+            }
+        return web.json_response(info)
 
     async def handle_health(self, request):
         return web.Response(text="OK")

@@ -291,6 +291,14 @@ class WriteSide:
         self._ops_since_commit = 0
         # sandboxed hook runtime, attached by the AI service when present
         self.hooks_runtime = None
+        # ingest tokenization pool: the native tokenizer releases the GIL,
+        # so batches tokenize in parallel across cores
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._tokenize_pool = ThreadPoolExecutor(
+            max_workers=min(os.cpu_count() or 4, 16),
+            thread_name_prefix="tokenize",
+        )
         self._load()
 
     # ------------------------------------------------------------------
@@ -510,6 +518,27 @@ class WriteSide:
                 else:
                     transformed.append(doc)
             docs = transformed
+
+        # pre-tokenize every unique string value in parallel (memoized;
+        # the native tokenizer releases the GIL during execution)
+        unique_texts: List[str] = []
+        seen_texts = set()
+        for doc in docs:
+            if not isinstance(doc, dict):
+                continue
+            for value in flatten_document(doc).values():
+                for text in string_values(value):
+                    if text and text not in seen_texts:
+                        seen_texts.add(text)
+                        unique_texts.append(text)
+        if len(unique_texts) > 8:
+            parsed_list = list(
+                self._tokenize_pool.map(parser.tokenize_and_stem, unique_texts)
+            )
+            token_cache = dict(zip(unique_texts, parsed_list))
+        else:
+            token_cache = {}
+
         for doc in docs:
             if not isinstance(doc, dict):
                 stats.failed += 1
@@ -541,7 +570,9 @@ class WriteSide:
 
             flat = flatten_document(doc)
             self._discover_fields(collection_id, idx, flat, ops)
-            body = self._build_doc_op(idx, parser, internal, user_id, flat, doc)
+            body = self._build_doc_op(
+                idx, parser, internal, user_id, flat, doc, token_cache
+            )
             body["index"] = index_id
             ops.append(
                 Operation(kind="index_document", collection=collection_id, body=body)
@@ -595,6 +626,7 @@ class WriteSide:
         user_id: str,
         flat: Dict[str, Any],
         raw_doc: Dict[str, Any],
+        token_cache: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
         """Tokenize + type per-field values → op payload. The write side
         does the tokenization (reference fields.rs:715); the read side
@@ -612,7 +644,11 @@ class WriteSide:
                 texts = string_values(value)
                 parsed: List[Tuple[str, List[str]]] = []
                 for s in texts:
-                    parsed.extend(parser.tokenize_and_stem(s))
+                    cached = token_cache.get(s) if token_cache else None
+                    parsed.extend(
+                        cached if cached is not None
+                        else parser.tokenize_and_stem(s)
+                    )
                 strings[path] = [[tok, variants] for tok, variants in parsed]
                 if path != "id" and is_filterable_enum(value):
                     string_filters[path] = texts
@@ -963,4 +999,5 @@ class WriteSide:
 
     def stop(self):
         self.embedding_queue.stop()
+        self._tokenize_pool.shutdown(wait=False)
         self.commit()
