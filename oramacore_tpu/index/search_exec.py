@@ -267,12 +267,14 @@ class SharedBatchExecutor(StringSearchExecutor):
         exact: bool = False,
         tolerance: Optional[int] = None,
         impact_cap: Optional[int] = None,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
         from ..ops.bm25 import (
             MAX_RANGE_LEN,
             bm25_shared_partial,
+            bm25_shared_partial_masked,
             finalize_topk,
             round_up_pow2,
         )
@@ -328,6 +330,18 @@ class SharedBatchExecutor(StringSearchExecutor):
                     classes[c].append(ui)
                     break
 
+        has_masks = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        mask_dev = None
+        if has_masks:
+            masks = np.ones((B, capb), bool)
+            for i, m in enumerate(doc_masks):
+                if m is not None:
+                    masks[i, : len(m)] = m
+                    masks[i, len(m):] = False
+            mask_dev = jnp.asarray(masks)
+
         scores = jnp.zeros((B, capb), jnp.float32)
         matched = jnp.zeros((B, capb), jnp.float32)
 
@@ -362,14 +376,25 @@ class SharedBatchExecutor(StringSearchExecutor):
             lrb = round_up_pow2(
                 max(1, max(int(ln.max()), 1)), 8
             )
-            scores, matched = bm25_shared_partial(
-                p_doc, p_tf, p_etf, p_flen,
-                jnp.asarray(st), jnp.asarray(ln), jnp.asarray(wt),
-                jnp.asarray(fb), jnp.asarray(av), jnp.asarray(tmap),
-                jnp.float32(max(n_docs, 1.0)),
-                scores, matched,
-                lr=int(lrb), cap=capb, cu=cu, exact=exact,
-            )
+            if has_masks:
+                scores, matched = bm25_shared_partial_masked(
+                    p_doc, p_tf, p_etf, p_flen,
+                    jnp.asarray(st), jnp.asarray(ln), jnp.asarray(wt),
+                    jnp.asarray(fb), jnp.asarray(av), jnp.asarray(tmap),
+                    mask_dev,
+                    jnp.float32(max(n_docs, 1.0)),
+                    scores, matched,
+                    lr=int(lrb), cap=capb, cu=cu, exact=exact,
+                )
+            else:
+                scores, matched = bm25_shared_partial(
+                    p_doc, p_tf, p_etf, p_flen,
+                    jnp.asarray(st), jnp.asarray(ln), jnp.asarray(wt),
+                    jnp.asarray(fb), jnp.asarray(av), jnp.asarray(tmap),
+                    jnp.float32(max(n_docs, 1.0)),
+                    scores, matched,
+                    lr=int(lrb), cap=capb, cu=cu, exact=exact,
+                )
 
         thr = np.zeros((B,), np.float32)
         if thresholds is not None:

@@ -356,3 +356,77 @@ def finalize_topk(scores, matched, thr_counts, omc, *, k: int):
     keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
     s = jnp.where(keep, s, -jnp.inf)
     return topk_2level(s, k)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lr", "cap", "cu", "exact")
+)
+def bm25_shared_partial_masked(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    u_starts, u_lens, u_weights, u_field_b, u_avg,
+    token_map,   # int32[B, T]
+    doc_mask,    # bool[B, cap] per-query filter masks
+    n_docs,      # f32[]
+    scores_in, matched_in,
+    *,
+    lr: int, cap: int, cu: int, exact: bool,
+):
+    """Shared term-dedup scoring WITH per-query filters, still exact:
+    per-(query, token) filtered document frequencies come from one extra
+    MXU matmul per chunk (df[b,u] = present_u · mask_b), so the IDF is
+    computed over each query's filtered doc set while every unique
+    token's postings are still gathered and aggregated exactly once."""
+    U, NR = u_starts.shape
+    B, T = token_map.shape
+    LR = int(lr)
+    tf_src = p_exact_tf if exact else p_tf
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, NR, LR), 2)
+    mask_f = doc_mask.astype(jnp.float32)  # (B, cap)
+
+    def chunk_step(carry, ci):
+        scores, matched = carry
+        st = jax.lax.dynamic_slice(u_starts, (ci * cu, 0), (cu, NR))
+        ln = jax.lax.dynamic_slice(u_lens, (ci * cu, 0), (cu, NR))
+        wt = jax.lax.dynamic_slice(u_weights, (ci * cu, 0), (cu, NR))
+        fb = jax.lax.dynamic_slice(u_field_b, (ci * cu, 0), (cu, NR))
+        av = jax.lax.dynamic_slice(u_avg, (ci * cu, 0), (cu, NR))
+        flat = st.reshape(-1)
+        docs = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        tf = jax.vmap(lambda s: jax.lax.dynamic_slice(tf_src, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        flen = jax.vmap(lambda s: jax.lax.dynamic_slice(p_flen, (s,), (LR,)))(flat).reshape(cu, NR, LR)
+        valid = slot < ln[:, :, None]
+        b_ = fb[:, :, None]
+        denom = (1.0 - b_) + b_ * flen / jnp.maximum(av[:, :, None], 1e-9)
+        ntf = wt[:, :, None] * tf / jnp.maximum(denom, 1e-9)
+        keep = valid & (tf > 0)
+        ntf = jnp.where(keep, ntf, 0.0)
+        docs = jnp.where(keep, docs, cap)
+        acc = _aggregate_dense(
+            docs.reshape(cu, NR * LR), ntf.reshape(cu, NR * LR), cap
+        )
+        present = (acc > 0.0).astype(jnp.float32)       # (cu, cap)
+        g = (K1 + 1.0) * acc / (K1 + acc) * present      # saturation w/o idf
+
+        # per-(query, token) filtered df: (cu, cap) @ (cap, B)
+        df = jnp.dot(present, mask_f.T, preferred_element_type=jnp.float32)
+        df = jnp.maximum(df, 1.0)                        # (cu, B)
+        idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
+
+        uid = ci * cu + jax.lax.broadcasted_iota(jnp.int32, (1, 1, cu), 2)
+        A = jnp.sum(
+            (token_map[:, :, None] == uid).astype(jnp.float32), axis=1
+        )                                                # (B, cu)
+        W = A * idf.T                                    # (B, cu)
+        scores = scores + jnp.dot(W, g, preferred_element_type=jnp.float32)
+        matched = matched + jnp.dot(
+            A, present, preferred_element_type=jnp.float32
+        )
+        return (scores, matched), None
+
+    (scores, matched), _ = jax.lax.scan(
+        chunk_step, (scores_in, matched_in), jnp.arange(U // cu)
+    )
+    # the per-query mask zeroes contributions of filtered-out docs
+    scores = scores * mask_f
+    matched = matched * mask_f
+    return scores, matched

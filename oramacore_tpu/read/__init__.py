@@ -1032,7 +1032,7 @@ def _can_use_shared(params_list: List[SearchParams]) -> bool:
             "fulltext", "default"
         ):
             return False
-        if not p.where.is_empty() or p.facets or p.group_by or p.sort_by:
+        if p.facets or p.group_by or p.sort_by:
             return False
         if p.mode.exact or p.mode.tolerance:
             return False
@@ -1054,11 +1054,7 @@ def _search_batch(
     if not params_list:
         return []
     indexes = coll.runtime_indexes()
-    if (
-        len(indexes) != 1
-        or not _can_use_shared(params_list)
-        or indexes[0].deleted
-    ):
+    if len(indexes) != 1 or not _can_use_shared(params_list):
         return [self.search(collection_id, read_key, p) for p in params_list]
 
     from ..index.search_exec import SharedBatchExecutor
@@ -1096,11 +1092,22 @@ def _search_batch(
     if ex is None:
         ex = self._shared_executor = SharedBatchExecutor()
     max_k = max(p.limit + p.offset for p in params_list)
+    cap = idx.cap()
+    doc_masks = None
+    if any(not p.where.is_empty() for p in params_list) or idx.deleted:
+        doc_masks = []
+        for p in params_list:
+            fm = (
+                idx.filters.eval_where(p.where, cap)
+                if not p.where.is_empty() else None
+            )
+            doc_masks.append(idx.combined_mask(fm))
     vals, ids = ex.search_topk_shared(
         idx.string, token_lists, props, first.boost,
-        idx.document_count(), idx.cap(), max(max_k, 1),
+        idx.document_count(), cap, max(max_k, 1),
         thresholds=thresholds,
         impact_cap=self.config.reader_side.impact_cap,
+        doc_masks=doc_masks,
     )
     results: List[SearchResult] = []
     for qi, p in enumerate(params_list):

@@ -647,3 +647,29 @@ def test_reindex_with_language_change(ctx):
     assert coll.search({"term": "running"}).count == 1
     stats = coll.stats()
     assert stats["indexes"][0]["locale"] == "italian"
+
+
+def test_search_batch_with_filters_uses_shared_masked_path(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [{"id": str(i), "t": "widget", "price": i * 10} for i in range(10)]
+    )
+    ctx.commit_all()
+    from oramacore_tpu.types import SearchParams
+
+    params = [
+        SearchParams.from_json({"term": "widget", "where": {"price": {"lt": 30}}}),
+        SearchParams.from_json({"term": "widget", "where": {"price": {"gte": 70}}}),
+        SearchParams.from_json({"term": "widget"}),
+    ]
+    results = ctx.reader.search_batch(coll.collection_id, coll.read_key, params)
+    assert sorted(ids_of(results[0])) == ["0", "1", "2"]
+    assert sorted(ids_of(results[1])) == ["7", "8", "9"]
+    assert results[2].count == 10
+    # scores match the per-query (filtered-IDF) path exactly
+    for p, batch_r in zip(params, results):
+        single = ctx.reader.search(coll.collection_id, coll.read_key, p)
+        assert ids_of(single) == ids_of(batch_r)
+        for hs, hb in zip(single.hits, batch_r.hits):
+            assert abs(hs.score - hb.score) < 1e-4
