@@ -75,6 +75,15 @@ class AuthConfig:
 
 
 @dataclass
+class SecretsConfig:
+    provider: str = "none"   # none | local | aws
+    path: Optional[str] = None       # local provider JSON file
+    region: Optional[str] = None     # aws provider
+    key_pattern: str = "{collection}"
+    ttl_s: float = 300.0
+
+
+@dataclass
 class HooksConfig:
     allowed_domains: List[str] = field(default_factory=list)
     deny_domains: List[str] = field(default_factory=list)
@@ -91,6 +100,7 @@ class OramacoreConfig:
     ai: AIConfig = field(default_factory=AIConfig)
     auth: AuthConfig = field(default_factory=AuthConfig)
     hooks: HooksConfig = field(default_factory=HooksConfig)
+    secrets: SecretsConfig = field(default_factory=SecretsConfig)
     log_levels: Dict[str, str] = field(default_factory=dict)
     # run roles: both | writer | reader (reference cargo features)
     role: str = "both"
@@ -144,6 +154,7 @@ _SECTIONS = {
     "ai": AIConfig,
     "auth": AuthConfig,
     "hooks": HooksConfig,
+    "secrets": SecretsConfig,
 }
 
 

@@ -348,13 +348,19 @@ class ReadSide:
         coll = self.check_read_key(collection_id, read_key)
         t0 = time.perf_counter()
 
-        # BeforeSearch hook may rewrite the search params (read/mod.rs:642)
+        # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
+        # per-collection secret is passed to hooks (read/mod.rs:656-660)
         if self.hooks_runtime is not None:
             code = coll.hooks.get("BeforeSearch")
             if code:
+                secret = None
+                svc = getattr(self, "secrets_service", None)
+                if svc is not None:
+                    secret = svc.get_for_collection(collection_id)
                 out = self.hooks_runtime.exec_hook(
                     collection_id, "BeforeSearch",
-                    code, {"term": params.term, "limit": params.limit},
+                    code, {"term": params.term, "limit": params.limit,
+                           "secret": secret},
                 )
                 if isinstance(out, dict):
                     if out.get("term") is not None:

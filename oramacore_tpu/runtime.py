@@ -129,6 +129,23 @@ def build_orama(
             ]
         )
 
+    secrets_service = None
+    if config.secrets.provider != "none":
+        from .utils.secrets import (
+            AwsSecretsProvider,
+            LocalSecretsProvider,
+            SecretsService,
+        )
+
+        if config.secrets.provider == "aws":
+            provider = AwsSecretsProvider(config.secrets.region or "us-east-1")
+        else:
+            provider = LocalSecretsProvider(config.secrets.path)
+        secrets_service = SecretsService(
+            provider, ttl_s=config.secrets.ttl_s,
+            key_pattern=config.secrets.key_pattern,
+        )
+
     role = config.role
     write_side = None
     read_side = None
@@ -152,8 +169,10 @@ def build_orama(
 
     if write_side is not None:
         write_side.jwt_manager = jwt_manager
+        write_side.secrets_service = secrets_service
     if read_side is not None:
         read_side.jwt_manager = jwt_manager
+        read_side.secrets_service = secrets_service
     if read_side is not None and start_consumer:
         read_side.start()
     return Orama(config, write_side, read_side)

@@ -305,6 +305,8 @@ class TextParser:
     def stem(self, token: str) -> str:
         if self.locale == Locale.EN:
             return porter2_stem(token)
+        if self.locale in _LIGHT_STEMMERS:
+            return light_stem(token, self.locale)
         return token
 
     def tokenize_and_stem(self, text: str) -> List[Tuple[str, List[str]]]:
@@ -334,3 +336,83 @@ class NLPService:
         if locale not in self._parsers:
             self._parsers[locale] = TextParser(locale)
         return self._parsers[locale]
+
+
+# ---------------------------------------------------------------------------
+# Light stemmers for major Latin locales (Snowball-"light" style:
+# plural/gender/verb-suffix stripping with minimum-stem guards). English
+# uses the full Porter2 above; these cover the next most common locales
+# so multi-locale collections get stem matching beyond exact tokens.
+# ---------------------------------------------------------------------------
+
+def _strip_suffixes(token: str, suffixes, min_stem: int = 3) -> str:
+    for suf, repl in suffixes:
+        if token.endswith(suf) and len(token) - len(suf) + len(repl) >= min_stem:
+            return token[: len(token) - len(suf)] + repl
+    return token
+
+
+_IT_SUFFIXES = [
+    ("azione", "a"), ("azioni", "a"), ("amento", "a"), ("amenti", "a"),
+    ("imento", "i"), ("imenti", "i"), ("amente", ""), ("mente", ""),
+    ("abile", ""), ("ibile", ""), ("ezza", ""), ("ismo", ""), ("ista", ""),
+    ("oso", ""), ("osa", ""), ("osi", ""), ("ose", ""),
+    ("are", "a"), ("ere", "e"), ("ire", "i"),
+    ("iere", "ier"), ("iera", "ier"),
+    ("zione", "z"), ("zioni", "z"),
+    ("i", ""), ("e", ""), ("a", ""), ("o", ""),
+]
+
+_ES_SUFFIXES = [
+    ("amiento", "a"), ("imiento", "i"), ("aciones", "a"), ("acion", "a"),
+    ("ación", "a"), ("adora", "a"), ("adores", "a"), ("amente", ""),
+    ("mente", ""), ("idad", ""), ("idades", ""), ("able", ""), ("ible", ""),
+    ("ista", ""), ("ismo", ""), ("oso", ""), ("osa", ""),
+    ("ar", "a"), ("er", "e"), ("ir", "i"),
+    ("es", ""), ("as", "a"), ("os", "o"),
+    ("s", ""), ("a", ""), ("o", ""), ("e", ""),
+]
+
+_FR_SUFFIXES = [
+    ("issement", "i"), ("issements", "i"), ("atrice", "ateur"),
+    ("ation", "a"), ("ations", "a"), ("ement", ""), ("ements", ""),
+    ("euse", "eur"), ("euses", "eur"), ("ique", ""), ("iques", ""),
+    ("able", ""), ("ables", ""), ("isme", ""), ("iste", ""),
+    ("ance", ""), ("ence", ""), ("ment", ""),
+    ("eaux", "eau"), ("aux", "al"),
+    ("er", "e"), ("ir", "i"),
+    ("es", ""), ("s", ""), ("e", ""),
+]
+
+_DE_SUFFIXES = [
+    ("ungen", ""), ("ung", ""), ("heit", ""), ("heiten", ""),
+    ("keit", ""), ("keiten", ""), ("isch", ""), ("lich", ""),
+    ("igkeit", ""), ("schaft", ""),
+    ("ern", ""), ("em", ""), ("en", ""), ("er", ""), ("es", ""),
+    ("e", ""), ("s", ""), ("n", ""),
+]
+
+_PT_SUFFIXES = [
+    ("amento", "a"), ("imento", "i"), ("adora", "a"), ("adores", "a"),
+    ("ação", "a"), ("ações", "a"), ("acao", "a"), ("acoes", "a"),
+    ("mente", ""), ("idade", ""), ("ista", ""), ("ismo", ""),
+    ("oso", ""), ("osa", ""),
+    ("ar", "a"), ("er", "e"), ("ir", "i"),
+    ("es", ""), ("as", "a"), ("os", "o"),
+    ("s", ""), ("a", ""), ("o", ""), ("e", ""),
+]
+
+_LIGHT_STEMMERS = {
+    Locale.IT: _IT_SUFFIXES,
+    Locale.ES: _ES_SUFFIXES,
+    Locale.FR: _FR_SUFFIXES,
+    Locale.DE: _DE_SUFFIXES,
+    Locale.PT: _PT_SUFFIXES,
+}
+
+
+def light_stem(token: str, locale: Locale) -> str:
+    suffixes = _LIGHT_STEMMERS.get(locale)
+    if suffixes is None or len(token) <= 3:
+        return token
+    return _strip_suffixes(token, suffixes, min_stem=3)

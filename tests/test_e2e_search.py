@@ -673,3 +673,73 @@ def test_search_batch_with_filters_uses_shared_masked_path(ctx):
         assert ids_of(single) == ids_of(batch_r)
         for hs, hb in zip(single.hits, batch_r.hits):
             assert abs(hs.score - hb.score) < 1e-4
+
+
+def test_multilocale_stemming(tmp_path):
+    """Italian light stemming: singular query matches plural doc."""
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+    from oramacore_tpu.types import SearchParams
+
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    try:
+        coll = orama.write_side.create_collection("mk", "c", language="it")
+        orama.write_side.create_index("c", coll.write_api_key, "main")
+        orama.write_side.insert_documents(
+            "c", "main", coll.write_api_key,
+            [{"id": "1", "testo": "le case grandi"}],
+        )
+        orama.write_side.embedding_queue.flush_and_wait()
+        orama.read_side.pump()
+        out = orama.read_side.search(
+            "c", coll.read_api_key, SearchParams.from_json({"term": "casa"})
+        )
+        assert out.count == 1  # 'casa' stems to 'cas' ~ 'case' -> 'cas'
+    finally:
+        orama.stop()
+
+
+def test_secret_passed_to_before_search_hook(tmp_path):
+    import json as _json
+
+    from oramacore_tpu.ai.hooks import HooksRuntime
+    from oramacore_tpu.config import OramacoreConfig, SecretsConfig
+    from oramacore_tpu.runtime import build_orama
+    from oramacore_tpu.types import SearchParams
+
+    secrets_file = tmp_path / "secrets.json"
+    secrets_file.write_text(_json.dumps({"c": "super-secret"}))
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path / "data")
+    cfg.auth.master_api_key = "mk"
+    cfg.secrets = SecretsConfig(provider="local", path=str(secrets_file))
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    try:
+        orama.read_side.hooks_runtime = HooksRuntime()
+        coll = orama.write_side.create_collection("mk", "c")
+        orama.write_side.create_index("c", coll.write_api_key, "main")
+        orama.write_side.insert_documents(
+            "c", "main", coll.write_api_key, [{"id": "1", "t": "hello"}]
+        )
+        # hook echoes the secret into the rewritten term
+        orama.write_side.set_hook(
+            "c", coll.write_api_key, "BeforeSearch",
+            "def BeforeSearch(inp):\n"
+            "    assert inp['secret'] == 'super-secret'\n"
+            "    return {'term': inp['term']}",
+        )
+        orama.write_side.embedding_queue.flush_and_wait()
+        orama.read_side.pump()
+        out = orama.read_side.search(
+            "c", coll.read_api_key, SearchParams.from_json({"term": "hello"})
+        )
+        assert out.count == 1  # hook ran without assertion error
+    finally:
+        orama.stop()
