@@ -126,22 +126,39 @@ class VectorIndex:
             centroids[nonempty] = l2_normalize(
                 sums[nonempty] / counts[nonempty, None]
             )
-        # group rows into padded cluster blocks
+        # group rows into padded cluster blocks. Cluster sizes are
+        # imbalanced (up to ~4x the mean), so padding every block to the
+        # max would multiply HBM/upload cost; instead blocks are bounded
+        # at ~2x the mean and overflow rows SPILL into a flat tail matrix
+        # that every query scans exactly (bounded extra matmul work,
+        # zero recall loss).
         order = np.argsort(assign, kind="stable")
         counts = np.bincount(assign, minlength=c)
-        block = int(round_up_pow2(max(1, int(counts.max())), 128))
+        mean = max(1.0, float(counts.mean()))
+        block = int(round_up_pow2(max(128, int(2 * mean)), 128))
         padded = np.zeros((c * block, mat.shape[1]), np.float32)
         padded_docs = np.zeros(c * block, np.int32)
         valid = np.zeros(c * block, bool)
         starts = np.arange(c, dtype=np.int32) * block
+        spill_rows = []
         pos = 0
         for ci in range(c):
             rows = order[pos : pos + counts[ci]]
             pos += counts[ci]
+            head, tail = rows[:block], rows[block:]
             s = ci * block
-            padded[s : s + len(rows)] = mat[rows]
-            padded_docs[s : s + len(rows)] = self._committed_docs[rows]
-            valid[s : s + len(rows)] = True
+            padded[s : s + len(head)] = mat[head]
+            padded_docs[s : s + len(head)] = self._committed_docs[head]
+            valid[s : s + len(head)] = True
+            if len(tail):
+                spill_rows.append(tail)
+        if spill_rows:
+            spill_idx = np.concatenate(spill_rows)
+            spill_matrix = np.ascontiguousarray(mat[spill_idx])
+            spill_docs = self._committed_docs[spill_idx].astype(np.int32)
+        else:
+            spill_matrix = np.zeros((0, mat.shape[1]), np.float32)
+            spill_docs = np.zeros(0, np.int32)
         self._ivf = {
             "centroids": centroids,
             "matrix": padded,
@@ -149,6 +166,8 @@ class VectorIndex:
             "valid": valid,
             "starts": starts,
             "block": block,
+            "spill_matrix": spill_matrix,
+            "spill_docs": spill_docs,
         }
         self._gen += 1
 
@@ -162,7 +181,23 @@ class VectorIndex:
                 matrix = self._ivf["matrix"]
                 docs = self._ivf["docs"]
                 valid = self._ivf["valid"]
-                n_pad = len(matrix)  # already block-padded
+                spill = self._ivf["spill_matrix"]
+                n_sp = len(spill)
+                if n_sp:
+                    chunk = self._chunk_for(n_sp)
+                    sp_pad = max(chunk, round_up_pow2(max(n_sp, 1), chunk))
+                    spm = np.zeros((sp_pad, self.config.dim), np.float32)
+                    spm[:n_sp] = spill
+                    spd = np.zeros(sp_pad, np.int32)
+                    spd[:n_sp] = self._ivf["spill_docs"]
+                    spv = np.zeros(sp_pad, bool)
+                    spv[:n_sp] = True
+                    spill_dev = (
+                        jnp.asarray(spm, jnp.bfloat16), jnp.asarray(spd),
+                        jnp.asarray(spv),
+                    )
+                else:
+                    spill_dev = None
                 self._dev = (
                     jnp.asarray(matrix, jnp.bfloat16),
                     jnp.asarray(docs, jnp.int32),
@@ -170,6 +205,7 @@ class VectorIndex:
                     jnp.asarray(self._ivf["centroids"], jnp.float32),
                     jnp.asarray(self._ivf["starts"], jnp.int32),
                     True,
+                    spill_dev,
                 )
             else:
                 parts_m = [self._committed_matrix]
@@ -195,6 +231,7 @@ class VectorIndex:
                     None,
                     None,
                     False,
+                    None,
                 )
             self._dev_gen = self._gen
         return self._dev
@@ -218,7 +255,8 @@ class VectorIndex:
         """doc -> score (max over rows & targets), score >= similarity."""
         if self.n_rows() == 0 or not targets:
             return {}
-        matrix, row_doc, row_valid, centroids, starts, is_ivf = self._device_slab()
+        (matrix, row_doc, row_valid, centroids, starts, is_ivf,
+         spill_dev) = self._device_slab()
         q = np.stack([l2_normalize(np.asarray(t, np.float32).reshape(-1)) for t in targets])
         k = min(
             round_up_pow2(max(limit * 4, 16), 16),
@@ -257,23 +295,47 @@ class VectorIndex:
         vals = np.asarray(vals)
         rows = np.asarray(rows)
         row_doc_h = np.asarray(row_doc)
+
+        spill_hits = None
+        if is_ivf and spill_dev is not None:
+            # overflow rows of oversized clusters: scanned exactly
+            sp_m, sp_d, sp_v = spill_dev
+            sv = sp_v
+            if filter_mask is not None:
+                sv = sp_v & jnp.take(
+                    jnp.asarray(filter_mask),
+                    jnp.clip(sp_d, 0, len(filter_mask) - 1),
+                )
+            s_vals, s_rows = flat_cosine_topk(
+                jnp.asarray(q), sp_m, sv, k=min(k, int(sp_m.shape[0])),
+                chunk=int(sp_m.shape[0]) if int(sp_m.shape[0]) < 65536
+                else 65536,
+            )
+            spill_hits = (np.asarray(s_vals), np.asarray(s_rows),
+                          np.asarray(sp_d))
         rescale = self.config.score_rescale
         out: Dict[int, float] = {}
-        for bi in range(vals.shape[0]):
-            for vi in range(vals.shape[1]):
-                s = float(vals[bi, vi])
-                r = int(rows[bi, vi])
-                if r < 0 or s <= -1e29:
-                    continue
-                if rescale is not None:
-                    lo, hi = rescale
-                    s = (s - lo) / (hi - lo)
-                    s = min(max(s, 0.0), 1.0)
-                if s < similarity:
-                    continue
-                d = int(row_doc_h[r])
-                if s > out.get(d, -1.0):
-                    out[d] = s
+
+        def absorb(vals_a, rows_a, doc_lookup):
+            for bi in range(vals_a.shape[0]):
+                for vi in range(vals_a.shape[1]):
+                    s = float(vals_a[bi, vi])
+                    r = int(rows_a[bi, vi])
+                    if r < 0 or s <= -1e29:
+                        continue
+                    if rescale is not None:
+                        lo, hi = rescale
+                        s = (s - lo) / (hi - lo)
+                        s = min(max(s, 0.0), 1.0)
+                    if s < similarity:
+                        continue
+                    d = int(doc_lookup[r])
+                    if s > out.get(d, -1.0):
+                        out[d] = s
+
+        absorb(vals, rows, row_doc_h)
+        if spill_hits is not None:
+            absorb(*spill_hits)
         return out
 
 
