@@ -77,3 +77,30 @@ def test_ivf_filter_pushdown(small_ivf):
     got = idx.search([vecs[50]], limit=10, similarity=-1.0, filter_mask=mask)
     assert got and all(d < 100 for d in got)
     assert 50 in got
+
+
+def test_ivf_spill_tail_exactness(small_ivf, monkeypatch):
+    """Force heavy cluster imbalance so overflow rows land in the spill
+    tail; results must still include them (exact overflow scan)."""
+    dim, n = 16, 3000
+    rng = np.random.default_rng(9)
+    # 90% of vectors near ONE center → that cluster overflows its block
+    hub = l2_normalize(rng.normal(size=(1, dim)).astype(np.float32))
+    rest = l2_normalize(rng.normal(size=(n // 10, dim)).astype(np.float32))
+    vecs = np.concatenate([
+        l2_normalize(hub + 0.05 * rng.normal(size=(n - len(rest), dim)).astype(np.float32)),
+        rest,
+    ])
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    for i in range(len(vecs)):
+        idx.insert(i, [vecs[i]])
+    idx.commit()
+    # few centroids → the hub cluster must overflow its bounded block
+    idx._build_ivf(n_centroids=4)
+    assert idx._ivf is not None
+    assert len(idx._ivf["spill_docs"]) > 0, "expected overflow spill rows"
+    # a query equal to a SPILLED vector must still find it at ~1.0
+    spilled_doc = int(idx._ivf["spill_docs"][0])
+    got = idx.search([vecs[spilled_doc]], limit=5, similarity=-1.0)
+    assert spilled_doc in got
+    assert got[spilled_doc] >= 0.95
