@@ -84,11 +84,12 @@ def test_ivf_spill_tail_exactness(small_ivf, monkeypatch):
     tail; results must still include them (exact overflow scan)."""
     dim, n = 16, 3000
     rng = np.random.default_rng(9)
-    # 90% of vectors near ONE center → that cluster overflows its block
+    # 95% of vectors IDENTICAL → k-means cannot split them across
+    # centroids, so that cluster overflows its bounded block
     hub = l2_normalize(rng.normal(size=(1, dim)).astype(np.float32))
-    rest = l2_normalize(rng.normal(size=(n // 10, dim)).astype(np.float32))
+    rest = l2_normalize(rng.normal(size=(n // 20, dim)).astype(np.float32))
     vecs = np.concatenate([
-        l2_normalize(hub + 0.05 * rng.normal(size=(n - len(rest), dim)).astype(np.float32)),
+        np.repeat(hub, n - len(rest), axis=0),
         rest,
     ])
     idx = VectorIndex(VectorIndexConfig(dim=dim))
