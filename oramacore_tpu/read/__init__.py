@@ -186,6 +186,9 @@ class ReadSide:
             return
         self.live_offset = offset
         self._apply(op)
+        from ..metrics import OPERATION_COUNT
+
+        OPERATION_COUNT.inc({"kind": op.kind})
         self._ops_since_commit += 1
         if op.collection:
             n = self._coll_ops_since_commit.get(op.collection, 0) + 1
@@ -910,6 +913,9 @@ class ReadSide:
         )
 
     def commit(self, force: bool = False):
+        from ..metrics import COMMIT_TIME
+
+        t0 = time.perf_counter()
         with self._commit_lock:
             offset = self.live_offset
             for coll in self.collections.values():
@@ -945,6 +951,7 @@ class ReadSide:
             for cid in self.collections:
                 self._coll_ops_since_commit[cid] = 0
                 self._coll_last_commit[cid] = now
+        COMMIT_TIME.observe(time.perf_counter() - t0)
 
     def _load(self):
         info = read_json(os.path.join(self.data_dir, "read.info.json"))

@@ -216,6 +216,11 @@ class EmbeddingQueue:
                     traceback.print_exc()
 
     def _process(self, batch):
+        import time as _t
+
+        from ..metrics import EMBEDDING_CALCULATION_TIME
+
+        _t0 = _t.perf_counter()
         # group by model (reference embedding.rs:33-124)
         by_model: Dict[str, List[Tuple[str, str, int, str]]] = {}
         for coll, index, doc, model, text in batch:
@@ -238,6 +243,7 @@ class EmbeddingQueue:
                         },
                     )
                 )
+        EMBEDDING_CALCULATION_TIME.observe(_t.perf_counter() - _t0)
 
     def flush_and_wait(self, timeout: float = 30.0):
         if self._synchronous:
