@@ -192,14 +192,16 @@ class ApiServer:
     def _writer(self) -> WriteSide:
         if self.write_side is None:
             raise web.HTTPServiceUnavailable(
-                text=json.dumps({"error": "write side not enabled on this node"})
+                text=json.dumps({"error": "write side not enabled on this node"}),
+                content_type="application/json",
             )
         return self.write_side
 
     def _reader(self) -> ReadSide:
         if self.read_side is None:
             raise web.HTTPServiceUnavailable(
-                text=json.dumps({"error": "read side not enabled on this node"})
+                text=json.dumps({"error": "read side not enabled on this node"}),
+                content_type="application/json",
             )
         return self.read_side
 

@@ -362,3 +362,46 @@ async def test_vector_and_hybrid_over_http(client):
     )
     out = await resp.json()
     assert out["hits"][0]["id"] == "main:1"
+
+
+def test_writer_only_node_serves_503_on_read_paths():
+    """role=writer node: search endpoints return 503, admin works
+    (reference writer-only binary, lib.rs:234-307)."""
+    import asyncio as _a
+    import tempfile
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+    from oramacore_tpu.server import ApiServer
+
+    async def run():
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg = OramacoreConfig()
+            cfg.data_dir = tmp
+            cfg.role = "writer"
+            cfg.auth.master_api_key = MASTER
+            cfg.writer_side.output = {
+                "type": "file-stream", "path": f"{tmp}/ops.stream"
+            }
+            orama = build_orama(cfg, sync_embeddings=True)
+            server = ApiServer(cfg, orama.write_side, orama.read_side)
+            tc = TestClient(TestServer(server.app))
+            await tc.start_server()
+            try:
+                resp = await tc.post(
+                    "/v1/collections/create", json={"id": "w"},
+                    headers=auth(MASTER),
+                )
+                assert resp.status == 201
+                resp = await tc.post(
+                    "/v1/collections/w/search", json={"term": "x"},
+                    headers=auth(MASTER),
+                )
+                assert resp.status == 503
+                body = await resp.json()
+                assert "read side" in body["error"]
+            finally:
+                await tc.close()
+                orama.stop()
+
+    _a.run(run())
