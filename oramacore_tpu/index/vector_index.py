@@ -29,7 +29,9 @@ from ..ops.vector import (
     top_centroids,
 )
 
-IVF_MIN_ROWS = 200_000   # below this, flat exact search wins
+# Measured on TPU v5e: flat exact (one MXU matmul) beats IVF probe scans
+# up to ~1M rows; clustered pruning pays off past a few million rows.
+IVF_MIN_ROWS = 2_000_000
 IVF_NPROBE = 32
 
 
