@@ -125,6 +125,11 @@ class ReadSide:
         self.live_offset = 0
         self._commit_lock = threading.Lock()
         self._lock = threading.RLock()
+        # op application (writes) vs searches (reads) on the live layer:
+        # reference semantics via instrumented RW lock (lock.rs analog)
+        from ..utils.locks import InstrumentedRWLock
+
+        self._state_lock = InstrumentedRWLock("read-side-state")
         self._ops_since_commit = 0
         # per-collection commit thresholds (reference read/mod.rs:100-113)
         self._coll_ops_since_commit: Dict[str, int] = {}
@@ -185,7 +190,8 @@ class ReadSide:
         if offset <= self.live_offset:
             return
         self.live_offset = offset
-        self._apply(op)
+        with self._state_lock.write(f"apply {op.kind}"):
+            self._apply(op)
         from ..metrics import OPERATION_COUNT
 
         OPERATION_COUNT.inc({"kind": op.kind})
@@ -350,7 +356,10 @@ class ReadSide:
     ) -> SearchResult:
         coll = self.check_read_key(collection_id, read_key)
         t0 = time.perf_counter()
+        with self._state_lock.read("search"):
+            return self._search_locked(coll, collection_id, read_key, params, t0)
 
+    def _search_locked(self, coll, collection_id, read_key, params, t0):
         # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
         # per-collection secret is passed to hooks (read/mod.rs:656-660)
         if self.hooks_runtime is not None:
@@ -1069,7 +1078,19 @@ def _search_batch(
     indexes = coll.runtime_indexes()
     if len(indexes) != 1 or not _can_use_shared(params_list):
         return [self.search(collection_id, read_key, p) for p in params_list]
+    with self._state_lock.read("search_batch"):
+        out = _search_batch_locked(self, coll, indexes, params_list)
+    if out is None:  # no searchable string fields → per-query fallback
+        return [self.search(collection_id, read_key, p) for p in params_list]
+    return out
 
+
+def _search_batch_locked(
+    self: "ReadSide",
+    coll: CollectionReader,
+    indexes,
+    params_list: List[SearchParams],
+) -> Optional[List[SearchResult]]:
     from ..index.search_exec import SharedBatchExecutor
 
     idx = indexes[0]
@@ -1082,7 +1103,7 @@ def _search_batch(
     else:
         props = [p for p, t in idx.field_types.items() if t.startswith("string")]
     if not props:
-        return [self.search(collection_id, read_key, p) for p in params_list]
+        return None
 
     parser = idx.parser
     token_lists: List[List[str]] = []

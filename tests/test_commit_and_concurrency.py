@@ -171,3 +171,51 @@ def test_per_collection_operation_threshold(tmp_path):
         assert orama.read_side.committed_offset == 0
     finally:
         orama.stop()
+
+
+def test_concurrent_search_during_ingest():
+    """Searches racing op application must never crash (live-layer dicts
+    are guarded by the read-side RW state lock)."""
+    import threading
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{"id": "seed", "t": "race condition target"}])
+        errors = []
+        stop = threading.Event()
+
+        def searcher():
+            while not stop.is_set():
+                try:
+                    coll.search({"term": "race target"})
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        def ingester():
+            try:
+                for i in range(100):
+                    ctx.writer.insert_documents(
+                        coll.collection_id, idx.index_id, coll.write_key,
+                        [{"id": f"r{i}", "t": f"race doc {i} target"}],
+                    )
+                    ctx.pump()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=searcher) for _ in range(3)]
+        ing = threading.Thread(target=ingester)
+        for t in threads:
+            t.start()
+        ing.start()
+        ing.join()
+        stop.set()
+        for t in threads:
+            t.join()
+        assert errors == []
+        out = coll.search({"term": "race", "limit": 200})
+        assert out.count == 101
+    finally:
+        ctx.close()
