@@ -461,6 +461,7 @@ class StringIndex:
         boost: Dict[str, float],
         tolerance: Optional[int] = None,
         impact_cap: Optional[int] = None,
+        field_params: Optional[Dict[str, Tuple[float, float]]] = None,
     ) -> QueryPlan:
         """Build padded range descriptors (T, NR) for the scoring kernel.
 
@@ -482,17 +483,18 @@ class StringIndex:
                 stats = self._stats.get(path)
                 if stats is None or stats.doc_count == 0:
                     continue
-                w = boost.get(path, 1.0)
+                fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
+                w = boost.get(path, 1.0) * fw
                 avg = stats.avg_len if stats.avg_len > 0 else 1.0
                 for (start, length) in self._match_terms(path, token, tolerance):
                     if impact_cap is not None and length > impact_cap:
                         length = impact_cap
                     # split over-long ranges so device slices stay bounded
                     while length > MAX_RANGE_LEN:
-                        ranges.append((start, MAX_RANGE_LEN, w, DEFAULT_B, avg))
+                        ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
                         start += MAX_RANGE_LEN
                         length -= MAX_RANGE_LEN
-                    ranges.append((start, length, w, DEFAULT_B, avg))
+                    ranges.append((start, length, w, fb, avg))
             per_token.append(ranges[:MAX_RANGES])
 
         T = max(1, len(per_token))

@@ -239,10 +239,12 @@ class ReadSide:
         if coll is None:
             return
         if kind == "create_index":
-            coll.indexes[b["index"]] = ReadIndex(
+            ridx = ReadIndex(
                 b["index"], b.get("locale", coll.default_locale),
                 b.get("embedding_model", coll.embedding_model), self.nlp,
             )
+            ridx.field_params = dict(b.get("field_params") or {})
+            coll.indexes[b["index"]] = ridx
             return
         if kind == "delete_index":
             coll.indexes.pop(b["index"], None)
@@ -590,10 +592,15 @@ class ReadSide:
             ]
         if not props:
             return {}
+        fp = {
+            p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
+            for p_, v in idx.field_params.items()
+        } if idx.field_params else None
         plan = idx.string.plan_query(
             tokens, props, params.boost,
             tolerance=(0 if mode.exact else mode.tolerance) or None,
             impact_cap=self.config.reader_side.impact_cap,
+            field_params=fp,
         )
         cap = idx.cap()
         ex = coll.executor(idx.index_id)

@@ -47,6 +47,8 @@ class ReadIndex:
         self.max_doc_id = -1
         # declared field types (from create_field ops): path -> type
         self.field_types: Dict[str, str] = {}
+        # per-field BM25F params (weight, b) from index config
+        self.field_params: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
 
@@ -170,6 +172,7 @@ class ReadIndex:
                 "locale": self.locale,
                 "embedding_model": self.embedding_model,
                 "field_types": self.field_types,
+                "field_params": self.field_params,
                 "doc_user_ids": {str(k): v for k, v in self.doc_user_ids.items()},
                 "omc": {str(k): v for k, v in self.omc.items()},
                 "max_doc_id": self.max_doc_id,
@@ -187,6 +190,7 @@ class ReadIndex:
             meta.get("embedding_model", "builtin-minihash-384"), nlp,
         )
         idx.field_types = dict(meta.get("field_types", {}))
+        idx.field_params = dict(meta.get("field_params", {}))
         idx.doc_user_ids = {int(k): v for k, v in meta.get("doc_user_ids", {}).items()}
         idx.user_to_internal = {v: k for k, v in idx.doc_user_ids.items()}
         idx.omc = {int(k): float(v) for k, v in meta.get("omc", {}).items()}

@@ -317,6 +317,7 @@ class ApiServer:
             request.match_info["c"], key, body.get("id"),
             embedding_model=emb.get("model") if isinstance(emb, dict) else None,
             embedding_fields=emb.get("document_fields") if isinstance(emb, dict) else None,
+            field_params=body.get("field_params"),
         )
         return web.json_response({"id": idx.index_id}, status=201)
 

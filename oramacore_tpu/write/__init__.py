@@ -66,6 +66,9 @@ class WriteIndex:
     embedding_model: str = DEFAULT_MODEL
     embedding_fields: List[str] = dc_field(default_factory=list)  # source paths; [] = all strings
     automatic_embeddings: bool = True
+    # per-field BM25F params: path -> {"weight": w, "b": b}
+    # (reference BM25FFieldParams, bm25.rs:49-63)
+    field_params: Dict[str, Dict[str, float]] = dc_field(default_factory=dict)
     # discovered field types: path -> type string
     field_types: Dict[str, str] = dc_field(default_factory=dict)
     # user doc id -> internal dense id
@@ -80,6 +83,7 @@ class WriteIndex:
             "embedding_model": self.embedding_model,
             "embedding_fields": self.embedding_fields,
             "automatic_embeddings": self.automatic_embeddings,
+            "field_params": self.field_params,
             "field_types": self.field_types,
             "doc_id_map": self.doc_id_map,
             "is_temp": self.is_temp,
@@ -94,6 +98,7 @@ class WriteIndex:
             embedding_model=d.get("embedding_model", DEFAULT_MODEL),
             embedding_fields=list(d.get("embedding_fields", [])),
             automatic_embeddings=d.get("automatic_embeddings", True),
+            field_params=dict(d.get("field_params", {})),
             field_types=dict(d.get("field_types", {})),
             doc_id_map={k: int(v) for k, v in d.get("doc_id_map", {}).items()},
             is_temp=d.get("is_temp", False),
@@ -440,6 +445,7 @@ class WriteSide:
         is_temp: bool = False,
         copy_from: Optional[str] = None,
         locale: Optional[str] = None,
+        field_params: Optional[Dict[str, Dict[str, float]]] = None,
     ) -> WriteIndex:
         coll = self.check_write_key(collection_id, write_key)
         IndexId(index_id)
@@ -452,6 +458,7 @@ class WriteSide:
                 embedding_model=embedding_model or coll.embedding_model,
                 embedding_fields=embedding_fields or [],
                 is_temp=is_temp,
+                field_params=field_params or {},
             )
             if locale is None and copy_from and copy_from in coll.indexes:
                 src = coll.indexes[copy_from]
@@ -466,6 +473,7 @@ class WriteSide:
                     "locale": idx.locale,
                     "embedding_model": idx.embedding_model,
                     "is_temp": is_temp,
+                    "field_params": idx.field_params,
                 },
             )
         )

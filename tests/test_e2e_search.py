@@ -743,3 +743,25 @@ def test_secret_passed_to_before_search_hook(tmp_path):
         assert out.count == 1  # hook ran without assertion error
     finally:
         orama.stop()
+
+
+def test_per_field_bm25_params(ctx):
+    """Index-level field weight makes a field dominate scoring
+    (reference BM25FFieldParams weight/b, bm25.rs:49-63)."""
+    coll = ctx.create_collection()
+    ctx.writer.create_index(
+        coll.collection_id, coll.write_key, "weighted",
+        field_params={"title": {"weight": 10.0, "b": 0.75}},
+    )
+    ctx.pump()
+    ctx.writer.insert_documents(
+        coll.collection_id, "weighted", coll.write_key,
+        [
+            {"id": "1", "title": "banana", "body": "apple apple apple"},
+            {"id": "2", "title": "apple", "body": "banana banana banana"},
+        ],
+    )
+    ctx.pump()
+    out = coll.search({"term": "apple"})
+    # no query boost, but the configured title weight wins
+    assert ids_of(out)[0] == "2"
