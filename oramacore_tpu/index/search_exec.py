@@ -268,6 +268,7 @@ class SharedBatchExecutor(StringSearchExecutor):
         tolerance: Optional[int] = None,
         impact_cap: Optional[int] = None,
         doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        field_params: Optional[Dict[str, Tuple[float, float]]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -302,16 +303,17 @@ class SharedBatchExecutor(StringSearchExecutor):
                     stats = index._stats.get(path)
                     if stats is None or stats.doc_count == 0:
                         continue
-                    w = boost.get(path, 1.0)
+                    fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
+                    w = boost.get(path, 1.0) * fw
                     avg = stats.avg_len or 1.0
                     for (start, length) in index._match_terms(path, tok, tol):
                         if impact_cap is not None and length > impact_cap:
                             length = impact_cap
                         while length > MAX_RANGE_LEN:
-                            ranges.append((start, MAX_RANGE_LEN, w, DEFAULT_B, avg))
+                            ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
                             start += MAX_RANGE_LEN
                             length -= MAX_RANGE_LEN
-                        ranges.append((start, length, w, DEFAULT_B, avg))
+                        ranges.append((start, length, w, fb, avg))
                 unique[tok] = len(u_ranges)
                 u_ranges.append(ranges)
 

@@ -1143,12 +1143,17 @@ def _search_batch_locked(
                 if not p.where.is_empty() else None
             )
             doc_masks.append(idx.combined_mask(fm))
+    fp = {
+        p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
+        for p_, v in idx.field_params.items()
+    } if idx.field_params else None
     vals, ids = ex.search_topk_shared(
         idx.string, token_lists, props, first.boost,
         idx.document_count(), cap, max(max_k, 1),
         thresholds=thresholds,
         impact_cap=self.config.reader_side.impact_cap,
         doc_masks=doc_masks,
+        field_params=fp,
     )
     results: List[SearchResult] = []
     for qi, p in enumerate(params_list):
