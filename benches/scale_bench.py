@@ -83,7 +83,7 @@ def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        vals, ids = shared.search_topk_shared(
+        vals, ids, _ = shared.search_topk_shared(
             idx, token_sets, ["body"], {}, n_docs, cap=n_docs, k=10
         )
     dt = (time.perf_counter() - t0) / iters

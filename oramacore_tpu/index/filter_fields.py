@@ -462,7 +462,10 @@ def save_filter_fields(ff: FilterFields, path_prefix: str) -> None:
         arrays[key + "__lat"] = geo._lat._committed_vals
         arrays[key + "__lon"] = geo._lon._committed_vals
         meta["geos"].append(path)
-    np.savez_compressed(path_prefix + ".npz", **arrays)
+    tmp_npz = path_prefix + ".npz.tmp"
+    with open(tmp_npz, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    os.replace(tmp_npz, path_prefix + ".npz")
     tmp = path_prefix + ".meta.msgpack.tmp"
     with open(tmp, "wb") as fh:
         fh.write(msgpack.packb(meta, use_bin_type=True))

@@ -20,12 +20,15 @@ class StringSearchExecutor:
 
     def __init__(self):
         self._device_slab: Optional[Tuple] = None
-        self._slab_id: Optional[int] = None
+        self._slab_gen: Optional[int] = None
 
     def _get_device_slab(self, index: StringIndex):
+        # key the HBM cache on the index's monotonic slab generation —
+        # id(numpy array) can collide when the old slab is freed and a new
+        # one lands at the same address (stale-slab scoring bug)
         slab = index.slab()
-        slab_id = id(slab[0])
-        if self._slab_id != slab_id:
+        gen = index.generation  # read AFTER slab() (build bumps it)
+        if self._slab_gen != gen:
             # pad with MAX_RANGE_LEN zeros so vmapped dynamic_slice windows
             # never clamp (tf=0 padding contributes nothing)
             from ..ops.bm25 import MAX_RANGE_LEN
@@ -34,7 +37,7 @@ class StringSearchExecutor:
                 jnp.asarray(np.concatenate([a, np.zeros(MAX_RANGE_LEN, a.dtype)]))
                 for a in slab
             )
-            self._slab_id = slab_id
+            self._slab_gen = gen
         return self._device_slab
 
     def score(
@@ -195,6 +198,24 @@ class StringSearchTopK(StringSearchExecutor):
     """Fused path: scoring + threshold + OMC + top-k in ONE device call;
     only (B, k) values/ids transfer back."""
 
+    def __init__(self):
+        super().__init__()
+        # device-resident OMC multipliers, keyed on (version, capb) so the
+        # f32[cap] array doesn't cross the tunnel on every query
+        self._omc_dev: Optional[Tuple[int, int, object]] = None
+
+    def _get_device_omc(self, omc: np.ndarray, omc_key: Optional[int], capb: int):
+        cached = self._omc_dev
+        if omc_key is not None and cached is not None and cached[0] == omc_key \
+                and cached[1] == capb:
+            return cached[2]
+        arr = np.ones((capb,), np.float32)
+        arr[: min(len(omc), capb)] = omc[:capb]
+        dev = jnp.asarray(arr)
+        if omc_key is not None:
+            self._omc_dev = (omc_key, capb, dev)
+        return dev
+
     def search_topk(
         self,
         index: StringIndex,
@@ -205,8 +226,9 @@ class StringSearchTopK(StringSearchExecutor):
         exact: bool = False,
         doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
         thresholds: Optional[Sequence[float]] = None,  # distinct-token counts
-        omc: Optional[np.ndarray] = None,              # f32[cap]
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        omc: Optional[np.ndarray] = None,              # f32[<=cap]
+        omc_key: Optional[int] = None,                 # cache key (version)
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         from ..ops.bm25 import bm25_search_topk_packed, round_up_pow2
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
@@ -224,16 +246,15 @@ class StringSearchTopK(StringSearchExecutor):
         )
         has_omc = omc is not None
         mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
-        omc_arr = np.ones((pb.capb,), np.float32)
         if has_omc:
-            omc_arr[: len(omc)] = omc
+            omc_arr = self._get_device_omc(omc, omc_key, pb.capb)
         else:
-            omc_arr = np.ones((1,), np.float32)
+            omc_arr = jnp.ones((1,), jnp.float32)
         kb = min(round_up_pow2(k, 8), pb.capb)
         vals, idx, counts = bm25_search_topk_packed(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
-            jnp.asarray(mask_arr), jnp.asarray(omc_arr),
+            jnp.asarray(mask_arr), omc_arr,
             lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
             has_mask=has_mask, has_omc=has_omc,
         )
@@ -244,7 +265,7 @@ class StringSearchTopK(StringSearchExecutor):
         )
 
 
-class SharedBatchExecutor(StringSearchExecutor):
+class SharedBatchExecutor(StringSearchTopK):
     """Term-deduplicated batched scoring: each unique query token is
     scored once into dense per-token rows; a (B, U) assignment matmul
     distributes rows to queries. Exact for unfiltered searches. Unique
@@ -269,7 +290,9 @@ class SharedBatchExecutor(StringSearchExecutor):
         impact_cap: Optional[int] = None,
         doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
         field_params: Optional[Dict[str, Tuple[float, float]]] = None,
-    ) -> Tuple[np.ndarray, np.ndarray]:
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
         from ..ops.bm25 import (
@@ -282,9 +305,6 @@ class SharedBatchExecutor(StringSearchExecutor):
         from .string_index import DEFAULT_B
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
-        if index._dirty or index._slab_arrays is None:
-            index._build_slab()
-            p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
 
         B = len(tokens_per_query)
         T = max(1, max(len(t) for t in tokens_per_query))
@@ -402,9 +422,16 @@ class SharedBatchExecutor(StringSearchExecutor):
         if thresholds is not None:
             for i, t in enumerate(thresholds):
                 thr[i] = t or 0.0
-        omc = np.ones((capb,), np.float32)
+        if omc is not None:
+            omc_dev = self._get_device_omc(omc, omc_key, capb)
+        else:
+            omc_dev = jnp.ones((capb,), jnp.float32)
         kb = min(round_up_pow2(k, 8), capb)
-        vals, idx = finalize_topk(
-            scores, matched, jnp.asarray(thr), jnp.asarray(omc), k=kb
+        vals, idx, counts = finalize_topk(
+            scores, matched, jnp.asarray(thr), omc_dev, k=kb
         )
-        return np.asarray(vals[:, :k]), np.asarray(idx[:, :k])
+        return (
+            np.asarray(vals[:, :k]),
+            np.asarray(idx[:, :k]),
+            np.asarray(counts[:B]),
+        )

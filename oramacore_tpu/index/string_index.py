@@ -100,6 +100,8 @@ class StringIndex:
     """All string fields of one index."""
 
     def __init__(self):
+        import threading
+
         # live layer: path -> term -> doc_id -> [tf, exact_tf]
         self._live: Dict[str, Dict[str, Dict[int, List[float]]]] = {}
         # live field lengths: path -> doc_id -> token count
@@ -113,6 +115,12 @@ class StringIndex:
         self._slab_ranges: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
         self._slab_terms_by_field: Dict[str, List[str]] = {}
         self._dirty = True
+        # monotonically increasing slab generation: device-slab caches key
+        # on this (id() of a replaced numpy array can collide after free)
+        self.generation = 0
+        # searches run under a SHARED read lock, so two queries on a dirty
+        # index can race the lazy rebuild — serialize it here
+        self._build_lock = threading.Lock()
 
     # ------------------------------------------------------------------
     # Introspection
@@ -365,6 +373,12 @@ class StringIndex:
     # ------------------------------------------------------------------
 
     def _build_slab(self) -> None:
+        with self._build_lock:
+            if not self._dirty and self._slab_arrays is not None:
+                return  # another reader already rebuilt it
+            self._build_slab_locked()
+
+    def _build_slab_locked(self) -> None:
         docs_parts: List[np.ndarray] = []
         tf_parts: List[np.ndarray] = []
         etf_parts: List[np.ndarray] = []
@@ -430,6 +444,7 @@ class StringIndex:
         self._slab_terms_by_field = {
             p: sorted(ts) for p, ts in terms_by_field.items()
         }
+        self.generation += 1
         self._dirty = False
 
     def slab(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -569,7 +584,12 @@ def save_string_index(idx: StringIndex, path_prefix: str) -> None:
             "doc_count": cf.stats.doc_count,
             "sum_len": cf.stats.sum_len,
         }
-    np.savez_compressed(path_prefix + ".npz", **arrays)
+    # atomic: write tmp then rename, so a crash mid-write never leaves a
+    # corrupt npz beside a valid meta file
+    tmp_npz = path_prefix + ".npz.tmp"
+    with open(tmp_npz, "wb") as fh:
+        np.savez_compressed(fh, **arrays)
+    os.replace(tmp_npz, path_prefix + ".npz")
     tmp = path_prefix + ".meta.msgpack.tmp"
     with open(tmp, "wb") as fh:
         fh.write(msgpack.packb(meta, use_bin_type=True))

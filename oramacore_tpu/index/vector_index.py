@@ -349,12 +349,15 @@ def save_vector_index(vidx: VectorIndex, path_prefix: str) -> None:
     import os
 
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
-    np.savez_compressed(
-        path_prefix + ".npz",
-        matrix=vidx._committed_matrix,
-        docs=vidx._committed_docs,
-        dim=np.asarray([vidx.config.dim]),
-    )
+    tmp = path_prefix + ".npz.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            matrix=vidx._committed_matrix,
+            docs=vidx._committed_docs,
+            dim=np.asarray([vidx.config.dim]),
+        )
+    os.replace(tmp, path_prefix + ".npz")
 
 
 def load_vector_index(path_prefix: str, config: VectorIndexConfig) -> VectorIndex:

@@ -350,12 +350,15 @@ def bm25_shared_partial(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def finalize_topk(scores, matched, thr_counts, omc, *, k: int):
+    """Threshold + OMC + top-k + exact match counts in one dispatch."""
     from .vector import topk_2level
 
     s = scores * omc[None, :]
     keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
     s = jnp.where(keep, s, -jnp.inf)
-    return topk_2level(s, k)
+    vals, idx = topk_2level(s, k)
+    return vals, idx, counts
 
 
 @functools.partial(

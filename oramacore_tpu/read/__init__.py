@@ -79,6 +79,12 @@ class CollectionReader:
         self.shelves: Dict[str, Dict[str, Any]] = {}
         self.values: Dict[str, str] = {}
         self._executors: Dict[str, StringSearchExecutor] = {}
+        # op-log offset covered by this collection's persisted snapshots;
+        # ops at or below it are replays and must be skipped (reference
+        # read/mod.rs:511-517 dedup, here per-collection so that
+        # commit_collection — which does not advance the global offset —
+        # stays idempotent under crash-replay)
+        self.committed_offset = 0
 
     def resolve_index(self, index_id: str) -> Optional[ReadIndex]:
         real = self.aliases.get(index_id, index_id)
@@ -191,7 +197,7 @@ class ReadSide:
             return
         self.live_offset = offset
         with self._state_lock.write(f"apply {op.kind}"):
-            self._apply(op)
+            self._apply(offset, op)
         from ..metrics import OPERATION_COUNT
 
         OPERATION_COUNT.inc({"kind": op.kind})
@@ -208,10 +214,26 @@ class ReadSide:
         if self._ops_since_commit >= self.config.reader_side.insert_batch_commit_size:
             self.commit()
 
-    def _apply(self, op: Operation):
+    # index DATA ops dedup per-index (an index may reload from an OLDER
+    # snapshot generation than the collection manifest when its current
+    # generation is torn — see ReadIndex.load fallback)
+    _INDEX_DATA_OPS = frozenset(
+        {"create_field", "index_document", "index_embedding",
+         "delete_documents"}
+    )
+
+    def _apply(self, offset: int, op: Operation):
         kind = op.kind
         cid = op.collection
         b = op.body
+        # per-collection replay dedup: a collection committed via
+        # commit_collection persists data the GLOBAL offset doesn't cover;
+        # after a crash those ops replay and would double-apply (tf
+        # re-accumulation, duplicate filter rows, clobbered readers)
+        if cid and kind not in self._INDEX_DATA_OPS:
+            existing = self.collections.get(cid)
+            if existing is not None and offset <= existing.committed_offset:
+                return
         if kind == "create_collection":
             self.collections[cid] = CollectionReader(
                 collection_id=cid,
@@ -293,6 +315,8 @@ class ReadSide:
         idx = coll.resolve_index(b.get("index", ""))
         if idx is None:
             return
+        if offset <= idx.committed_offset:
+            return  # replayed data op already in this index's snapshot
         if kind == "create_field":
             idx.apply_create_field(b)
         elif kind == "index_document":
@@ -326,8 +350,19 @@ class ReadSide:
                 claims = jwt_manager.customer_claims(key)
             except Exception as e:  # noqa: BLE001
                 raise ReadError(f"invalid jwt: {e}", 401)
-            if claims.collection_id not in (None, collection_id):
-                raise ReadError("jwt not valid for this collection", 401)
+            # explicit collection binding required (reference
+            # collection.rs check_read_api_key: claims.orak must equal the
+            # collection's read api key). A validly-signed token without a
+            # binding must NOT grant cross-collection reads.
+            orak = claims.raw.get("orak")
+            if orak is not None:
+                if orak != coll.read_api_key:
+                    raise ReadError("jwt not valid for this collection", 401)
+            elif claims.collection_id != collection_id:
+                raise ReadError(
+                    "jwt not bound to this collection (missing or wrong "
+                    "collection claim)", 401,
+                )
             return coll
         raise ReadError("invalid read api key", 401)
 
@@ -431,8 +466,10 @@ class ReadSide:
             )
             if self._last_fused_count is not None:
                 fused_counts = fused_counts + self._last_fused_count                     if fused_counts is not None else self._last_fused_count
-            # OMC multipliers (search.rs:342, apply_omc_multipliers :39)
-            if idx.omc:
+            # OMC multipliers (search.rs:342, apply_omc_multipliers :39).
+            # The fused fulltext path applies them on-device BEFORE top-k
+            # (self._last_omc_applied); other paths apply here.
+            if idx.omc and not self._last_omc_applied:
                 for d in list(scores.keys()):
                     m = idx.omc.get(d)
                     if m is not None:
@@ -527,9 +564,11 @@ class ReadSide:
         fused_ok: bool = False,
     ) -> Dict[int, float]:
         self._last_fused_count = None
+        self._last_omc_applied = False
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
-                coll, idx, mode, params, mask, fused_ok=fused_ok
+                coll, idx, mode, params, mask, fused_ok=fused_ok,
+                omc_in_kernel=True,
             )
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
@@ -540,10 +579,12 @@ class ReadSide:
             # 0.0 (scores are non-negative) and the global max is within
             # the candidate set.
             vec = self._vector_scores(idx, mode.term, mode.similarity, params, mask)
+            # omc_in_kernel=False: the reference applies OMC AFTER hybrid
+            # fusion (search.rs:342), so the ft side must stay raw here
             ft = self._fulltext_scores(
                 coll, idx,
                 FulltextMode(mode.term, mode.threshold, mode.exact, mode.tolerance),
-                params, mask, fused_ok=fused_ok,
+                params, mask, fused_ok=fused_ok, omc_in_kernel=False,
             )
             ft_count = self._last_fused_count
             out = _normalize_and_combine(vec, ft)
@@ -563,11 +604,14 @@ class ReadSide:
         params: SearchParams,
         mask: Optional[np.ndarray],
         fused_ok: bool = False,
+        omc_in_kernel: bool = False,
     ) -> Dict[int, float]:
         """When fused_ok, returns only the top candidates (enough for the
         requested page) via one fused device call and stashes the exact
         match count on self._last_fused_count — only (k,) results cross
-        the tunnel instead of dense (cap,) score vectors."""
+        the tunnel instead of dense (cap,) score vectors. With
+        omc_in_kernel, OMC multipliers apply on-device before top-k (sets
+        self._last_omc_applied so callers don't double-apply)."""
         parser = idx.parser
         parsed = parser.tokenize_and_stem(mode.term)
         if mode.exact:
@@ -610,13 +654,16 @@ class ReadSide:
             thr = None
             if mode.threshold is not None:
                 thr = float(math.floor(len(tokens) * mode.threshold))
+            omc_arr = idx.omc_array() if omc_in_kernel else None
             vals, ids, counts = ex.search_topk(
                 idx.string, [plan], [idx.document_count()], cap, k=k,
                 exact=mode.exact,
                 doc_masks=[mask] if mask is not None else None,
                 thresholds=[thr] if thr is not None else None,
+                omc=omc_arr, omc_key=idx.omc_version,
             )
             self._last_fused_count = int(counts[0])
+            self._last_omc_applied = omc_arr is not None
             return {
                 int(d): float(v)
                 for v, d in zip(vals[0], ids[0])
@@ -894,68 +941,77 @@ class ReadSide:
     # Commit / load (SURVEY §5.4)
     # ------------------------------------------------------------------
 
+    def _commit_collection_memory(self, coll: CollectionReader):
+        """Phase 1 of a commit (REQUIRES the state WRITE lock): merge live
+        layers into committed structures and capture manifest snapshots.
+        Returns (dirty indexes to save, manifest dict)."""
+        offset = self.live_offset
+        to_save = []
+        for iid, idx in coll.indexes.items():
+            if idx.dirty:
+                idx.commit_memory(offset)
+                to_save.append((iid, idx))
+            else:
+                idx.committed_offset = offset
+        coll.committed_offset = offset
+        manifest = {
+            "collection_id": coll.collection_id,
+            "read_api_key": coll.read_api_key,
+            "default_locale": coll.default_locale,
+            "embedding_model": coll.embedding_model,
+            "description": coll.description,
+            "mcp_description": coll.mcp_description,
+            "aliases": dict(coll.aliases),
+            "hooks": dict(coll.hooks),
+            "pin_rules": dict(coll.pin_rules),
+            "shelves": dict(coll.shelves),
+            "values": dict(coll.values),
+            "indexes": list(coll.indexes.keys()),
+            "committed_offset": offset,
+        }
+        return to_save, manifest
+
+    def _commit_collection_io(self, coll, to_save, manifest):
+        """Phase 2: file I/O, outside the state lock (searches proceed)."""
+        for iid, idx in to_save:
+            idx.save(os.path.join(coll.data_dir, "indexes", iid))
+        coll.doc_storage.commit()
+        atomic_write_json(
+            os.path.join(coll.data_dir, "collection.json"), manifest
+        )
+
     def commit_collection(self, collection_id: str):
         """Commit ONE collection's indexes + doc storage (per-collection
-        threshold path). The global offset only advances on full commits,
-        preserving at-least-once replay safety for other collections."""
+        threshold path, CommitScope::SelectedCollection analog). The global
+        offset only advances on full commits; replay safety comes from the
+        collection's committed_offset in its manifest."""
         coll = self.collections.get(collection_id)
         if coll is None:
             return
         with self._commit_lock:
-            for iid, idx in coll.indexes.items():
-                idx.commit(os.path.join(coll.data_dir, "indexes", iid))
-            coll.doc_storage.commit()
-            self._write_collection_manifest(coll)
+            with self._state_lock.write("commit_collection"):
+                to_save, manifest = self._commit_collection_memory(coll)
+            self._commit_collection_io(coll, to_save, manifest)
             self._coll_ops_since_commit[collection_id] = 0
             self._coll_last_commit[collection_id] = time.time()
-
-    def _write_collection_manifest(self, coll: CollectionReader):
-        atomic_write_json(
-            os.path.join(coll.data_dir, "collection.json"),
-            {
-                "collection_id": coll.collection_id,
-                "read_api_key": coll.read_api_key,
-                "default_locale": coll.default_locale,
-                "embedding_model": coll.embedding_model,
-                "description": coll.description,
-                "mcp_description": coll.mcp_description,
-                "aliases": coll.aliases,
-                "hooks": coll.hooks,
-                "pin_rules": coll.pin_rules,
-                "shelves": coll.shelves,
-                "values": coll.values,
-                "indexes": list(coll.indexes.keys()),
-            },
-        )
 
     def commit(self, force: bool = False):
         from ..metrics import COMMIT_TIME
 
         t0 = time.perf_counter()
         with self._commit_lock:
-            offset = self.live_offset
-            for coll in self.collections.values():
-                cdir = coll.data_dir
-                for iid, idx in coll.indexes.items():
-                    idx.commit(os.path.join(cdir, "indexes", iid))
-                coll.doc_storage.commit()
-                atomic_write_json(
-                    os.path.join(cdir, "collection.json"),
-                    {
-                        "collection_id": coll.collection_id,
-                        "read_api_key": coll.read_api_key,
-                        "default_locale": coll.default_locale,
-                        "embedding_model": coll.embedding_model,
-                        "description": coll.description,
-                        "mcp_description": coll.mcp_description,
-                        "aliases": coll.aliases,
-                        "hooks": coll.hooks,
-                        "pin_rules": coll.pin_rules,
-                        "shelves": coll.shelves,
-                        "values": coll.values,
-                        "indexes": list(coll.indexes.keys()),
-                    },
-                )
+            # phase 1 under the state write lock: in-memory merges mutate
+            # structures concurrent searches iterate (live dicts,
+            # tombstones) — ADVICE r1: commits must exclude searches
+            with self._state_lock.write("commit"):
+                offset = self.live_offset
+                work = [
+                    (coll, *self._commit_collection_memory(coll))
+                    for coll in self.collections.values()
+                ]
+            # phase 2: file I/O with searches running
+            for coll, to_save, manifest in work:
+                self._commit_collection_io(coll, to_save, manifest)
             self.kv.commit()
             atomic_write_json(
                 os.path.join(self.data_dir, "read.info.json"),
@@ -971,10 +1027,12 @@ class ReadSide:
 
     def _load(self):
         info = read_json(os.path.join(self.data_dir, "read.info.json"))
-        if not info:
-            return
-        self.committed_offset = info.get("offset", 0)
-        self.live_offset = self.committed_offset
+        if info:
+            self.committed_offset = info.get("offset", 0)
+            self.live_offset = self.committed_offset
+        # collections are loaded even without a global read.info.json:
+        # commit_collection persists them independently, and their
+        # committed_offset keeps replay from offset 0 idempotent
         coll_root = os.path.join(self.data_dir, "collections")
         if not os.path.isdir(coll_root):
             return
@@ -998,6 +1056,7 @@ class ReadSide:
             coll.pin_rules = dict(meta.get("pin_rules", {}))
             coll.shelves = dict(meta.get("shelves", {}))
             coll.values = dict(meta.get("values", {}))
+            coll.committed_offset = int(meta.get("committed_offset", 0))
             for iid in meta.get("indexes", []):
                 idx = ReadIndex.load(os.path.join(cdir, "indexes", iid), self.nlp)
                 if idx is not None:
@@ -1147,13 +1206,17 @@ def _search_batch_locked(
         p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
         for p_, v in idx.field_params.items()
     } if idx.field_params else None
-    vals, ids = ex.search_topk_shared(
+    # OMC multipliers apply on-device before top-k (ADVICE r1: applying
+    # them to the post-top-k candidate set can drop boosted docs)
+    vals, ids, counts = ex.search_topk_shared(
         idx.string, token_lists, props, first.boost,
         idx.document_count(), cap, max(max_k, 1),
         thresholds=thresholds,
         impact_cap=self.config.reader_side.impact_cap,
         doc_masks=doc_masks,
         field_params=fp,
+        omc=idx.omc_array(),
+        omc_key=idx.omc_version,
     )
     results: List[SearchResult] = []
     for qi, p in enumerate(params_list):
@@ -1162,12 +1225,10 @@ def _search_batch_locked(
             for v, d in zip(vals[qi], ids[qi])
             if v > 0 and int(d) in idx.doc_user_ids
         ]
-        if idx.omc:
-            pairs = [(d, s * idx.omc.get(d, 1.0)) for d, s in pairs]
-            pairs.sort(key=lambda kv: -kv[1])
         page = pairs[p.offset : p.offset + p.limit]
         hits = self._hydrate(coll, indexes, page)
-        results.append(SearchResult(hits=hits, count=len(pairs)))
+        # exact match count from the device (not capped at top-k)
+        results.append(SearchResult(hits=hits, count=int(counts[qi])))
     return results
 
 

@@ -49,6 +49,18 @@ class ReadIndex:
         self.field_types: Dict[str, str] = {}
         # per-field BM25F params (weight, b) from index config
         self.field_params: Dict[str, Any] = {}
+        # op-log offset included in this index's committed structures
+        # (reference offset-N snapshot dirs, read/index/mod.rs:466-719)
+        self.committed_offset = 0
+        # data ops applied since the last save (skip clean snapshots)
+        self.dirty = True
+        # metadata captured atomically in commit_memory for the next save
+        # (saving live dicts during concurrent op application would race)
+        self._meta_snapshot: Optional[Dict[str, Any]] = None
+        # dense OMC multiplier cache for the fused kernels (ADVICE r1:
+        # OMC must apply BEFORE device top-k, not to the candidate set)
+        self.omc_version = 0
+        self._omc_arr: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
 
@@ -77,11 +89,13 @@ class ReadIndex:
     # ------------------------------------------------------------------
 
     def apply_create_field(self, body: Dict[str, Any]):
+        self.dirty = True
         self.field_types[body["path"]] = body["type"]
         if body["type"] in ("string", "string[]"):
             self.string.ensure_field(body["path"])
 
     def apply_index_document(self, body: Dict[str, Any]):
+        self.dirty = True
         doc_id = int(body["doc_id"])
         user_id = body["user_id"]
         self.max_doc_id = max(self.max_doc_id, doc_id)
@@ -103,6 +117,8 @@ class ReadIndex:
         omc = body.get("omc")
         if omc is not None:
             self.omc[doc_id] = float(omc)
+            self.omc_version += 1
+            self._omc_arr = None
 
     def apply_index_embedding(self, body: Dict[str, Any]):
         vectors = [np.asarray(v, np.float32) for v in body["vectors"]]
@@ -113,9 +129,11 @@ class ReadIndex:
         if doc_id in self.deleted or doc_id not in self.doc_user_ids:
             # late embedding for an already-deleted doc: skip
             return
+        self.dirty = True
         self.vector.insert(doc_id, vectors)
 
     def apply_delete_documents(self, body: Dict[str, Any]):
+        self.dirty = True
         for d in body["doc_ids"]:
             d = int(d)
             user = self.doc_user_ids.pop(d, None)
@@ -126,7 +144,9 @@ class ReadIndex:
             self.filters.delete_doc_live(d)
             if self.vector is not None:
                 self.vector.delete_doc_live(d)
-            self.omc.pop(d, None)
+            if self.omc.pop(d, None) is not None:
+                self.omc_version += 1
+                self._omc_arr = None
 
     # ------------------------------------------------------------------
     # Masks
@@ -142,6 +162,21 @@ class ReadIndex:
                 mask[d] = False
         return mask
 
+    def omc_array(self) -> Optional[np.ndarray]:
+        """Dense f32[cap] OMC multipliers (1.0 default), cached until the
+        omc map changes. Must be read under the state read lock."""
+        if not self.omc:
+            return None
+        cap = self.cap()
+        arr = self._omc_arr
+        if arr is None or len(arr) < cap:
+            arr = np.ones(cap, np.float32)
+            for d, m in self.omc.items():
+                if d < cap:
+                    arr[d] = m
+            self._omc_arr = arr
+        return arr
+
     def combined_mask(self, filter_mask: Optional[np.ndarray]) -> Optional[np.ndarray]:
         alive = self.alive_mask()
         if alive is None:
@@ -154,41 +189,108 @@ class ReadIndex:
     # Commit / load (offset-N snapshot dirs)
     # ------------------------------------------------------------------
 
-    def commit(self, dir_path: str):
+    def commit_memory(self, offset: int) -> None:
+        """Merge live layers into the committed structures and capture a
+        consistent metadata snapshot. MUST run under the read side's state
+        WRITE lock: it mutates structures concurrent searches read
+        (StringIndex live dicts, tombstones, filter columns)."""
         self.string.commit(self.deleted)
         self.filters.commit(self.deleted)
         if self.vector is not None:
             self.vector.commit(self.deleted)
         self.deleted.clear()
-        os.makedirs(dir_path, exist_ok=True)
-        save_string_index(self.string, os.path.join(dir_path, "string"))
-        save_filter_fields(self.filters, os.path.join(dir_path, "filters"))
+        self.committed_offset = offset
+        self.dirty = False
+        self._meta_snapshot = {
+            "index_id": self.index_id,
+            "locale": self.locale,
+            "embedding_model": self.embedding_model,
+            "field_types": dict(self.field_types),
+            "field_params": dict(self.field_params),
+            "doc_user_ids": {str(k): v for k, v in self.doc_user_ids.items()},
+            "omc": {str(k): v for k, v in self.omc.items()},
+            "max_doc_id": self.max_doc_id,
+            "vector_dim": self.vector.config.dim if self.vector else None,
+            "committed_offset": offset,
+        }
+
+    def save(self, dir_path: str) -> None:
+        """Persist the committed state into an offset-N generation dir and
+        atomically repoint CURRENT (reference read/index/mod.rs:466-719
+        offset dirs). File I/O only — safe outside the state lock (only
+        commit_memory mutates committed structures, and commits are
+        serialized). Keeps the previous generation for crash recovery."""
+        meta = self._meta_snapshot
+        assert meta is not None, "save() requires a prior commit_memory()"
+        offset = int(meta["committed_offset"])
+        gen_dir = os.path.join(dir_path, f"offset-{offset}")
+        os.makedirs(gen_dir, exist_ok=True)
+        save_string_index(self.string, os.path.join(gen_dir, "string"))
+        save_filter_fields(self.filters, os.path.join(gen_dir, "filters"))
         if self.vector is not None:
-            save_vector_index(self.vector, os.path.join(dir_path, "vector"))
+            save_vector_index(self.vector, os.path.join(gen_dir, "vector"))
+        atomic_write_json(os.path.join(gen_dir, "index.json"), meta)
         atomic_write_json(
-            os.path.join(dir_path, "index.json"),
-            {
-                "index_id": self.index_id,
-                "locale": self.locale,
-                "embedding_model": self.embedding_model,
-                "field_types": self.field_types,
-                "field_params": self.field_params,
-                "doc_user_ids": {str(k): v for k, v in self.doc_user_ids.items()},
-                "omc": {str(k): v for k, v in self.omc.items()},
-                "max_doc_id": self.max_doc_id,
-                "vector_dim": self.vector.config.dim if self.vector else None,
-            },
+            os.path.join(dir_path, "CURRENT.json"), {"offset": offset}
         )
+        # GC: keep the current generation + the newest previous one
+        import shutil
+
+        gens = sorted(
+            int(n.split("-", 1)[1])
+            for n in os.listdir(dir_path)
+            if n.startswith("offset-") and n.split("-", 1)[1].isdigit()
+        )
+        keep = {offset}
+        older = [g for g in gens if g < offset]
+        if older:
+            keep.add(older[-1])
+        for g in gens:
+            if g not in keep:
+                shutil.rmtree(
+                    os.path.join(dir_path, f"offset-{g}"), ignore_errors=True
+                )
+
+    def commit(self, dir_path: str, offset: int = 0):
+        """Convenience: commit_memory + save (single-threaded callers)."""
+        self.commit_memory(offset)
+        self.save(dir_path)
 
     @classmethod
     def load(cls, dir_path: str, nlp: NLPService) -> Optional["ReadIndex"]:
-        meta = read_json(os.path.join(dir_path, "index.json"))
+        # resolve the current generation dir; fall back to the newest
+        # loadable generation, then to the legacy flat layout
+        candidates: List[str] = []
+        cur = read_json(os.path.join(dir_path, "CURRENT.json"))
+        if cur and "offset" in cur:
+            candidates.append(os.path.join(dir_path, f"offset-{cur['offset']}"))
+        if os.path.isdir(dir_path):
+            gens = sorted(
+                (
+                    int(n.split("-", 1)[1])
+                    for n in os.listdir(dir_path)
+                    if n.startswith("offset-") and n.split("-", 1)[1].isdigit()
+                ),
+                reverse=True,
+            )
+            candidates.extend(
+                os.path.join(dir_path, f"offset-{g}") for g in gens
+            )
+        candidates.append(dir_path)  # legacy flat layout
+        meta = None
+        for cand in candidates:
+            meta = read_json(os.path.join(cand, "index.json"))
+            if meta:
+                dir_path = cand
+                break
         if not meta:
             return None
         idx = cls(
             meta["index_id"], meta.get("locale", "english"),
             meta.get("embedding_model", "builtin-minihash-384"), nlp,
         )
+        idx.committed_offset = int(meta.get("committed_offset", 0))
+        idx.dirty = False
         idx.field_types = dict(meta.get("field_types", {}))
         idx.field_params = dict(meta.get("field_params", {}))
         idx.doc_user_ids = {int(k): v for k, v in meta.get("doc_user_ids", {}).items()}

@@ -162,11 +162,16 @@ def test_per_collection_operation_threshold(tmp_path):
         )
         orama.write_side.embedding_queue.flush_and_wait()
         orama.read_side.pump()
-        # the per-collection threshold fired: index snapshot dir exists
+        # the per-collection threshold fired: index snapshot generation
+        # dir exists (offset-N layout with a CURRENT pointer)
         idx_dir = os.path.join(
             cfg.data_dir, "reader", "collections", "busy", "indexes", "main"
         )
-        assert os.path.exists(os.path.join(idx_dir, "index.json"))
+        assert os.path.exists(os.path.join(idx_dir, "CURRENT.json"))
+        import json
+        cur = json.load(open(os.path.join(idx_dir, "CURRENT.json")))
+        gen = os.path.join(idx_dir, f"offset-{cur['offset']}")
+        assert os.path.exists(os.path.join(gen, "index.json"))
         # but the GLOBAL offset did not advance (only full commits move it)
         assert orama.read_side.committed_offset == 0
     finally:

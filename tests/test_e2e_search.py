@@ -333,6 +333,35 @@ def test_omc_multiplier(ctx):
     assert out.hits[0].score == pytest.approx(out.hits[1].score * 5.0, rel=1e-4)
 
 
+def test_omc_applies_before_fused_topk(ctx):
+    """A doc OUTSIDE the fused top-k candidate set whose OMC boost puts it
+    on the page must still surface (ADVICE r1: multipliers must apply
+    on-device before top-k, not to the candidate set)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    # 40 strong matches + one weak match with a massive OMC boost; with
+    # limit=1 the fused candidate set is only k=16, so "boosted" is far
+    # outside it on raw score
+    docs = [
+        {"id": f"s{i}", "text": "target target target target"}
+        for i in range(40)
+    ]
+    docs.append({"id": "boosted", "text": "target word", "_omc": 100.0})
+    idx.insert_documents(docs)
+    out = coll.search({"term": "target", "limit": 1})
+    assert ids_of(out)[0] == "boosted"
+    assert out.count == 41
+    # batched path applies OMC before top-k as well
+    from oramacore_tpu.types import SearchParams
+
+    batch = ctx.reader.search_batch(
+        coll.collection_id, coll.read_key,
+        [SearchParams.from_json({"term": "target", "limit": 1})],
+    )
+    assert batch[0].hits[0].id.endswith(":boosted")
+    assert batch[0].count == 41
+
+
 def test_reload_roundtrip(ctx):
     coll = ctx.create_collection()
     idx = coll.create_index()

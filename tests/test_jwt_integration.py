@@ -61,6 +61,24 @@ def test_customer_jwt_search(tmp_path):
             orama.read_side.search(
                 "c", bad, SearchParams.from_json({"term": "hello"})
             )
+        # validly-signed token WITHOUT a collection binding must be
+        # rejected (ADVICE r1: unbound tokens read every collection)
+        with pytest.raises(ReadError):
+            orama.read_side.search(
+                "c", token(), SearchParams.from_json({"term": "hello"})
+            )
+        # orak-style claim binding (reference collection.rs
+        # check_read_api_key: claims.orak == read_api_key)
+        out = orama.read_side.search(
+            "c", token(orak=coll.read_api_key),
+            SearchParams.from_json({"term": "hello"}),
+        )
+        assert out.count == 1
+        with pytest.raises(ReadError):
+            orama.read_side.search(
+                "c", token(orak="some-other-key"),
+                SearchParams.from_json({"term": "hello"}),
+            )
     finally:
         orama.stop()
 

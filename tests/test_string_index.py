@@ -194,7 +194,7 @@ def test_shared_batch_executor_matches_per_query():
     token_lists = [flatten_tokens(q) for q in queries]
 
     ex = SharedBatchExecutor()
-    vals, ids = ex.search_topk_shared(
+    vals, ids, _ = ex.search_topk_shared(
         idx, token_lists, props, {}, n, cap=n, k=4
     )
     for qi, toks in enumerate(token_lists):
