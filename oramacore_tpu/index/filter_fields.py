@@ -41,11 +41,15 @@ class _ColumnBase:
         self._committed_docs: np.ndarray = np.zeros(0, np.int32)
         self._committed_vals: np.ndarray = np.zeros(0, value_dtype)
         self._slab: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        # dense doc -> value cache for sort-by (built lazily, invalidated
+        # with the slab); avoids O(corpus) host scans per query
+        self._dense: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
 
     def append(self, doc_id: int, value) -> None:
         self._live_docs.append(doc_id)
         self._live_vals.append(value)
         self._slab = None
+        self._dense = None
 
     def slab(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._slab is None:
@@ -74,6 +78,7 @@ class _ColumnBase:
         self._committed_vals = np.ascontiguousarray(vals[order])
         self._live_docs, self._live_vals = [], []
         self._slab = None
+        self._dense = None
 
     def delete_doc_live(self, doc_id: int) -> None:
         if doc_id in self._live_docs:
@@ -81,6 +86,27 @@ class _ColumnBase:
             self._live_docs = [self._live_docs[i] for i in keep]
             self._live_vals = [self._live_vals[i] for i in keep]
             self._slab = None
+            self._dense = None
+
+    def dense_values(self, cap: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(values f64[cap], present bool[cap]) — first value per doc wins
+        (matches scan order for multi-valued fields). Cached until the
+        column changes, so sort-by is O(hits log hits) per query instead
+        of an O(corpus) Python loop."""
+        cached = self._dense
+        if cached is not None and cached[0] >= cap:
+            return cached[1], cached[2]
+        docs, vals = self.slab()
+        out = np.zeros(cap, np.float64)
+        present = np.zeros(cap, bool)
+        if len(docs):
+            d = docs[docs < cap]
+            v = vals[docs < cap].astype(np.float64)
+            # write reversed so the FIRST occurrence is the final write
+            out[d[::-1]] = v[::-1]
+            present[d] = True
+        self._dense = (cap, out, present)
+        return out, present
 
     def n_values(self) -> int:
         return len(self._committed_docs) + len(self._live_docs)
@@ -234,11 +260,13 @@ class StringFilterField(_ColumnBase):
 
     def doc_values(self, doc_ids: Sequence[int]) -> Dict[int, List[str]]:
         docs, vals = self.slab()
-        wanted = set(int(d) for d in doc_ids)
         out: Dict[int, List[str]] = {}
-        for d, v in zip(docs.tolist(), vals.tolist()):
-            if d in wanted:
-                out.setdefault(d, []).append(self._values[v])
+        if not len(docs):
+            return out
+        wanted = np.asarray(list(doc_ids), np.int64)
+        sel = np.isin(docs, wanted)  # vectorized; Python loop only on hits
+        for d, v in zip(docs[sel].tolist(), vals[sel].tolist()):
+            out.setdefault(d, []).append(self._values[v])
         return out
 
     def all_values(self) -> List[str]:
@@ -271,6 +299,7 @@ class GeoField:
             col._committed_vals = np.ascontiguousarray(vals)
             col._live_docs, col._live_vals = [], []
             col._slab = None
+            col._dense = None
 
     def delete_doc_live(self, doc_id: int) -> None:
         for col in (self._docs, self._lat, self._lon):

@@ -265,6 +265,75 @@ class StringSearchTopK(StringSearchExecutor):
         )
 
 
+class HybridSearchTopK(StringSearchTopK):
+    """Fused hybrid: BM25F + vector matmul + min-max fusion + threshold +
+    OMC + top-k in ONE device dispatch (VERDICT r1 #7: the 2-3-dispatch
+    hybrid path capped out at 17 QPS behind tunnel latency)."""
+
+    def search_topk_hybrid(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        vec_rows,                 # (matrix, row_doc, row_valid) device arrays
+        queries: np.ndarray,      # f32[B, dim] L2-normalized query vectors
+        similarities: Sequence[float],
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+        rescale: Optional[Tuple[float, float]] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        from ..ops.hybrid import hybrid_search_topk_packed
+        from ..ops.bm25 import round_up_pow2
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap, doc_masks)
+        Bb = pb.starts.shape[0]
+        idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        scalars = np.stack([
+            pb.nd, np.zeros((Bb,), np.float32), np.zeros((Bb,), np.float32),
+        ])
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                scalars[1, i] = t or 0.0
+        for i, s in enumerate(similarities):
+            scalars[2, i] = s
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            omc_arr = self._get_device_omc(omc, omc_key, pb.capb)
+        else:
+            omc_arr = jnp.ones((1,), jnp.float32)
+        q = np.zeros((Bb, queries.shape[1]), np.float32)
+        q[: len(queries)] = queries
+        matrix, row_doc, row_valid = vec_rows
+        kb = min(round_up_pow2(k, 8), pb.capb)
+        vals, idx, counts = hybrid_search_topk_packed(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
+            matrix, row_doc, row_valid, jnp.asarray(q),
+            jnp.asarray(mask_arr), omc_arr,
+            lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
+            has_mask=has_mask, has_omc=has_omc,
+            has_rescale=rescale is not None,
+            rescale_lo=float(rescale[0]) if rescale else 0.0,
+            rescale_hi=float(rescale[1]) if rescale else 1.0,
+        )
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(idx[: pb.B, :k]),
+            np.asarray(counts[: pb.B]),
+        )
+
+
 class SharedBatchExecutor(StringSearchTopK):
     """Term-deduplicated batched scoring: each unique query token is
     scored once into dense per-token rows; a (B, U) assignment matmul
@@ -292,6 +361,10 @@ class SharedBatchExecutor(StringSearchTopK):
         field_params: Optional[Dict[str, Tuple[float, float]]] = None,
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
+        vec_rows=None,                 # hybrid: (matrix, row_doc, row_valid)
+        queries: Optional[np.ndarray] = None,   # hybrid: f32[B, dim]
+        similarities: Optional[Sequence[float]] = None,
+        rescale: Optional[Tuple[float, float]] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -422,14 +495,35 @@ class SharedBatchExecutor(StringSearchTopK):
         if thresholds is not None:
             for i, t in enumerate(thresholds):
                 thr[i] = t or 0.0
-        if omc is not None:
+        has_omc = omc is not None
+        if has_omc:
             omc_dev = self._get_device_omc(omc, omc_key, capb)
         else:
             omc_dev = jnp.ones((capb,), jnp.float32)
         kb = min(round_up_pow2(k, 8), capb)
-        vals, idx, counts = finalize_topk(
-            scores, matched, jnp.asarray(thr), omc_dev, k=kb
-        )
+        if vec_rows is not None:
+            # batched-hybrid tail: vector matmul + min-max fusion + OMC +
+            # top-k fused into one dispatch (ops/hybrid.py)
+            from ..ops.hybrid import hybrid_finalize_topk
+
+            matrix, row_doc, row_valid = vec_rows
+            sims = np.asarray(similarities, np.float32)
+            vals, idx, counts = hybrid_finalize_topk(
+                scores, matched, jnp.asarray(thr),
+                matrix, row_doc, row_valid,
+                jnp.asarray(np.asarray(queries, np.float32)),
+                jnp.asarray(sims),
+                mask_dev if has_masks else jnp.zeros((1, 1), bool),
+                omc_dev if has_omc else jnp.ones((1,), jnp.float32),
+                cap=capb, k=kb, has_mask=has_masks, has_omc=has_omc,
+                has_rescale=rescale is not None,
+                rescale_lo=float(rescale[0]) if rescale else 0.0,
+                rescale_hi=float(rescale[1]) if rescale else 1.0,
+            )
+        else:
+            vals, idx, counts = finalize_topk(
+                scores, matched, jnp.asarray(thr), omc_dev, k=kb
+            )
         return (
             np.asarray(vals[:, :k]),
             np.asarray(idx[:, :k]),

@@ -238,6 +238,15 @@ class VectorIndex:
             self._dev_gen = self._gen
         return self._dev
 
+    def flat_device_rows(self):
+        """(matrix bf16[N, dim], row_doc i32[N], row_valid bool[N]) device
+        arrays for the fused hybrid path, or None in IVF mode (the fused
+        kernel scans flat rows; IVF-sized indexes use the probe path)."""
+        (matrix, row_doc, row_valid, _c, _s, is_ivf, _sp) = self._device_slab()
+        if is_ivf:
+            return None
+        return matrix, row_doc, row_valid
+
     @staticmethod
     def _chunk_for(n: int) -> int:
         if n <= 8192:

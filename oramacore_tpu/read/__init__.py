@@ -85,17 +85,20 @@ class CollectionReader:
         # commit_collection — which does not advance the global offset —
         # stays idempotent under crash-replay)
         self.committed_offset = 0
+        # persistent internal doc id -> ReadIndex (maintained on op apply;
+        # hit hydration must not rebuild it per query — O(corpus))
+        self.doc_index: Dict[int, ReadIndex] = {}
 
     def resolve_index(self, index_id: str) -> Optional[ReadIndex]:
         real = self.aliases.get(index_id, index_id)
         return self.indexes.get(real)
 
     def executor(self, index_id: str):
-        from ..index.search_exec import StringSearchTopK
+        from ..index.search_exec import HybridSearchTopK
 
         ex = self._executors.get(index_id)
         if ex is None:
-            ex = self._executors[index_id] = StringSearchTopK()
+            ex = self._executors[index_id] = HybridSearchTopK()
         return ex
 
     def runtime_indexes(self) -> List[ReadIndex]:
@@ -269,7 +272,10 @@ class ReadSide:
             coll.indexes[b["index"]] = ridx
             return
         if kind == "delete_index":
-            coll.indexes.pop(b["index"], None)
+            dropped = coll.indexes.pop(b["index"], None)
+            if dropped is not None:
+                for d in dropped.doc_user_ids:
+                    coll.doc_index.pop(d, None)
             coll._executors.pop(b["index"], None)
             return
         if kind == "replace_index":
@@ -279,6 +285,11 @@ class ReadSide:
                 old = coll.indexes.pop(b["target"], None)
                 if old is not None:
                     coll.doc_storage.remove(old.doc_user_ids.keys())
+                    for d in old.doc_user_ids:
+                        coll.doc_index.pop(d, None)
+                    # temp's docs stay bound to the promoted object
+                    for d in temp.doc_user_ids:
+                        coll.doc_index[d] = temp
                 temp.index_id = b["target"]
                 coll.indexes[b["target"]] = temp
                 coll.aliases[b["temp"]] = b["target"]
@@ -321,6 +332,7 @@ class ReadSide:
             idx.apply_create_field(b)
         elif kind == "index_document":
             idx.apply_index_document(b)
+            coll.doc_index[int(b["doc_id"])] = idx
             raw = b.get("raw")
             if raw is not None:
                 coll.doc_storage.insert(
@@ -330,6 +342,8 @@ class ReadSide:
             idx.apply_index_embedding(b)
         elif kind == "delete_documents":
             idx.apply_delete_documents(b)
+            for d in b["doc_ids"]:
+                coll.doc_index.pop(int(d), None)
             coll.doc_storage.remove(int(d) for d in b["doc_ids"])
 
     # ------------------------------------------------------------------
@@ -573,11 +587,15 @@ class ReadSide:
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
         if isinstance(mode, HybridMode):
-            # (token_score.rs:357-422). With fused_ok the fulltext side
-            # returns top candidates + exact count; min-max fusion over
-            # candidates is exact because the reference folds its min from
-            # 0.0 (scores are non-negative) and the global max is within
-            # the candidate set.
+            # Fully-fused hybrid (token_score.rs:357-422 semantics): BM25 +
+            # vector matmul + min-max fusion + OMC + top-k in ONE dispatch.
+            if fused_ok:
+                out = self._hybrid_fused(coll, idx, mode, params, mask)
+                if out is not None:
+                    return out
+            # fallback: separate vector + fulltext passes, host fusion
+            # (IVF-sized vector indexes, multi-chunk query embeddings,
+            # tolerance, or result sets needed downstream)
             vec = self._vector_scores(idx, mode.term, mode.similarity, params, mask)
             # omc_in_kernel=False: the reference applies OMC AFTER hybrid
             # fusion (search.rs:342), so the ft side must stay raw here
@@ -596,6 +614,97 @@ class ReadSide:
             return out
         raise ReadError(f"unsupported mode {mode!r}", 400)
 
+    def _hybrid_fused(
+        self,
+        coll: CollectionReader,
+        idx: ReadIndex,
+        mode: HybridMode,
+        params: SearchParams,
+        mask: Optional[np.ndarray],
+    ) -> Optional[Dict[int, float]]:
+        """One-dispatch hybrid; returns None when the fused path doesn't
+        apply (no vector index, IVF mode, multi-chunk query embedding, or
+        no string fields) so the caller falls back."""
+        if idx.vector is None:
+            return None
+        planned = self._plan_fulltext(idx, mode, params)
+        if planned is None:
+            return None
+        tokens, plan = planned
+        vec_rows = idx.vector.flat_device_rows()
+        if vec_rows is None:
+            return None
+        targets = self.embeddings.calculate_embeddings(
+            [mode.term], Intent.QUERY, idx.embedding_model
+        )[0]
+        if len(targets) != 1:
+            return None
+        from ..ops.vector import l2_normalize
+
+        q = l2_normalize(np.asarray(targets[0], np.float32).reshape(1, -1))
+        cap = idx.cap()
+        k = min(max(2 * (params.limit + params.offset), 16), cap)
+        thr = None
+        if mode.threshold is not None:
+            thr = float(math.floor(len(tokens) * mode.threshold))
+        omc_arr = idx.omc_array()
+        ex = coll.executor(idx.index_id)
+        vals, ids, counts = ex.search_topk_hybrid(
+            idx.string, [plan], [idx.document_count()], cap, k,
+            vec_rows, q, [mode.similarity],
+            exact=mode.exact,
+            doc_masks=[mask] if mask is not None else None,
+            thresholds=[thr] if thr is not None else None,
+            omc=omc_arr, omc_key=idx.omc_version,
+            rescale=idx.vector.config.score_rescale,
+        )
+        self._last_fused_count = int(counts[0])
+        self._last_omc_applied = omc_arr is not None
+        return {
+            int(d): float(v)
+            for v, d in zip(vals[0], ids[0])
+            if v > float("-inf") and v > 0
+        }
+
+    def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams):
+        """Tokenize + build the padded posting-range plan for a fulltext
+        or hybrid query. Returns (tokens, plan) or None (no string
+        fields searchable)."""
+        parser = idx.parser
+        parsed = parser.tokenize_and_stem(mode.term)
+        if mode.exact:
+            tokens = [t for t, _ in parsed]
+        else:
+            tokens = []
+            for t, variants in parsed:
+                tokens.append(t)
+                tokens.extend(variants)
+        if not tokens:
+            tokens = [""]
+        # properties: specified (string fields only) or all string fields
+        if params.properties is not None:
+            props = [
+                p for p in params.properties
+                if idx.field_types.get(p, "").startswith("string")
+            ]
+        else:
+            props = [
+                p for p, t in idx.field_types.items() if t.startswith("string")
+            ]
+        if not props:
+            return None
+        fp = {
+            p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
+            for p_, v in idx.field_params.items()
+        } if idx.field_params else None
+        plan = idx.string.plan_query(
+            tokens, props, params.boost,
+            tolerance=(0 if mode.exact else mode.tolerance) or None,
+            impact_cap=self.config.reader_side.impact_cap,
+            field_params=fp,
+        )
+        return tokens, plan
+
     def _fulltext_scores(
         self,
         coll: CollectionReader,
@@ -612,40 +721,10 @@ class ReadSide:
         the tunnel instead of dense (cap,) score vectors. With
         omc_in_kernel, OMC multipliers apply on-device before top-k (sets
         self._last_omc_applied so callers don't double-apply)."""
-        parser = idx.parser
-        parsed = parser.tokenize_and_stem(mode.term)
-        if mode.exact:
-            tokens = [t for t, _ in parsed]
-        else:
-            tokens = []
-            for t, variants in parsed:
-                tokens.append(t)
-                tokens.extend(variants)
-        if not tokens:
-            tokens = [""]
-
-        # properties: specified (string fields only) or all string fields
-        if params.properties is not None:
-            props = [
-                p for p in params.properties
-                if idx.field_types.get(p, "").startswith("string")
-            ]
-        else:
-            props = [
-                p for p, t in idx.field_types.items() if t.startswith("string")
-            ]
-        if not props:
+        planned = self._plan_fulltext(idx, mode, params)
+        if planned is None:
             return {}
-        fp = {
-            p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
-            for p_, v in idx.field_params.items()
-        } if idx.field_params else None
-        plan = idx.string.plan_query(
-            tokens, props, params.boost,
-            tolerance=(0 if mode.exact else mode.tolerance) or None,
-            impact_cap=self.config.reader_side.impact_cap,
-            field_params=fp,
-        )
+        tokens, plan = planned
         cap = idx.cap()
         ex = coll.executor(idx.index_id)
         if fused_ok:
@@ -713,9 +792,9 @@ class ReadSide:
     ):
         cap = idx.cap()
         doc_mask = np.zeros(cap, bool)
-        for d in scores:
-            if d < cap:
-                doc_mask[d] = True
+        if scores:
+            dd = np.fromiter(scores.keys(), np.int64, len(scores))
+            doc_mask[dd[dd < cap]] = True
         for name, facet in params.facets.items():
             if facet.kind == "number" and name in idx.filters.numbers:
                 ranges = [(r.from_, r.to) for r in facet.ranges]
@@ -760,6 +839,7 @@ class ReadSide:
         out: Dict[int, Dict[str, List[Any]]],
     ):
         docs = list(scores.keys())
+        docs_arr = np.asarray(docs, np.int64)
         for prop in params.group_by.properties:
             if prop in idx.filters.strings:
                 vals = idx.filters.strings[prop].doc_values(docs)
@@ -768,17 +848,15 @@ class ReadSide:
             elif prop in idx.filters.numbers:
                 col = idx.filters.numbers[prop]
                 dd, vv = col.slab()
-                wanted = set(docs)
-                for d, v in zip(dd.tolist(), vv.tolist()):
-                    if d in wanted:
-                        out.setdefault(d, {}).setdefault(prop, []).append(v)
+                sel = np.isin(dd, docs_arr)  # vectorized over the slab
+                for d, v in zip(dd[sel].tolist(), vv[sel].tolist()):
+                    out.setdefault(d, {}).setdefault(prop, []).append(v)
             elif prop in idx.filters.bools:
                 col = idx.filters.bools[prop]
                 dd, vv = col.slab()
-                wanted = set(docs)
-                for d, v in zip(dd.tolist(), vv.tolist()):
-                    if d in wanted:
-                        out.setdefault(d, {}).setdefault(prop, []).append(bool(v))
+                sel = np.isin(dd, docs_arr)
+                for d, v in zip(dd[sel].tolist(), vv[sel].tolist()):
+                    out.setdefault(d, {}).setdefault(prop, []).append(bool(v))
 
     def _build_groups(
         self,
@@ -856,26 +934,37 @@ class ReadSide:
         scores: Dict[int, float],
         sort_by,
     ) -> List[Tuple[int, float]]:
+        """Vectorized sort-by: dense doc->value caches per column (built
+        once per column change), then O(hits log hits) argsort — no
+        O(corpus) Python loops on the query path."""
         prop, order = sort_by.property, sort_by.order
-        keys: Dict[int, Any] = {}
+        docs = np.fromiter(scores.keys(), np.int64, len(scores))
+        key_vals = np.zeros(len(docs), np.float64)
+        have = np.zeros(len(docs), bool)
         for idx in indexes:
+            cap = idx.cap()
             for group in (idx.filters.numbers, idx.filters.dates, idx.filters.bools):
                 col = group.get(prop)
                 if col is None:
                     continue
-                dd, vv = col.slab()
-                for d, v in zip(dd.tolist(), vv.tolist()):
-                    if d in scores and d not in keys:
-                        keys[d] = v
-        missing = [d for d in scores if d not in keys]
-        present = sorted(
-            (d for d in scores if d in keys),
-            key=lambda d: (keys[d], d),
-            reverse=(order == "desc"),
-        )
+                vals, present = col.dense_values(cap)
+                in_cap = docs < cap
+                hit = np.zeros(len(docs), bool)
+                hit[in_cap] = present[docs[in_cap]]
+                take = hit & ~have
+                key_vals[take] = vals[docs[take]]
+                have |= hit
+        present_docs = docs[have]
+        present_keys = key_vals[have]
+        idx_order = np.lexsort((present_docs, present_keys))
+        if order == "desc":
+            # same semantics as sorted(key=(key, doc), reverse=True)
+            idx_order = idx_order[::-1]
+        ordered = present_docs[idx_order].tolist()
+        missing = np.sort(docs[~have]).tolist()
         # docs without the sort field rank after sorted ones
-        return [(d, scores[d]) for d in present] + [
-            (d, scores[d]) for d in sorted(missing)
+        return [(d, scores[d]) for d in ordered] + [
+            (d, scores[d]) for d in missing
         ]
 
     # -- hydration ----------------------------------------------------------
@@ -887,10 +976,8 @@ class ReadSide:
         page: List[Tuple[int, float]],
     ) -> List[SearchResultHit]:
         blobs = coll.doc_storage.get_documents_by_ids([d for d, _ in page])
-        doc_index: Dict[int, ReadIndex] = {}
-        for idx in indexes:
-            for d in idx.doc_user_ids:
-                doc_index.setdefault(d, idx)
+        # persistent doc->index map: O(page), not O(corpus) per query
+        doc_index = coll.doc_index
         hits = []
         for d, score in page:
             idx = doc_index.get(d)
@@ -1061,6 +1148,8 @@ class ReadSide:
                 idx = ReadIndex.load(os.path.join(cdir, "indexes", iid), self.nlp)
                 if idx is not None:
                     coll.indexes[iid] = idx
+                    for d in idx.doc_user_ids:
+                        coll.doc_index[d] = idx
             self.collections[cid] = coll
 
     def stop(self):
@@ -1113,20 +1202,29 @@ def _fmt_num(x) -> str:
 # wins, so the engine exposes it directly).
 # ---------------------------------------------------------------------------
 
-def _can_use_shared(params_list: List[SearchParams]) -> bool:
+def _can_use_shared(params_list: List[SearchParams]) -> Optional[str]:
+    """'fulltext' | 'hybrid' when the batch is homogeneous enough for the
+    term-dedup shared device path; None -> per-query fallback."""
     first = params_list[0]
+    kinds = set()
     for p in params_list:
-        if not isinstance(p.mode, FulltextMode) or p.mode_str not in (
+        if isinstance(p.mode, FulltextMode) and p.mode_str in (
             "fulltext", "default"
         ):
-            return False
+            kinds.add("fulltext")
+        elif isinstance(p.mode, HybridMode):
+            kinds.add("hybrid")
+        else:
+            return None
         if p.facets or p.group_by or p.sort_by:
-            return False
+            return None
         if p.mode.exact or p.mode.tolerance:
-            return False
+            return None
         if p.properties != first.properties or p.boost != first.boost:
-            return False
-    return True
+            return None
+    if len(kinds) != 1:
+        return None
+    return kinds.pop()
 
 
 def _search_batch(
@@ -1142,10 +1240,13 @@ def _search_batch(
     if not params_list:
         return []
     indexes = coll.runtime_indexes()
-    if len(indexes) != 1 or not _can_use_shared(params_list):
+    shared_kind = _can_use_shared(params_list) if indexes else None
+    if len(indexes) != 1 or shared_kind is None:
         return [self.search(collection_id, read_key, p) for p in params_list]
     with self._state_lock.read("search_batch"):
-        out = _search_batch_locked(self, coll, indexes, params_list)
+        out = _search_batch_locked(
+            self, coll, indexes, params_list, shared_kind
+        )
     if out is None:  # no searchable string fields → per-query fallback
         return [self.search(collection_id, read_key, p) for p in params_list]
     return out
@@ -1156,6 +1257,7 @@ def _search_batch_locked(
     coll: CollectionReader,
     indexes,
     params_list: List[SearchParams],
+    shared_kind: str = "fulltext",
 ) -> Optional[List[SearchResult]]:
     from ..index.search_exec import SharedBatchExecutor
 
@@ -1206,6 +1308,33 @@ def _search_batch_locked(
         p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
         for p_, v in idx.field_params.items()
     } if idx.field_params else None
+    # hybrid batch: one embeddings call for all B terms, then the shared
+    # BM25 pass + fused vector/fusion/top-k tail
+    hybrid_args = {}
+    if shared_kind == "hybrid":
+        if idx.vector is None:
+            return None
+        vec_rows = idx.vector.flat_device_rows()
+        if vec_rows is None:
+            return None  # IVF mode: per-query probe path
+        all_targets = self.embeddings.calculate_embeddings(
+            [p.mode.term for p in params_list], Intent.QUERY,
+            idx.embedding_model,
+        )
+        if any(len(t) != 1 for t in all_targets):
+            return None  # multi-chunk query embeddings: fall back
+        from ..ops.vector import l2_normalize
+
+        q = l2_normalize(
+            np.stack([np.asarray(t[0], np.float32) for t in all_targets])
+        )
+        hybrid_args = dict(
+            vec_rows=vec_rows,
+            queries=q,
+            similarities=[p.mode.similarity for p in params_list],
+            rescale=idx.vector.config.score_rescale,
+        )
+
     # OMC multipliers apply on-device before top-k (ADVICE r1: applying
     # them to the post-top-k candidate set can drop boosted docs)
     vals, ids, counts = ex.search_topk_shared(
@@ -1217,6 +1346,7 @@ def _search_batch_locked(
         field_params=fp,
         omc=idx.omc_array(),
         omc_key=idx.omc_version,
+        **hybrid_args,
     )
     results: List[SearchResult] = []
     for qi, p in enumerate(params_list):

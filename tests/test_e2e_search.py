@@ -574,6 +574,37 @@ def test_search_batch_shared_path(ctx):
         assert ids_of(single) == ids_of(batch_result)
 
 
+def test_search_batch_hybrid_shared_path(ctx):
+    """A homogeneous batch of hybrid queries runs through the fused
+    shared path (one embeddings call + one BM25 pass + one fused
+    vector/fusion/top-k tail) and matches the per-query hybrid path."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "t": "red apple pie with cinnamon"},
+            {"id": "2", "t": "green apple juice"},
+            {"id": "3", "t": "banana split dessert"},
+            {"id": "4", "t": "chocolate cake"},
+        ]
+    )
+    ctx.commit_all()
+    from oramacore_tpu.types import SearchParams
+
+    queries = ["apple pie", "banana dessert", "chocolate", "zz no match"]
+    params = [
+        SearchParams.from_json({"mode": "hybrid", "term": q, "similarity": 0.1})
+        for q in queries
+    ]
+    results = ctx.reader.search_batch(coll.collection_id, coll.read_key, params)
+    for p, batch_result in zip(params, results):
+        single = ctx.reader.search(coll.collection_id, coll.read_key, p)
+        assert ids_of(single) == ids_of(batch_result)
+        assert single.count == batch_result.count
+        for hs, hb in zip(single.hits, batch_result.hits):
+            assert hb.score == pytest.approx(hs.score, rel=1e-4)
+
+
 def test_search_batch_falls_back_for_filters(ctx):
     coll = ctx.create_collection()
     idx = coll.create_index()
