@@ -47,6 +47,11 @@ class ReaderSideConfig:
     # Bounds per-term device work on huge postings lists (max-score-style
     # pruning) — recommended ~8192 for multi-million-doc corpora.
     impact_cap: Optional[int] = None
+    # doc-id-sharded search over a device mesh: number of shards
+    # (devices) to spread each index over. 0/1 = single-device. Requires
+    # that many JAX devices; the fused fulltext path dispatches to the
+    # shard_map step with collective df + top-k merge (SURVEY §5.8).
+    sharded_shards: int = 0
 
 
 @dataclass

@@ -103,7 +103,7 @@ def _aggregate_dense(docs, ntf, cap: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("exact", "cap", "lr"),
+    static_argnames=("exact", "cap", "lr", "axis_name"),
 )
 def bm25_score_batch(
     p_doc: jax.Array,        # int32[P + MAX_RANGE_LEN pad]
@@ -121,10 +121,16 @@ def bm25_score_batch(
     lr: int,                 # static: max range length bucket
     exact: bool,
     cap: int,                # static: doc-id capacity (scores width)
+    axis_name=None,          # static: mesh axis for GLOBAL df (doc sharding)
 ):
     """Score a batch of queries against one index's postings slab.
 
     Returns (scores f32[B, cap], matched_tokens f32[B, cap]).
+
+    Under shard_map with doc-id sharding, pass axis_name so the per-token
+    document frequency (hence IDF) is psum-reduced over the mesh axis —
+    every other term of the formula is shard-local because each doc's
+    postings live entirely in its shard.
     """
     B, T, NR = starts.shape
     LR = int(lr)
@@ -162,6 +168,8 @@ def bm25_score_batch(
         acc = jnp.where(doc_mask, acc, 0.0)  # filtered-IDF semantics
         present = acc > 0.0
         df = jnp.sum(present, axis=1).astype(jnp.float32)  # (B,)
+        if axis_name is not None:
+            df = jax.lax.psum(df, axis_name)  # global df over doc shards
         df = jnp.maximum(df, 1.0)  # corpus_df = max(1, ...) token_score.rs:275
         idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))  # (B,)
         sat = idf[:, None] * (K1 + 1.0) * acc / (K1 + acc)

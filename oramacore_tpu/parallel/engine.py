@@ -1,0 +1,284 @@
+"""Doc-id-sharded ENGINE search over a device mesh.
+
+This is the production integration of the sharded step (parallel/__init__
+holds the standalone demo + driver dryrun): a real committed StringIndex
+is partitioned by doc id across mesh devices at slab-build time, and the
+fused fulltext path (scoring + threshold + OMC + top-k + exact counts)
+executes as ONE shard_map dispatch with XLA collectives over ICI:
+
+    shard assignment  doc -> shard = doc % D, local slot = doc // D
+                      (mod-sharding balances load as doc ids grow;
+                      global id reconstructs as slot * D + shard)
+    per chip          BM25F over the local postings shard (every posting
+                      of a doc lives in its shard, so TF/length terms are
+                      shard-local)
+    collectives       psum of per-token df (global IDF), psum of match
+                      counts, all_gather of per-shard top-k + final top-k
+
+The reference scales reads by replicating whole indexes to N reader
+processes (SURVEY §2.9, lib.rs:234-307); this axis — one logical index
+spread over chips — has no reference counterpart and is the TPU-native
+scale-out story (SURVEY §5.8). Shard layout is DERIVED from the committed
+slab (vectorized O(P) partition at build), so snapshots stay
+layout-independent: the same on-disk index loads on any mesh size.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..index.string_index import QueryPlan, StringIndex
+from ..ops.bm25 import MAX_RANGE_LEN, bm25_score_batch, round_up_pow2
+
+
+def build_engine_mesh(n_shards: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_shards, (
+        f"sharded_shards={n_shards} but only {len(devices)} devices"
+    )
+    return Mesh(np.asarray(devices[:n_shards]), axis_names=("d",))
+
+
+class ShardedStringExec:
+    """Doc-sharded executor with the same search_topk contract as
+    StringSearchTopK: (vals f32[B,k], GLOBAL ids i32[B,k], counts i32[B])."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.D = int(mesh.shape["d"])
+        self._slab_gen: Optional[int] = None
+        self._dev: Optional[Tuple] = None
+        # prefix[s, i] = # postings with shard==s among the first i global
+        # postings — maps any global (start, len) range onto each shard's
+        # local sub-range in O(1)
+        self._prefix: Optional[np.ndarray] = None
+        self._steps: Dict[Tuple, object] = {}
+        self._lock = threading.Lock()
+        self._omc_dev: Optional[Tuple[int, int, object]] = None
+
+    # ------------------------------------------------------------------
+    # Sharded slab build (at commit / generation change)
+    # ------------------------------------------------------------------
+
+    def ensure_slab(self, index: StringIndex) -> None:
+        slab = index.slab()
+        gen = index.generation
+        if self._slab_gen == gen:
+            return
+        with self._lock:
+            if self._slab_gen == gen:
+                return
+            p_doc, p_tf, p_etf, p_flen = slab
+            D = self.D
+            P_total = len(p_doc)
+            shard = (p_doc.astype(np.int64) % D).astype(np.int32)
+            counts = np.bincount(shard, minlength=D)
+            prefix = np.zeros((D, P_total + 1), np.int64)
+            for s in range(D):
+                np.cumsum(shard == s, out=prefix[s, 1:])
+            max_p = int(counts.max()) if P_total else 1
+            Pb = round_up_pow2(max(max_p, 1), 1024) + MAX_RANGE_LEN
+            docs_l = np.zeros((D, Pb), np.int32)
+            tf_l = np.zeros((D, Pb), np.float32)
+            etf_l = np.zeros((D, Pb), np.float32)
+            flen_l = np.ones((D, Pb), np.float32)
+            for s in range(D):
+                sel = shard == s
+                n = int(counts[s])
+                docs_l[s, :n] = (p_doc[sel].astype(np.int64) // D).astype(
+                    np.int32
+                )
+                tf_l[s, :n] = p_tf[sel]
+                etf_l[s, :n] = p_etf[sel]
+                flen_l[s, :n] = p_flen[sel]
+            sharding = NamedSharding(self.mesh, P("d", None))
+            self._dev = tuple(
+                jax.device_put(a, sharding)
+                for a in (docs_l, tf_l, etf_l, flen_l)
+            )
+            self._prefix = prefix
+            self._slab_gen = gen
+
+    def _shard_ranges(self, starts: np.ndarray, lens: np.ndarray):
+        """Map global (B, T, NR) ranges onto per-shard local sub-ranges
+        -> (D, B, T, NR) starts/lens."""
+        shape = starts.shape
+        st = starts.reshape(-1).astype(np.int64)
+        en = st + lens.reshape(-1).astype(np.int64)
+        s_st = self._prefix[:, st]                    # (D, B*T*NR)
+        s_ln = self._prefix[:, en] - s_st
+        D = self.D
+        return (
+            s_st.reshape((D,) + shape).astype(np.int32),
+            s_ln.reshape((D,) + shape).astype(np.int32),
+        )
+
+    # ------------------------------------------------------------------
+    # Compiled sharded step (cached per static-shape bucket)
+    # ------------------------------------------------------------------
+
+    def _get_step(self, *, lr, cap_l, k, exact, has_mask, has_omc):
+        key = (lr, cap_l, k, exact, has_mask, has_omc)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        mesh, D = self.mesh, self.D
+
+        def shard_fn(p_doc, p_tf, p_etf, p_flen, starts, lens,
+                     weights, field_b, avg, n_docs, thr, mask, omc):
+            B = weights.shape[0]
+            m = mask[0] if has_mask else jnp.ones((B, cap_l), bool)
+            scores, matched = bm25_score_batch(
+                p_doc[0], p_tf[0], p_etf[0], p_flen[0],
+                starts[0], lens[0], weights, field_b, avg, n_docs, m,
+                lr=lr, exact=exact, cap=cap_l, axis_name="d",
+            )
+            s = scores * omc[0][None, :] if has_omc else scores
+            keep = (matched >= thr[:, None]) & (scores > 0.0)
+            counts = jax.lax.psum(
+                jnp.sum(keep, axis=1).astype(jnp.int32), "d"
+            )
+            s = jnp.where(keep, s, -jnp.inf)
+            local_vals, local_idx = jax.lax.top_k(s, k)
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            local_ids = local_idx * D + sid          # global doc ids
+            all_vals = jax.lax.all_gather(local_vals, "d", axis=1)
+            all_ids = jax.lax.all_gather(local_ids, "d", axis=1)
+            flat_vals = all_vals.reshape(B, D * k)
+            flat_ids = all_ids.reshape(B, D * k)
+            vals, sel = jax.lax.top_k(flat_vals, k)
+            ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+            return vals, ids, counts
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("d", None), P("d", None), P("d", None), P("d", None),
+                P("d", None, None, None), P("d", None, None, None),
+                P(None, None, None), P(None, None, None),
+                P(None, None, None), P(None), P(None),
+                P("d", None, None) if has_mask else P(None, None),
+                P("d", None) if has_omc else P(None),
+            ),
+            out_specs=(P(None, None), P(None, None), P(None)),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+    # Host-side partitioning of per-doc arrays (masks / OMC)
+    # ------------------------------------------------------------------
+
+    def _partition_docs_axis(self, arr: np.ndarray, cap_l: int, fill):
+        """Global per-doc array [..., cap] -> sharded [D, ..., cap_l]
+        (doc d lands at [d % D, ..., d // D])."""
+        D = self.D
+        lead = arr.shape[:-1]
+        cap = arr.shape[-1]
+        padded = np.full(lead + (cap_l * D,), fill, arr.dtype)
+        padded[..., :cap] = arr
+        # global index = slot * D + shard -> reshape to (..., cap_l, D)
+        resh = padded.reshape(lead + (cap_l, D))
+        return np.moveaxis(resh, -1, 0)  # (D, ..., cap_l)
+
+    # ------------------------------------------------------------------
+    # Public search (StringSearchTopK-compatible contract)
+    # ------------------------------------------------------------------
+
+    def search_topk(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self.ensure_slab(index)
+        D = self.D
+        B = len(plans)
+        T = max(p.starts.shape[0] for p in plans)
+        NR = max(p.starts.shape[1] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NRb = round_up_pow2(NR, 1)
+        g_starts = np.zeros((B, Tb, NRb), np.int32)
+        g_lens = np.zeros((B, Tb, NRb), np.int32)
+        weights = np.zeros((B, Tb, NRb), np.float32)
+        field_b = np.full((B, Tb, NRb), 0.75, np.float32)
+        avg = np.ones((B, Tb, NRb), np.float32)
+        nd = np.ones((B,), np.float32)
+        thr = np.zeros((B,), np.float32)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            g_starts[i, :t, :r] = p.starts
+            g_lens[i, :t, :r] = p.lens
+            weights[i, :t, :r] = p.weights
+            field_b[i, :t, :r] = p.field_b
+            avg[i, :t, :r] = p.avg_flen
+            nd[i] = max(float(n_docs[i]), 1.0)
+            if thresholds is not None and thresholds[i]:
+                thr[i] = thresholds[i]
+        s_starts, s_lens = self._shard_ranges(g_starts, g_lens)
+        # shard axis first: (D, B, T, NR)
+        lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
+        cap_l = round_up_pow2((cap + D - 1) // D, 128)
+        kb = min(round_up_pow2(k, 8), cap_l)
+
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        if has_mask:
+            gm = np.ones((B, cap), bool)
+            for i, m in enumerate(doc_masks):
+                if m is not None:
+                    gm[i, : len(m)] = m
+                    gm[i, len(m):] = False
+            mask_arr = self._partition_docs_axis(gm, cap_l, False)
+            # padding slots (global id >= cap) must stay False
+        else:
+            mask_arr = np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            go = np.ones((cap,), np.float32)
+            go[: min(len(omc), cap)] = omc[:cap]
+            omc_arr = self._partition_docs_axis(go, cap_l, np.float32(1.0))
+        else:
+            omc_arr = np.zeros((1,), np.float32)
+
+        step = self._get_step(
+            lr=int(lr), cap_l=int(cap_l), k=int(kb), exact=exact,
+            has_mask=has_mask, has_omc=has_omc,
+        )
+        p_doc, p_tf, p_etf, p_flen = self._dev
+        sh = NamedSharding(self.mesh, P("d", None, None, None))
+        vals, ids, counts = step(
+            p_doc, p_tf, p_etf, p_flen,
+            jax.device_put(s_starts, sh), jax.device_put(s_lens, sh),
+            jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
+            jnp.asarray(nd), jnp.asarray(thr),
+            jax.device_put(
+                mask_arr, NamedSharding(self.mesh, P("d", None, None))
+            ) if has_mask else jnp.asarray(mask_arr),
+            jax.device_put(
+                omc_arr, NamedSharding(self.mesh, P("d", None))
+            ) if has_omc else jnp.asarray(omc_arr),
+        )
+        vals = np.asarray(vals[:, :k])
+        ids = np.asarray(ids[:, :k])
+        # padding slots score -inf; global ids beyond cap can only appear
+        # with -inf values, which callers drop (v > 0)
+        return vals, ids, np.asarray(counts[:B])

@@ -79,6 +79,7 @@ class CollectionReader:
         self.shelves: Dict[str, Dict[str, Any]] = {}
         self.values: Dict[str, str] = {}
         self._executors: Dict[str, StringSearchExecutor] = {}
+        self._sharded_executors: Dict[str, Any] = {}
         # op-log offset covered by this collection's persisted snapshots;
         # ops at or below it are replays and must be skipped (reference
         # read/mod.rs:511-517 dedup, here per-collection so that
@@ -155,6 +156,26 @@ class ReadSide:
         )
         # sandboxed hook runtime, attached by the AI service when present
         self.hooks_runtime = None
+        # doc-id-sharded search over a device mesh (SURVEY §5.8): the
+        # fused fulltext path dispatches one shard_map step per query
+        # batch when a mesh is configured
+        self.sharded_mesh = None
+        n_sh = config.reader_side.sharded_shards
+        if n_sh and n_sh > 1:
+            import jax
+
+            devs = jax.devices()
+            if len(devs) >= n_sh:
+                from ..parallel.engine import build_engine_mesh
+
+                self.sharded_mesh = build_engine_mesh(n_sh, devs)
+            else:
+                import logging
+
+                logging.getLogger("oramacore_tpu.read").warning(
+                    "sharded_shards=%d but only %d devices; sharded "
+                    "search disabled", n_sh, len(devs),
+                )
 
     # ------------------------------------------------------------------
     # Op consumption (SURVEY §3.3)
@@ -277,6 +298,7 @@ class ReadSide:
                 for d in dropped.doc_user_ids:
                     coll.doc_index.pop(d, None)
             coll._executors.pop(b["index"], None)
+            coll._sharded_executors.pop(b["index"], None)
             return
         if kind == "replace_index":
             # promote temp to runtime id, alias old temp id (index/mod.rs:864)
@@ -295,6 +317,8 @@ class ReadSide:
                 coll.aliases[b["temp"]] = b["target"]
                 coll._executors.pop(b["target"], None)
                 coll._executors.pop(b["temp"], None)
+                coll._sharded_executors.pop(b["target"], None)
+                coll._sharded_executors.pop(b["temp"], None)
             return
         if kind == "update_read_api_key":
             coll.read_api_key = b["read_api_key"]
@@ -726,7 +750,9 @@ class ReadSide:
             return {}
         tokens, plan = planned
         cap = idx.cap()
-        ex = coll.executor(idx.index_id)
+        ex = self._fused_executor(coll, idx) if fused_ok else coll.executor(
+            idx.index_id
+        )
         if fused_ok:
             k = max(2 * (params.limit + params.offset), 16)
             k = min(k, cap)
@@ -761,6 +787,21 @@ class ReadSide:
             keep = s > 0
         nz = np.nonzero(keep)[0]
         return {int(d): float(s[d]) for d in nz}
+
+    def _fused_executor(self, coll: CollectionReader, idx: ReadIndex):
+        """Executor for the fused fulltext path: the doc-sharded mesh
+        executor when a mesh is configured, the single-device one
+        otherwise. Both share the search_topk contract."""
+        if self.sharded_mesh is None:
+            return coll.executor(idx.index_id)
+        ex = coll._sharded_executors.get(idx.index_id)
+        if ex is None:
+            from ..parallel.engine import ShardedStringExec
+
+            ex = coll._sharded_executors[idx.index_id] = ShardedStringExec(
+                self.sharded_mesh
+            )
+        return ex
 
     def _vector_scores(
         self,
