@@ -80,6 +80,45 @@ def _levenshtein_within(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def _coalesce_and_cap(
+    ranges: List[Tuple[int, int, float, float, float]], token: str
+) -> List[Tuple[int, int, float, float, float]]:
+    """Bound a token's posting ranges at MAX_RANGES WITHOUT silent loss:
+    first coalesce start-adjacent ranges with identical field params
+    (sorted term tables make multi-term fuzzy/prefix matches largely
+    contiguous), and only then truncate — keeping first-matched (i.e.
+    closest under tolerance) ranges — with a metric + warning."""
+    if len(ranges) <= MAX_RANGES:
+        return ranges
+    from ..ops.bm25 import MAX_RANGE_LEN
+
+    srt = sorted(range(len(ranges)), key=lambda i: ranges[i][0])
+    merged: List[Tuple[int, int, float, float, float, int]] = []
+    for i in srt:
+        s, l, w, fb, av = ranges[i]
+        if merged:
+            ms, ml, mw, mfb, mav, mp = merged[-1]
+            if (ms + ml == s and (mw, mfb, mav) == (w, fb, av)
+                    and ml + l <= MAX_RANGE_LEN):
+                merged[-1] = (ms, ml + l, mw, mfb, mav, min(mp, i))
+                continue
+        merged.append((s, l, w, fb, av, i))
+    merged.sort(key=lambda m: m[5])  # restore closest-first priority
+    out = [m[:5] for m in merged[:MAX_RANGES]]
+    if len(merged) > MAX_RANGES:
+        import logging
+
+        from ..metrics import RANGE_TRUNCATIONS
+
+        RANGE_TRUNCATIONS.inc({})
+        logging.getLogger("oramacore_tpu.string_index").warning(
+            "token %r matched %d posting ranges (%d after coalescing); "
+            "truncated to %d closest-match ranges",
+            token, len(ranges), len(merged), MAX_RANGES,
+        )
+    return out
+
+
 @dataclass
 class QueryPlan:
     """Padded posting-range descriptors for one query, feeding the kernel.
@@ -114,6 +153,7 @@ class StringIndex:
         self._slab_arrays: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None
         self._slab_ranges: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
         self._slab_terms_by_field: Dict[str, List[str]] = {}
+        self._term_matrix_cache: Dict[str, Tuple] = {}
         self._dirty = True
         # monotonically increasing slab generation: device-slab caches key
         # on this (id() of a replaced numpy array can collide after free)
@@ -444,8 +484,67 @@ class StringIndex:
         self._slab_terms_by_field = {
             p: sorted(ts) for p, ts in terms_by_field.items()
         }
+        self._term_matrix_cache = {}
         self.generation += 1
         self._dirty = False
+
+    def _term_matrix(self, path: str):
+        """Padded per-field character matrix for vectorized fuzzy matching:
+        (terms list, chars '<U1'[n, L], lengths int32[n]). Cached per slab
+        generation."""
+        cached = self._term_matrix_cache.get(path)
+        if cached is not None:
+            return cached
+        terms = self._slab_terms_by_field.get(path, [])
+        if not terms:
+            out = (terms, np.zeros((0, 1), "<U1"), np.zeros(0, np.int32))
+            self._term_matrix_cache[path] = out
+            return out
+        lens = np.fromiter((len(t) for t in terms), np.int32, len(terms))
+        L = int(lens.max())
+        mat = np.zeros((len(terms), L), "<U1")
+        for i, t in enumerate(terms):
+            mat[i, : len(t)] = list(t)
+        out = (terms, mat, lens)
+        self._term_matrix_cache[path] = out
+        return out
+
+    def _fuzzy_match(self, path: str, token: str, k: int):
+        """All terms within edit distance k of token, ordered by distance.
+        Vectorized banded Wagner-Fischer ACROSS candidates: the Python
+        loops run over the token/term lengths (tiny); every op is a numpy
+        vector over the length-band-filtered candidate set — scales to
+        real vocabularies where a per-term Python DP does not."""
+        terms, mat, lens = self._term_matrix(path)
+        if not terms:
+            return []
+        tl = len(token)
+        band = np.abs(lens.astype(np.int64) - tl) <= k
+        cand = np.nonzero(band)[0]
+        if not len(cand):
+            return []
+        sub = mat[cand]
+        sublens = lens[cand]
+        L = int(sublens.max()) if len(sublens) else 0
+        n = len(cand)
+        prev = np.broadcast_to(
+            np.arange(L + 1, dtype=np.int32), (n, L + 1)
+        ).copy()
+        for i in range(1, tl + 1):
+            cur = np.empty((n, L + 1), np.int32)
+            cur[:, 0] = i
+            cost = (sub[:, :L] != token[i - 1]).astype(np.int32)
+            for j in range(1, L + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                    prev[:, j - 1] + cost[:, j - 1],
+                )
+            prev = cur
+        dist = prev[np.arange(n), np.minimum(sublens, L)]
+        ok = dist <= k
+        hits = [(int(d), terms[int(c)]) for d, c in zip(dist[ok], cand[ok])]
+        hits.sort(key=lambda h: (h[0], h[1]))
+        return hits
 
     def slab(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         if self._dirty or self._slab_arrays is None:
@@ -459,14 +558,15 @@ class StringIndex:
     def _match_terms(
         self, path: str, token: str, tolerance: Optional[int]
     ) -> List[Tuple[int, int]]:
-        """Posting ranges for one (field, query-token) pair."""
+        """Posting ranges for one (field, query-token) pair, ordered
+        closest-match-first under tolerance (so a downstream range-count
+        cap keeps the best matches)."""
         out: List[Tuple[int, int]] = []
         if not tolerance:
             out.extend(self._slab_ranges.get((path, token), ()))
         else:
-            for term in self._slab_terms_by_field.get(path, ()):
-                if _levenshtein_within(token, term, tolerance):
-                    out.extend(self._slab_ranges.get((path, term), ()))
+            for _dist, term in self._fuzzy_match(path, token, tolerance):
+                out.extend(self._slab_ranges.get((path, term), ()))
         return out
 
     def plan_query(
@@ -510,7 +610,7 @@ class StringIndex:
                         start += MAX_RANGE_LEN
                         length -= MAX_RANGE_LEN
                     ranges.append((start, length, w, fb, avg))
-            per_token.append(ranges[:MAX_RANGES])
+            per_token.append(_coalesce_and_cap(ranges, token))
 
         T = max(1, len(per_token))
         NR = max(1, max((len(r) for r in per_token), default=1))

@@ -122,3 +122,8 @@ EMBEDDING_CALCULATION_TIME = REGISTRY.histogram(
 )
 ANSWER_TIME = REGISTRY.histogram("answer_time_seconds", "Answer flow latency")
 HTTP_REQUESTS = REGISTRY.counter("http_requests_total", "HTTP requests")
+RANGE_TRUNCATIONS = REGISTRY.counter(
+    "query_range_truncations_total",
+    "Query tokens whose matched posting ranges exceeded the per-token cap "
+    "and were truncated (closest-match-first ordering retains the best)",
+)

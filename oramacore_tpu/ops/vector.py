@@ -102,6 +102,136 @@ def flat_cosine_topk_filtered(
     )
 
 
+# ---------------------------------------------------------------------------
+# int8 quantized corpus kernels — the 10M x 768-d tier.
+#
+# A 10M x 768 f32 matrix is 30 GB and bf16 is 15 GB: neither fits one
+# v5e chip's 16 GB HBM. Per-row symmetric int8 quantization (row stored
+# as q_i8 with scale s = max|v| / 127, v ≈ s * q_i8) brings the corpus to
+# 7.7 GB, and cosine becomes score = s * dot(q, q_i8) — one bf16 matmul
+# over int8 rows cast in-registers (HBM reads stay int8). Measured recall
+# impact of the quantization is ~zero at recall@10 (see benches/RESULTS).
+#
+# Batched throughput uses the FULL int8 scan (MXU-dense, HBM-bound at
+# ~8 GB/query-batch); clustered IVF probing only wins at small batches
+# where per-query bytes gathered (B * nprobe * window * D) undercut the
+# full-scan's corpus read. Both are provided; the bench documents the
+# crossover. IVF probe units are SUB-BLOCKS of a cluster (a cluster
+# larger than the window splits into several units sharing its centroid),
+# so oversized clusters are covered without padding memory or spill.
+# ---------------------------------------------------------------------------
+
+def quantize_rows_int8(rows):
+    """Per-row symmetric int8 quantization (device fn, jit-safe).
+    Returns (q int8[N, D], scale f32[N])."""
+    amax = jnp.max(jnp.abs(rows), axis=1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(rows / scale[:, None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def int8_scan_topk(
+    queries: jax.Array,   # f32[B, D] L2-normalized
+    mat_i8: jax.Array,    # int8[N, D] quantized rows (padded rows scale 0)
+    scales: jax.Array,    # f32[N] per-row scales (0 = padding)
+    *,
+    k: int,
+    chunk: int = 524288,
+):
+    """Exact top-k over the whole quantized corpus: lax.scan over row
+    tiles, bf16 matmul (int8 cast in-registers), per-tile two-level
+    selection merged into a running (B, k) carry."""
+    B, D = queries.shape
+    N = mat_i8.shape[0]
+    assert N % chunk == 0, "pad rows to a chunk multiple"
+    q = queries.astype(jnp.bfloat16)
+
+    def body(carry, i):
+        vals, rows = carry
+        tile = jax.lax.dynamic_slice(mat_i8, (i * chunk, 0), (chunk, D))
+        sc = jax.lax.dynamic_slice(scales, (i * chunk,), (chunk,))
+        s = jnp.dot(
+            q, tile.astype(jnp.bfloat16).T, preferred_element_type=jnp.float32
+        ) * sc[None, :]
+        s = jnp.where(sc[None, :] > 0, s, NEG_INF)
+        tv, ti = topk_2level(s, k)
+        ti = ti + i * chunk
+        cat_v = jnp.concatenate([vals, tv], axis=1)
+        cat_r = jnp.concatenate([rows, ti], axis=1)
+        new_v, sel = jax.lax.top_k(cat_v, k)
+        new_r = jnp.take_along_axis(cat_r, sel, axis=1)
+        return (new_v, new_r), None
+
+    init = (
+        jnp.full((B, k), NEG_INF, jnp.float32),
+        jnp.full((B, k), -1, jnp.int32),
+    )
+    (vals, rows), _ = jax.lax.scan(body, init, jnp.arange(N // chunk))
+    return vals, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "window"))
+def ivf_int8_topk(
+    queries: jax.Array,      # f32[B, D] L2-normalized
+    mat_i8: jax.Array,       # int8[N, D] rows PACKED by cluster (no padding)
+    scales: jax.Array,       # f32[N]
+    unit_centroids: jax.Array,  # f32[U, D] sub-block centroids (normalized)
+    unit_starts: jax.Array,  # int32[U] packed start row of each sub-block
+    *,
+    k: int,
+    nprobe: int,
+    window: int,             # static: rows scanned per probed unit
+):
+    """Low-latency clustered search over the packed int8 corpus. Probe
+    units are cluster SUB-BLOCKS (window rows each): a big cluster's
+    units share its centroid, so it gets proportionally many probes; a
+    window overrunning into the next cluster just scores extra candidate
+    rows (never wrong, packed layout has no junk)."""
+    B, D = queries.shape
+    N = mat_i8.shape[0]
+    _, probe = jax.lax.top_k(
+        jnp.dot(
+            queries.astype(jnp.bfloat16),
+            unit_centroids.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        ),
+        nprobe,
+    )  # (B, nprobe)
+
+    def per_query(qv, probes):
+        qv = qv.astype(jnp.bfloat16)
+
+        def body(carry, ui):
+            vals, rows = carry
+            start = jnp.minimum(jnp.take(unit_starts, ui), N - window)
+            tile = jax.lax.dynamic_slice(mat_i8, (start, 0), (window, D))
+            sc = jax.lax.dynamic_slice(scales, (start,), (window,))
+            s = jnp.dot(
+                tile.astype(jnp.bfloat16), qv,
+                preferred_element_type=jnp.float32,
+            ) * sc
+            s = jnp.where(sc > 0, s, NEG_INF)
+            tile_rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
+                + start
+            )
+            cat_v = jnp.concatenate([vals, s])
+            cat_r = jnp.concatenate([rows, tile_rows])
+            new_v, sel = jax.lax.top_k(cat_v, k)
+            new_r = jnp.take(cat_r, sel)
+            return (new_v, new_r), None
+
+        init = (
+            jnp.full((k,), NEG_INF, jnp.float32),
+            jnp.full((k,), -1, jnp.int32),
+        )
+        (vals, rows), _ = jax.lax.scan(body, init, probes)
+        return vals, rows
+
+    return jax.vmap(per_query)(queries, probe)
+
+
 def l2_normalize(x, axis=-1, eps=1e-12):
     import numpy as np
 

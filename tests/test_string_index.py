@@ -143,6 +143,67 @@ def test_tolerance_fuzzy_match():
     assert scores[0][1] == 0
 
 
+def test_fuzzy_match_vectorized_parity():
+    """The banded-DP vectorized matcher returns exactly the terms the
+    scalar Levenshtein oracle accepts, ordered by distance."""
+    import random
+
+    from oramacore_tpu.index.string_index import (
+        StringIndex, _levenshtein_within,
+    )
+
+    rng = random.Random(42)
+    vocab = list({
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 9)))
+        for _ in range(400)
+    })
+    idx = StringIndex()
+    for i, term in enumerate(vocab):
+        idx.index_text(i, "t", [(term, [])])
+    idx.slab()
+    for token in ["abc", "fedcba", "aaaa", "bcdefa", "zzzz"]:
+        for k in (1, 2):
+            got = idx._fuzzy_match("t", token, k)
+            want = sorted(
+                t for t in vocab if _levenshtein_within(token, t, k)
+            )
+            assert sorted(t for _, t in got) == want, (token, k)
+            dists = [d for d, _ in got]
+            assert dists == sorted(dists)
+
+
+def test_range_cap_coalesces_and_logs(caplog):
+    """A token matching > MAX_RANGES terms must not silently drop
+    postings: adjacent ranges coalesce; real truncation logs + counts."""
+    import logging
+
+    from oramacore_tpu.index import string_index as si
+    from oramacore_tpu.metrics import RANGE_TRUNCATIONS
+
+    idx = si.StringIndex()
+    # 200 terms sharing a prefix: fuzzy-match "prefix" with high tolerance
+    for i in range(200):
+        idx.index_text(i, "t", [(f"aa{i:03d}", [])])
+    idx.commit()  # committed => terms sorted & ranges adjacent in the slab
+    plan = idx.plan_query(["aa000"], ["t"], {}, tolerance=3)
+    total = int(plan.lens.sum())
+    # every aaNNN term is within distance 3 of aa000 -> all 200 postings
+    # must survive (coalesced into few ranges, not truncated away)
+    assert total == 200
+    assert plan.starts.shape[1] <= si.MAX_RANGES
+
+    # force a REAL truncation: non-adjacent ranges (live layer interleaves
+    # fields) beyond the cap must log + bump the metric
+    before = RANGE_TRUNCATIONS._values.get((), 0) if hasattr(
+        RANGE_TRUNCATIONS, "_values") else None
+    ranges = [(i * 7, 1, 1.0, 0.75, 1.0) for i in range(si.MAX_RANGES + 20)]
+    with caplog.at_level(logging.WARNING):
+        out = si._coalesce_and_cap(ranges, "tok")
+    assert len(out) == si.MAX_RANGES
+    assert out == ranges[: si.MAX_RANGES]  # closest-first retained
+    assert any("truncated" in r.message for r in caplog.records)
+
+
 def test_delete_live_doc():
     idx = build_index(DOCS)
     idx.delete_doc_live(1)
