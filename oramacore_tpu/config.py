@@ -63,6 +63,10 @@ class AIConfig:
     llm_api_key: str = ""
     remote_llms: List[Dict[str, Any]] = field(default_factory=list)
     embeddings_model: str = "builtin-minihash-384"
+    # local HF-format checkpoint dir for the flax TPU encoder backend
+    # (zero-egress environments must have weights on disk already);
+    # when set, build_orama registers the 'flax' backend from it
+    embeddings_model_path: Optional[str] = None
 
 
 @dataclass

@@ -113,6 +113,10 @@ def build_orama(
 ) -> Orama:
     _init_jax_main_thread()
     embeddings = EmbeddingsService(config.ai.embeddings_model)
+    if config.ai.embeddings_model_path:
+        from .embeddings.flax_encoder import register_flax_backend
+
+        register_flax_backend(config.ai.embeddings_model_path)
     nlp = NLPService()
 
     jwt_manager = None
