@@ -17,10 +17,11 @@ from typing import Any, AsyncIterator, Dict, List, Optional
 
 from ..types import SearchParams
 from .constraint_extractor import (
+    NumericConstraint,
     extract_constraints,
-    has_shared_budget,
     inject_constraints,
-    validate_constraints,
+    shared_budget_amount,
+    validate_search_params,
 )
 from .llms import LLMConfig, LLMService, parse_json_response
 
@@ -63,6 +64,25 @@ class AdvancedAutoqueryStateMachine:
         except Exception:  # noqa: BLE001
             return {}
 
+    def _string_enum_values(self) -> Dict[str, List[str]]:
+        """Known enum values per string-filter field, so deterministic
+        constraint extraction can match query text against the schema
+        (reference extract_string_enum_constraints)."""
+        out: Dict[str, List[str]] = {}
+        try:
+            coll = self.read_side.collections.get(self.collection_id)
+            if coll is None:
+                return out
+            for idx in coll.indexes.values():
+                for path, col in idx.filters.strings.items():
+                    vals = out.setdefault(path, [])
+                    for v in col.all_values():
+                        if v not in vals:
+                            vals.append(v)
+        except Exception:  # noqa: BLE001
+            pass
+        return out
+
     async def run_stream(
         self,
         query: str,
@@ -84,7 +104,7 @@ class AdvancedAutoqueryStateMachine:
         yield _state("queries_analyzed", data={"queries": queries})
 
         # PlanBudget (v1.1) when shared budget detected
-        budget = has_shared_budget(query)
+        budget = shared_budget_amount(query)
         allocations: Dict[str, float] = {}
         if budget is not None and self.prompt_version == "v1.1":
             yield _state("plan_budget", f"shared budget {budget}")
@@ -139,19 +159,24 @@ class AdvancedAutoqueryStateMachine:
         if not searches:
             searches = [{"term": q} for q in queries]
 
-        # constraint validation/injection (constraint_extractor.rs:658,732)
+        # constraint validation/injection (constraint_extractor.rs:658,732):
+        # extraction sees the schema — enum values of string filters and
+        # boolean field names — so enum/bool constraints inject too
+        enum_values = self._string_enum_values()
+        bool_fields = [p for p, t in properties.items() if t == "bool"]
         final_searches: List[Dict[str, Any]] = []
         for i, sp in enumerate(searches):
             q = queries[i] if i < len(queries) else query
-            constraints = extract_constraints(q)
+            constraints = extract_constraints(q, enum_values, bool_fields)
             if allocations.get(q) is not None:
-                from .constraint_extractor import NumericConstraint
-
                 constraints = [
-                    NumericConstraint("lte", allocations[q], "budget plan")
+                    NumericConstraint(
+                        "lte", allocations[q], None, "budget plan"
+                    )
                 ] + constraints
-            if not validate_constraints(sp, constraints):
-                sp = inject_constraints(sp, constraints, numeric_props)
+            missing = validate_search_params(sp, constraints, numeric_props)
+            if missing:
+                sp = inject_constraints(sp, missing, numeric_props)
             final_searches.append(sp)
         yield _state(
             "tracked_queries_generated", data={"searches": final_searches}

@@ -84,17 +84,20 @@ def test_constraint_extraction():
     cs = extract_constraints("wireless headphones under $100")
     assert cs[0].op == "lte" and cs[0].value == 100.0
     cs = extract_constraints("laptops between 500 and 1500 euros")
-    assert cs[0].op == "between" and cs[0].value == [500.0, 1500.0]
+    assert cs[0].op == "between" and (cs[0].value, cs[0].upper) == (500.0, 1500.0)
     cs = extract_constraints("items over 50 bucks")
     assert cs[0].op == "gte" and cs[0].value == 50.0
     assert extract_constraints("plain query without numbers") == []
 
 
 def test_shared_budget_detection():
-    assert has_shared_budget(
+    from oramacore_tpu.ai.constraint_extractor import shared_budget_amount
+
+    assert has_shared_budget("a keyboard and a mouse, total budget of $200")
+    assert shared_budget_amount(
         "a keyboard and a mouse, total budget of $200"
     ) == 200.0
-    assert has_shared_budget("a mouse under 50") is None
+    assert shared_budget_amount("a mouse under 50") is None
 
 
 def test_inject_constraints():
