@@ -69,7 +69,9 @@ class AIService:
         self.read_side = read_side
         self.llm = llm or build_llm_service(config)
         self.hooks_runtime = HooksRuntime(
-            execution_timeout_s=config.hooks.execution_timeout_ms / 1000.0
+            execution_timeout_s=config.hooks.execution_timeout_ms / 1000.0,
+            allowed_domains=config.hooks.allowed_domains,
+            deny_domains=config.hooks.deny_domains,
         )
         kv = read_side.kv if read_side else write_side.kv
         self.system_prompts = SystemPromptsInterface(kv, self.llm)
