@@ -238,6 +238,24 @@ class AIService:
     # OpenAI-compatible chat (openai_chat/mod.rs:30-162)
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _estimate_tokens(text: str) -> int:
+        """Usage accounting without the provider's tokenizer: ~4 chars per
+        token is the standard BPE estimate for English-like text."""
+        return max(1, (len(text) + 3) // 4) if text else 0
+
+    def _usage_for(self, messages, completion: str) -> Dict[str, int]:
+        prompt = sum(
+            self._estimate_tokens(str(m.get("content") or "")) + 4
+            for m in messages
+        )
+        comp = self._estimate_tokens(completion)
+        return {
+            "prompt_tokens": prompt,
+            "completion_tokens": comp,
+            "total_tokens": prompt + comp,
+        }
+
     async def openai_chat(
         self, request, collection_id: str, key: Optional[str],
         body: Dict[str, Any],
@@ -250,7 +268,12 @@ class AIService:
             interaction_id=str(uuid.uuid4()),
             query=query,
             messages=[
-                InteractionMessage(m.get("role", "user"), m.get("content", ""))
+                # tool-role messages fold into the conversation as user
+                # context (reference conversions.rs:250)
+                InteractionMessage(
+                    "user" if m.get("role") == "tool" else m.get("role", "user"),
+                    str(m.get("content") or ""),
+                )
                 for m in messages[:-1]
             ],
             llm_config={"model": body["model"]} if body.get("model") else None,
@@ -259,6 +282,82 @@ class AIService:
         completion_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
         created = int(time.time())
         model = body.get("model", "oramacore_tpu")
+
+        # OpenAI function calling: when the caller supplies tools, give
+        # the LLM the tool-selection round; tool_calls short-circuit the
+        # RAG flow (the caller executes tools and calls back)
+        if body.get("tools"):
+            llm_config = None
+            if body.get("model"):
+                from .llms import LLMConfig
+
+                llm_config = LLMConfig(model=body["model"])
+            try:
+                msg = await self.llm.chat(
+                    messages, llm_config, tools=body["tools"]
+                )
+            except Exception as e:  # noqa: BLE001
+                return web.json_response(
+                    {"error": {"message": str(e), "type": "server_error"}},
+                    status=502,
+                )
+            tool_calls = msg.get("tool_calls")
+            if tool_calls:
+                usage = self._usage_for(
+                    messages, json.dumps(tool_calls)
+                )
+                payload = {
+                    "id": completion_id,
+                    "object": "chat.completion",
+                    "created": created,
+                    "model": model,
+                    "choices": [{
+                        "index": 0,
+                        "message": {
+                            "role": "assistant",
+                            "content": msg.get("content"),
+                            "tool_calls": tool_calls,
+                        },
+                        "finish_reason": "tool_calls",
+                    }],
+                    "usage": usage,
+                }
+                if body.get("stream"):
+                    resp = web.StreamResponse(headers={
+                        "Content-Type": "text/event-stream",
+                        "Cache-Control": "no-cache",
+                    })
+                    await resp.prepare(request)
+                    chunk = {
+                        "id": completion_id,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": model,
+                        "choices": [{
+                            "index": 0,
+                            "delta": {
+                                "role": "assistant",
+                                "tool_calls": [
+                                    dict(tc, index=i)
+                                    for i, tc in enumerate(tool_calls)
+                                ],
+                            },
+                            "finish_reason": None,
+                        }],
+                    }
+                    fin = dict(chunk)
+                    fin["choices"] = [{
+                        "index": 0, "delta": {},
+                        "finish_reason": "tool_calls",
+                    }]
+                    await resp.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode()
+                    )
+                    await resp.write(f"data: {json.dumps(fin)}\n\n".encode())
+                    await resp.write(b"data: [DONE]\n\n")
+                    return resp
+                return web.json_response(payload)
+            # no tool chosen: fall through to the RAG answer flow
 
         if body.get("stream"):
             resp = web.StreamResponse(
@@ -284,14 +383,31 @@ class AIService:
                 await resp.write(
                     f"data: {json.dumps(chunk({'role': 'assistant'}))}\n\n".encode()
                 )
+                answer_parts: List[str] = []
                 async for ev in sm.run_stream(interaction):
                     if ev["type"] == "answer_token":
+                        answer_parts.append(ev["token"])
                         await resp.write(
                             f"data: {json.dumps(chunk({'content': ev['token']}))}\n\n".encode()
                         )
                 await resp.write(
                     f"data: {json.dumps(chunk({}, finish='stop'))}\n\n".encode()
                 )
+                # usage chunk per the OpenAI stream_options spec
+                if (body.get("stream_options") or {}).get("include_usage"):
+                    usage_chunk = {
+                        "id": completion_id,
+                        "object": "chat.completion.chunk",
+                        "created": created,
+                        "model": model,
+                        "choices": [],
+                        "usage": self._usage_for(
+                            messages, "".join(answer_parts)
+                        ),
+                    }
+                    await resp.write(
+                        f"data: {json.dumps(usage_chunk)}\n\n".encode()
+                    )
                 await resp.write(b"data: [DONE]\n\n")
             except (ConnectionResetError, asyncio.CancelledError):
                 pass
@@ -311,11 +427,7 @@ class AIService:
                         "finish_reason": "stop",
                     }
                 ],
-                "usage": {
-                    "prompt_tokens": 0,
-                    "completion_tokens": 0,
-                    "total_tokens": 0,
-                },
+                "usage": self._usage_for(messages, answer or ""),
             }
         )
 

@@ -47,6 +47,25 @@ class MockLLMServer:
                 await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
             return resp
+        # scripted function calling: a response of "TOOL_CALL <json>"
+        # returns tool_calls instead of content (requires body["tools"])
+        if body.get("tools") and content.startswith("TOOL_CALL "):
+            calls = json.loads(content[len("TOOL_CALL "):])
+            return web.json_response(
+                {
+                    "choices": [
+                        {
+                            "index": 0,
+                            "message": {
+                                "role": "assistant",
+                                "content": None,
+                                "tool_calls": calls,
+                            },
+                            "finish_reason": "tool_calls",
+                        }
+                    ]
+                }
+            )
         return web.json_response(
             {
                 "choices": [

@@ -18,6 +18,9 @@ MASTER = "mk"
 SCRIPT = [
     ("Decide how to retrieve", '{"strategy": "simple"}'),
     ("Rewrite the user", "mechanical keyboard"),
+    ("what is the weather",
+     'TOOL_CALL [{"id": "call_1", "type": "function", "function": '
+     '{"name": "get_weather", "arguments": "{\\"city\\": \\"Rome\\"}"}}]'),
     ("helpful search assistant", "It costs $80."),
     ("classify a search query", '{"mode": "fulltext"}'),
     ("suggested queries", '["cheap keyboards", "mice"]'),
@@ -123,6 +126,85 @@ async def test_openai_compatible_endpoint(client, rk, wk):
     text = await resp.text()
     assert "chat.completion.chunk" in text
     assert "data: [DONE]" in text
+
+
+@ai_http_test
+async def test_openai_usage_accounting(client, rk, wk):
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m",
+              "messages": [{"role": "user", "content": "keyboard price?"}]},
+        headers=auth(rk),
+    )
+    body = await resp.json()
+    usage = body["usage"]
+    assert usage["prompt_tokens"] > 0
+    assert usage["completion_tokens"] > 0
+    assert usage["total_tokens"] == (
+        usage["prompt_tokens"] + usage["completion_tokens"]
+    )
+    # streaming usage chunk (stream_options.include_usage)
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m", "stream": True,
+              "stream_options": {"include_usage": True},
+              "messages": [{"role": "user", "content": "keyboard price?"}]},
+        headers=auth(rk),
+    )
+    text = await resp.text()
+    assert '"completion_tokens"' in text
+
+
+@ai_http_test
+async def test_openai_tool_calls(client, rk, wk):
+    tools = [{
+        "type": "function",
+        "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object",
+                           "properties": {"city": {"type": "string"}}},
+        },
+    }]
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m", "tools": tools,
+              "messages": [{"role": "user",
+                            "content": "what is the weather in rome"}]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    body = await resp.json()
+    choice = body["choices"][0]
+    assert choice["finish_reason"] == "tool_calls"
+    call = choice["message"]["tool_calls"][0]
+    assert call["function"]["name"] == "get_weather"
+    assert "Rome" in call["function"]["arguments"]
+    # streaming variant emits tool_call deltas + tool_calls finish
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m", "tools": tools, "stream": True,
+              "messages": [{"role": "user",
+                            "content": "what is the weather in rome"}]},
+        headers=auth(rk),
+    )
+    text = await resp.text()
+    assert '"tool_calls"' in text and "data: [DONE]" in text
+    # tool-result round trip: tool messages fold into the conversation
+    # and the flow answers normally
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m",
+              "messages": [
+                  {"role": "user", "content": "what about the keyboard"},
+                  {"role": "tool", "tool_call_id": "call_1",
+                   "content": "sunny"},
+                  {"role": "user", "content": "keyboard price?"},
+              ]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    body = await resp.json()
+    assert "80" in body["choices"][0]["message"]["content"]
 
 
 @ai_http_test
