@@ -100,6 +100,12 @@ class HooksConfig:
     execution_timeout_ms: int = 5000
 
 
+def _make_log_config():
+    from .utils.logs import LogConfig
+
+    return LogConfig()
+
+
 @dataclass
 class OramacoreConfig:
     data_dir: str = "./.data"
@@ -110,7 +116,8 @@ class OramacoreConfig:
     auth: AuthConfig = field(default_factory=AuthConfig)
     hooks: HooksConfig = field(default_factory=HooksConfig)
     secrets: SecretsConfig = field(default_factory=SecretsConfig)
-    log_levels: Dict[str, str] = field(default_factory=dict)
+    log: "LogConfig" = field(default_factory=lambda: _make_log_config())
+    log_levels: Dict[str, str] = field(default_factory=dict)  # legacy alias
     # run roles: both | writer | reader (reference cargo features)
     role: str = "both"
 
@@ -183,6 +190,10 @@ def load_config(path: Optional[str] = None) -> OramacoreConfig:
             setattr(cfg, scalar, raw[scalar])
     if "log_levels" in raw:
         cfg.log_levels = dict(raw["log_levels"])
+    if "log" in raw and isinstance(raw["log"], dict):
+        from .utils.logs import LogConfig
+
+        cfg.log = _build(LogConfig, raw["log"])
     if "auth" in raw and isinstance(raw["auth"], dict):
         provs = raw["auth"].get("jwt_providers") or []
         cfg.auth.jwt_providers = [_build(JwtProviderConfig, p) for p in provs]

@@ -841,14 +841,14 @@ def main():
     args = p.parse_args()
     config = load_config(args.config)
 
-    import logging
+    # subscriber stack: console + optional JSON file layer + error
+    # reporting + per-module filters (reference bin/oramacore.rs:101-155)
+    from ..utils.logs import setup_logging
 
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(levelname)s %(name)s %(message)s",
-    )
-    for module, level in config.log_levels.items():
-        logging.getLogger(module).setLevel(level.upper())
+    log_cfg = config.log
+    if config.log_levels and not log_cfg.levels:
+        log_cfg.levels = dict(config.log_levels)  # legacy key
+    setup_logging(log_cfg)
 
     orama = build_orama(config)
     orama.start_maintenance()

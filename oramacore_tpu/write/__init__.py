@@ -71,10 +71,13 @@ class WriteIndex:
     field_params: Dict[str, Dict[str, float]] = dc_field(default_factory=dict)
     # discovered field types: path -> type string
     field_types: Dict[str, str] = dc_field(default_factory=dict)
-    # user doc id -> internal dense id
+    # user doc id -> internal dense id. NOT in info.json: serialized as
+    # its own msgpack file ONLY when dirty (the round-1 build re-wrote
+    # the full map as JSON on every commit — O(N) per commit at 1M docs)
     doc_id_map: Dict[str, int] = dc_field(default_factory=dict)
     is_temp: bool = False
     created_at: float = dc_field(default_factory=time.time)
+    doc_map_dirty: bool = True
 
     def to_json(self) -> Dict[str, Any]:
         return {
@@ -85,7 +88,6 @@ class WriteIndex:
             "automatic_embeddings": self.automatic_embeddings,
             "field_params": self.field_params,
             "field_types": self.field_types,
-            "doc_id_map": self.doc_id_map,
             "is_temp": self.is_temp,
             "created_at": self.created_at,
         }
@@ -100,6 +102,7 @@ class WriteIndex:
             automatic_embeddings=d.get("automatic_embeddings", True),
             field_params=dict(d.get("field_params", {})),
             field_types=dict(d.get("field_types", {})),
+            # legacy info.json carried the map inline
             doc_id_map={k: int(v) for k, v in d.get("doc_id_map", {}).items()},
             is_temp=d.get("is_temp", False),
             created_at=d.get("created_at", time.time()),
@@ -578,6 +581,7 @@ class WriteSide:
                 stats.inserted += 1
             internal = coll.alloc_doc_id()
             idx.doc_id_map[user_id] = internal
+            idx.doc_map_dirty = True
 
             raw = json.dumps(doc).encode()
             self.doc_storage.insert(internal, raw)
@@ -717,6 +721,7 @@ class WriteSide:
             d = idx.doc_id_map.pop(uid, None)
             if d is not None:
                 internal.append(d)
+                idx.doc_map_dirty = True
         if internal:
             self.doc_storage.remove(internal)
             self.op_sender.send(
@@ -987,14 +992,31 @@ class WriteSide:
         if self._ops_since_commit >= self.config.writer_side.insert_batch_commit_size:
             self.commit()
 
+    def _doc_map_path(self, cid: str, iid: str) -> str:
+        safe = lambda s: s.replace("/", "_")  # noqa: E731
+        return os.path.join(
+            self.data_dir, "doc_maps", safe(cid), safe(iid) + ".msgpack"
+        )
+
     def commit(self):
+        from ..storage.files import atomic_write_msgpack
+
         with self._lock:
             self.doc_storage.commit()
             self.kv.commit()
+            # doc-id maps persist per index, msgpack, ONLY when dirty —
+            # info.json stays O(schema), not O(corpus)
+            for cid, coll in self.collections.items():
+                for iid, idx in coll.indexes.items():
+                    if idx.doc_map_dirty:
+                        atomic_write_msgpack(
+                            self._doc_map_path(cid, iid), idx.doc_id_map
+                        )
+                        idx.doc_map_dirty = False
             atomic_write_json(
                 os.path.join(self.data_dir, "info.json"),
                 {
-                    "v": 1,
+                    "v": 2,
                     "offset": self.op_sender.offset,
                     "collections": {
                         k: v.to_json() for k, v in self.collections.items()
@@ -1004,12 +1026,25 @@ class WriteSide:
             self._ops_since_commit = 0
 
     def _load(self):
+        from ..storage.files import read_msgpack
+
         info = read_json(os.path.join(self.data_dir, "info.json"))
         if info:
             self.collections = {
                 k: WriteCollection.from_json(v)
                 for k, v in info.get("collections", {}).items()
             }
+            for cid, coll in self.collections.items():
+                for iid, idx in coll.indexes.items():
+                    if not idx.doc_id_map:  # v2: map lives in its own file
+                        m = read_msgpack(
+                            self._doc_map_path(cid, iid), default=None
+                        )
+                        if m:
+                            idx.doc_id_map = {
+                                str(k): int(v) for k, v in m.items()
+                            }
+                    idx.doc_map_dirty = False
 
     def stop(self):
         self.embedding_queue.stop()

@@ -282,3 +282,48 @@ def test_notifier_posts_with_retries():
         assert received and received[0]["event"] == "index_replaced"
 
     asyncio.run(run())
+
+
+def test_logging_subscriber_stack(tmp_path):
+    """Console + JSON file layer + error reporting + per-module filters
+    (reference bin/oramacore.rs:101-155 subscriber stack)."""
+    import json
+    import logging
+
+    from oramacore_tpu.utils.logs import LogConfig, setup_logging
+
+    root = logging.getLogger()
+    old_handlers = list(root.handlers)
+    try:
+        for h in old_handlers:
+            root.removeHandler(h)
+        log_file = str(tmp_path / "orama.log.jsonl")
+        err_file = str(tmp_path / "errors.jsonl")
+        setup_logging(LogConfig(
+            console_level="error",
+            levels={"oramacore_tpu.testmod": "debug",
+                    "oramacore_tpu.quiet": "error"},
+            file_path=log_file,
+            file_level="debug",
+            error_file=err_file,
+        ))
+        logging.getLogger("oramacore_tpu.testmod").debug("dbg-visible")
+        logging.getLogger("oramacore_tpu.quiet").info("filtered-out")
+        try:
+            raise ValueError("boom")
+        except ValueError:
+            logging.getLogger("oramacore_tpu.testmod").error(
+                "it failed", exc_info=True
+            )
+        lines = [json.loads(l) for l in open(log_file)]
+        msgs = [l["message"] for l in lines]
+        assert "dbg-visible" in msgs
+        assert "filtered-out" not in msgs
+        err = [json.loads(l) for l in open(err_file)]
+        assert err and err[0]["message"] == "it failed"
+        assert "ValueError: boom" in err[0]["exception"]
+    finally:
+        for h in list(root.handlers):
+            root.removeHandler(h)
+        for h in old_handlers:
+            root.addHandler(h)
