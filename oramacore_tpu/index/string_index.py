@@ -31,6 +31,7 @@ import numpy as np
 
 DEFAULT_B = 0.75  # reference BM25FFieldParams::default (bm25.rs:56-63)
 MAX_RANGES = 64   # cap on posting ranges per (query token)
+BIGRAM_SEP = "\x1f"  # adjacency shadow-term separator (never in tokens)
 
 
 @dataclass
@@ -138,8 +139,11 @@ class QueryPlan:
 class StringIndex:
     """All string fields of one index."""
 
-    def __init__(self):
+    def __init__(self, index_bigrams: bool = True):
         import threading
+
+        # adjacency shadow terms for phrase capability (see index_text)
+        self.index_bigrams = index_bigrams
 
         # live layer: path -> term -> doc_id -> [tf, exact_tf]
         self._live: Dict[str, Dict[str, Dict[int, List[float]]]] = {}
@@ -229,6 +233,15 @@ class StringIndex:
             bump(surface, True)
             for v in variants:
                 bump(v, False)
+        # ADJACENCY SHADOW TERMS: consecutive surface tokens also index a
+        # bigram term. This is the TPU-native replacement for per-posting
+        # position lists (reference TermData positions): phrase capability
+        # without variable-length pointer structures — bigram postings ride
+        # the same CSR slab and fused kernels, and a phrase_boost query
+        # simply scores its adjacency bigrams as extra weighted tokens.
+        if self.index_bigrams and len(parsed) > 1:
+            for (a, _), (b, _) in zip(parsed, parsed[1:]):
+                bump(a + BIGRAM_SEP + b, True)
         self._dirty = True
 
     def delete_doc_live(self, doc_id: int) -> None:
@@ -495,7 +508,10 @@ class StringIndex:
         cached = self._term_matrix_cache.get(path)
         if cached is not None:
             return cached
-        terms = self._slab_terms_by_field.get(path, [])
+        terms = [
+            t for t in self._slab_terms_by_field.get(path, [])
+            if BIGRAM_SEP not in t  # adjacency shadow terms aren't words
+        ]
         if not terms:
             out = (terms, np.zeros((0, 1), "<U1"), np.zeros(0, np.int32))
             self._term_matrix_cache[path] = out
@@ -562,7 +578,7 @@ class StringIndex:
         closest-match-first under tolerance (so a downstream range-count
         cap keeps the best matches)."""
         out: List[Tuple[int, int]] = []
-        if not tolerance:
+        if not tolerance or BIGRAM_SEP in token:
             out.extend(self._slab_ranges.get((path, token), ()))
         else:
             for _dist, term in self._fuzzy_match(path, token, tolerance):
@@ -577,6 +593,7 @@ class StringIndex:
         tolerance: Optional[int] = None,
         impact_cap: Optional[int] = None,
         field_params: Optional[Dict[str, Tuple[float, float]]] = None,
+        token_weights: Optional[Sequence[float]] = None,
     ) -> QueryPlan:
         """Build padded range descriptors (T, NR) for the scoring kernel.
 
@@ -592,14 +609,15 @@ class StringIndex:
         from ..ops.bm25 import MAX_RANGE_LEN
 
         per_token: List[List[Tuple[int, int, float, float, float]]] = []
-        for token in tokens:
+        for ti, token in enumerate(tokens):
+            tw = token_weights[ti] if token_weights is not None else 1.0
             ranges: List[Tuple[int, int, float, float, float]] = []
             for path in properties:
                 stats = self._stats.get(path)
                 if stats is None or stats.doc_count == 0:
                     continue
                 fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
-                w = boost.get(path, 1.0) * fw
+                w = boost.get(path, 1.0) * fw * tw
                 avg = stats.avg_len if stats.avg_len > 0 else 1.0
                 for (start, length) in self._match_terms(path, token, tolerance):
                     if impact_cap is not None and length > impact_cap:

@@ -721,11 +721,32 @@ class ReadSide:
             p_: (float(v.get("weight", 1.0)), float(v.get("b", 0.75)))
             for p_, v in idx.field_params.items()
         } if idx.field_params else None
+        # phrase capability: the query's consecutive-surface-token bigrams
+        # score as extra weighted tokens (adjacency shadow terms in the
+        # index; reference SearchParams phrase_boost knob)
+        plan_tokens = list(tokens)
+        token_weights = None
+        # (skipped under an explicit match threshold: bigram matches would
+        # inflate matched-token counts against the real-token denominator)
+        if params.phrase_boost and params.phrase_boost != 1.0 \
+                and getattr(mode, "threshold", None) is None:
+            from ..index.string_index import BIGRAM_SEP
+
+            surfaces = [t for t, _ in parsed]
+            bigrams = [
+                a + BIGRAM_SEP + b for a, b in zip(surfaces, surfaces[1:])
+            ]
+            if bigrams:
+                token_weights = [1.0] * len(plan_tokens) + [
+                    float(params.phrase_boost)
+                ] * len(bigrams)
+                plan_tokens = plan_tokens + bigrams
         plan = idx.string.plan_query(
-            tokens, props, params.boost,
+            plan_tokens, props, params.boost,
             tolerance=(0 if mode.exact else mode.tolerance) or None,
             impact_cap=self.config.reader_side.impact_cap,
             field_params=fp,
+            token_weights=token_weights,
         )
         return tokens, plan
 
@@ -1259,7 +1280,7 @@ def _can_use_shared(params_list: List[SearchParams]) -> Optional[str]:
             return None
         if p.facets or p.group_by or p.sort_by:
             return None
-        if p.mode.exact or p.mode.tolerance:
+        if p.mode.exact or p.mode.tolerance or p.phrase_boost:
             return None
         if p.properties != first.properties or p.boost != first.boost:
             return None

@@ -515,6 +515,10 @@ class SearchParams:
     sort_by: Optional[SortBy] = None
     group_by: Optional[GroupByConfig] = None
     user_id: Optional[str] = None
+    # phrase adjacency boost (reference SearchParams phrase_boost knob,
+    # string_field.rs API): docs containing the query tokens CONSECUTIVELY
+    # get their adjacency bigrams scored with this extra weight
+    phrase_boost: Optional[float] = None
 
     @property
     def term(self) -> str:
@@ -553,6 +557,11 @@ class SearchParams:
             sort_by=SortBy.from_json(sort_raw) if sort_raw else None,
             group_by=GroupByConfig.from_json(group_raw) if group_raw else None,
             user_id=raw.get("userID"),
+            phrase_boost=(
+                float(raw["phraseBoost"]) if raw.get("phraseBoost") is not None
+                else float(raw["phrase_boost"]) if raw.get("phrase_boost") is not None
+                else None
+            ),
         )
 
 

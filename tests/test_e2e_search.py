@@ -574,6 +574,32 @@ def test_search_batch_shared_path(ctx):
         assert ids_of(single) == ids_of(batch_result)
 
 
+def test_phrase_boost(ctx):
+    """phraseBoost ranks docs containing the query tokens CONSECUTIVELY
+    above docs with the same tokens scattered (adjacency shadow terms;
+    reference SearchParams phrase_boost knob)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "scattered", "t": "apple sauce and then some red thing"},
+            {"id": "phrase", "t": "a bowl of red apple sauce on the table"},
+        ]
+    )
+    # without phrase boost both match the same tokens; 'scattered' wins on
+    # field length. With it, the doc containing "red apple" wins.
+    base = coll.search({"term": "red apple"})
+    assert base.count == 2
+    boosted = coll.search({"term": "red apple", "phraseBoost": 3.0})
+    assert ids_of(boosted)[0] == "phrase"
+    b = {h.id.split(":")[1]: h.score for h in boosted.hits}
+    assert b["phrase"] > b["scattered"]
+    # committed state keeps the adjacency terms
+    ctx.commit_all()
+    boosted = coll.search({"term": "red apple", "phraseBoost": 3.0})
+    assert ids_of(boosted)[0] == "phrase"
+
+
 def test_search_batch_hybrid_shared_path(ctx):
     """A homogeneous batch of hybrid queries runs through the fused
     shared path (one embeddings call + one BM25 pass + one fused
