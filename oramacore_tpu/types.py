@@ -127,6 +127,21 @@ class Locale(str, Enum):
     JA = "japanese"
     KO = "korean"
     ZH = "chinese"
+    # remaining reference locales (types.rs:369-436 LanguageDTO)
+    BG = "bulgarian"
+    ET = "estonian"
+    GA = "irish"
+    HU = "hungarian"
+    HY = "armenian"
+    ID = "indonesian"
+    LT = "lithuanian"
+    NE = "nepali"
+    RO = "romanian"
+    SA = "sanskrit"
+    SL = "slovenian"
+    SR = "serbian"
+    TA = "tamil"
+    UK = "ukrainian"
     # Fallback-tokenized locales
     OTHER = "other"
 
@@ -155,6 +170,20 @@ class Locale(str, Enum):
             "ja": cls.JA, "japanese": cls.JA,
             "ko": cls.KO, "korean": cls.KO,
             "zh": cls.ZH, "chinese": cls.ZH,
+            "bg": cls.BG, "bulgarian": cls.BG,
+            "et": cls.ET, "estonian": cls.ET,
+            "ga": cls.GA, "irish": cls.GA,
+            "hu": cls.HU, "hungarian": cls.HU,
+            "hy": cls.HY, "armenian": cls.HY,
+            "id": cls.ID, "indonesian": cls.ID,
+            "lt": cls.LT, "lithuanian": cls.LT,
+            "ne": cls.NE, "nepali": cls.NE,
+            "ro": cls.RO, "romanian": cls.RO,
+            "sa": cls.SA, "sanskrit": cls.SA,
+            "sl": cls.SL, "slovenian": cls.SL,
+            "sr": cls.SR, "serbian": cls.SR,
+            "ta": cls.TA, "tamil": cls.TA,
+            "uk": cls.UK, "ukrainian": cls.UK,
         }
         return aliases.get(v, cls.OTHER)
 

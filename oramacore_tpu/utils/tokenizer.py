@@ -402,17 +402,237 @@ _PT_SUFFIXES = [
     ("s", ""), ("a", ""), ("o", ""), ("e", ""),
 ]
 
+# -- Germanic / Nordic --------------------------------------------------
+
+_NL_SUFFIXES = [
+    ("heden", "heid"), ("ingen", "ing"), ("eringen", "eer"),
+    ("aties", "atie"), ("eren", "eer"), ("ende", ""), ("etje", ""),
+    ("tje", ""), ("pje", ""), ("je", ""),
+    ("en", ""), ("es", ""), ("s", ""), ("e", ""),
+]
+
+_SV_SUFFIXES = [
+    ("heterna", "het"), ("heternas", "het"), ("heten", "het"),
+    ("heter", "het"), ("arnas", ""), ("ernas", ""), ("ornas", ""),
+    ("arna", ""), ("erna", ""), ("orna", ""), ("ande", ""), ("ende", ""),
+    ("aste", ""), ("aren", "ar"), ("are", ""), ("ast", ""),
+    ("ade", "a"), ("at", "a"), ("ad", "a"),
+    ("en", ""), ("ar", ""), ("er", ""), ("or", ""), ("et", ""),
+    ("a", ""), ("e", ""), ("s", ""),
+]
+
+_DA_SUFFIXES = [
+    ("erendes", "er"), ("erende", "er"), ("hederne", "hed"),
+    ("heden", "hed"), ("heder", "hed"), ("ernes", ""), ("endes", ""),
+    ("erens", "er"), ("erne", ""), ("ende", ""), ("erer", "er"),
+    ("ede", ""), ("ene", ""), ("ere", ""), ("ens", ""), ("ers", ""),
+    ("ets", ""), ("en", ""), ("er", ""), ("es", ""), ("et", ""),
+    ("e", ""), ("s", ""),
+]
+
+_NO_SUFFIXES = [
+    ("hetene", "het"), ("hetens", "het"), ("heten", "het"),
+    ("heter", "het"), ("endes", ""), ("ande", ""), ("ende", ""),
+    ("edes", ""), ("enes", ""), ("erte", "er"), ("ede", ""),
+    ("ane", ""), ("ene", ""), ("ens", ""), ("ers", ""), ("ets", ""),
+    ("ert", "er"), ("en", ""), ("er", ""), ("es", ""), ("et", ""),
+    ("a", ""), ("e", ""), ("s", ""),
+]
+
+# -- Uralic / agglutinative ----------------------------------------------
+
+_FI_SUFFIXES = [
+    ("issa", ""), ("issä", ""), ("ista", ""), ("istä", ""),
+    ("illa", ""), ("illä", ""), ("ilta", ""), ("iltä", ""),
+    ("ille", ""), ("iden", ""), ("ien", ""), ("ssa", ""), ("ssä", ""),
+    ("sta", ""), ("stä", ""), ("lla", ""), ("llä", ""), ("lta", ""),
+    ("ltä", ""), ("lle", ""), ("ksi", ""), ("nsa", ""), ("nsä", ""),
+    ("in", ""), ("an", ""), ("än", ""), ("en", ""),
+    ("t", ""), ("n", ""), ("a", ""), ("ä", ""),
+]
+
+_HU_SUFFIXES = [
+    ("okkal", ""), ("ekkel", ""), ("akkal", ""), ("ökkel", ""),
+    ("ban", ""), ("ben", ""), ("ból", ""), ("ből", ""), ("nak", ""),
+    ("nek", ""), ("val", ""), ("vel", ""), ("tól", ""), ("től", ""),
+    ("ról", ""), ("ről", ""), ("hoz", ""), ("hez", ""), ("höz", ""),
+    ("nál", ""), ("nél", ""), ("ság", ""), ("ség", ""),
+    ("ba", ""), ("be", ""), ("ra", ""), ("re", ""),
+    ("ok", ""), ("ek", ""), ("ak", ""), ("ök", ""),
+    ("on", ""), ("en", ""), ("ön", ""),
+    ("t", ""), ("k", ""), ("i", ""),
+]
+
+_ET_SUFFIXES = [
+    ("dele", ""), ("dest", ""), ("dega", ""), ("tele", ""), ("test", ""),
+    ("tega", ""), ("sse", ""), ("ste", ""), ("sid", ""),
+    ("ni", ""), ("na", ""), ("ta", ""), ("ga", ""), ("le", ""),
+    ("lt", ""), ("st", ""), ("d", ""), ("t", ""), ("s", ""),
+]
+
+_TR_SUFFIXES = [
+    ("lerinden", ""), ("larından", ""), ("lerinde", ""), ("larında", ""),
+    ("lerine", ""), ("larına", ""), ("lerin", ""), ("ların", ""),
+    ("lerde", ""), ("larda", ""), ("lerden", ""), ("lardan", ""),
+    ("iniz", ""), ("ınız", ""), ("unuz", ""), ("ünüz", ""),
+    ("ler", ""), ("lar", ""), ("nin", ""), ("nın", ""), ("nun", ""),
+    ("nün", ""), ("in", ""), ("ın", ""), ("un", ""), ("ün", ""),
+    ("im", ""), ("ım", ""), ("um", ""), ("üm", ""),
+    ("da", ""), ("de", ""), ("ta", ""), ("te", ""),
+    ("dan", ""), ("den", ""), ("tan", ""), ("ten", ""),
+    ("si", ""), ("sı", ""), ("su", ""), ("sü", ""),
+    ("a", ""), ("e", ""), ("i", ""), ("ı", ""), ("u", ""), ("ü", ""),
+]
+
+# -- Slavic / Baltic -----------------------------------------------------
+
+_RU_SUFFIXES = [
+    ("иями", ""), ("ями", ""), ("ами", ""), ("иях", ""), ("иям", ""),
+    ("ием", ""), ("ost", ""),
+    ("ого", ""), ("его", ""), ("ому", ""), ("ему", ""),
+    ("ыми", ""), ("ими", ""), ("ами", ""),
+    ("ует", "у"), ("уют", "у"),
+    ("ать", "а"), ("ять", "я"), ("еть", "е"), ("ить", "и"),
+    ("ал", "а"), ("ял", "я"), ("ел", "е"), ("ил", "и"),
+    ("ая", ""), ("яя", ""), ("ое", ""), ("ее", ""), ("ую", ""),
+    ("юю", ""), ("ый", ""), ("ий", ""), ("ой", ""),
+    ("ия", ""), ("ие", ""), ("ии", ""), ("ые", ""),
+    ("ах", ""), ("ях", ""), ("ам", ""), ("ям", ""),
+    ("ем", ""), ("им", ""), ("ом", ""), ("ев", ""), ("ов", ""),
+    ("ей", ""), ("ью", ""),
+    ("ы", ""), ("и", ""), ("а", ""), ("я", ""), ("о", ""), ("е", ""),
+    ("у", ""), ("ю", ""), ("ь", ""), ("й", ""),
+]
+
+_UK_SUFFIXES = [
+    ("ами", ""), ("ями", ""), ("ові", ""), ("еві", ""),
+    ("ого", ""), ("ому", ""), ("ими", ""),
+    ("ати", "а"), ("яти", "я"), ("ити", "и"), ("іти", "і"),
+    ("ах", ""), ("ях", ""), ("ам", ""), ("ям", ""), ("ів", ""),
+    ("ою", ""), ("ею", ""), ("ій", ""), ("ий", ""),
+    ("и", ""), ("і", ""), ("а", ""), ("я", ""), ("о", ""), ("е", ""),
+    ("у", ""), ("ю", ""), ("ь", ""), ("й", ""),
+]
+
+_BG_SUFFIXES = [
+    ("ията", ""), ("ията", ""), ("ите", ""), ("ове", ""), ("ът", ""),
+    ("та", ""), ("то", ""), ("те", ""), ("ия", ""), ("ът", ""),
+    ("а", ""), ("я", ""), ("о", ""), ("е", ""), ("и", ""),
+]
+
+_LT_SUFFIXES = [
+    ("iuose", ""), ("uose", ""), ("omis", ""), ("ymas", "y"),
+    ("imas", "i"), ("ams", ""), ("ais", ""), ("oms", ""),
+    ("as", ""), ("is", ""), ("ys", ""), ("us", ""), ("ai", ""),
+    ("ei", ""), ("ui", ""), ("io", ""), ("iu", ""), ("os", ""),
+    ("ų", ""), ("ą", ""), ("ę", ""), ("į", ""), ("ū", ""),
+    ("o", ""), ("a", ""), ("e", ""), ("i", ""), ("u", ""), ("s", ""),
+]
+
+_SR_SUFFIXES = [  # shared Serbian/Slovenian light endings
+    ("ovima", ""), ("ijama", ""), ("ima", ""), ("ama", ""),
+    ("om", ""), ("em", ""), ("og", ""), ("eg", ""), ("oj", ""),
+    ("ih", ""), ("im", ""), ("ju", ""),
+    ("a", ""), ("e", ""), ("i", ""), ("o", ""), ("u", ""),
+]
+
+# -- Hellenic ------------------------------------------------------------
+
+_EL_SUFFIXES = [
+    ("ματος", "μα"), ("ματα", "μα"), ("ουσα", ""), ("ουμε", ""),
+    ("ετε", ""), ("ουν", ""), ("εις", ""), ("ει", ""),
+    ("ος", ""), ("ης", ""), ("ας", ""), ("ων", ""), ("ου", ""),
+    ("οι", ""), ("ες", ""), ("α", ""), ("η", ""), ("ο", ""),
+    ("ι", ""), ("ε", ""),
+]
+
+# -- Romance (additional) --------------------------------------------------
+
+_RO_SUFFIXES = [
+    ("ătoare", "a"), ("atoare", "a"), ("ilor", ""), ("elor", ""),
+    ("ului", ""), ("iile", ""), ("uri", ""), ("ile", ""),
+    ("ea", ""), ("le", ""), ("ii", ""), ("ul", ""),
+    ("ă", ""), ("a", ""), ("e", ""), ("i", ""),
+]
+
+# -- Indic / Semitic / Austronesian ---------------------------------------
+
+_HI_SUFFIXES = [
+    ("ियों", ""), ("ाओं", ""), ("ियां", ""), ("ों", ""), ("ें", ""),
+    ("ता", ""), ("ते", ""), ("ती", ""), ("ना", ""), ("ने", ""),
+    ("ी", ""), ("े", ""), ("ा", ""),
+]
+
+_AR_SUFFIXES = [
+    ("ات", ""), ("ون", ""), ("ين", ""), ("ان", ""), ("ها", ""),
+    ("هم", ""), ("كم", ""), ("نا", ""), ("ية", ""),
+    ("ه", ""), ("ة", ""), ("ي", ""), ("ا", ""),
+]
+
+_ID_SUFFIXES = [
+    ("kannya", ""), ("annya", ""), ("kan", ""), ("nya", ""),
+    ("lah", ""), ("kah", ""), ("an", ""), ("i", ""),
+]
+
+# locales whose stemmer also strips a COMMON PREFIX set (prefix, min stem)
+_LIGHT_PREFIXES = {
+    Locale.AR: ["ال", "وال", "بال", "كال", "فال"],
+    Locale.ID: ["meng", "meny", "mem", "men", "me", "peng", "peny",
+                "pem", "pen", "ber", "ter", "di", "ke", "se"],
+}
+
 _LIGHT_STEMMERS = {
     Locale.IT: _IT_SUFFIXES,
     Locale.ES: _ES_SUFFIXES,
     Locale.FR: _FR_SUFFIXES,
     Locale.DE: _DE_SUFFIXES,
     Locale.PT: _PT_SUFFIXES,
+    Locale.NL: _NL_SUFFIXES,
+    Locale.SV: _SV_SUFFIXES,
+    Locale.DA: _DA_SUFFIXES,
+    Locale.NO: _NO_SUFFIXES,
+    Locale.FI: _FI_SUFFIXES,
+    Locale.HU: _HU_SUFFIXES,
+    Locale.ET: _ET_SUFFIXES,
+    Locale.TR: _TR_SUFFIXES,
+    Locale.RU: _RU_SUFFIXES,
+    Locale.UK: _UK_SUFFIXES,
+    Locale.BG: _BG_SUFFIXES,
+    Locale.LT: _LT_SUFFIXES,
+    Locale.SR: _SR_SUFFIXES,
+    Locale.SL: _SR_SUFFIXES,
+    Locale.EL: _EL_SUFFIXES,
+    Locale.RO: _RO_SUFFIXES,
+    Locale.HI: _HI_SUFFIXES,
+    Locale.AR: _AR_SUFFIXES,
+    Locale.ID: _ID_SUFFIXES,
 }
+
+
+# agglutinative/short-root locales strip deeper (ev, ház, дом, ...)
+_MIN_STEM_2 = (Locale.HI, Locale.AR, Locale.EL, Locale.TR, Locale.FI,
+               Locale.HU, Locale.ET, Locale.RU, Locale.UK, Locale.BG)
 
 
 def light_stem(token: str, locale: Locale) -> str:
     suffixes = _LIGHT_STEMMERS.get(locale)
     if suffixes is None or len(token) <= 3:
         return token
-    return _strip_suffixes(token, suffixes, min_stem=3)
+    # prefix strip first for prefixing morphologies (Arabic article,
+    # Indonesian verb prefixes); both sides keep a min-stem guard
+    prefixes = _LIGHT_PREFIXES.get(locale)
+    if prefixes:
+        for p in prefixes:
+            if token.startswith(p) and len(token) - len(p) >= 3:
+                token = token[len(p):]
+                break
+    min_stem = 2 if locale in _MIN_STEM_2 else 3
+    # iterate to a fixpoint (max 3 rounds): base and inflected forms
+    # converge ("kirjat"->"kirja"->"kirj" == "kirja"->"kirj"); essential
+    # for agglutinative suffix chains ("evlerde"->"evler"->"ev")
+    for _ in range(3):
+        nxt = _strip_suffixes(token, suffixes, min_stem=min_stem)
+        if nxt == token:
+            break
+        token = nxt
+    return token

@@ -70,3 +70,65 @@ def test_cjk_tokenization():
 def test_nlp_service_caches_parsers():
     svc = NLPService()
     assert svc.get_parser(Locale.EN) is svc.get_parser(Locale.EN)
+
+
+def test_light_stemmers_cover_reference_locales():
+    """Inflected/base pairs stem to the same form per locale (SURVEY
+    §2.7: reference stems ~30 locales via oramacore_lib::nlp)."""
+    from oramacore_tpu.types import Locale
+    from oramacore_tpu.utils.tokenizer import TextParser
+
+    CASES = {
+        "dutch": [("huizen", "huis", False), ("lopen", "loop", False),
+                  ("boeken", "boek", True)],
+        "swedish": [("flickorna", "flickor", True), ("huset", "hus", True),
+                    ("bilar", "bil", True)],
+        "danish": [("husene", "hus", True), ("bilerne", "biler", True)],
+        "norwegian": [("bilene", "bil", True), ("husets", "huset", True)],
+        "finnish": [("talossa", "talo", True), ("kirjat", "kirja", True)],
+        "hungarian": [("házban", "ház", True), ("könyvek", "könyv", True)],
+        "estonian": [("majadele", "maja", True), ("raamatud", "raamatu", True)],
+        "turkish": [("evlerde", "ev", True), ("kitaplar", "kitap", True)],
+        "russian": [("книгами", "книга", True), ("домов", "дом", True),
+                    ("красная", "красный", True)],
+        "ukrainian": [("книгами", "книга", True), ("будинків", "будинк", True)],
+        "bulgarian": [("книгите", "книги", True), ("градът", "град", True)],
+        "lithuanian": [("namuose", "namas", True), ("knygos", "knyga", True)],
+        "serbian": [("knjigama", "knjiga", True), ("gradovima", "grad", True)],
+        "greek": [("βιβλία", "βιβλίο", True), ("δρόμος", "δρόμοι", True)],
+        "romanian": [("cărțile", "cărți", True), ("orașului", "oraș", True)],
+        "hindi": [("किताबों", "किताब", True), ("लड़कियों", "लड़की", False)],
+        "arabic": [("الكتاب", "كتاب", True), ("مدرسات", "مدرس", True)],
+        "indonesian": [("makanannya", "makan", True),
+                       ("membaca", "baca", False)],
+    }
+    failures = []
+    for locale_name, pairs in CASES.items():
+        parser = TextParser(Locale.parse(locale_name))
+        for a, b, must in pairs:
+            sa, sb = parser.stem(a), parser.stem(b)
+            if sa != sb:
+                if must:
+                    failures.append((locale_name, a, b, sa, sb))
+    assert not failures, failures
+
+
+def test_stemmed_search_in_new_locales():
+    """Engine-level: a Russian collection matches inflected forms."""
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection(language="russian")
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": "1", "t": "красная книга о животных"},
+            {"id": "2", "t": "синий дом у моря"},
+        ])
+        out = coll.search({"term": "книгами"})  # instrumental plural
+        assert out.count >= 1
+        assert out.hits[0].id.endswith(":1")
+        out = coll.search({"term": "красный"})
+        assert out.count >= 1 and out.hits[0].id.endswith(":1")
+    finally:
+        ctx.close()
