@@ -14,7 +14,7 @@ import asyncio
 import json
 import time
 import uuid
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 from aiohttp import web
 
@@ -146,18 +146,45 @@ class AIService:
             }
         )
         await resp.prepare(request)
+        # interaction analytics accumulator (reference AnalyticsHolder
+        # analytics.rs:269): RAG steps, ttft, model info, answer text
+        holder = self.read_side.analytics.interaction(
+            collection_id, interaction.interaction_id,
+            conversation_id=interaction.conversation_id,
+            visitor_id=interaction.visitor_id,
+            user_message=interaction.query,
+            metadata=self.read_side.analytics.metadata_from_request(
+                request.headers
+            ),
+        )
+        provider = self.llm.select_provider(None) if self.llm else None
+        if provider is not None:
+            holder.set_llm_info(provider.name, provider.model)
+        answer_parts: List[str] = []
         try:
             async for ev in sm.run_stream(interaction, planned=planned):
+                et = ev.get("type")
+                if et == "answer_token":
+                    if not answer_parts:
+                        holder.set_time_to_first_token()
+                    answer_parts.append(ev.get("token", ""))
+                elif et == "state_changed":
+                    holder.add_rag_step(ev.get("state"))
+                elif et == "related_queries":
+                    holder.set_generated_related_queries(
+                        json.dumps(ev.get("queries"))
+                    )
+                elif et == "error":
+                    holder.set_error(str(ev.get("error")))
                 await resp.write(f"data: {json.dumps(ev)}\n\n".encode())
             await resp.write(b"data: [DONE]\n\n")
         except (ConnectionResetError, asyncio.CancelledError):
             pass
-        # interaction analytics (reference read/analytics.rs:198)
         try:
-            self.read_side.analytics.add_interaction_event(
-                collection_id, interaction.interaction_id,
-                interaction.query, (time.time() - t0) * 1000,
-            )
+            holder.set_assistant_response("".join(answer_parts))
+            if interaction.system_prompt_id:
+                holder.set_system_prompt_id(interaction.system_prompt_id)
+            holder.finish()
         except Exception:  # noqa: BLE001
             pass
         return resp

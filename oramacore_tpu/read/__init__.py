@@ -577,11 +577,16 @@ class ReadSide:
         self.analytics.add_search_event(
             collection_id,
             mode=params.mode_str,
+            term=params.term,
             duration_ms=(time.perf_counter() - t0) * 1000,
             has_filter=has_filter,
             has_facets=bool(params.facets),
+            has_groups=params.group_by is not None,
+            has_sorting=params.sort_by is not None,
             has_pin_rules=bool(consequences),
-            results=count,
+            has_pinned_results=bool(consequences) and bool(hits),
+            results_count=count,
+            visitor_id=params.user_id,
         )
         return SearchResult(
             hits=hits,

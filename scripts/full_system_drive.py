@@ -61,7 +61,7 @@ def client_flow(base):
 
     # analytics export (claim-gated)
     events = client.analytics()["events"]
-    print("5. analytics events:", sorted({e["type"] for e in events}))
+    print("5. analytics events:", sorted({e["t"] for e in events}))
 
     # probe: JWT-less bad key on AI route
     try:

@@ -327,3 +327,64 @@ def test_logging_subscriber_stack(tmp_path):
             root.removeHandler(h)
         for h in old_handlers:
             root.addHandler(h)
+
+
+def test_analytics_taxonomy_and_rotation(tmp_path):
+    """Search/interaction V1 event fields (compact wire keys, reference
+    analytics.rs:88/:198), size rotation, export across generations."""
+    from oramacore_tpu.read.analytics import AnalyticsLog
+
+    path = str(tmp_path / "a.jsonl")
+    log = AnalyticsLog(path, max_bytes=5000, keep_rotated=10, flush_every=1)
+    log.add_search_event(
+        "c", mode="hybrid", term="red shoes", duration_ms=12.5,
+        results_count=3, has_filter=True, has_groups=True,
+        has_sorting=False, has_facets=True, has_pin_rules=True,
+        has_pinned_results=True, visitor_id="v1", origin="rag",
+    )
+    h = log.interaction("c", "i-1", conversation_id="conv-1",
+                        user_message="what shoes?")
+    h.set_llm_info("mock", "m1")
+    h.add_rag_step("optimize_query")
+    h.add_rag_step("execute_search")
+    h.set_time_to_first_token()
+    h.set_assistant_response("red running shoes cost $80")
+    h.set_generated_related_queries('["blue shoes"]')
+    h.finish()
+    # force rotation with bulk events
+    for i in range(100):
+        log.add_search_event("c", mode="fulltext", term=f"q{i}",
+                             duration_ms=1.0, results_count=0)
+    import os
+    assert os.path.exists(path + ".1"), "rotation happened"
+    events = log.get_and_erase()
+    assert len(events) == 102, "export drains rotated generations too"
+    sv = events[0]
+    assert sv["t"] == "sv1" and sv["st"] == "h" and sv["o"] == "rag"
+    assert sv["hflt"] == 1 and sv["hg"] == 1 and sv["hs"] == 0
+    assert sv["hpr"] == 1 and sv["hpres"] == 1 and sv["rc"] == 3
+    assert sv["v_id"] == "v1" and sv["rst"] == "red shoes"
+    iv = events[1]
+    assert iv["t"] == "iv1" and iv["conv"] == "conv-1"
+    assert iv["mp"] == "mock" and iv["mn"] == "m1"
+    assert "optimize_query" in iv["rs"]
+    assert iv["uot"] > 0 and iv["d"] > 0 and iv["gq"] == '["blue shoes"]'
+    # erased
+    assert log.get_and_erase() == []
+    log.close()
+
+
+def test_analytics_metadata_from_headers(tmp_path):
+    from oramacore_tpu.read.analytics import AnalyticsLog
+
+    log = AnalyticsLog(
+        str(tmp_path / "a.jsonl"), flush_every=1,
+        metadata_from_headers={"X-Country": "country", "X-Device": "device"},
+    )
+    md = log.metadata_from_request({"X-Country": "IT", "Other": "x"})
+    assert md == {"country": "IT"}
+    log.add_search_event("c", mode="fulltext", term="q", duration_ms=1.0,
+                         results_count=1, metadata=md)
+    ev = log.get_and_erase()[0]
+    assert ev["md"] == {"country": "IT"}
+    log.close()

@@ -273,7 +273,7 @@ async def test_analytics_export(client):
     await wait_search(client, "c6", keys["read_api_key"], {"term": "hello"})
     resp = await client.get("/v1/analytics", headers=auth(MASTER))
     events = (await resp.json())["events"]
-    assert any(e["type"] == "search" for e in events)
+    assert any(e["t"] == "sv1" for e in events)
     # claim-gated
     resp = await client.get("/v1/analytics", headers=auth("bad"))
     assert resp.status == 401
