@@ -388,3 +388,60 @@ def test_analytics_metadata_from_headers(tmp_path):
     ev = log.get_and_erase()[0]
     assert ev["md"] == {"country": "IT"}
     log.close()
+
+
+def test_code_parser_lexer_robustness():
+    """A real lexer must not extract 'code' from inside strings, comments
+    or regex literals, and must survive template-literal nesting."""
+    src = '''
+const API = "function fakeFn(x) { import bad from 'nope' }";
+// function commentedOut() {}
+const re = /function alsoNot\\(\\)/g;
+const tpl = `prefix ${ computeValue(realArg) } function neitherMe() {}`;
+const ratio = total / count / 2;  // divisions, not regexes
+import real, { useThing as useAliased } from "@scope/pkg";
+export const realFn = async ({ nested = { a: 1 }, flag = true }, rest) => 1;
+'''
+    tokens = CodeParser().parse(src)
+    names = {(t.kind, t.value) for t in tokens}
+    assert ("function", "fakeFn") not in names        # inside a string
+    assert ("function", "commentedOut") not in names   # inside a comment
+    assert ("function", "alsoNot") not in names        # inside a regex
+    assert ("function", "neitherMe") not in names      # inside a template
+    assert ("import", "bad") not in names
+    assert ("import", "real") in names
+    assert ("import", "useAliased") in names           # local alias binding
+    assert ("import", "@scope/pkg") in names
+    assert ("function", "realFn") in names
+    fn = next(t for t in tokens if t.kind == "function" and t.value == "realFn")
+    assert fn.extra["params"] == ["nested", "flag", "rest"]
+
+
+def test_code_parser_jsx_attributes_and_class_extends():
+    src = '''
+class SearchBox extends BaseWidget {}
+const App = () => <ResultGrid items={items} pageSize={20} onSelect={go} />;
+'''
+    tokens = CodeParser().parse(src)
+    cls = next(t for t in tokens if t.kind == "class")
+    assert cls.value == "SearchBox" and cls.extra["extends"] == "BaseWidget"
+    jsx = next(t for t in tokens if t.kind == "jsx")
+    assert jsx.value == "ResultGrid"
+    assert jsx.extra["attributes"] == ["items", "pageSize", "onSelect"]
+
+
+def test_tool_params_hard_cases():
+    # nested destructuring defaults with commas inside
+    schema = extract_tool_params(
+        "export default function run({ city, opts = { a: 1, b: 2 }, "
+        "units = 'metric' }, extra) { return 1; }"
+    )
+    assert set(schema["properties"]) == {"city", "opts", "units", "extra"}
+    # TS annotations
+    schema = extract_tool_params(
+        "export default async (query: string, limit: number = 10) => 1"
+    )
+    assert set(schema["properties"]) == {"query", "limit"}
+    # single-identifier arrow
+    schema = extract_tool_params("export default x => x * 2")
+    assert set(schema["properties"]) == {"x"}
