@@ -11,9 +11,9 @@ sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__fi
 from ai_mock import MockLLMServer
 
 SCRIPT = [
-    ("Decide how to retrieve", '{"strategy": "simple"}'),
-    ("Rewrite the user", "noise cancelling headphones"),
-    ("helpful search assistant", "The wireless headphones cost $299 and have noise cancelling."),
+    ("route a user message", '{"strategy": "simple"}'),
+    ("rewrite a conversational message", "noise cancelling headphones"),
+    ("grounded question-answering assistant", "The wireless headphones cost $299 and have noise cancelling."),
 ]
 
 def client_flow(base):

@@ -16,15 +16,15 @@ from .ai_mock import MockLLMServer
 MASTER = "mk"
 
 SCRIPT = [
-    ("Decide how to retrieve", '{"strategy": "simple"}'),
-    ("Rewrite the user", "mechanical keyboard"),
+    ("route a user message", '{"strategy": "simple"}'),
+    ("rewrite a conversational message", "mechanical keyboard"),
     ("what is the weather",
      'TOOL_CALL [{"id": "call_1", "type": "function", "function": '
      '{"name": "get_weather", "arguments": "{\\"city\\": \\"Rome\\"}"}}]'),
-    ("helpful search assistant", "It costs $80."),
+    ("grounded question-answering assistant", "It costs $80."),
     ("classify a search query", '{"mode": "fulltext"}'),
     ("suggested queries", '["cheap keyboards", "mice"]'),
-    ("concise title", "Keyboard shopping"),
+    ("title for a conversation", "Keyboard shopping"),
 ]
 
 

@@ -237,9 +237,9 @@ def make_engine(tmp):
 async def test_answer_state_machine_stream():
     mock = MockLLMServer(
         [
-            ("Decide how to retrieve", '{"strategy": "simple"}'),
-            ("Rewrite the user", "mechanical keyboard"),
-            ("helpful search assistant", "The mechanical keyboard costs $80."),
+            ("route a user message", '{"strategy": "simple"}'),
+            ("rewrite a conversational message", "mechanical keyboard"),
+            ("grounded question-answering assistant", "The mechanical keyboard costs $80."),
         ]
     )
     await mock.start()
@@ -287,9 +287,9 @@ async def test_advanced_autoquery_flow_with_constraints():
         [
             ("independent search intents",
              '{"queries": ["keyboard under 100", "monitor"]}'),
-            ("choose which properties",
+            ("choose which collection properties",
              '{"selections": [{"query": "keyboard under 100", "properties": ["name", "price"]}, {"query": "monitor", "properties": ["name"]}]}'),
-            ("Compose executable search parameters",
+            ("compose executable search parameters",
              '{"searches": [{"term": "keyboard"}, {"term": "monitor"}]}'),
         ]
     )
