@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -105,71 +106,111 @@ class VectorIndex:
     # ------------------------------------------------------------------
 
     def _build_ivf(self, n_centroids: Optional[int] = None) -> None:
+        """Large-corpus layout: per-row symmetric INT8 quantization (4x
+        the rows per GiB of HBM — a 10M x 768 corpus is 7.5 GiB int8 vs
+        30 GiB f32, which does not fit a 16 GiB chip) + rows PACKED by
+        k-means cluster with SUB-BLOCK probe units: a cluster larger
+        than the window splits into several units sharing its centroid,
+        so load imbalance costs neither padding memory nor spill scans
+        (window overrun into the next cluster just scores extra valid
+        candidates). Measured at 10.5M x 768 (benches/RESULTS.md):
+        recall@10 0.977 at 4.7k QPS with nprobe=8."""
         mat = self._committed_matrix
         n = len(mat)
+        dim = mat.shape[1]
         c = n_centroids or max(64, int(np.sqrt(n)))
         rng = np.random.default_rng(0)
-        # k-means++ style init on a sample, few Lloyd iterations on device
-        sample = mat[rng.choice(n, min(n, c * 64), replace=False)]
+        sample_idx = rng.choice(n, min(n, c * 64), replace=False)
+        sample = np.ascontiguousarray(mat[sample_idx])
         centroids = sample[rng.choice(len(sample), c, replace=False)].copy()
-        mat_dev = jnp.asarray(mat, jnp.bfloat16)
+        # Lloyd iterations with chunked one-hot matmuls on the MXU
+        # (segment_sum lowers to scatter-add — pathologically slow on TPU)
+        sample_dev = jnp.asarray(sample)
+        cen = jnp.asarray(centroids)
+        lb = min(16384, len(sample))
+        ns = (len(sample) // lb) * lb
+
+        @jax.jit
+        def lloyd(sample_dev, cen):
+            def blk(carry, i):
+                sums, cnt = carry
+                rows = jax.lax.dynamic_slice(sample_dev, (i * lb, 0), (lb, dim))
+                a = jnp.argmax(
+                    jnp.dot(rows.astype(jnp.bfloat16),
+                            cen.astype(jnp.bfloat16).T,
+                            preferred_element_type=jnp.float32),
+                    axis=1,
+                )
+                oh = jax.nn.one_hot(a, c, dtype=jnp.bfloat16)
+                sums = sums + jnp.dot(
+                    oh.T, rows.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                cnt = cnt + jnp.sum(oh.astype(jnp.float32), axis=0)
+                return (sums, cnt), None
+
+            (sums, cnt), _ = jax.lax.scan(
+                blk,
+                (jnp.zeros((c, dim), jnp.float32), jnp.zeros((c,), jnp.float32)),
+                jnp.arange(max(ns // lb, 1)),
+            )
+            new = jnp.where(cnt[:, None] > 0, sums / jnp.maximum(cnt[:, None], 1.0), cen)
+            return new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
+            )
+
         for _ in range(8):
-            cen_dev = jnp.asarray(centroids, jnp.bfloat16)
-            assign = np.asarray(
+            cen = lloyd(sample_dev, cen)
+        centroids = np.asarray(cen)
+
+        # assign ALL rows (device matmul, chunked)
+        assign = np.empty(n, np.int32)
+        step = 262144
+        cen_dev = jnp.asarray(centroids, jnp.bfloat16)
+        for s in range(0, n, step):
+            block_rows = jnp.asarray(mat[s:s + step], jnp.bfloat16)
+            assign[s:s + step] = np.asarray(
                 jnp.argmax(
-                    jnp.dot(mat_dev, cen_dev.T, preferred_element_type=jnp.float32),
+                    jnp.dot(block_rows, cen_dev.T,
+                            preferred_element_type=jnp.float32),
                     axis=1,
                 )
             )
-            sums = np.zeros((c, mat.shape[1]), np.float32)
-            np.add.at(sums, assign, mat)
-            counts = np.bincount(assign, minlength=c).astype(np.float32)
-            nonempty = counts > 0
-            centroids[nonempty] = l2_normalize(
-                sums[nonempty] / counts[nonempty, None]
-            )
-        # group rows into padded cluster blocks. Cluster sizes are
-        # imbalanced (up to ~4x the mean), so padding every block to the
-        # max would multiply HBM/upload cost; instead blocks are bounded
-        # at ~2x the mean and overflow rows SPILL into a flat tail matrix
-        # that every query scans exactly (bounded extra matmul work,
-        # zero recall loss).
+
+        # pack rows by cluster; quantize int8 per row (vectorized host)
         order = np.argsort(assign, kind="stable")
+        packed = np.ascontiguousarray(mat[order])
+        amax = np.abs(packed).max(axis=1)
+        scales = (np.maximum(amax, 1e-12) / 127.0).astype(np.float32)
+        q = np.clip(
+            np.round(packed / scales[:, None]), -127, 127
+        ).astype(np.int8)
+        docs = self._committed_docs[order].astype(np.int32)
+
+        # probe units: cluster sub-blocks of `window` rows sharing the
+        # cluster centroid — big clusters get proportionally many probes
         counts = np.bincount(assign, minlength=c)
-        mean = max(1.0, float(counts.mean()))
-        block = int(round_up_pow2(max(128, int(2 * mean)), 128))
-        padded = np.zeros((c * block, mat.shape[1]), np.float32)
-        padded_docs = np.zeros(c * block, np.int32)
-        valid = np.zeros(c * block, bool)
-        starts = np.arange(c, dtype=np.int32) * block
-        spill_rows = []
-        pos = 0
+        starts = np.zeros(c + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        window = int(min(
+            2048, round_up_pow2(max(int(2 * max(counts.mean(), 1)), 128), 128)
+        ))
+        window = min(window, int(round_up_pow2(max(n // 2, 1), 1)))
+        window = max(min(window, n), 1)
+        unit_starts, unit_cluster = [], []
         for ci in range(c):
-            rows = order[pos : pos + counts[ci]]
-            pos += counts[ci]
-            head, tail = rows[:block], rows[block:]
-            s = ci * block
-            padded[s : s + len(head)] = mat[head]
-            padded_docs[s : s + len(head)] = self._committed_docs[head]
-            valid[s : s + len(head)] = True
-            if len(tail):
-                spill_rows.append(tail)
-        if spill_rows:
-            spill_idx = np.concatenate(spill_rows)
-            spill_matrix = np.ascontiguousarray(mat[spill_idx])
-            spill_docs = self._committed_docs[spill_idx].astype(np.int32)
-        else:
-            spill_matrix = np.zeros((0, mat.shape[1]), np.float32)
-            spill_docs = np.zeros(0, np.int32)
+            cnt = int(counts[ci])
+            st = int(starts[ci])
+            for j in range(0, max(cnt, 0), window):
+                unit_starts.append(st + j)
+                unit_cluster.append(ci)
         self._ivf = {
-            "centroids": centroids,
-            "matrix": padded,
-            "docs": padded_docs,
-            "valid": valid,
-            "starts": starts,
-            "block": block,
-            "spill_matrix": spill_matrix,
-            "spill_docs": spill_docs,
+            "q": q,
+            "scales": scales,
+            "docs": docs,
+            "unit_cen": np.ascontiguousarray(centroids[unit_cluster]),
+            "unit_starts": np.asarray(unit_starts, np.int32),
+            "window": window,
         }
         self._gen += 1
 
@@ -180,34 +221,16 @@ class VectorIndex:
     def _device_slab(self):
         if self._dev_gen != self._gen:
             if self._ivf is not None and not self._live_rows:
-                matrix = self._ivf["matrix"]
-                docs = self._ivf["docs"]
-                valid = self._ivf["valid"]
-                spill = self._ivf["spill_matrix"]
-                n_sp = len(spill)
-                if n_sp:
-                    chunk = self._chunk_for(n_sp)
-                    sp_pad = max(chunk, round_up_pow2(max(n_sp, 1), chunk))
-                    spm = np.zeros((sp_pad, self.config.dim), np.float32)
-                    spm[:n_sp] = spill
-                    spd = np.zeros(sp_pad, np.int32)
-                    spd[:n_sp] = self._ivf["spill_docs"]
-                    spv = np.zeros(sp_pad, bool)
-                    spv[:n_sp] = True
-                    spill_dev = (
-                        jnp.asarray(spm, jnp.bfloat16), jnp.asarray(spd),
-                        jnp.asarray(spv),
-                    )
-                else:
-                    spill_dev = None
+                # int8 packed layout: quantized rows + per-row scales +
+                # doc ids (for filter pushdown) + probe-unit table
                 self._dev = (
-                    jnp.asarray(matrix, jnp.bfloat16),
-                    jnp.asarray(docs, jnp.int32),
-                    jnp.asarray(valid),
-                    jnp.asarray(self._ivf["centroids"], jnp.float32),
-                    jnp.asarray(self._ivf["starts"], jnp.int32),
+                    jnp.asarray(self._ivf["q"]),          # int8[N, D]
+                    jnp.asarray(self._ivf["docs"]),       # int32[N]
+                    jnp.asarray(self._ivf["scales"]),     # f32[N]
+                    jnp.asarray(self._ivf["unit_cen"], jnp.float32),
+                    jnp.asarray(self._ivf["unit_starts"]),
                     True,
-                    spill_dev,
+                    None,
                 )
             else:
                 parts_m = [self._committed_matrix]
@@ -275,19 +298,21 @@ class VectorIndex:
         )
 
         if is_ivf:
-            _, probes = top_centroids(
-                jnp.asarray(q), centroids, nprobe=min(IVF_NPROBE, len(np.asarray(starts)))
-            )
-            vals, rows = ivf_gather_topk(
-                jnp.asarray(q), matrix, row_valid
-                if filter_mask is None
-                else row_valid
-                & jnp.take(
+            # int8 packed path: filters push down by zeroing the per-row
+            # scale (scale 0 == invalid row in the kernel)
+            from ..ops.vector import ivf_int8_topk
+
+            scales = row_valid  # f32[N] in the int8 layout
+            if filter_mask is not None:
+                mask_rows = jnp.take(
                     jnp.asarray(filter_mask),
                     jnp.clip(row_doc, 0, len(filter_mask) - 1),
-                ),
-                starts, probes, k=k,
-                rows_per_probe=self._ivf["block"],
+                )
+                scales = jnp.where(mask_rows, scales, 0.0)
+            nprobe = min(IVF_NPROBE, int(centroids.shape[0]))
+            vals, rows = ivf_int8_topk(
+                jnp.asarray(q), matrix, scales, centroids, starts,
+                k=k, nprobe=nprobe, window=self._ivf["window"],
             )
         else:
             chunk = int(matrix.shape[0]) if int(matrix.shape[0]) < 1024 else self._chunk_for(int(matrix.shape[0]))

@@ -79,13 +79,11 @@ def test_ivf_filter_pushdown(small_ivf):
     assert 50 in got
 
 
-def test_ivf_spill_tail_exactness(small_ivf, monkeypatch):
-    """Force heavy cluster imbalance so overflow rows land in the spill
-    tail; results must still include them (exact overflow scan)."""
+def test_ivf_oversized_cluster_splits_into_units(small_ivf, monkeypatch):
     dim, n = 16, 3000
     rng = np.random.default_rng(9)
-    # 95% of vectors IDENTICAL → k-means cannot split them across
-    # centroids, so that cluster overflows its bounded block
+    # 95% of vectors IDENTICAL -> k-means cannot split them across
+    # centroids, so that cluster is far larger than the probe window
     hub = l2_normalize(rng.normal(size=(1, dim)).astype(np.float32))
     rest = l2_normalize(rng.normal(size=(n // 20, dim)).astype(np.float32))
     vecs = np.concatenate([
@@ -96,12 +94,18 @@ def test_ivf_spill_tail_exactness(small_ivf, monkeypatch):
     for i in range(len(vecs)):
         idx.insert(i, [vecs[i]])
     idx.commit()
-    # few centroids → the hub cluster must overflow its bounded block
+    # few centroids -> the hub cluster must span MULTIPLE probe units
     idx._build_ivf(n_centroids=4)
     assert idx._ivf is not None
-    assert len(idx._ivf["spill_docs"]) > 0, "expected overflow spill rows"
-    # a query equal to a SPILLED vector must still find it at ~1.0
-    spilled_doc = int(idx._ivf["spill_docs"][0])
-    got = idx.search([vecs[spilled_doc]], limit=5, similarity=-1.0)
-    assert spilled_doc in got
-    assert got[spilled_doc] >= 0.95
+    n_units = len(idx._ivf["unit_starts"])
+    assert n_units > 4, "oversized cluster must split into sub-block units"
+    # a query equal to a vector deep in the oversized cluster still finds
+    # SOME identical hub vector at ~1.0 (all hub rows are identical, so
+    # any unit of the cluster returns a perfect match)
+    got = idx.search([vecs[0]], limit=5, similarity=-1.0)
+    assert got, "expected hits"
+    assert max(got.values()) >= 0.95
+    # the distinct tail vectors are individually reachable too
+    tail_doc = n - 1
+    got = idx.search([vecs[tail_doc]], limit=5, similarity=-1.0)
+    assert tail_doc in got and got[tail_doc] >= 0.95
