@@ -62,6 +62,8 @@ class ShardedStringExec:
         self._steps: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
         self._omc_dev: Optional[Tuple[int, int, object]] = None
+        self._vec_dev = None
+        self._vec_gen = None
 
     # ------------------------------------------------------------------
     # Sharded slab build (at commit / generation change)
@@ -192,6 +194,128 @@ class ShardedStringExec:
         return np.moveaxis(resh, -1, 0)  # (D, ..., cap_l)
 
     # ------------------------------------------------------------------
+    # Vector side (hybrid over the mesh): rows partition by doc % D like
+    # the postings, so a doc's fused score is entirely shard-local
+    # ------------------------------------------------------------------
+
+    def ensure_vectors(self, vector_index) -> bool:
+        """Partition the flat vector rows across the mesh. Returns False
+        when the index is in int8/IVF mode (hybrid falls back)."""
+        if vector_index is None:
+            return False
+        gen = vector_index._gen
+        if getattr(self, "_vec_gen", None) == gen:
+            return self._vec_dev is not None
+        if vector_index._ivf is not None and not vector_index._live_rows:
+            self._vec_gen = gen
+            self._vec_dev = None
+            return False
+        parts_m = [vector_index._committed_matrix]
+        parts_d = [vector_index._committed_docs]
+        if vector_index._live_rows:
+            parts_m.append(np.stack(vector_index._live_rows))
+            parts_d.append(np.asarray(vector_index._live_docs, np.int32))
+        matrix = np.concatenate(parts_m)
+        docs = np.concatenate(parts_d).astype(np.int64)
+        D = self.D
+        shard = (docs % D).astype(np.int32)
+        counts = np.bincount(shard, minlength=D)
+        nb = round_up_pow2(max(int(counts.max()), 1), 128)
+        mat_l = np.zeros((D, nb, matrix.shape[1]), np.float32)
+        doc_l = np.zeros((D, nb), np.int32)
+        valid_l = np.zeros((D, nb), bool)
+        for s in range(D):
+            sel = shard == s
+            n = int(counts[s])
+            mat_l[s, :n] = matrix[sel]
+            doc_l[s, :n] = (docs[sel] // D).astype(np.int32)
+            valid_l[s, :n] = True
+        sh2 = NamedSharding(self.mesh, P("d", None))
+        sh3 = NamedSharding(self.mesh, P("d", None, None))
+        self._vec_dev = (
+            jax.device_put(mat_l.astype(np.float32), sh3),
+            jax.device_put(doc_l, sh2),
+            jax.device_put(valid_l, sh2),
+        )
+        self._vec_gen = gen
+        return True
+
+    def _get_hybrid_step(self, *, lr, cap_l, k, exact, has_mask, has_omc,
+                         has_rescale, rescale_lo, rescale_hi):
+        key = ("hy", lr, cap_l, k, exact, has_mask, has_omc,
+               has_rescale, rescale_lo, rescale_hi)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        mesh, D = self.mesh, self.D
+
+        def shard_fn(p_doc, p_tf, p_etf, p_flen, starts, lens,
+                     weights, field_b, avg, n_docs, thr, sim,
+                     vec_m, vec_d, vec_v, queries, mask, omc):
+            from ..ops.hybrid import _vector_dense_scores
+
+            B = weights.shape[0]
+            m = mask[0] if has_mask else jnp.ones((B, cap_l), bool)
+            bm25, matched = bm25_score_batch(
+                p_doc[0], p_tf[0], p_etf[0], p_flen[0],
+                starts[0], lens[0], weights, field_b, avg, n_docs, m,
+                lr=lr, exact=exact, cap=cap_l, axis_name="d",
+            )
+            vec = _vector_dense_scores(
+                vec_m[0].astype(jnp.bfloat16), vec_d[0], vec_v[0],
+                queries, sim, cap=cap_l, has_rescale=has_rescale,
+                rescale_lo=rescale_lo, rescale_hi=rescale_hi,
+            )
+            # min-max fusion with a GLOBAL span: the max must be pmaxed
+            # over the doc shards or per-shard scores are incomparable
+            ft_keep = (bm25 > 0.0) & (matched >= thr[:, None]) & m
+            vec_keep = (vec > 0.0) & m
+            ft = jnp.where(ft_keep, bm25, 0.0)
+            vc = jnp.where(vec_keep, vec, 0.0)
+            hi = jax.lax.pmax(
+                jnp.maximum(jnp.max(ft, axis=1), jnp.max(vc, axis=1)), "d"
+            )
+            span = jnp.where(hi > 0.0, hi, 1.0)
+            fused = (ft + vc) / span[:, None]
+            if has_omc:
+                fused = fused * omc[0][None, :]
+            present = ft_keep | vec_keep
+            fused = jnp.where(present, fused, -jnp.inf)
+            counts = jax.lax.psum(
+                jnp.sum(present, axis=1).astype(jnp.int32), "d"
+            )
+            local_vals, local_idx = jax.lax.top_k(fused, k)
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            local_ids = local_idx * D + sid
+            all_vals = jax.lax.all_gather(local_vals, "d", axis=1)
+            all_ids = jax.lax.all_gather(local_ids, "d", axis=1)
+            flat_vals = all_vals.reshape(B, D * k)
+            flat_ids = all_ids.reshape(B, D * k)
+            vals, sel = jax.lax.top_k(flat_vals, k)
+            ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+            return vals, ids, counts
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("d", None), P("d", None), P("d", None), P("d", None),
+                P("d", None, None, None), P("d", None, None, None),
+                P(None, None, None), P(None, None, None),
+                P(None, None, None), P(None), P(None), P(None),
+                P("d", None, None), P("d", None), P("d", None),
+                P(None, None),
+                P("d", None, None) if has_mask else P(None, None),
+                P("d", None) if has_omc else P(None),
+            ),
+            out_specs=(P(None, None), P(None, None), P(None)),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    # ------------------------------------------------------------------
     # Public search (StringSearchTopK-compatible contract)
     # ------------------------------------------------------------------
 
@@ -282,3 +406,103 @@ class ShardedStringExec:
         # padding slots score -inf; global ids beyond cap can only appear
         # with -inf values, which callers drop (v > 0)
         return vals, ids, np.asarray(counts[:B])
+
+    def search_topk_hybrid(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        vector_index,                 # engine VectorIndex (flat mode)
+        queries: np.ndarray,          # f32[B, dim] L2-normalized
+        similarities: Sequence[float],
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+        rescale: Optional[Tuple[float, float]] = None,
+    ):
+        """Doc-sharded fused hybrid over the mesh; returns None when the
+        vector index can't shard (int8/IVF mode) so callers fall back."""
+        if not self.ensure_vectors(vector_index):
+            return None
+        self.ensure_slab(index)
+        D = self.D
+        B = len(plans)
+        T = max(p.starts.shape[0] for p in plans)
+        NR = max(p.starts.shape[1] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NRb = round_up_pow2(NR, 1)
+        g_starts = np.zeros((B, Tb, NRb), np.int32)
+        g_lens = np.zeros((B, Tb, NRb), np.int32)
+        weights = np.zeros((B, Tb, NRb), np.float32)
+        field_b = np.full((B, Tb, NRb), 0.75, np.float32)
+        avg = np.ones((B, Tb, NRb), np.float32)
+        nd = np.ones((B,), np.float32)
+        thr = np.zeros((B,), np.float32)
+        sim = np.zeros((B,), np.float32)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            g_starts[i, :t, :r] = p.starts
+            g_lens[i, :t, :r] = p.lens
+            weights[i, :t, :r] = p.weights
+            field_b[i, :t, :r] = p.field_b
+            avg[i, :t, :r] = p.avg_flen
+            nd[i] = max(float(n_docs[i]), 1.0)
+            if thresholds is not None and thresholds[i]:
+                thr[i] = thresholds[i]
+            sim[i] = similarities[i]
+        s_starts, s_lens = self._shard_ranges(g_starts, g_lens)
+        lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
+        cap_l = round_up_pow2((cap + D - 1) // D, 128)
+        kb = min(round_up_pow2(k, 8), cap_l)
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        if has_mask:
+            gm = np.ones((B, cap), bool)
+            for i, m in enumerate(doc_masks):
+                if m is not None:
+                    gm[i, : len(m)] = m
+                    gm[i, len(m):] = False
+            mask_arr = self._partition_docs_axis(gm, cap_l, False)
+        else:
+            mask_arr = np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            go = np.ones((cap,), np.float32)
+            go[: min(len(omc), cap)] = omc[:cap]
+            omc_arr = self._partition_docs_axis(go, cap_l, np.float32(1.0))
+        else:
+            omc_arr = np.zeros((1,), np.float32)
+        step = self._get_hybrid_step(
+            lr=int(lr), cap_l=int(cap_l), k=int(kb), exact=exact,
+            has_mask=has_mask, has_omc=has_omc,
+            has_rescale=rescale is not None,
+            rescale_lo=float(rescale[0]) if rescale else 0.0,
+            rescale_hi=float(rescale[1]) if rescale else 1.0,
+        )
+        p_doc, p_tf, p_etf, p_flen = self._dev
+        vec_m, vec_d, vec_v = self._vec_dev
+        sh4 = NamedSharding(self.mesh, P("d", None, None, None))
+        vals, ids, counts = step(
+            p_doc, p_tf, p_etf, p_flen,
+            jax.device_put(s_starts, sh4), jax.device_put(s_lens, sh4),
+            jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
+            jnp.asarray(nd), jnp.asarray(thr), jnp.asarray(sim),
+            vec_m, vec_d, vec_v,
+            jnp.asarray(np.asarray(queries, np.float32)),
+            jax.device_put(
+                mask_arr, NamedSharding(self.mesh, P("d", None, None))
+            ) if has_mask else jnp.asarray(mask_arr),
+            jax.device_put(
+                omc_arr, NamedSharding(self.mesh, P("d", None))
+            ) if has_omc else jnp.asarray(omc_arr),
+        )
+        return (
+            np.asarray(vals[:, :k]),
+            np.asarray(ids[:, :k]),
+            np.asarray(counts[:B]),
+        )

@@ -660,9 +660,6 @@ class ReadSide:
         if planned is None:
             return None
         tokens, plan = planned
-        vec_rows = idx.vector.flat_device_rows()
-        if vec_rows is None:
-            return None
         targets = self.embeddings.calculate_embeddings(
             [mode.term], Intent.QUERY, idx.embedding_model
         )[0]
@@ -677,16 +674,34 @@ class ReadSide:
         if mode.threshold is not None:
             thr = float(math.floor(len(tokens) * mode.threshold))
         omc_arr = idx.omc_array()
-        ex = coll.executor(idx.index_id)
-        vals, ids, counts = ex.search_topk_hybrid(
-            idx.string, [plan], [idx.document_count()], cap, k,
-            vec_rows, q, [mode.similarity],
-            exact=mode.exact,
-            doc_masks=[mask] if mask is not None else None,
-            thresholds=[thr] if thr is not None else None,
-            omc=omc_arr, omc_key=idx.omc_version,
-            rescale=idx.vector.config.score_rescale,
-        )
+        out = None
+        if self.sharded_mesh is not None:
+            # doc-sharded fused hybrid over the mesh (SURVEY §5.8)
+            sharded = self._fused_executor(coll, idx)
+            out = sharded.search_topk_hybrid(
+                idx.string, [plan], [idx.document_count()], cap, k,
+                idx.vector, q, [mode.similarity],
+                exact=mode.exact,
+                doc_masks=[mask] if mask is not None else None,
+                thresholds=[thr] if thr is not None else None,
+                omc=omc_arr, omc_key=idx.omc_version,
+                rescale=idx.vector.config.score_rescale,
+            )
+        if out is None:
+            vec_rows = idx.vector.flat_device_rows()
+            if vec_rows is None:
+                return None
+            ex = coll.executor(idx.index_id)
+            out = ex.search_topk_hybrid(
+                idx.string, [plan], [idx.document_count()], cap, k,
+                vec_rows, q, [mode.similarity],
+                exact=mode.exact,
+                doc_masks=[mask] if mask is not None else None,
+                thresholds=[thr] if thr is not None else None,
+                omc=omc_arr, omc_key=idx.omc_version,
+                rescale=idx.vector.config.score_rescale,
+            )
+        vals, ids, counts = out
         self._last_fused_count = int(counts[0])
         self._last_omc_applied = omc_arr is not None
         return {

@@ -41,6 +41,12 @@ QUERIES = [
     {"term": "cherry", "where": {"n": {"gt": 3}}},
     {"term": "fig pear", "where": {"flag": True}},
     {"term": "zz nothing"},
+    # hybrid: the fused mesh step (BM25 + vector + global-span fusion)
+    {"mode": "hybrid", "term": "orange banana", "similarity": 0.1},
+    {"mode": "hybrid", "term": "kiwi plum cherry", "similarity": 0.0,
+     "limit": 6},
+    {"mode": "hybrid", "term": "melon", "similarity": 0.1,
+     "where": {"n": {"lte": 3}}},
 ]
 
 
