@@ -242,10 +242,37 @@ def bench_hybrid_filtered(n=200_000, dim=128, B=64, k=10):
         qps = B / dt
         print(f"[hybrid+filter {n//1000}k docs] {qps:.0f} qps concurrent, "
               f"seq latency {seq_ms:.0f} ms/query e2e", file=sys.stderr)
+
+        # BATCHED API comparison (VERDICT r1 #7 done-criterion: batched
+        # hybrid within 2x of batched fulltext at 200k docs). Homogeneous
+        # hybrid batches ride the shared term-dedup BM25 pass + the fused
+        # vector/fusion/top-k tail; fulltext batches the shared pass alone.
+        BB = 256
+        terms = [" ".join(rng.choice(words, 2)) for _ in range(BB)]
+        hq = [SearchParams.from_json({
+            "term": t, "mode": "hybrid", "similarity": 0.0, "limit": k,
+        }) for t in terms]
+        fq = [SearchParams.from_json({"term": t, "limit": k}) for t in terms]
+
+        def timed_batch(params):
+            orama.read_side.search_batch("c", coll.read_api_key, params)
+            iters = 5
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                orama.read_side.search_batch("c", coll.read_api_key, params)
+            return BB / ((time.perf_counter() - t0) / iters)
+
+        ft_qps = timed_batch(fq)
+        hy_qps = timed_batch(hq)
+        print(f"[batched {n//1000}k docs, B={BB}] fulltext {ft_qps:.0f} qps, "
+              f"hybrid {hy_qps:.0f} qps (ratio {ft_qps/max(hy_qps,1):.2f}x)",
+              file=sys.stderr)
         orama.stop()
         return {"metric": "hybrid_filtered_200k_qps", "value": round(qps, 1),
                 "unit": "qps", "seq_latency_ms": round(seq_ms, 1),
-                "ingest_docs_per_s": round(n / ingest_t, 1)}
+                "ingest_docs_per_s": round(n / ingest_t, 1),
+                "batched_fulltext_qps": round(ft_qps, 1),
+                "batched_hybrid_qps": round(hy_qps, 1)}
 
 
 def main():

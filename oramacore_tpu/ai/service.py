@@ -73,6 +73,13 @@ class AIService:
             allowed_domains=config.hooks.allowed_domains,
             deny_domains=config.hooks.deny_domains,
         )
+        # LLM-driven automatic embedding-property selection on field
+        # discovery (reference AutomaticEmbeddingsSelector,
+        # write/index/mod.rs:589): attached as a sync callback — inserts
+        # run on executor threads, so it performs a plain blocking HTTP
+        # call to the configured provider
+        if write_side is not None and self.llm is not None:
+            write_side.embeddings_selector = self._embeddings_selector
         kv = read_side.kv if read_side else write_side.kv
         self.system_prompts = SystemPromptsInterface(kv, self.llm)
         self.tools = ToolsRuntime(kv, self.llm, self.hooks_runtime)
@@ -264,6 +271,42 @@ class AIService:
     # ------------------------------------------------------------------
     # OpenAI-compatible chat (openai_chat/mod.rs:30-162)
     # ------------------------------------------------------------------
+
+    def _embeddings_selector(self, sample_doc: Dict[str, Any]):
+        """Blocking LLM call choosing which properties to embed (runs on
+        the write side's executor thread, never on the event loop)."""
+        import urllib.request
+
+        from .llms import parse_json_response
+        from .prompts import format_prompt
+
+        provider = self.llm.select_provider(None)
+        system, user = format_prompt(
+            "automatic_embeddings_selector",
+            [("document", json.dumps(sample_doc)[:4000])],
+        )
+        body = {
+            "model": provider.model,
+            "messages": [
+                {"role": "system", "content": system},
+                {"role": "user", "content": user},
+            ],
+            "temperature": 0,
+        }
+        headers = {"Content-Type": "application/json"}
+        if provider.api_key:
+            headers["Authorization"] = f"Bearer {provider.api_key}"
+        req = urllib.request.Request(
+            provider.url.rstrip("/") + "/chat/completions",
+            data=json.dumps(body).encode(),
+            headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=15) as resp:
+            data = json.loads(resp.read())
+        content = data["choices"][0]["message"]["content"]
+        out = parse_json_response(content)
+        return out.get("properties") or []
 
     @staticmethod
     def _estimate_tokens(text: str) -> int:

@@ -78,6 +78,8 @@ class WriteIndex:
     is_temp: bool = False
     created_at: float = dc_field(default_factory=time.time)
     doc_map_dirty: bool = True
+    # LLM auto-selection of embedding properties attempted (run once)
+    auto_select_done: bool = False
 
     def to_json(self) -> Dict[str, Any]:
         return {
@@ -90,6 +92,7 @@ class WriteIndex:
             "field_types": self.field_types,
             "is_temp": self.is_temp,
             "created_at": self.created_at,
+            "auto_select_done": self.auto_select_done,
         }
 
     @classmethod
@@ -106,6 +109,7 @@ class WriteIndex:
             doc_id_map={k: int(v) for k, v in d.get("doc_id_map", {}).items()},
             is_temp=d.get("is_temp", False),
             created_at=d.get("created_at", time.time()),
+            auto_select_done=d.get("auto_select_done", False),
         )
 
 
@@ -305,6 +309,10 @@ class WriteSide:
         self._ops_since_commit = 0
         # sandboxed hook runtime, attached by the AI service when present
         self.hooks_runtime = None
+        # LLM-backed automatic embedding-property selector, attached by
+        # the AI service (reference AutomaticEmbeddingsSelector): takes a
+        # sample document dict, returns property paths to embed
+        self.embeddings_selector = None
         # ingest tokenization pool: the native tokenizer releases the GIL,
         # so batches tokenize in parallel across cores
         from concurrent.futures import ThreadPoolExecutor
@@ -555,6 +563,35 @@ class WriteSide:
             token_cache = dict(zip(unique_texts, parsed_list))
         else:
             token_cache = {}
+
+        # automatic embedding-property selection (reference
+        # write/index/mod.rs:589 path → AutomaticEmbeddingsSelector LLM
+        # call on field discovery): when the index is in automatic mode
+        # with no explicit embedding_fields and an LLM-backed selector is
+        # attached, ask it ONCE which properties carry semantic text
+        if (idx.automatic_embeddings and not idx.embedding_fields
+                and not getattr(idx, "auto_select_done", False)
+                and self.embeddings_selector is not None):
+            sample = next((d for d in docs if isinstance(d, dict)), None)
+            if sample is not None:
+                try:
+                    chosen = self.embeddings_selector(sample) or []
+                    flat_sample = flatten_document(dict(sample))
+                    valid = [
+                        p for p in chosen
+                        if p in flat_sample and string_values(flat_sample[p])
+                    ]
+                    if valid:
+                        idx.embedding_fields = valid
+                        import logging
+
+                        logging.getLogger("oramacore_tpu.write").info(
+                            "auto-selected embedding properties for "
+                            "%s/%s: %s", collection_id, index_id, valid,
+                        )
+                except Exception:  # noqa: BLE001 — fall back to all strings
+                    pass
+                idx.auto_select_done = True
 
         for doc in docs:
             if not isinstance(doc, dict):

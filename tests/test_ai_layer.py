@@ -437,3 +437,50 @@ async def test_system_prompts_and_tools_crud():
             assert len(tools.list("c")) == 1
         finally:
             orama.stop()
+
+
+@async_test
+async def test_automatic_embeddings_selector_on_discovery():
+    """With automatic embeddings and no explicit fields, the FIRST insert
+    asks the LLM which properties carry semantic text; the choice becomes
+    the index's embedding_fields (reference AutomaticEmbeddingsSelector,
+    write/index/mod.rs:589)."""
+    mock = MockLLMServer([
+        ("semantic embeddings", '{"properties": ["title"]}'),
+    ])
+    await mock.start()
+    with tempfile.TemporaryDirectory() as tmp:
+        from oramacore_tpu.ai.service import AIService
+        from oramacore_tpu.config import OramacoreConfig
+        from oramacore_tpu.runtime import build_orama
+
+        cfg = OramacoreConfig()
+        cfg.data_dir = tmp
+        cfg.auth.master_api_key = "mk"
+        cfg.ai.remote_llms = [{"name": "mock", "url": mock.url, "model": "m"}]
+        cfg.writer_side.insert_batch_commit_size = 10_000_000
+        cfg.reader_side.insert_batch_commit_size = 10_000_000
+        orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+        ai = AIService(cfg, orama.write_side, orama.read_side)
+        try:
+            assert orama.write_side.embeddings_selector is not None
+            coll = orama.write_side.create_collection("mk", "c")
+            orama.write_side.create_index("c", coll.write_api_key, "main")
+            import asyncio
+            loop = asyncio.get_running_loop()
+            await loop.run_in_executor(None, lambda: (
+                orama.write_side.insert_documents(
+                    "c", "main", coll.write_api_key,
+                    [{"id": "1", "title": "trail running shoes",
+                      "sku": "XK-991", "price": 120}],
+                )
+            ))
+            idx = orama.write_side.collections["c"].indexes["main"]
+            assert idx.embedding_fields == ["title"]
+            assert idx.auto_select_done is True
+            # the selection persists across writer reload
+            orama.write_side.commit()
+        finally:
+            await ai.llm.close()
+            orama.stop()
+    await mock.stop()
