@@ -85,9 +85,11 @@ class AuthConfig:
 
 @dataclass
 class SecretsConfig:
-    provider: str = "none"   # none | local | aws
+    provider: str = "none"   # none | local | http | aws
     path: Optional[str] = None       # local provider JSON file
     region: Optional[str] = None     # aws provider
+    url: Optional[str] = None        # http provider base URL
+    token: Optional[str] = None      # http provider bearer token
     key_pattern: str = "{collection}"
     ttl_s: float = 300.0
 

@@ -135,16 +135,20 @@ def build_orama(
 
     secrets_service = None
     if config.secrets.provider != "none":
-        from .utils.secrets import (
-            AwsSecretsProvider,
-            LocalSecretsProvider,
-            SecretsService,
-        )
+        from .utils.secrets import SecretsService, make_provider
 
-        if config.secrets.provider == "aws":
-            provider = AwsSecretsProvider(config.secrets.region or "us-east-1")
+        kind = config.secrets.provider
+        if kind == "aws":
+            provider = make_provider(
+                "aws", region=config.secrets.region or "us-east-1"
+            )
+        elif kind == "http":
+            provider = make_provider(
+                "http", url=config.secrets.url or "",
+                token=config.secrets.token,
+            )
         else:
-            provider = LocalSecretsProvider(config.secrets.path)
+            provider = make_provider("local", path=config.secrets.path)
         secrets_service = SecretsService(
             provider, ttl_s=config.secrets.ttl_s,
             key_pattern=config.secrets.key_pattern,

@@ -52,6 +52,60 @@ class AwsSecretsProvider(SecretsProvider):
             return None
 
 
+class HttpSecretsProvider(SecretsProvider):
+    """Remote secrets over HTTPS (the Secrets-Manager-shaped REST
+    contract for environments without boto3): GET <url>/<key> with a
+    bearer token; accepts either a raw string body or a JSON object
+    with a SecretString field."""
+
+    def __init__(self, url: str, token: Optional[str] = None,
+                 timeout_s: float = 5.0):
+        self.url = url.rstrip("/")
+        self.token = token
+        self.timeout_s = timeout_s
+
+    def get(self, key: str) -> Optional[str]:
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        headers = {}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(
+            f"{self.url}/{urllib.parse.quote(key, safe='')}",
+            headers=headers,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                body = r.read().decode(errors="replace")
+        except (urllib.error.URLError, OSError):
+            return None
+        try:
+            data = json.loads(body)
+            if isinstance(data, dict):
+                return data.get("SecretString") or data.get("value")
+            if isinstance(data, str):
+                return data
+        except json.JSONDecodeError:
+            pass
+        return body or None
+
+
+def make_provider(kind: str, **kwargs) -> SecretsProvider:
+    """Provider factory for the config layer: local | http | aws."""
+    if kind == "local":
+        return LocalSecretsProvider(kwargs.get("path"))
+    if kind == "http":
+        return HttpSecretsProvider(
+            kwargs["url"], kwargs.get("token"),
+            float(kwargs.get("timeout_s", 5.0)),
+        )
+    if kind == "aws":
+        return AwsSecretsProvider(kwargs.get("region", "us-east-1"))
+    raise ValueError(f"unknown secrets provider: {kind}")
+
+
 class SecretsService:
     def __init__(self, provider: SecretsProvider, ttl_s: float = 300.0,
                  key_pattern: str = "{collection}"):

@@ -445,3 +445,47 @@ def test_tool_params_hard_cases():
     # single-identifier arrow
     schema = extract_tool_params("export default x => x * 2")
     assert set(schema["properties"]) == {"x"}
+
+
+def test_http_secrets_provider():
+    """Remote secrets over HTTP with bearer auth and TTL caching
+    (reference oramacore_lib::secrets AWS provider semantics, REST
+    shape for no-boto3 environments)."""
+    import http.server
+    import threading as _threading
+
+    from oramacore_tpu.utils.secrets import HttpSecretsProvider, SecretsService
+
+    calls = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            calls.append((self.path, self.headers.get("Authorization")))
+            if self.path.endswith("missing"):
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = json.dumps({"SecretString": "s3same"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+    t = _threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        p = HttpSecretsProvider(f"http://127.0.0.1:{srv.server_port}",
+                                token="tok")
+        svc = SecretsService(p, ttl_s=300.0, key_pattern="orama-{collection}")
+        assert svc.get_for_collection("c1") == "s3same"
+        assert calls[0] == ("/orama-c1", "Bearer tok")
+        # cached: a second read doesn't hit the server
+        assert svc.get_for_collection("c1") == "s3same"
+        assert len(calls) == 1
+        assert p.get("missing") is None
+    finally:
+        srv.shutdown()
