@@ -1,0 +1,270 @@
+"""Behavioral depth for group-by / sort / facets / filter trees, modeled
+on the reference suites (groupby.rs 1,144 LoC, filter.rs 986, sort.rs,
+facets.rs): multi-valued cartesian groups, group limits, sort edge
+cases, boundary-inclusive ranges, nested boolean trees.
+"""
+
+import pytest
+
+from .utils import TestContext
+
+
+@pytest.fixture()
+def ctx():
+    c = TestContext()
+    yield c
+    c.close()
+
+
+def ids_of(result):
+    return [h.id.split(":", 1)[1] for h in result.hits]
+
+
+def catalog(ctx):
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([
+        {"id": "1", "t": "shirt alpha", "color": "red", "size": "m",
+         "price": 10.0, "stock": True, "tags": ["sale", "new"]},
+        {"id": "2", "t": "shirt beta", "color": "red", "size": "l",
+         "price": 20.0, "stock": False, "tags": ["sale"]},
+        {"id": "3", "t": "shirt gamma", "color": "blue", "size": "m",
+         "price": 30.0, "stock": True, "tags": ["new"]},
+        {"id": "4", "t": "shirt delta", "color": "blue", "size": "l",
+         "price": 40.0, "stock": True, "tags": []},
+        {"id": "5", "t": "shirt epsilon", "color": "green", "size": "m",
+         "price": 50.0, "stock": False, "tags": ["clearance"]},
+    ])
+    return coll, idx
+
+
+# ---------------------------------------------------------------------------
+# group-by
+# ---------------------------------------------------------------------------
+
+def test_group_by_multi_property_cartesian(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "groupBy": {"properties": ["color", "size"], "maxResults": 10},
+    })
+    combos = {tuple(g.values) for g in out.groups}
+    assert ("red", "m") in combos and ("red", "l") in combos
+    assert ("blue", "m") in combos and ("green", "m") in combos
+    # every group's hits actually carry that combo
+    for g in out.groups:
+        for h in g.result:
+            doc = h.document
+            assert doc["color"] == g.values[0]
+            assert doc["size"] == g.values[1]
+
+
+def test_group_by_multivalued_field_doc_in_many_groups(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "groupBy": {"properties": ["tags"], "maxResults": 10},
+    })
+    by_tag = {tuple(g.values)[0]: set(ids_of_group(g)) for g in out.groups}
+    assert "1" in by_tag["sale"] and "1" in by_tag["new"]  # doc in 2 groups
+    assert by_tag["clearance"] == {"5"}
+    # doc 4 (empty tags) appears in no group
+    assert all("4" not in members for members in by_tag.values())
+
+
+def ids_of_group(g):
+    return [h.id.split(":", 1)[1] for h in g.result]
+
+
+def test_group_by_max_results_caps_each_group(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "groupBy": {"properties": ["color"], "maxResults": 1},
+    })
+    assert out.groups
+    for g in out.groups:
+        assert len(g.result) == 1
+
+
+def test_group_by_boolean_property(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "groupBy": {"properties": ["stock"], "maxResults": 10},
+    })
+    vals = {tuple(g.values)[0]: set(ids_of_group(g)) for g in out.groups}
+    assert vals[True] == {"1", "3", "4"}
+    assert vals[False] == {"2", "5"}
+
+
+def test_group_by_respects_filters(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "where": {"price": {"lte": 30}},
+        "groupBy": {"properties": ["color"], "maxResults": 10},
+    })
+    all_members = {m for g in out.groups for m in ids_of_group(g)}
+    assert all_members == {"1", "2", "3"}
+
+
+# ---------------------------------------------------------------------------
+# sort
+# ---------------------------------------------------------------------------
+
+def test_sort_desc_and_asc(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "sortBy": {"property": "price", "order": "desc"},
+    })
+    assert ids_of(out) == ["5", "4", "3", "2", "1"]
+    out = coll.search({
+        "term": "shirt",
+        "sortBy": {"property": "price", "order": "asc"},
+    })
+    assert ids_of(out) == ["1", "2", "3", "4", "5"]
+
+
+def test_sort_missing_field_docs_rank_last(ctx):
+    coll, idx = catalog(ctx)
+    idx.insert_documents([{"id": "nofield", "t": "shirt zeta"}])
+    out = coll.search({
+        "term": "shirt",
+        "sortBy": {"property": "price", "order": "asc"},
+    })
+    assert ids_of(out)[-1] == "nofield"
+
+
+def test_sort_with_pagination_is_consistent(ctx):
+    coll, idx = catalog(ctx)
+    p1 = coll.search({
+        "term": "shirt", "limit": 2,
+        "sortBy": {"property": "price", "order": "asc"},
+    })
+    p2 = coll.search({
+        "term": "shirt", "limit": 2, "offset": 2,
+        "sortBy": {"property": "price", "order": "asc"},
+    })
+    p3 = coll.search({
+        "term": "shirt", "limit": 2, "offset": 4,
+        "sortBy": {"property": "price", "order": "asc"},
+    })
+    assert ids_of(p1) + ids_of(p2) + ids_of(p3) == ["1", "2", "3", "4", "5"]
+
+
+def test_sort_by_bool(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "sortBy": {"property": "stock", "order": "desc"},
+    })
+    got = ids_of(out)
+    assert set(got[:3]) == {"1", "3", "4"}  # stock=True first under desc
+
+
+# ---------------------------------------------------------------------------
+# facets
+# ---------------------------------------------------------------------------
+
+def test_facet_number_range_boundaries_inclusive(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "facets": {"price": {"ranges": [
+            {"from": 10, "to": 30},   # inclusive both ends: docs 1,2,3
+            {"from": 30, "to": 50},   # docs 3,4,5 (30 in both ranges)
+        ]}},
+    })
+    values = out.facets["price"].values
+    assert values["10-30"] == 3
+    assert values["30-50"] == 3
+
+
+def test_multiple_facets_one_query(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "facets": {
+            "color": {},
+            "stock": {"true": True, "false": True},
+        },
+    })
+    assert out.facets["color"].values == {"red": 2, "blue": 2, "green": 1}
+    assert out.facets["stock"].values == {"true": 3, "false": 2}
+
+
+def test_facet_counts_follow_matches_not_corpus(ctx):
+    coll, idx = catalog(ctx)
+    idx.insert_documents([
+        {"id": "hat", "t": "wool hat", "color": "red", "price": 5.0},
+    ])
+    out = coll.search({"term": "shirt", "facets": {"color": {}}})
+    # the hat is red but doesn't match "shirt": not counted
+    assert out.facets["color"].values["red"] == 2
+
+
+# ---------------------------------------------------------------------------
+# filter trees
+# ---------------------------------------------------------------------------
+
+def test_nested_and_or_not_tree_e2e(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "where": {
+            "or": [
+                {"and": [{"color": "red"}, {"stock": True}]},   # doc 1
+                {"price": {"gte": 45}},                          # doc 5
+            ],
+        },
+    })
+    assert set(ids_of(out)) == {"1", "5"}
+    out = coll.search({
+        "term": "shirt",
+        "where": {"not": {"color": "blue"}},
+    })
+    assert set(ids_of(out)) == {"1", "2", "5"}
+
+
+def test_between_and_string_list_filters(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt",
+        "where": {"price": {"between": [15, 45]}},
+    })
+    assert set(ids_of(out)) == {"2", "3", "4"}
+    out = coll.search({
+        "term": "shirt",
+        "where": {"color": ["red", "green"]},
+    })
+    assert set(ids_of(out)) == {"1", "2", "5"}
+
+
+def test_filters_survive_commit_and_reload(ctx):
+    coll, idx = catalog(ctx)
+    ctx2 = ctx.reload()
+    try:
+        from oramacore_tpu.types import SearchParams
+
+        out = ctx2.reader.search(
+            coll.collection_id, coll.read_key,
+            SearchParams.from_json({
+                "term": "shirt",
+                "where": {"and": [{"size": "m"}, {"stock": True}]},
+            }),
+        )
+        assert {h.id.split(":", 1)[1] for h in out.hits} == {"1", "3"}
+    finally:
+        ctx2.orama.stop()
+
+
+def test_threshold_with_filters(ctx):
+    coll, idx = catalog(ctx)
+    out = coll.search({
+        "term": "shirt alpha",
+        "threshold": 1.0,              # every token must match
+        "where": {"stock": True},
+    })
+    assert ids_of(out) == ["1"]
