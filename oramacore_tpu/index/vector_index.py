@@ -211,6 +211,8 @@ class VectorIndex:
             "unit_cen": np.ascontiguousarray(centroids[unit_cluster]),
             "unit_starts": np.asarray(unit_starts, np.int32),
             "window": window,
+            # packed row -> original committed row, for the f32 rerank
+            "perm": order.astype(np.int64),
         }
         self._gen += 1
 
@@ -328,9 +330,26 @@ class VectorIndex:
                     jnp.asarray(q), matrix, row_valid, k=k, chunk=chunk
                 )
 
-        vals = np.asarray(vals)
+        vals = np.array(vals)  # writable copy (rerank mutates)
         rows = np.asarray(rows)
         row_doc_h = np.asarray(row_doc)
+
+        if is_ivf:
+            # f32 RERANK of the candidates: int8 quantization only picks
+            # the candidate set (4x over-retrieval); final scores come
+            # from the original committed f32 rows, so ranking quality
+            # matches the exact path (recall ceiling was 0.9785 on raw
+            # int8 scores at 10M — see benches/RESULTS.md)
+            perm = self._ivf["perm"]
+            mat_h = self._committed_matrix
+            for bi in range(vals.shape[0]):
+                # never resurrect filtered-out / padding slots (-inf)
+                valid = (rows[bi] >= 0) & (vals[bi] > -1e29)
+                if not valid.any():
+                    continue
+                orig = perm[rows[bi][valid]]
+                exact = mat_h[orig] @ q[bi]
+                vals[bi][valid] = exact.astype(np.float32)
 
         spill_hits = None
         if is_ivf and spill_dev is not None:

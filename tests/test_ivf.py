@@ -109,3 +109,32 @@ def test_ivf_oversized_cluster_splits_into_units(small_ivf, monkeypatch):
     tail_doc = n - 1
     got = idx.search([vecs[tail_doc]], limit=5, similarity=-1.0)
     assert tail_doc in got and got[tail_doc] >= 0.95
+
+
+def test_int8_rerank_matches_exact_scores(small_ivf):
+    """Candidates from the int8 probe are reranked against the original
+    f32 rows: top-10 docs AND scores match the flat exact scan."""
+    dim, n = 32, 4000
+    vecs = clustered_corpus(n, dim, seed=11)
+    idx = VectorIndex(VectorIndexConfig(dim=dim))
+    for i in range(n):
+        idx.insert(i, [vecs[i]])
+    idx.commit()
+    assert idx._ivf is not None
+
+    rng = np.random.default_rng(5)
+    queries = l2_normalize(
+        vecs[rng.choice(n, 10)]
+        + 0.05 * rng.normal(size=(10, dim)).astype(np.float32)
+    )
+    k = 10
+    for q in queries:
+        exact_scores = vecs @ q
+        exact_top = np.argsort(-exact_scores)[:k]
+        got = idx.search([q], limit=k, similarity=-1.0)
+        ranked = sorted(got.items(), key=lambda kv: -kv[1])[:k]
+        overlap = len({d for d, _ in ranked} & set(exact_top.tolist()))
+        assert overlap >= k - 1  # candidate set nearly exact
+        for d, s in ranked:
+            # scores are the f32 exact values, not quantized estimates
+            assert abs(s - float(exact_scores[d])) < 5e-3, (d, s)
