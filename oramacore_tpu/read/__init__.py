@@ -290,6 +290,7 @@ class ReadSide:
                 b.get("embedding_model", coll.embedding_model), self.nlp,
             )
             ridx.field_params = dict(b.get("field_params") or {})
+            ridx.string.index_bigrams = bool(b.get("phrase", True))
             coll.indexes[b["index"]] = ridx
             return
         if kind == "delete_index":

@@ -212,6 +212,7 @@ class ReadIndex:
             "max_doc_id": self.max_doc_id,
             "vector_dim": self.vector.config.dim if self.vector else None,
             "committed_offset": offset,
+            "phrase": self.string.index_bigrams,
         }
 
     def save(self, dir_path: str) -> None:
@@ -291,6 +292,7 @@ class ReadIndex:
         )
         idx.committed_offset = int(meta.get("committed_offset", 0))
         idx.dirty = False
+        idx.string.index_bigrams = bool(meta.get("phrase", True))
         idx.field_types = dict(meta.get("field_types", {}))
         idx.field_params = dict(meta.get("field_params", {}))
         idx.doc_user_ids = {int(k): v for k, v in meta.get("doc_user_ids", {}).items()}

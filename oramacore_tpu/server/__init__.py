@@ -318,6 +318,7 @@ class ApiServer:
             embedding_model=emb.get("model") if isinstance(emb, dict) else None,
             embedding_fields=emb.get("document_fields") if isinstance(emb, dict) else None,
             field_params=body.get("field_params"),
+            phrase=body.get("phrase", True),
         )
         return web.json_response({"id": idx.index_id}, status=201)
 

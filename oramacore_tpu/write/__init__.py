@@ -457,6 +457,7 @@ class WriteSide:
         copy_from: Optional[str] = None,
         locale: Optional[str] = None,
         field_params: Optional[Dict[str, Dict[str, float]]] = None,
+        phrase: bool = True,
     ) -> WriteIndex:
         coll = self.check_write_key(collection_id, write_key)
         IndexId(index_id)
@@ -485,6 +486,10 @@ class WriteSide:
                     "embedding_model": idx.embedding_model,
                     "is_temp": is_temp,
                     "field_params": idx.field_params,
+                    # adjacency shadow-term indexing for phrase capability
+                    # (~1 extra posting per token occurrence); disable per
+                    # index when phrase search isn't needed
+                    "phrase": bool(phrase),
                 },
             )
         )
