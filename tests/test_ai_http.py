@@ -228,6 +228,68 @@ async def test_mcp_over_http(client, rk, wk):
 
 
 @ai_http_test
+async def test_mcp_protocol_conformance(client, rk, wk):
+    """JSON-RPC 2.0 handshake + error codes (reference mcp_server.rs
+    suite, 654 LoC): initialize capabilities, initialized notification,
+    invalid envelope -32600, unknown method -32601, unknown tool -32601,
+    tool errors as -32000, id echo."""
+    async def rpc(body):
+        resp = await client.post(
+            "/v1/collections/c/mcp", json=body, headers=auth(rk)
+        )
+        assert resp.status == 200
+        return await resp.json()
+
+    # initialize handshake
+    out = await rpc({"jsonrpc": "2.0", "id": "init-1",
+                     "method": "initialize",
+                     "params": {"protocolVersion": "2024-11-05"}})
+    assert out["id"] == "init-1"
+    assert out["result"]["protocolVersion"]
+    assert "tools" in out["result"]["capabilities"]
+    assert out["result"]["serverInfo"]["name"]
+    # initialized notification acks
+    out = await rpc({"jsonrpc": "2.0", "id": 2,
+                     "method": "notifications/initialized"})
+    assert "error" not in out
+    # invalid envelope
+    out = await rpc({"jsonrpc": "1.0", "id": 3, "method": "tools/list"})
+    assert out["error"]["code"] == -32600
+    # unknown method
+    out = await rpc({"jsonrpc": "2.0", "id": 4, "method": "resources/list"})
+    assert out["error"]["code"] == -32601
+    # unknown tool
+    out = await rpc({"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+                     "params": {"name": "nope", "arguments": {}}})
+    assert out["error"]["code"] == -32601
+    # tool execution error surfaces as -32000 (bad search params)
+    out = await rpc({"jsonrpc": "2.0", "id": 6, "method": "tools/call",
+                     "params": {"name": "search",
+                                "arguments": {"term": "x",
+                                              "properties": 42}}})
+    assert out["error"]["code"] == -32000
+    # tools/list schema shape
+    out = await rpc({"jsonrpc": "2.0", "id": 7, "method": "tools/list"})
+    search_tool = next(t for t in out["result"]["tools"]
+                       if t["name"] == "search")
+    assert search_tool["inputSchema"]["required"] == ["term"]
+    # filtered tool call end-to-end
+    out = await rpc({"jsonrpc": "2.0", "id": 8, "method": "tools/call",
+                     "params": {"name": "search",
+                                "arguments": {"term": "keyboard",
+                                              "where": {"price": {"lte": 100}}}}})
+    payload = json.loads(out["result"]["content"][0]["text"])
+    assert payload["count"] == 1
+    # auth is enforced on the MCP route too
+    resp = await client.post(
+        "/v1/collections/c/mcp",
+        json={"jsonrpc": "2.0", "id": 9, "method": "tools/list"},
+        headers=auth("wrong-key"),
+    )
+    assert resp.status == 401
+
+
+@ai_http_test
 async def test_suggestions_and_title(client, rk, wk):
     resp = await client.post(
         "/v1/collections/c/suggestions",
