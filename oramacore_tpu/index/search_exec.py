@@ -158,7 +158,7 @@ class _PlanBatch:
     """Padded descriptor arrays for a batch of plans (host side)."""
 
     __slots__ = ("starts", "lens", "weights", "field_b", "avg_flen", "nd",
-                 "masks", "LRb", "capb", "B")
+                 "masks", "LRb", "capb", "B", "ch_idx", "ch_w", "has_champ")
 
     def __init__(self, plans, n_docs, cap, doc_masks=None):
         from ..ops.bm25 import round_up_pow2
@@ -180,6 +180,18 @@ class _PlanBatch:
         self.avg_flen = np.ones((Bb, Tb, NRb), np.float32)
         self.nd = np.ones((Bb,), np.float32)
         self.masks = np.ones((Bb, self.capb), bool)
+        # champion slots (heavy-term dense rows)
+        self.has_champ = any(p.champ_idx is not None for p in plans)
+        if self.has_champ:
+            NC = max(
+                p.champ_idx.shape[1] for p in plans
+                if p.champ_idx is not None
+            )
+            NCb = round_up_pow2(NC, 1)
+            self.ch_idx = np.full((Bb, Tb, NCb), -1, np.int32)
+            self.ch_w = np.zeros((Bb, Tb, NCb), np.float32)
+        else:
+            self.ch_idx = self.ch_w = None
         for i, p in enumerate(plans):
             t, r = p.starts.shape
             self.starts[i, :t, :r] = p.starts
@@ -188,6 +200,10 @@ class _PlanBatch:
             self.field_b[i, :t, :r] = p.field_b
             self.avg_flen[i, :t, :r] = p.avg_flen
             self.nd[i] = max(float(n_docs[i]), 1.0)
+            if self.has_champ and p.champ_idx is not None:
+                tc, nc = p.champ_idx.shape
+                self.ch_idx[i, :tc, :nc] = p.champ_idx
+                self.ch_w[i, :tc, :nc] = p.champ_w
             if doc_masks is not None and doc_masks[i] is not None:
                 m = doc_masks[i]
                 self.masks[i, : len(m)] = m
@@ -203,6 +219,22 @@ class StringSearchTopK(StringSearchExecutor):
         # device-resident OMC multipliers, keyed on (version, capb) so the
         # f32[cap] array doesn't cross the tunnel on every query
         self._omc_dev: Optional[Tuple[int, int, object]] = None
+        # device-resident champion matrix, keyed on (generation, capb)
+        self._champ_dev: Optional[Tuple[int, int, object]] = None
+
+    def _get_device_champs(self, index: StringIndex, capb: int):
+        gen = index.generation
+        cached = self._champ_dev
+        if cached is not None and cached[0] == gen and cached[1] == capb:
+            return cached[2]
+        mat = index._champ_matrix
+        if mat is None:
+            return None
+        padded = np.zeros((mat.shape[0], capb), np.float32)
+        padded[:, : min(mat.shape[1], capb)] = mat[:, :capb]
+        dev = jnp.asarray(padded)
+        self._champ_dev = (gen, capb, dev)
+        return dev
 
     def _get_device_omc(self, omc: np.ndarray, omc_key: Optional[int], capb: int):
         cached = self._omc_dev
@@ -251,12 +283,19 @@ class StringSearchTopK(StringSearchExecutor):
         else:
             omc_arr = jnp.ones((1,), jnp.float32)
         kb = min(round_up_pow2(k, 8), pb.capb)
+        champs_dev = (
+            self._get_device_champs(index, pb.capb) if pb.has_champ else None
+        )
+        has_champ = champs_dev is not None
         vals, idx, counts = bm25_search_topk_packed(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             jnp.asarray(mask_arr), omc_arr,
+            champs_dev,
+            jnp.asarray(pb.ch_idx) if has_champ else None,
+            jnp.asarray(pb.ch_w) if has_champ else None,
             lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
-            has_mask=has_mask, has_omc=has_omc,
+            has_mask=has_mask, has_omc=has_omc, has_champ=has_champ,
         )
         return (
             np.asarray(vals[: pb.B, :k]),

@@ -32,6 +32,14 @@ import numpy as np
 DEFAULT_B = 0.75  # reference BM25FFieldParams::default (bm25.rs:56-63)
 MAX_RANGES = 64   # cap on posting ranges per (query token)
 BIGRAM_SEP = "\x1f"  # adjacency shadow-term separator (never in tokens)
+# CHAMPION ROWS: committed terms with at least this many postings get a
+# precomputed dense normalized-TF row at slab build, so a heavy term
+# costs ONE dense row-add at query time instead of gathering +
+# aggregating hundreds of thousands of postings (commit-time compute
+# traded for query-time HBM bandwidth — the TPU-native analog of
+# champion lists / impact-ordered skipping)
+CHAMPION_MIN = 32768
+MAX_CHAMPIONS = 64
 
 
 @dataclass
@@ -134,6 +142,10 @@ class QueryPlan:
     avg_flen: np.ndarray
     n_tokens: int
     max_range_len: int
+    # champion slots: (T, NC) row index into the champion matrix (-1 =
+    # none) and the query-time weight to apply to the row
+    champ_idx: Optional[np.ndarray] = None
+    champ_w: Optional[np.ndarray] = None
 
 
 class StringIndex:
@@ -162,6 +174,10 @@ class StringIndex:
         # monotonically increasing slab generation: device-slab caches key
         # on this (id() of a replaced numpy array can collide after free)
         self.generation = 0
+        # champion rows (built with the slab)
+        self._champ_map: Dict[Tuple[str, str], int] = {}
+        self._champ_matrix: Optional[np.ndarray] = None
+        self._champ_meta: List[Tuple[float, int, int]] = []
         # searches run under a SHARED read lock, so two queries on a dirty
         # index can race the lazy rebuild — serialize it here
         self._build_lock = threading.Lock()
@@ -498,8 +514,49 @@ class StringIndex:
             p: sorted(ts) for p, ts in terms_by_field.items()
         }
         self._term_matrix_cache = {}
+        self._build_champions(arrays)
         self.generation += 1
         self._dirty = False
+
+    def _build_champions(self, arrays) -> None:
+        """Dense normalized-TF rows for the heaviest COMMITTED terms.
+
+        Rows bake the default b and the field's current avg length (both
+        recorded; plan_query only routes a token through its champion
+        when the query-time params match — custom-b fields fall back to
+        ranged scanning). Live-layer postings of the same term stay as
+        ranges and add on top, so champions never go stale mid-commit."""
+        self._champ_map: Dict[Tuple[str, str], int] = {}
+        self._champ_matrix: Optional[np.ndarray] = None
+        self._champ_meta: List[Tuple[float, int, int]] = []  # (avg, start, len)
+        heavy: List[Tuple[int, str, str, int, int]] = []
+        offset = 0
+        for path, cf in self._committed.items():
+            for tid, term in enumerate(cf.terms):
+                ln = int(cf.lens[tid])
+                if ln >= CHAMPION_MIN:
+                    heavy.append(
+                        (ln, path, term, offset + int(cf.starts[tid]), ln)
+                    )
+            offset += len(cf.doc)
+        if not heavy:
+            return
+        heavy.sort(reverse=True)
+        heavy = heavy[:MAX_CHAMPIONS]
+        p_doc, p_tf, _etf, p_flen = arrays
+        cap = int(p_doc.max()) + 1 if len(p_doc) else 1
+        rows = np.zeros((len(heavy), cap), np.float32)
+        for ci, (_ln, path, term, start, ln) in enumerate(heavy):
+            stats = self._stats.get(path)
+            avg = stats.avg_len if stats and stats.avg_len > 0 else 1.0
+            d = p_doc[start:start + ln]
+            tf = p_tf[start:start + ln]
+            fl = p_flen[start:start + ln]
+            denom = (1.0 - DEFAULT_B) + DEFAULT_B * fl / max(avg, 1e-9)
+            rows[ci, d] = tf / np.maximum(denom, 1e-9)
+            self._champ_map[(path, term)] = ci
+            self._champ_meta.append((float(avg), start, ln))
+        self._champ_matrix = rows
 
     def _term_matrix(self, path: str):
         """Padded per-field character matrix for vectorized fuzzy matching:
@@ -594,6 +651,7 @@ class StringIndex:
         impact_cap: Optional[int] = None,
         field_params: Optional[Dict[str, Tuple[float, float]]] = None,
         token_weights: Optional[Sequence[float]] = None,
+        use_champions: bool = False,
     ) -> QueryPlan:
         """Build padded range descriptors (T, NR) for the scoring kernel.
 
@@ -609,9 +667,11 @@ class StringIndex:
         from ..ops.bm25 import MAX_RANGE_LEN
 
         per_token: List[List[Tuple[int, int, float, float, float]]] = []
+        per_token_champs: List[List[Tuple[int, float]]] = []
         for ti, token in enumerate(tokens):
             tw = token_weights[ti] if token_weights is not None else 1.0
             ranges: List[Tuple[int, int, float, float, float]] = []
+            champs: List[Tuple[int, float]] = []
             for path in properties:
                 stats = self._stats.get(path)
                 if stats is None or stats.doc_count == 0:
@@ -619,7 +679,19 @@ class StringIndex:
                 fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
                 w = boost.get(path, 1.0) * fw * tw
                 avg = stats.avg_len if stats.avg_len > 0 else 1.0
+                # champion row: the heavy committed range becomes one
+                # dense row-add, valid only when the baked params match
+                champ_skip = None
+                if use_champions and not tolerance:
+                    ci = self._champ_map.get((path, token))
+                    if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
+                        c_avg, c_start, c_len = self._champ_meta[ci]
+                        if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
+                            champs.append((ci, w))
+                            champ_skip = (c_start, c_len)
                 for (start, length) in self._match_terms(path, token, tolerance):
+                    if champ_skip is not None and (start, length) == champ_skip:
+                        continue  # covered by the champion row
                     if impact_cap is not None and length > impact_cap:
                         length = impact_cap
                     # split over-long ranges so device slices stay bounded
@@ -629,6 +701,7 @@ class StringIndex:
                         length -= MAX_RANGE_LEN
                     ranges.append((start, length, w, fb, avg))
             per_token.append(_coalesce_and_cap(ranges, token))
+            per_token_champs.append(champs)
 
         T = max(1, len(per_token))
         NR = max(1, max((len(r) for r in per_token), default=1))
@@ -646,6 +719,15 @@ class StringIndex:
                 field_b[ti, ri] = b
                 avg_flen[ti, ri] = avg
                 max_len = max(max_len, l)
+        champ_idx = champ_w = None
+        if any(per_token_champs):
+            NC = max(len(c) for c in per_token_champs)
+            champ_idx = np.full((T, NC), -1, np.int32)
+            champ_w = np.zeros((T, NC), np.float32)
+            for ti, champs in enumerate(per_token_champs):
+                for cj, (ci, w) in enumerate(champs):
+                    champ_idx[ti, cj] = ci
+                    champ_w[ti, cj] = w
         return QueryPlan(
             starts=starts,
             lens=lens,
@@ -654,6 +736,8 @@ class StringIndex:
             avg_flen=avg_flen,
             n_tokens=len(tokens),
             max_range_len=max_len,
+            champ_idx=champ_idx,
+            champ_w=champ_w,
         )
 
     # ------------------------------------------------------------------

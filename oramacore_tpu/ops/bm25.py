@@ -103,7 +103,7 @@ def _aggregate_dense(docs, ntf, cap: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("exact", "cap", "lr", "axis_name"),
+    static_argnames=("exact", "cap", "lr", "axis_name", "has_champ"),
 )
 def bm25_score_batch(
     p_doc: jax.Array,        # int32[P + MAX_RANGE_LEN pad]
@@ -117,11 +117,15 @@ def bm25_score_batch(
     avg_flen: jax.Array,     # float32[B, T, NR] avg field len per range's field
     n_docs: jax.Array,       # float32[B] total docs (corpus size per query)
     doc_mask: jax.Array,     # bool[B, cap] filter mask (True = doc allowed)
+    champs: jax.Array = None,     # f32[C, cap] champion rows (has_champ)
+    ch_idx: jax.Array = None,     # int32[B, T, NC] champion row per slot
+    ch_w: jax.Array = None,       # f32[B, T, NC] weight per champion slot
     *,
     lr: int,                 # static: max range length bucket
     exact: bool,
     cap: int,                # static: doc-id capacity (scores width)
     axis_name=None,          # static: mesh axis for GLOBAL df (doc sharding)
+    has_champ: bool = False,  # static: champion rows present
 ):
     """Score a batch of queries against one index's postings slab.
 
@@ -146,7 +150,10 @@ def bm25_score_batch(
 
     def per_token(tok_carry, tok_in):
         scores, matched = tok_carry
-        st, ln, wt, fb, av = tok_in  # each (B, NR)
+        if has_champ:
+            st, ln, wt, fb, av, ci, cw = tok_in
+        else:
+            st, ln, wt, fb, av = tok_in  # each (B, NR)
 
         docs, tf, flen = slice_all(st.reshape(-1))
         docs = docs.reshape(B, NR, LR)
@@ -165,6 +172,17 @@ def bm25_score_batch(
         acc = _aggregate_dense(
             docs.reshape(B, NR * LR), ntf.reshape(B, NR * LR), cap
         )  # (B, cap) == S_t per doc
+        if has_champ:
+            # champion rows: one dense add replaces a heavy term's whole
+            # posting-range scan (ci (B, NC); -1 = empty slot)
+            rows = jnp.take(
+                champs, jnp.clip(ci, 0, champs.shape[0] - 1), axis=0
+            )  # (B, NC, cap)
+            w_eff = jnp.where(ci >= 0, cw, 0.0)
+            acc = acc + jnp.einsum(
+                "bnc,bn->bc", rows, w_eff,
+                preferred_element_type=jnp.float32,
+            )
         acc = jnp.where(doc_mask, acc, 0.0)  # filtered-IDF semantics
         present = acc > 0.0
         df = jnp.sum(present, axis=1).astype(jnp.float32)  # (B,)
@@ -188,6 +206,11 @@ def bm25_score_batch(
         jnp.moveaxis(field_b, 1, 0),
         jnp.moveaxis(avg_flen, 1, 0),
     )
+    if has_champ:
+        tok_inputs = tok_inputs + (
+            jnp.moveaxis(ch_idx, 1, 0),
+            jnp.moveaxis(ch_w, 1, 0),
+        )
     (scores, matched), _ = jax.lax.scan(per_token, init, tok_inputs)
     return scores, matched
 
@@ -236,7 +259,10 @@ def bm25_search_topk(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("exact", "cap", "lr", "k", "has_mask", "has_omc")
+    jax.jit,
+    static_argnames=(
+        "exact", "cap", "lr", "k", "has_mask", "has_omc", "has_champ"
+    ),
 )
 def bm25_search_topk_packed(
     p_doc, p_tf, p_exact_tf, p_flen,
@@ -245,9 +271,12 @@ def bm25_search_topk_packed(
     scalars,             # float32[2, B]: n_docs, thr_counts
     doc_mask,            # bool[B, cap] (dummy (1,1) when has_mask=False)
     omc,                 # float32[cap] (dummy (1,) when has_omc=False)
+    champs=None,         # f32[C, cap] champion rows (has_champ)
+    ch_idx=None,         # int32[B, T, NC]
+    ch_w=None,           # f32[B, T, NC]
     *,
     lr: int, exact: bool, cap: int, k: int,
-    has_mask: bool, has_omc: bool,
+    has_mask: bool, has_omc: bool, has_champ: bool = False,
 ):
     """Transfer-minimized fused search: 3 small H2D arrays per call (plus
     mask/omc only when actually used)."""
@@ -258,7 +287,8 @@ def bm25_search_topk_packed(
     mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
     scores, matched = bm25_score_batch(
         p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
-        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+        avg_flen, n_docs, mask, champs, ch_idx, ch_w,
+        lr=lr, exact=exact, cap=cap, has_champ=has_champ,
     )
     s = scores * omc[None, :] if has_omc else scores
     keep = (matched >= thr_counts[:, None]) & (scores > 0.0)

@@ -711,7 +711,8 @@ class ReadSide:
             if v > float("-inf") and v > 0
         }
 
-    def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams):
+    def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
+                       use_champions: bool = False):
         """Tokenize + build the padded posting-range plan for a fulltext
         or hybrid query. Returns (tokens, plan) or None (no string
         fields searchable)."""
@@ -768,6 +769,7 @@ class ReadSide:
             impact_cap=self.config.reader_side.impact_cap,
             field_params=fp,
             token_weights=token_weights,
+            use_champions=use_champions,
         )
         return tokens, plan
 
@@ -787,7 +789,13 @@ class ReadSide:
         the tunnel instead of dense (cap,) score vectors. With
         omc_in_kernel, OMC multipliers apply on-device before top-k (sets
         self._last_omc_applied so callers don't double-apply)."""
-        planned = self._plan_fulltext(idx, mode, params)
+        # champion rows apply only on the single-device fused path (the
+        # dense/sharded/hybrid executors consume ranged plans)
+        planned = self._plan_fulltext(
+            idx, mode, params,
+            use_champions=fused_ok and self.sharded_mesh is None
+            and not mode.exact,
+        )
         if planned is None:
             return {}
         tokens, plan = planned

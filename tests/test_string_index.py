@@ -266,3 +266,91 @@ def test_shared_batch_executor_matches_per_query():
         for (gd, gv), (ed, ev) in zip(got, ranked):
             assert gv == pytest.approx(ev, abs=1e-4), (qi, got, ranked)
             # ids may differ under exact score ties; values must match
+
+
+def test_champion_rows_parity(monkeypatch):
+    """Heavy committed terms route through precomputed dense rows on the
+    fused path; scores must equal the host oracle exactly, including
+    filters, thresholds, live-layer additions on the same term, and the
+    mixed heavy/light token case."""
+    import oramacore_tpu.index.string_index as si
+    from oramacore_tpu.index.search_exec import (
+        StringSearchTopK, host_bm25_reference,
+    )
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 8)
+    idx = si.StringIndex(index_bigrams=False)
+    n = 64
+    # "heavy" appears in every doc; "rare" in a few
+    for d in range(n):
+        toks = [("heavy", [])] * (1 + d % 3)
+        if d % 17 == 0:
+            toks.append(("rare", []))
+        idx.index_text(d, "body", toks)
+    idx.commit()
+    # live additions AFTER commit: champion covers the committed range,
+    # the live postings remain ranges and add on top
+    idx.index_text(n, "body", [("heavy", []), ("fresh", [])])
+    idx.slab()
+    assert ("body", "heavy") in idx._champ_map
+
+    plan = idx.plan_query(["heavy", "rare"], ["body"], {},
+                          use_champions=True)
+    assert plan.champ_idx is not None
+    assert (plan.champ_idx >= 0).sum() == 1  # only the heavy token
+
+    cap = n + 1
+    ex = StringSearchTopK()
+    vals, ids, counts = ex.search_topk(
+        idx, [plan], [cap], cap, k=cap,
+    )
+    expected = host_bm25_reference(idx, ["heavy", "rare"], ["body"], {}, cap)
+    got = {int(d): float(v) for v, d in zip(vals[0], ids[0]) if v > 0}
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert abs(got[d] - s) < 1e-3 * max(abs(s), 1), (d, got[d], s)
+
+    # filtered: mask applies AFTER the champion add (filtered-IDF parity)
+    import numpy as np
+
+    mask = np.zeros(cap, bool)
+    mask[: n // 2] = True
+    plan2 = idx.plan_query(["heavy"], ["body"], {}, use_champions=True)
+    vals, ids, counts = ex.search_topk(
+        idx, [plan2], [cap], cap, k=cap, doc_masks=[mask],
+    )
+    expected = host_bm25_reference(
+        idx, ["heavy"], ["body"], {}, cap, doc_mask=mask
+    )
+    got = {int(d): float(v) for v, d in zip(vals[0], ids[0]) if v > 0}
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert abs(got[d] - s) < 1e-3 * max(abs(s), 1)
+
+    # threshold: champion token still counts toward matched tokens
+    plan3 = idx.plan_query(["heavy", "rare"], ["body"], {},
+                           use_champions=True)
+    vals, ids, counts = ex.search_topk(
+        idx, [plan3], [cap], cap, k=cap, thresholds=[2.0],
+    )
+    got = {int(d) for v, d in zip(vals[0], ids[0]) if v > 0}
+    assert got == {d for d in range(n) if d % 17 == 0}
+
+
+def test_champion_skipped_for_custom_field_b(monkeypatch):
+    """A field with a non-default BM25 b must NOT use the baked champion
+    row (baked with b=0.75) — it falls back to ranged scanning."""
+    import oramacore_tpu.index.string_index as si
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 8)
+    idx = si.StringIndex(index_bigrams=False)
+    for d in range(32):
+        idx.index_text(d, "body", [("heavy", [])])
+    idx.commit()
+    idx.slab()
+    plan = idx.plan_query(
+        ["heavy"], ["body"], {}, use_champions=True,
+        field_params={"body": (1.0, 0.4)},   # custom b
+    )
+    assert plan.champ_idx is None or (plan.champ_idx >= 0).sum() == 0
+    assert plan.lens.max() > 0  # ranged scan retained
