@@ -425,12 +425,18 @@ class SharedBatchExecutor(StringSearchTopK):
         # ---- unique tokens + their ranges --------------------------------
         unique: Dict[str, int] = {}
         u_ranges: List[List[Tuple[int, int, float, float, float]]] = []
+        # champion tokens: FULLY covered by precomputed dense rows (any
+        # live/uncovered range falls the whole token back to ranged
+        # scanning, keeping matched-token counts exact)
+        u_champs: List[Optional[List[Tuple[int, float]]]] = []
         tol = 0 if exact else tolerance
         for toks in tokens_per_query:
             for tok in toks:
                 if tok in unique:
                     continue
                 ranges: List[Tuple[int, int, float, float, float]] = []
+                champ_slots: List[Tuple[int, float]] = []
+                champ_covers: List[Tuple[int, int]] = []
                 for path in properties:
                     stats = index._stats.get(path)
                     if stats is None or stats.doc_count == 0:
@@ -438,7 +444,19 @@ class SharedBatchExecutor(StringSearchTopK):
                     fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
                     w = boost.get(path, 1.0) * fw
                     avg = stats.avg_len or 1.0
+                    champ_skip = None
+                    if not exact and not tol:
+                        ci = index._champ_map.get((path, tok))
+                        if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
+                            c_avg, c_start, c_len = index._champ_meta[ci]
+                            if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
+                                champ_slots.append((ci, w))
+                                champ_skip = (c_start, c_len)
+                                champ_covers.append(champ_skip)
                     for (start, length) in index._match_terms(path, tok, tol):
+                        if champ_skip is not None and \
+                                (start, length) == champ_skip:
+                            continue
                         if impact_cap is not None and length > impact_cap:
                             length = impact_cap
                         while length > MAX_RANGE_LEN:
@@ -446,8 +464,26 @@ class SharedBatchExecutor(StringSearchTopK):
                             start += MAX_RANGE_LEN
                             length -= MAX_RANGE_LEN
                         ranges.append((start, length, w, fb, avg))
+                if champ_slots and ranges:
+                    # partial coverage: revert champions to their ranges
+                    for (c_start, c_len), (ci, w) in zip(
+                        champ_covers, champ_slots
+                    ):
+                        avg_c = index._champ_meta[ci][0]
+                        start, length = c_start, c_len
+                        if impact_cap is not None and length > impact_cap:
+                            length = impact_cap
+                        while length > MAX_RANGE_LEN:
+                            ranges.append(
+                                (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
+                            )
+                            start += MAX_RANGE_LEN
+                            length -= MAX_RANGE_LEN
+                        ranges.append((start, length, w, DEFAULT_B, avg_c))
+                    champ_slots = []
                 unique[tok] = len(u_ranges)
                 u_ranges.append(ranges)
+                u_champs.append(champ_slots or None)
 
         U = len(u_ranges)
         token_map_global = np.full((B, T), -1, np.int32)
@@ -458,6 +494,8 @@ class SharedBatchExecutor(StringSearchTopK):
         # ---- partition unique tokens by max range length -----------------
         classes: Dict[int, List[int]] = {c: [] for c in self.LENGTH_CLASSES}
         for ui, ranges in enumerate(u_ranges):
+            if u_champs[ui] is not None:
+                continue  # champion class handles this token
             ml = max((l for (_, l, *_rest) in ranges), default=0)
             for c in self.LENGTH_CLASSES:
                 if ml <= c:
@@ -528,6 +566,40 @@ class SharedBatchExecutor(StringSearchTopK):
                     jnp.float32(max(n_docs, 1.0)),
                     scores, matched,
                     lr=int(lrb), cap=capb, cu=cu, exact=exact,
+                )
+
+        # ---- champion class: dense rows, zero posting gathers ------------
+        champ_uids = [ui for ui, c in enumerate(u_champs) if c]
+        if champ_uids:
+            from ..ops.bm25 import (
+                bm25_shared_champions,
+                bm25_shared_champions_masked,
+            )
+
+            champs_dev = self._get_device_champs(index, capb)
+            NC = max(len(u_champs[ui]) for ui in champ_uids)
+            ch_rows = np.full((len(champ_uids), NC), -1, np.int32)
+            ch_w = np.zeros((len(champ_uids), NC), np.float32)
+            entry_token = np.asarray(champ_uids, np.int32)
+            for ei, ui in enumerate(champ_uids):
+                for cj, (ci, w) in enumerate(u_champs[ui]):
+                    ch_rows[ei, cj] = ci
+                    ch_w[ei, cj] = w
+            if has_masks:
+                scores, matched = bm25_shared_champions_masked(
+                    champs_dev, jnp.asarray(ch_rows), jnp.asarray(ch_w),
+                    jnp.asarray(entry_token),
+                    jnp.asarray(token_map_global), mask_dev,
+                    jnp.float32(max(n_docs, 1.0)), scores, matched,
+                    cap=capb,
+                )
+            else:
+                scores, matched = bm25_shared_champions(
+                    champs_dev, jnp.asarray(ch_rows), jnp.asarray(ch_w),
+                    jnp.asarray(entry_token),
+                    jnp.asarray(token_map_global),
+                    jnp.float32(max(n_docs, 1.0)), scores, matched,
+                    cap=capb,
                 )
 
         thr = np.zeros((B,), np.float32)

@@ -553,7 +553,10 @@ class StringIndex:
             tf = p_tf[start:start + ln]
             fl = p_flen[start:start + ln]
             denom = (1.0 - DEFAULT_B) + DEFAULT_B * fl / max(avg, 1e-9)
-            rows[ci, d] = tf / np.maximum(denom, 1e-9)
+            # accumulate (not assign): engine commits dedup (term, doc)
+            # pairs, but externally-built CSR slabs may repeat them and
+            # the ranged path SUMS duplicates
+            np.add.at(rows[ci], d, tf / np.maximum(denom, 1e-9))
             self._champ_map[(path, term)] = ci
             self._champ_meta.append((float(avg), start, ln))
         self._champ_matrix = rows

@@ -386,6 +386,86 @@ def bm25_shared_partial(
     return scores, matched
 
 
+def _champion_acc(champs, ch_rows, ch_w):
+    """(U, cap) accumulated normalized TF for champion tokens: each token
+    sums its per-field champion rows (ch_rows (U, NC), -1 = empty)."""
+    rows = jnp.take(
+        champs, jnp.clip(ch_rows, 0, champs.shape[0] - 1), axis=0
+    )  # (U, NC, cap)
+    w_eff = jnp.where(ch_rows >= 0, ch_w, 0.0)
+    return jnp.einsum(
+        "unc,un->uc", rows, w_eff, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bm25_shared_champions(
+    champs,       # f32[C, cap] champion rows (normalized TF, unweighted)
+    ch_rows,      # int32[U, NC] champion rows per champion token
+    ch_w,         # f32[U, NC] weights (boost * field weight)
+    entry_token,  # int32[U] GLOBAL unique-token id of each entry
+    token_map,    # int32[B, T] unique-token index per query slot
+    n_docs,       # f32[]
+    scores_in,    # f32[B, cap]
+    matched_in,   # f32[B, cap]
+    *,
+    cap: int,
+):
+    """Shared-path champion class: heavy tokens score from precomputed
+    dense rows (no posting gather), then distribute to queries via the
+    same assignment matmul as the ranged classes. Only tokens FULLY
+    covered by champions route here (partial live/ranged coverage falls
+    back to the ranged classes, keeping matched-token counts exact)."""
+    acc = _champion_acc(champs, ch_rows, ch_w)       # (U, cap)
+    present = (acc > 0.0).astype(jnp.float32)
+    df = jnp.maximum(jnp.sum(present, axis=1), 1.0)
+    idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
+    sat = idf[:, None] * (K1 + 1.0) * acc / (K1 + acc) * present
+    A = jnp.sum(
+        (token_map[:, :, None] == entry_token[None, None, :]).astype(
+            jnp.float32
+        ),
+        axis=1,
+    )  # (B, U)
+    scores = scores_in + jnp.dot(A, sat, preferred_element_type=jnp.float32)
+    matched = matched_in + jnp.dot(
+        A, present, preferred_element_type=jnp.float32
+    )
+    return scores, matched
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def bm25_shared_champions_masked(
+    champs, ch_rows, ch_w, entry_token, token_map,
+    doc_mask,    # bool[B, cap]
+    n_docs, scores_in, matched_in,
+    *,
+    cap: int,
+):
+    """Champion class under per-query filters: per-(query, token) df via
+    one MXU matmul (bm25_shared_partial_masked semantics)."""
+    mask_f = doc_mask.astype(jnp.float32)
+    acc = _champion_acc(champs, ch_rows, ch_w)
+    present = (acc > 0.0).astype(jnp.float32)
+    g = (K1 + 1.0) * acc / (K1 + acc) * present
+    df = jnp.maximum(
+        jnp.dot(present, mask_f.T, preferred_element_type=jnp.float32), 1.0
+    )  # (U, B)
+    idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
+    A = jnp.sum(
+        (token_map[:, :, None] == entry_token[None, None, :]).astype(
+            jnp.float32
+        ),
+        axis=1,
+    )
+    W = A * idf.T
+    scores = scores_in + jnp.dot(W, g, preferred_element_type=jnp.float32)
+    matched = matched_in + jnp.dot(
+        A, present, preferred_element_type=jnp.float32
+    )
+    return scores * mask_f, matched * mask_f
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def finalize_topk(scores, matched, thr_counts, omc, *, k: int):
     """Threshold + OMC + top-k + exact match counts in one dispatch."""

@@ -354,3 +354,92 @@ def test_champion_skipped_for_custom_field_b(monkeypatch):
     )
     assert plan.champ_idx is None or (plan.champ_idx >= 0).sum() == 0
     assert plan.lens.max() > 0  # ranged scan retained
+
+
+def test_shared_executor_champion_class_parity(monkeypatch):
+    """Shared term-dedup batches route fully-championed tokens through
+    the dense-row class; scores/threshold/filtered results must match
+    the host oracle exactly."""
+    import oramacore_tpu.index.string_index as si
+    from oramacore_tpu.index.search_exec import SharedBatchExecutor
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 8)
+    idx = si.StringIndex(index_bigrams=False)
+    n = 48
+    for d in range(n):
+        toks = [("heavy", [])] * (1 + d % 2)
+        if d % 11 == 0:
+            toks.append(("rare", []))
+        idx.index_text(d, "body", toks)
+    idx.commit()
+    idx.slab()
+    assert ("body", "heavy") in idx._champ_map
+
+    queries = [["heavy"], ["heavy", "rare"], ["rare"], ["missing"]]
+    ex = SharedBatchExecutor()
+    cap = n
+    vals, ids, counts = ex.search_topk_shared(
+        idx, queries, ["body"], {}, n, cap, k=cap,
+    )
+    for qi, toks in enumerate(queries):
+        expected = host_bm25_reference(idx, toks, ["body"], {}, n)
+        got = {int(d): float(v) for v, d in zip(vals[qi], ids[qi]) if v > 0}
+        assert set(got) == set(expected), toks
+        for d, s in expected.items():
+            assert abs(got[d] - s) < 1e-3 * max(abs(s), 1), (toks, d)
+        assert int(counts[qi]) == len(expected)
+
+    # filtered (masked champion class: per-query df)
+    mask = np.zeros(cap, bool)
+    mask[: n // 3] = True
+    vals, ids, counts = ex.search_topk_shared(
+        idx, queries, ["body"], {}, n, cap, k=cap,
+        doc_masks=[mask] * len(queries),
+    )
+    for qi, toks in enumerate(queries):
+        expected = host_bm25_reference(
+            idx, toks, ["body"], {}, n, doc_mask=mask
+        )
+        got = {int(d): float(v) for v, d in zip(vals[qi], ids[qi]) if v > 0}
+        assert set(got) == set(expected), toks
+        for d, s in expected.items():
+            assert abs(got[d] - s) < 1e-3 * max(abs(s), 1), (toks, d)
+
+    # partial coverage (live additions on the championed term) falls back
+    # to ranged scanning — results still exact
+    idx.index_text(n, "body", [("heavy", [])])
+    idx.slab()
+    vals, ids, counts = ex.search_topk_shared(
+        idx, [["heavy"]], ["body"], {}, n + 1, cap + 1, k=cap + 1,
+    )
+    expected = host_bm25_reference(idx, ["heavy"], ["body"], {}, n + 1)
+    got = {int(d): float(v) for v, d in zip(vals[0], ids[0]) if v > 0}
+    assert set(got) == set(expected)
+    for d, s in expected.items():
+        assert abs(got[d] - s) < 1e-3 * max(abs(s), 1)
+
+
+def test_champion_rows_sum_duplicate_pairs(monkeypatch):
+    """Externally-built CSR slabs may repeat (term, doc) pairs; champion
+    rows must SUM them like the ranged aggregation does."""
+    import oramacore_tpu.index.string_index as si
+    from oramacore_tpu.index.string_index import _CommittedField, FieldStats
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 4)
+    idx = si.StringIndex(index_bigrams=False)
+    # doc 0 repeats "heavy" twice as SEPARATE postings
+    doc = np.asarray([0, 0, 1, 2, 3], np.int32)
+    tf = np.asarray([1.0, 2.0, 1.0, 1.0, 1.0], np.float32)
+    flen = np.full(5, 4.0, np.float32)
+    idx._committed["body"] = _CommittedField(
+        terms=["heavy"], term_to_tid={"heavy": 0},
+        starts=np.asarray([0], np.int64), lens=np.asarray([5], np.int32),
+        doc=doc, tf=tf, exact_tf=tf, flen=flen,
+        stats=FieldStats(doc_count=4, sum_len=16.0),
+    )
+    idx._stats["body"] = FieldStats(4, 16.0)
+    idx.slab()
+    assert ("body", "heavy") in idx._champ_map
+    row = idx._champ_matrix[idx._champ_map[("body", "heavy")]]
+    # doc 0 accumulated BOTH postings (tf 1+2 normalized), not just one
+    assert row[0] == pytest.approx(row[1] * 3.0, rel=1e-5)
