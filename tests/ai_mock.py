@@ -18,6 +18,8 @@ class MockLLMServer:
         self.script = script
         self.default = default
         self.requests: List[Dict[str, Any]] = []
+        # transient-failure injection: the first N requests get HTTP 500
+        self.fail_first = 0
         self.app = web.Application()
         self.app.router.add_post("/v1/chat/completions", self._handle)
         self.runner: Optional[web.AppRunner] = None
@@ -33,6 +35,8 @@ class MockLLMServer:
     async def _handle(self, request: web.Request):
         body = await request.json()
         self.requests.append(body)
+        if len(self.requests) <= self.fail_first:
+            return web.json_response({"error": "overloaded"}, status=500)
         content = self._response_for(body)
         if body.get("stream"):
             resp = web.StreamResponse(

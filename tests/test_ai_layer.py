@@ -484,3 +484,45 @@ async def test_automatic_embeddings_selector_on_discovery():
             await ai.llm.close()
             orama.stop()
     await mock.stop()
+
+
+@async_test
+async def test_llm_retries_transient_failures_with_backoff():
+    """Per-state retries with exponential backoff (reference AnswerConfig
+    answer.rs:214-236): the first two provider calls fail with HTTP 500,
+    the third succeeds — the caller sees a normal answer."""
+    mock = MockLLMServer([], default="recovered fine")
+    mock.fail_first = 2
+    await mock.start()
+    try:
+        svc = LLMService(LLMProviderConfig("local", mock.url, "m"))
+        out = await svc.run_known_prompt("answer", variables=[
+            ("context", "ctx"), ("question", "q"),
+        ])
+        assert out == "recovered fine"
+        assert len(mock.requests) == 3  # 2 failures + 1 success
+        await svc.close()
+    finally:
+        await mock.stop()
+
+
+@async_test
+async def test_llm_exhausted_retries_surface_error():
+    mock = MockLLMServer([], default="never")
+    mock.fail_first = 99
+    await mock.start()
+    try:
+        from oramacore_tpu.ai.llms import LLMError
+
+        svc = LLMService(
+            LLMProviderConfig("local", mock.url, "m"), max_retries=2,
+        )
+        import pytest as _pytest
+        with _pytest.raises(LLMError):
+            await svc.run_known_prompt("answer", variables=[
+                ("context", "c"), ("question", "q"),
+            ])
+        assert len(mock.requests) == 2
+        await svc.close()
+    finally:
+        await mock.stop()
