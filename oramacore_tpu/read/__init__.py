@@ -1157,6 +1157,16 @@ class ReadSide:
         atomic_write_json(
             os.path.join(coll.data_dir, "collection.json"), manifest
         )
+        # GC snapshot dirs of deleted/replaced indexes (they are
+        # unreferenced once the manifest omits them)
+        idx_root = os.path.join(coll.data_dir, "indexes")
+        if os.path.isdir(idx_root):
+            live = set(manifest["indexes"])
+            for name in os.listdir(idx_root):
+                if name not in live:
+                    shutil.rmtree(
+                        os.path.join(idx_root, name), ignore_errors=True
+                    )
 
     def commit_collection(self, collection_id: str):
         """Commit ONE collection's indexes + doc storage (per-collection

@@ -224,3 +224,37 @@ def test_concurrent_search_during_ingest():
         assert out.count == 101
     finally:
         ctx.close()
+
+
+def test_deleted_index_snapshot_dirs_are_gced(tmp_path):
+    import os
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    try:
+        coll = orama.write_side.create_collection("mk", "c")
+        for iid in ("keep", "drop"):
+            orama.write_side.create_index("c", coll.write_api_key, iid)
+            orama.write_side.insert_documents(
+                "c", iid, coll.write_api_key, [{"id": "1", "t": f"in {iid}"}]
+            )
+        orama.write_side.embedding_queue.flush_and_wait()
+        orama.read_side.pump()
+        orama.read_side.commit(force=True)
+        idx_root = os.path.join(
+            cfg.data_dir, "reader", "collections", "c", "indexes"
+        )
+        assert sorted(os.listdir(idx_root)) == ["drop", "keep"]
+        orama.write_side.delete_index("c", coll.write_api_key, "drop")
+        orama.read_side.pump()
+        orama.read_side.commit(force=True)
+        assert os.listdir(idx_root) == ["keep"], "deleted index dir GC'd"
+    finally:
+        orama.stop()
