@@ -41,6 +41,7 @@ from ..types import (
     WhereFilter,
 )
 from ..utils.tokenizer import NLPService
+from ..utils.trace import span
 from .pin_rules import Consequence, apply_promotions, apply_rules
 from .read_index import ReadIndex
 
@@ -432,8 +433,12 @@ class ReadSide:
     ) -> SearchResult:
         coll = self.check_read_key(collection_id, read_key)
         t0 = time.perf_counter()
-        with self._state_lock.read("search"):
-            return self._search_locked(coll, collection_id, read_key, params, t0)
+        with span("search", collection=collection_id, mode=params.mode_str,
+                  term=params.term[:40]):
+            with self._state_lock.read("search"):
+                return self._search_locked(
+                    coll, collection_id, read_key, params, t0
+                )
 
     def _search_locked(self, coll, collection_id, read_key, params, t0):
         # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
@@ -488,10 +493,12 @@ class ReadSide:
             cap = idx.cap()
             for f in idx.filters.all_fields():
                 filter_fields_seen.add(f)
-            filter_mask = (
-                idx.filters.eval_where(params.where, cap) if has_filter else None
-            )
-            mask = idx.combined_mask(filter_mask)
+            with span("filter", index=idx.index_id):
+                filter_mask = (
+                    idx.filters.eval_where(params.where, cap)
+                    if has_filter else None
+                )
+                mask = idx.combined_mask(filter_mask)
             # fused low-latency path: only top candidates + exact counts
             # cross the device boundary when nothing downstream needs the
             # dense score set
@@ -500,9 +507,11 @@ class ReadSide:
                 and params.group_by is None
                 and params.sort_by is None
             )
-            scores = self._token_scores(
-                coll, idx, mode, params, mask, fused_ok=fused_ok
-            )
+            with span("token_scores", index=idx.index_id,
+                      fused=fused_ok):
+                scores = self._token_scores(
+                    coll, idx, mode, params, mask, fused_ok=fused_ok
+                )
             if self._last_fused_count is not None:
                 fused_counts = fused_counts + self._last_fused_count                     if fused_counts is not None else self._last_fused_count
             # OMC multipliers (search.rs:342, apply_omc_multipliers :39).
@@ -547,9 +556,10 @@ class ReadSide:
             for idx in indexes:
                 resolve.update(idx.user_to_internal)
 
-        ranked = self._rank(
-            indexes, all_scores, params, consequences, resolve
-        )
+        with span("rank", n_scores=len(all_scores)):
+            ranked = self._rank(
+                indexes, all_scores, params, consequences, resolve
+            )
         page = ranked[params.offset : params.offset + params.limit]
 
         groups = None
@@ -559,7 +569,8 @@ class ReadSide:
                 consequences, resolve,
             )
 
-        hits = self._hydrate(coll, indexes, page)
+        with span("hydrate", n=len(page)):
+            hits = self._hydrate(coll, indexes, page)
 
         # TransformDocumentAfterSearch hook (search.rs:158-179)
         if self.hooks_runtime is not None:
@@ -1187,19 +1198,20 @@ class ReadSide:
         from ..metrics import COMMIT_TIME
 
         t0 = time.perf_counter()
-        with self._commit_lock:
+        with span("commit"), self._commit_lock:
             # phase 1 under the state write lock: in-memory merges mutate
             # structures concurrent searches iterate (live dicts,
             # tombstones) — ADVICE r1: commits must exclude searches
-            with self._state_lock.write("commit"):
+            with span("commit_memory"), self._state_lock.write("commit"):
                 offset = self.live_offset
                 work = [
                     (coll, *self._commit_collection_memory(coll))
                     for coll in self.collections.values()
                 ]
             # phase 2: file I/O with searches running
-            for coll, to_save, manifest in work:
-                self._commit_collection_io(coll, to_save, manifest)
+            with span("commit_io"):
+                for coll, to_save, manifest in work:
+                    self._commit_collection_io(coll, to_save, manifest)
             self.kv.commit()
             atomic_write_json(
                 os.path.join(self.data_dir, "read.info.json"),

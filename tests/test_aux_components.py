@@ -489,3 +489,64 @@ def test_http_secrets_provider():
         assert p.get("missing") is None
     finally:
         srv.shutdown()
+
+
+def test_span_tracing(caplog):
+    """Span trees nest per thread; the root emits one structured trace
+    at DEBUG and slow roots escalate to WARNING (tracing #[instrument]
+    analog)."""
+    import logging
+
+    from oramacore_tpu.utils import trace as tr
+
+    with caplog.at_level(logging.DEBUG, logger="oramacore_tpu.trace"):
+        with tr.span("request", route="/search"):
+            with tr.span("filter"):
+                pass
+            with tr.span("score", index="main"):
+                with tr.span("topk"):
+                    pass
+    msgs = [r.message for r in caplog.records if "trace:" in r.message]
+    assert msgs, "root span emitted a trace"
+    tree = msgs[-1]
+    assert "request" in tree and "filter" in tree and "topk" in tree
+    # child indented under parent
+    lines = tree.splitlines()
+    i_score = next(i for i, l in enumerate(lines) if "score" in l)
+    i_topk = next(i for i, l in enumerate(lines) if "topk" in l)
+    assert i_topk == i_score + 1
+    assert lines[i_topk].startswith(lines[i_score][: lines[i_score].index("score")] + "  ")
+    assert "route=/search" in tree
+
+    # slow roots escalate to WARNING even with DEBUG disabled
+    caplog.clear()
+    monkey = tr.SLOW_ROOT_S
+    tr.SLOW_ROOT_S = 0.0
+    try:
+        with caplog.at_level(logging.WARNING, logger="oramacore_tpu.trace"):
+            with tr.span("slow-request"):
+                pass
+        assert any("slow request trace" in r.message for r in caplog.records)
+    finally:
+        tr.SLOW_ROOT_S = monkey
+
+
+def test_search_emits_trace_spans(caplog):
+    import logging
+
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{"id": "1", "t": "traced query"}])
+        with caplog.at_level(logging.DEBUG, logger="oramacore_tpu.trace"):
+            coll.search({"term": "traced"})
+        tree = next(
+            r.message for r in caplog.records if "trace:" in r.message
+        )
+        assert "search" in tree and "token_scores" in tree
+        assert "hydrate" in tree
+    finally:
+        ctx.close()
