@@ -851,3 +851,57 @@ def test_per_field_bm25_params(ctx):
     out = coll.search({"term": "apple"})
     # no query boost, but the configured title weight wins
     assert ids_of(out)[0] == "2"
+
+
+def test_geo_polygon_e2e(ctx):
+    """Polygon containment through the full search pipeline (reference
+    geosearch.rs polygon cases)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([
+        {"id": "inside", "t": "spot", "loc": {"lat": 1.0, "lon": 1.0}},
+        {"id": "outside", "t": "spot", "loc": {"lat": 5.0, "lon": 5.0}},
+        {"id": "edgeish", "t": "spot", "loc": {"lat": 0.5, "lon": 1.5}},
+    ])
+    square = {
+        "polygon": {
+            "coordinates": [
+                {"lat": 0.0, "lon": 0.0}, {"lat": 0.0, "lon": 2.0},
+                {"lat": 2.0, "lon": 2.0}, {"lat": 2.0, "lon": 0.0},
+            ]
+        }
+    }
+    out = coll.search({"term": "spot", "where": {"loc": square}})
+    got = {h.id.split(":")[1] for h in out.hits}
+    assert got == {"inside", "edgeish"}
+    # inverted: outside the polygon
+    square_out = {"polygon": dict(square["polygon"], inside=False)}
+    out = coll.search({"term": "spot", "where": {"loc": square_out}})
+    assert {h.id.split(":")[1] for h in out.hits} == {"outside"}
+
+
+def test_shelves_and_values_replicate_and_persist(ctx):
+    """Shelves (curated doc lists) + values (hook-visible KV) replicate
+    through the op log and survive reload (reference shelves.rs,
+    values.rs)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([{"id": "1", "t": "x"}])
+    w = ctx.writer
+    w.insert_shelf(coll.collection_id, coll.write_key,
+                   {"id": "s1", "name": "Deals", "items": ["1"]})
+    w.set_value(coll.collection_id, coll.write_key, "banner", "SALE")
+    ctx.pump()
+    rcoll = ctx.reader.collections[coll.collection_id]
+    assert rcoll.shelves["s1"]["name"] == "Deals"
+    assert rcoll.values["banner"] == "SALE"
+    # delete one value, keep the shelf; reload round-trips both states
+    w.delete_value(coll.collection_id, coll.write_key, "banner")
+    ctx.pump()
+    ctx2 = ctx.reload()
+    try:
+        rcoll = ctx2.reader.collections[coll.collection_id]
+        assert rcoll.shelves["s1"]["items"] == ["1"]
+        assert "banner" not in rcoll.values
+    finally:
+        ctx2.orama.stop()
