@@ -425,11 +425,6 @@ class CodeParser:
                 break
             if t.kind == "ident":
                 # handle "as": the local binding is what matters
-                if j + 2 < n and toks[j + 1].kind == "kw" is False:
-                    pass
-                if j + 1 < n and toks[j + 1].kind == "ident" and \
-                        toks[j + 1].value == "as":
-                    pass
                 if t.value == "as":
                     j += 1
                     continue
