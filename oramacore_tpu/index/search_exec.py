@@ -14,6 +14,13 @@ import numpy as np
 from ..ops.bm25 import bm25_score_batch, round_up_pow2
 from .string_index import QueryPlan, StringIndex
 
+# vector-candidate budget per query for the fused int8 hybrid tail: a
+# fixed quality knob (like nprobe), deliberately NOT derived from the
+# page size so the per-query and batched paths retrieve identical
+# candidate sets (reference bounds its vector side by `limit`;
+# EmbeddingStorage.search semantics)
+HYBRID_INT8_CANDIDATES = 256
+
 
 class StringSearchExecutor:
     """Caches device slabs and executes batched BM25F scoring."""
@@ -373,6 +380,82 @@ class HybridSearchTopK(StringSearchTopK):
         )
 
 
+    def search_topk_hybrid_int8(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        vec_int8,                 # VectorIndex.int8_device_rows() tuple
+        queries: np.ndarray,      # f32[B, dim] L2-normalized query vectors
+        similarities: Sequence[float],
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+        rescale: Optional[Tuple[float, float]] = None,
+        candidates: Optional[int] = None,  # V rows per query (default 4k)
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Fused hybrid over the int8/IVF vector layout (>=2M rows): the
+        vector side probes top-nprobe cluster units for top-V candidate
+        rows, scatter-maxed onto the dense doc space, fused with BM25 in
+        the same dispatch (ops/hybrid.py)."""
+        from ..ops.hybrid import hybrid_search_topk_packed_int8
+        from ..ops.bm25 import round_up_pow2
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap, doc_masks)
+        Bb = pb.starts.shape[0]
+        idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        scalars = np.stack([
+            pb.nd, np.zeros((Bb,), np.float32), np.zeros((Bb,), np.float32),
+        ])
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                scalars[1, i] = t or 0.0
+        for i, s in enumerate(similarities):
+            scalars[2, i] = s
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            omc_arr = self._get_device_omc(omc, omc_key, pb.capb)
+        else:
+            omc_arr = jnp.ones((1,), jnp.float32)
+        q = np.zeros((Bb, queries.shape[1]), np.float32)
+        q[: len(queries)] = queries
+        mat_i8, scales, row_doc, unit_cen, unit_starts, window, nprobe = (
+            vec_int8
+        )
+        kb = min(round_up_pow2(k, 8), pb.capb)
+        V = round_up_pow2(
+            min(candidates or HYBRID_INT8_CANDIDATES, int(mat_i8.shape[0])), 8
+        )
+        vals, idx, counts = hybrid_search_topk_packed_int8(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
+            mat_i8, scales, row_doc, unit_cen, unit_starts,
+            jnp.asarray(q),
+            jnp.asarray(mask_arr), omc_arr,
+            lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
+            V=V, nprobe=nprobe, window=window,
+            has_mask=has_mask, has_omc=has_omc,
+            has_rescale=rescale is not None,
+            rescale_lo=float(rescale[0]) if rescale else 0.0,
+            rescale_hi=float(rescale[1]) if rescale else 1.0,
+        )
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(idx[: pb.B, :k]),
+            np.asarray(counts[: pb.B]),
+        )
+
+
 class SharedBatchExecutor(StringSearchTopK):
     """Term-deduplicated batched scoring: each unique query token is
     scored once into dense per-token rows; a (B, U) assignment matmul
@@ -404,6 +487,8 @@ class SharedBatchExecutor(StringSearchTopK):
         queries: Optional[np.ndarray] = None,   # hybrid: f32[B, dim]
         similarities: Optional[Sequence[float]] = None,
         rescale: Optional[Tuple[float, float]] = None,
+        vec_rows_int8=None,            # hybrid: int8_device_rows() tuple
+        candidates: Optional[int] = None,       # int8 tail: V per query
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         import jax.numpy as jnp
 
@@ -612,7 +697,30 @@ class SharedBatchExecutor(StringSearchTopK):
         else:
             omc_dev = jnp.ones((capb,), jnp.float32)
         kb = min(round_up_pow2(k, 8), capb)
-        if vec_rows is not None:
+        if vec_rows_int8 is not None:
+            # batched-hybrid tail over the int8/IVF layout
+            from ..ops.hybrid import hybrid_finalize_topk_int8
+
+            (mat_i8, v_scales, row_doc, unit_cen, unit_starts, window,
+             nprobe) = vec_rows_int8
+            sims = np.asarray(similarities, np.float32)
+            V = round_up_pow2(
+                min(candidates or HYBRID_INT8_CANDIDATES, int(mat_i8.shape[0])), 8
+            )
+            vals, idx, counts = hybrid_finalize_topk_int8(
+                scores, matched, jnp.asarray(thr),
+                mat_i8, v_scales, row_doc, unit_cen, unit_starts,
+                jnp.asarray(np.asarray(queries, np.float32)),
+                jnp.asarray(sims),
+                mask_dev if has_masks else jnp.zeros((1, 1), bool),
+                omc_dev if has_omc else jnp.ones((1,), jnp.float32),
+                cap=capb, k=kb, V=V, nprobe=nprobe, window=window,
+                has_mask=has_masks, has_omc=has_omc,
+                has_rescale=rescale is not None,
+                rescale_lo=float(rescale[0]) if rescale else 0.0,
+                rescale_hi=float(rescale[1]) if rescale else 1.0,
+            )
+        elif vec_rows is not None:
             # batched-hybrid tail: vector matmul + min-max fusion + OMC +
             # top-k fused into one dispatch (ops/hybrid.py)
             from ..ops.hybrid import hybrid_finalize_topk

@@ -272,6 +272,20 @@ class VectorIndex:
             return None
         return matrix, row_doc, row_valid
 
+    def int8_device_rows(self):
+        """Int8/IVF layout for the fused hybrid path at the >=2M-row
+        tier: (mat_i8, scales, row_doc, unit_cen, unit_starts, window,
+        nprobe), or None when not in IVF mode."""
+        (mat, row_doc, scales, centroids, starts, is_ivf,
+         _sp) = self._device_slab()
+        if not is_ivf:
+            return None
+        nprobe = min(IVF_NPROBE, int(centroids.shape[0]))
+        return (
+            mat, scales, row_doc, centroids, starts,
+            int(self._ivf["window"]), nprobe,
+        )
+
     @staticmethod
     def _chunk_for(n: int) -> int:
         if n <= 8192:

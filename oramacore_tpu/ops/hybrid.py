@@ -23,6 +23,8 @@ import jax.numpy as jnp
 
 from .bm25 import bm25_score_batch
 
+NEG_INF = -1e30
+
 
 def _vector_dense_scores(
     vec_matrix,   # bf16[N, dim] L2-normalized rows
@@ -116,6 +118,143 @@ def hybrid_search_topk_packed(
     )
     fused, present = _fuse(
         bm25, matched, vec, thr_counts, mask, omc, has_omc=has_omc
+    )
+    counts = jnp.sum(present, axis=1).astype(jnp.int32)
+    from .vector import topk_2level
+
+    vals, idx = topk_2level(fused, k)
+    return vals, idx, counts
+
+
+def _vector_dense_scores_int8(
+    mat_i8,       # int8[N, D] packed by cluster
+    scales,       # f32[N]
+    row_doc,      # int32[N]
+    unit_cen,     # f32[U, D]
+    unit_starts,  # int32[U]
+    queries,      # f32[B, dim]
+    sim,          # f32[B]
+    doc_mask,     # bool[B, cap] (dummy when has_mask=False)
+    *,
+    cap: int,
+    V: int,
+    nprobe: int,
+    window: int,
+    has_mask: bool,
+    has_rescale: bool,
+    rescale_lo: float,
+    rescale_hi: float,
+):
+    """(B, cap) vector scores for the int8/IVF tier: probe the top-nprobe
+    cluster units, keep the top-V candidate rows per query, scatter-max
+    onto the dense doc space. Candidate-bounded like the reference's
+    vector side (EmbeddingStorage.search takes `limit`); scores are the
+    quantized int8 dots (the f32 rerank needs host rows — documented
+    recall ceiling 0.9785 at 10M, benches/RESULTS.md)."""
+    from .vector import ivf_int8_topk_masked
+
+    B = queries.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, 1), bool)
+    vals, rows = ivf_int8_topk_masked(
+        queries, mat_i8, scales, row_doc, unit_cen, unit_starts, mask,
+        k=V, nprobe=nprobe, window=window, has_mask=has_mask,
+    )  # (B, V)
+    if has_rescale:
+        vals = jnp.clip(
+            (vals - rescale_lo) / (rescale_hi - rescale_lo), 0.0, 1.0
+        )
+    keep = (rows >= 0) & (vals >= sim[:, None]) & (vals > NEG_INF / 2)
+    vals = jnp.where(keep, vals, 0.0)
+    docs = jnp.where(
+        keep,
+        jnp.take(row_doc, jnp.clip(rows, 0, row_doc.shape[0] - 1)),
+        cap,  # overflow slot
+    )
+
+    def scatter_max(vals_b, docs_b):
+        acc = jnp.zeros((cap + 1,), jnp.float32)
+        return acc.at[docs_b].max(vals_b)[:cap]
+
+    return jax.vmap(scatter_max)(vals, docs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lr", "exact", "cap", "k", "V", "nprobe", "window",
+        "has_mask", "has_omc", "has_rescale", "rescale_lo", "rescale_hi",
+    ),
+)
+def hybrid_search_topk_packed_int8(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    idesc, fdesc,
+    scalars,      # float32[3, B]: n_docs, thr_counts, similarity
+    mat_i8, scales, row_doc, unit_cen, unit_starts,
+    queries,      # f32[B, dim]
+    doc_mask, omc,
+    *,
+    lr: int, exact: bool, cap: int, k: int,
+    V: int, nprobe: int, window: int,
+    has_mask: bool, has_omc: bool,
+    has_rescale: bool, rescale_lo: float, rescale_hi: float,
+):
+    """Fused hybrid for int8/IVF-tier vector indexes (the >=2M-row
+    layout): BM25 ranged scoring + IVF candidate probe + fusion + OMC +
+    top-k, one dispatch."""
+    starts, lens = idesc[0], idesc[1]
+    weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
+    n_docs, thr_counts, sim = scalars[0], scalars[1], scalars[2]
+    B = starts.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
+
+    bm25, matched = bm25_score_batch(
+        p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
+        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+    )
+    vec = _vector_dense_scores_int8(
+        mat_i8, scales, row_doc, unit_cen, unit_starts, queries, sim,
+        doc_mask, cap=cap, V=V, nprobe=nprobe, window=window,
+        has_mask=has_mask, has_rescale=has_rescale,
+        rescale_lo=rescale_lo, rescale_hi=rescale_hi,
+    )
+    fused, present = _fuse(
+        bm25, matched, vec, thr_counts, mask, omc, has_omc=has_omc
+    )
+    counts = jnp.sum(present, axis=1).astype(jnp.int32)
+    from .vector import topk_2level
+
+    vals, idx = topk_2level(fused, k)
+    return vals, idx, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cap", "k", "V", "nprobe", "window", "has_mask", "has_omc",
+        "has_rescale", "rescale_lo", "rescale_hi",
+    ),
+)
+def hybrid_finalize_topk_int8(
+    scores, matched, thr_counts,
+    mat_i8, scales, row_doc, unit_cen, unit_starts,
+    queries, sim, doc_mask, omc,
+    *,
+    cap: int, k: int, V: int, nprobe: int, window: int,
+    has_mask: bool, has_omc: bool,
+    has_rescale: bool, rescale_lo: float, rescale_hi: float,
+):
+    """Batched-hybrid tail over the int8/IVF layout for the shared
+    (term-dedup) BM25 path."""
+    B = scores.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
+    vec = _vector_dense_scores_int8(
+        mat_i8, scales, row_doc, unit_cen, unit_starts, queries, sim,
+        doc_mask, cap=cap, V=V, nprobe=nprobe, window=window,
+        has_mask=has_mask, has_rescale=has_rescale,
+        rescale_lo=rescale_lo, rescale_hi=rescale_hi,
+    )
+    fused, present = _fuse(
+        scores, matched, vec, thr_counts, mask, omc, has_omc=has_omc
     )
     counts = jnp.sum(present, axis=1).astype(jnp.int32)
     from .vector import topk_2level

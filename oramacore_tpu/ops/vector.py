@@ -232,6 +232,78 @@ def ivf_int8_topk(
     return jax.vmap(per_query)(queries, probe)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "window", "has_mask")
+)
+def ivf_int8_topk_masked(
+    queries: jax.Array,      # f32[B, D] L2-normalized
+    mat_i8: jax.Array,       # int8[N, D] rows packed by cluster
+    scales: jax.Array,       # f32[N] (0 = padding)
+    row_doc: jax.Array,      # int32[N] doc id per row
+    unit_centroids: jax.Array,  # f32[U, D]
+    unit_starts: jax.Array,  # int32[U]
+    doc_mask: jax.Array,     # bool[B, cap] per-query doc filter
+    *,
+    k: int,
+    nprobe: int,
+    window: int,
+    has_mask: bool,
+):
+    """`ivf_int8_topk` with a PER-QUERY doc-level filter pushed down into
+    the probe scan (the hybrid path needs per-query where-filters; the
+    shared-scales trick in VectorIndex.search only supports one mask per
+    dispatch)."""
+    B, D = queries.shape
+    N = mat_i8.shape[0]
+    cap = doc_mask.shape[1]
+    _, probe = jax.lax.top_k(
+        jnp.dot(
+            queries.astype(jnp.bfloat16),
+            unit_centroids.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        ),
+        nprobe,
+    )
+
+    def per_query(qv, probes, mask_b):
+        qv = qv.astype(jnp.bfloat16)
+
+        def body(carry, ui):
+            vals, rows = carry
+            start = jnp.minimum(jnp.take(unit_starts, ui), N - window)
+            tile = jax.lax.dynamic_slice(mat_i8, (start, 0), (window, D))
+            sc = jax.lax.dynamic_slice(scales, (start,), (window,))
+            s = jnp.dot(
+                tile.astype(jnp.bfloat16), qv,
+                preferred_element_type=jnp.float32,
+            ) * sc
+            keep = sc > 0
+            if has_mask:
+                docs_w = jax.lax.dynamic_slice(row_doc, (start,), (window,))
+                keep = keep & jnp.take(
+                    mask_b, jnp.clip(docs_w, 0, cap - 1)
+                )
+            s = jnp.where(keep, s, NEG_INF)
+            tile_rows = (
+                jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
+                + start
+            )
+            cat_v = jnp.concatenate([vals, s])
+            cat_r = jnp.concatenate([rows, tile_rows])
+            new_v, sel = jax.lax.top_k(cat_v, k)
+            new_r = jnp.take(cat_r, sel)
+            return (new_v, new_r), None
+
+        init = (
+            jnp.full((k,), NEG_INF, jnp.float32),
+            jnp.full((k,), -1, jnp.int32),
+        )
+        (vals, rows), _ = jax.lax.scan(body, init, probes)
+        return vals, rows
+
+    return jax.vmap(per_query)(queries, probe, doc_mask)
+
+
 def l2_normalize(x, axis=-1, eps=1e-12):
     import numpy as np
 

@@ -701,18 +701,32 @@ class ReadSide:
             )
         if out is None:
             vec_rows = idx.vector.flat_device_rows()
-            if vec_rows is None:
-                return None
             ex = coll.executor(idx.index_id)
-            out = ex.search_topk_hybrid(
-                idx.string, [plan], [idx.document_count()], cap, k,
-                vec_rows, q, [mode.similarity],
-                exact=mode.exact,
-                doc_masks=[mask] if mask is not None else None,
-                thresholds=[thr] if thr is not None else None,
-                omc=omc_arr, omc_key=idx.omc_version,
-                rescale=idx.vector.config.score_rescale,
-            )
+            if vec_rows is not None:
+                out = ex.search_topk_hybrid(
+                    idx.string, [plan], [idx.document_count()], cap, k,
+                    vec_rows, q, [mode.similarity],
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=idx.omc_version,
+                    rescale=idx.vector.config.score_rescale,
+                )
+            else:
+                # IVF-sized vector index: fused hybrid over the int8
+                # packed layout (candidate probe inside the dispatch)
+                vec_int8 = idx.vector.int8_device_rows()
+                if vec_int8 is None:
+                    return None
+                out = ex.search_topk_hybrid_int8(
+                    idx.string, [plan], [idx.document_count()], cap, k,
+                    vec_int8, q, [mode.similarity],
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=idx.omc_version,
+                    rescale=idx.vector.config.score_rescale,
+                )
         vals, ids, counts = out
         self._last_fused_count = int(counts[0])
         self._last_omc_applied = omc_arr is not None
@@ -1428,8 +1442,12 @@ def _search_batch_locked(
         if idx.vector is None:
             return None
         vec_rows = idx.vector.flat_device_rows()
+        vec_int8 = None
         if vec_rows is None:
-            return None  # IVF mode: per-query probe path
+            # IVF-sized index: batched hybrid over the int8 packed layout
+            vec_int8 = idx.vector.int8_device_rows()
+            if vec_int8 is None:
+                return None
         all_targets = self.embeddings.calculate_embeddings(
             [p.mode.term for p in params_list], Intent.QUERY,
             idx.embedding_model,
@@ -1443,6 +1461,7 @@ def _search_batch_locked(
         )
         hybrid_args = dict(
             vec_rows=vec_rows,
+            vec_rows_int8=vec_int8,
             queries=q,
             similarities=[p.mode.similarity for p in params_list],
             rescale=idx.vector.config.score_rescale,
