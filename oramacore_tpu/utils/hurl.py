@@ -167,6 +167,12 @@ def parse_hurl(text: str) -> List[HurlEntry]:
         if stripped in _SECTIONS:
             section = stripped
             continue
+        # a JSON body ends any request-side section (e.g. [Options])
+        if not after_status and stripped[0] in "{[":
+            section = None
+            in_body = True
+            body_lines = [raw]
+            continue
         if section == "[Options]":
             k, _, v = stripped.partition(":")
             k = k.strip()
