@@ -67,6 +67,10 @@ class AIConfig:
     # (zero-egress environments must have weights on disk already);
     # when set, build_orama registers the 'flax' backend from it
     embeddings_model_path: Optional[str] = None
+    # per-model checkpoint dirs: {"BGESmall": "/path", ...} — each binds
+    # its registry entry only (reference embeddings/models.py registry);
+    # entries here win over the shared embeddings_model_path backend
+    embeddings_model_paths: Dict[str, str] = field(default_factory=dict)
 
 
 @dataclass

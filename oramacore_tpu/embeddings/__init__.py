@@ -192,7 +192,13 @@ class EmbeddingsService:
         model: Optional[str] = None,
     ) -> List[List[np.ndarray]]:
         info = self.model_info(model)
-        backend = _BACKENDS.get(info.backend) or _BACKENDS["hash"]
+        # per-model checkpoint binding wins over the shared backend
+        # (reference keeps a per-model registry, embeddings/models.py)
+        backend = (
+            _BACKENDS.get(f"{info.backend}:{info.name}")
+            or _BACKENDS.get(info.backend)
+            or _BACKENDS["hash"]
+        )
 
         all_chunks: List[str] = []
         spans: List[Tuple[int, int]] = []

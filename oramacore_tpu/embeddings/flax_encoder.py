@@ -172,16 +172,33 @@ def load_flax_encoder(model_path: str) -> Optional[FlaxTextEncoder]:
         return None
 
 
-def register_flax_backend(model_path: str) -> bool:
+def register_flax_backend(model_path: str,
+                          model_name: Optional[str] = None) -> bool:
     """Register the 'flax' embeddings backend bound to a local checkpoint.
+
+    With `model_name`, the checkpoint binds to that registry entry only
+    (backend key "flax:<name>" — the per-model registry of the reference,
+    src/python/scripts/src/embeddings/models.py model groups); without
+    it, it becomes the shared default for every flax-backed model.
     Returns False (leaving the hash fallback) when loading fails."""
     enc = load_flax_encoder(model_path)
     if enc is None:
         return False
-    from . import ModelInfo, register_backend
+    from . import MODELS, ModelInfo, register_backend
 
     def backend(texts, info: ModelInfo):
         return enc.encode(list(texts))
 
-    register_backend("flax", backend)
+    if model_name is not None:
+        info = MODELS.get(model_name)
+        dim = getattr(enc, "dim", None)
+        if info is not None and dim is not None and info.dim != dim:
+            logger.warning(
+                "checkpoint %s has hidden size %s but model %s expects "
+                "%s-d vectors; registering anyway",
+                model_path, dim, model_name, info.dim,
+            )
+        register_backend(f"flax:{model_name}", backend)
+    else:
+        register_backend("flax", backend)
     return True

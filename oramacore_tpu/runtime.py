@@ -117,6 +117,10 @@ def build_orama(
         from .embeddings.flax_encoder import register_flax_backend
 
         register_flax_backend(config.ai.embeddings_model_path)
+    for _name, _path in (config.ai.embeddings_model_paths or {}).items():
+        from .embeddings.flax_encoder import register_flax_backend
+
+        register_flax_backend(_path, model_name=_name)
     nlp = NLPService()
 
     jwt_manager = None

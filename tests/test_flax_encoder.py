@@ -142,3 +142,40 @@ def test_flax_backend_through_engine(checkpoint, tmp_path):
         assert out.hits and out.hits[0].id.endswith(":3")
     finally:
         orama.stop()
+
+
+def test_per_model_backend_binding():
+    """A checkpoint registered for one model binds only that registry
+    entry; other flax models keep the shared/hash fallback (reference
+    keeps a per-model registry, embeddings/models.py)."""
+    import numpy as np
+
+    from oramacore_tpu import embeddings as emb
+
+    calls = []
+
+    def fake_backend(texts, info):
+        calls.append((info.name, list(texts)))
+        return [np.full(info.dim, 0.5, np.float32) for _ in texts]
+
+    emb.register_backend("flax:BGESmall", fake_backend)
+    try:
+        svc = emb.EmbeddingsService()
+        out = svc.calculate_embeddings(["hello"], emb.Intent.QUERY, "BGESmall")
+        assert calls and calls[0][0] == "BGESmall"
+        assert out[0][0].shape == (384,)
+        # a different flax model does NOT hit the bound checkpoint
+        n_before = len(calls)
+        svc.calculate_embeddings(["hello"], emb.Intent.QUERY, "BGEBase")
+        assert len(calls) == n_before
+    finally:
+        emb._BACKENDS.pop("flax:BGESmall", None)
+
+
+def test_config_per_model_paths_field():
+    from oramacore_tpu.config import OramacoreConfig
+
+    cfg = OramacoreConfig()
+    assert cfg.ai.embeddings_model_paths == {}
+    cfg.ai.embeddings_model_paths = {"BGESmall": "/weights/bge-small"}
+    assert cfg.ai.embeddings_model_paths["BGESmall"] == "/weights/bge-small"
