@@ -521,7 +521,7 @@ class SharedBatchExecutor(StringSearchTopK):
                     continue
                 ranges: List[Tuple[int, int, float, float, float]] = []
                 champ_slots: List[Tuple[int, float]] = []
-                champ_covers: List[Tuple[int, int]] = []
+                champ_covers: List[frozenset] = []
                 for path in properties:
                     stats = index._stats.get(path)
                     if stats is None or stats.doc_count == 0:
@@ -533,14 +533,14 @@ class SharedBatchExecutor(StringSearchTopK):
                     if not exact and not tol:
                         ci = index._champ_map.get((path, tok))
                         if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
-                            c_avg, c_start, c_len = index._champ_meta[ci]
+                            c_avg, covered = index._champ_meta[ci]
                             if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
                                 champ_slots.append((ci, w))
-                                champ_skip = (c_start, c_len)
-                                champ_covers.append(champ_skip)
+                                champ_skip = covered
+                                champ_covers.append(covered)
                     for (start, length) in index._match_terms(path, tok, tol):
                         if champ_skip is not None and \
-                                (start, length) == champ_skip:
+                                (start, length) in champ_skip:
                             continue
                         if impact_cap is not None and length > impact_cap:
                             length = impact_cap
@@ -551,20 +551,21 @@ class SharedBatchExecutor(StringSearchTopK):
                         ranges.append((start, length, w, fb, avg))
                 if champ_slots and ranges:
                     # partial coverage: revert champions to their ranges
-                    for (c_start, c_len), (ci, w) in zip(
-                        champ_covers, champ_slots
-                    ):
+                    for covered, (ci, w) in zip(champ_covers, champ_slots):
                         avg_c = index._champ_meta[ci][0]
-                        start, length = c_start, c_len
-                        if impact_cap is not None and length > impact_cap:
-                            length = impact_cap
-                        while length > MAX_RANGE_LEN:
+                        for (c_start, c_len) in covered:
+                            start, length = c_start, c_len
+                            if impact_cap is not None and length > impact_cap:
+                                length = impact_cap
+                            while length > MAX_RANGE_LEN:
+                                ranges.append(
+                                    (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
+                                )
+                                start += MAX_RANGE_LEN
+                                length -= MAX_RANGE_LEN
                             ranges.append(
-                                (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
+                                (start, length, w, DEFAULT_B, avg_c)
                             )
-                            start += MAX_RANGE_LEN
-                            length -= MAX_RANGE_LEN
-                        ranges.append((start, length, w, DEFAULT_B, avg_c))
                     champ_slots = []
                 unique[tok] = len(u_ranges)
                 u_ranges.append(ranges)

@@ -40,6 +40,10 @@ BIGRAM_SEP = "\x1f"  # adjacency shadow-term separator (never in tokens)
 # champion lists / impact-ordered skipping)
 CHAMPION_MIN = 32768
 MAX_CHAMPIONS = 64
+# committed segments per field before a commit triggers a full merge
+# (reference: SegmentConfig{max_postings_per_segment} tuned so "all
+# segments are scanned every search", string_field.rs:19-28)
+MAX_SEGMENTS = 8
 
 
 @dataclass
@@ -157,13 +161,24 @@ class StringIndex:
         # adjacency shadow terms for phrase capability (see index_text)
         self.index_bigrams = index_bigrams
 
-        # live layer: path -> term -> doc_id -> [tf, exact_tf]
-        self._live: Dict[str, Dict[str, Dict[int, List[float]]]] = {}
+        # live layer lookup: path -> term -> doc_id -> row index into the
+        # flat per-path accumulator below. The FLAT layout is what makes
+        # commit and slab-build O(rows) numpy conversions instead of
+        # per-term Python loops (bigram shadow terms mean ~1 term per
+        # posting, so per-term overhead dominated both).
+        self._live: Dict[str, Dict[str, Dict[int, int]]] = {}
+        # flat accumulators: path -> parallel lists
+        #   (doc, local_tid, tf, exact_tf); deleted rows get doc=-1
+        self._live_rows: Dict[str, Tuple[list, list, list, list]] = {}
+        # local term table: path -> (term -> local id, [terms by id])
+        self._live_terms: Dict[str, Tuple[Dict[str, int], List[str]]] = {}
         # live field lengths: path -> doc_id -> token count
         self._live_flens: Dict[str, Dict[int, int]] = {}
         # live doc -> [(path, term)] for physical live deletes
         self._live_doc_terms: Dict[int, List[Tuple[str, str]]] = {}
-        self._committed: Dict[str, _CommittedField] = {}
+        # committed segments per path (reference: segmented StringStorage,
+        # string_field.rs — commit appends a segment; merges are rare)
+        self._committed: Dict[str, List[_CommittedField]] = {}
         self._stats: Dict[str, FieldStats] = {}
         # search slab (built lazily): flat arrays + range map
         self._slab_arrays: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = None
@@ -201,7 +216,11 @@ class StringIndex:
         self._stats.setdefault(path, FieldStats())
 
     def term_count(self) -> int:
-        n = sum(len(f.terms) for f in self._committed.values())
+        n = sum(
+            len(seg.terms)
+            for segs in self._committed.values()
+            for seg in segs
+        )
         n += sum(len(t) for t in self._live.values())
         return n
 
@@ -227,6 +246,12 @@ class StringIndex:
         flens = self._live_flens.setdefault(path, {})
         doc_terms = self._live_doc_terms.setdefault(doc_id, [])
         stats = self.field_stats(path)
+        rows = self._live_rows.get(path)
+        if rows is None:
+            rows = self._live_rows[path] = ([], [], [], [])
+            self._live_terms[path] = ({}, [])
+        r_doc, r_tid, r_tf, r_etf = rows
+        intern, term_names = self._live_terms[path]
 
         n_tokens = len(parsed)
         prev = flens.get(doc_id, 0)
@@ -237,13 +262,22 @@ class StringIndex:
 
         def bump(term: str, exact: bool):
             postings = field_live.setdefault(term, {})
-            cell = postings.get(doc_id)
-            if cell is None:
-                postings[doc_id] = cell = [0.0, 0.0]
+            idx = postings.get(doc_id)
+            if idx is None:
+                lid = intern.get(term)
+                if lid is None:
+                    lid = len(term_names)
+                    intern[term] = lid
+                    term_names.append(term)
+                postings[doc_id] = idx = len(r_doc)
+                r_doc.append(doc_id)
+                r_tid.append(lid)
+                r_tf.append(0.0)
+                r_etf.append(0.0)
                 doc_terms.append((path, term))
-            cell[0] += 1.0
+            r_tf[idx] += 1.0
             if exact:
-                cell[1] += 1.0
+                r_etf[idx] += 1.0
 
         for surface, variants in parsed:
             bump(surface, True)
@@ -268,7 +302,10 @@ class StringIndex:
             for path, term in terms:
                 postings = self._live.get(path, {}).get(term)
                 if postings is not None:
-                    postings.pop(doc_id, None)
+                    idx = postings.pop(doc_id, None)
+                    if idx is not None:
+                        # tombstone the flat row (skipped at commit/slab)
+                        self._live_rows[path][0][idx] = -1
                     if not postings:
                         self._live[path].pop(term, None)
             self._dirty = True
@@ -283,159 +320,241 @@ class StringIndex:
     # Commit: merge live into committed CSR, drop tombstoned docs
     # ------------------------------------------------------------------
 
-    def commit(self, deleted: Optional[set] = None) -> None:
-        """Numpy-vectorized merge of the live layer into the committed CSR:
-        one pass over the live dicts builds flat arrays, then the merged
-        postings are lexsorted by (term, doc) to combine duplicates and
-        re-lexsorted by (term, -impact) for IMPACT ORDERING — postings
-        within a term are stored by normalized TF descending, so a
-        query-time impact cap scans the highest-scoring prefix of huge
-        lists (max-score/WAND pruning, TPU-style prefix truncation)."""
+    def commit(self, deleted: Optional[set] = None,
+               force_merge: bool = False) -> None:
+        """Segmented commit (reference StringStorage segments,
+        string_field.rs SegmentConfig): the NORMAL commit compacts only
+        the live layer into one new immutable segment — O(live rows),
+        independent of corpus size. A FULL merge of all segments
+        (O(total postings)) runs only when deletes must be pruned, when
+        a path accumulates MAX_SEGMENTS, or with force_merge.
+
+        Within every segment, postings are lexsorted by (term, doc) to
+        combine duplicate pairs, then re-sorted by (term, -impact) for
+        IMPACT ORDERING — a query-time impact cap scans the
+        highest-normalized-TF prefix of huge lists (max-score/WAND
+        pruning, TPU-style prefix truncation)."""
         deleted = deleted or set()
-        paths = set(self._stats) | set(self._committed) | set(self._live)
+        paths = (
+            set(self._stats) | set(self._committed) | set(self._live_rows)
+        )
         for path in paths:
-            live = self._live.get(path, {})
-            old = self._committed.get(path)
-
-            # union term vocabulary (sorted)
-            term_set = set(live.keys())
-            if old is not None:
-                term_set.update(old.terms)
-            terms = sorted(term_set)
-            term_to_new = {t: i for i, t in enumerate(terms)}
-
-            parts_t: List[np.ndarray] = []
-            parts_d: List[np.ndarray] = []
-            parts_tf: List[np.ndarray] = []
-            parts_etf: List[np.ndarray] = []
-            if old is not None and len(old.doc):
-                old_tid = np.empty(len(old.doc), np.int64)
-                for tid, term in enumerate(old.terms):
-                    s, l = int(old.starts[tid]), int(old.lens[tid])
-                    old_tid[s : s + l] = term_to_new[term]
-                parts_t.append(old_tid)
-                parts_d.append(old.doc.astype(np.int64))
-                parts_tf.append(old.tf.astype(np.float64))
-                parts_etf.append(old.exact_tf.astype(np.float64))
-            if live:
-                n_live = sum(len(p) for p in live.values())
-                lt = np.empty(n_live, np.int64)
-                ld = np.empty(n_live, np.int64)
-                ltf = np.empty(n_live, np.float64)
-                letf = np.empty(n_live, np.float64)
-                i = 0
-                for term, postings in live.items():
-                    tid = term_to_new[term]
-                    for d, (tf, etf) in postings.items():
-                        lt[i] = tid
-                        ld[i] = d
-                        ltf[i] = tf
-                        letf[i] = etf
-                        i += 1
-                parts_t.append(lt)
-                parts_d.append(ld)
-                parts_tf.append(ltf)
-                parts_etf.append(letf)
-
-            # field lengths per doc (committed value + live additions)
-            flen_by_doc: Dict[int, float] = {}
-            max_doc = -1
-            if old is not None and len(old.doc):
-                od = old.doc.astype(np.int64)
-                max_doc = int(od.max())
-            live_flens = self._live_flens.get(path, {})
-            if live_flens:
-                max_doc = max(max_doc, max(live_flens))
-            if max_doc < 0:
-                self._committed.pop(path, None)
-                self._stats[path] = FieldStats()
-                continue
-            flen_arr = np.zeros(max_doc + 1, np.float64)
-            if old is not None and len(old.doc):
-                flen_arr[old.doc.astype(np.int64)] = old.flen.astype(np.float64)
-            for d, n in live_flens.items():
-                flen_arr[d] += float(n)
-
-            t_all = np.concatenate(parts_t) if parts_t else np.zeros(0, np.int64)
-            d_all = np.concatenate(parts_d) if parts_d else np.zeros(0, np.int64)
-            tf_all = np.concatenate(parts_tf) if parts_tf else np.zeros(0)
-            etf_all = np.concatenate(parts_etf) if parts_etf else np.zeros(0)
-
-            if deleted:
-                keep = ~np.isin(d_all, np.fromiter(deleted, np.int64, len(deleted)))
-                t_all, d_all = t_all[keep], d_all[keep]
-                tf_all, etf_all = tf_all[keep], etf_all[keep]
-
-            if len(t_all):
-                # combine duplicate (term, doc) pairs (doc updated in both
-                # layers): segment-sum after a (term, doc) lexsort
-                order = np.lexsort((d_all, t_all))
-                t_all, d_all = t_all[order], d_all[order]
-                tf_all, etf_all = tf_all[order], etf_all[order]
-                new_run = np.empty(len(t_all), bool)
-                new_run[0] = True
-                new_run[1:] = (t_all[1:] != t_all[:-1]) | (d_all[1:] != d_all[:-1])
-                run_id = np.cumsum(new_run) - 1
-                n_runs = int(run_id[-1]) + 1
-                tf_m = np.zeros(n_runs)
-                etf_m = np.zeros(n_runs)
-                np.add.at(tf_m, run_id, tf_all)
-                np.add.at(etf_m, run_id, etf_all)
-                t_m = t_all[new_run]
-                d_m = d_all[new_run]
-
-                # impact ordering within each term
-                flen_post = flen_arr[d_m]
-                impact = tf_m / np.maximum(flen_post, 1e-9)
-                order2 = np.lexsort((-impact, t_m))
-                t_m, d_m = t_m[order2], d_m[order2]
-                tf_m, etf_m = tf_m[order2], etf_m[order2]
-                flen_post = flen_post[order2]
-
-                starts = np.searchsorted(t_m, np.arange(len(terms))).astype(np.int64)
-                lens = np.diff(np.append(starts, len(t_m))).astype(np.int32)
+            segs = self._committed.get(path, [])
+            if deleted or force_merge or len(segs) + 1 > MAX_SEGMENTS:
+                self._full_merge(path, deleted)
             else:
-                d_m = np.zeros(0, np.int64)
-                tf_m = etf_m = np.zeros(0)
-                flen_post = np.zeros(0)
-                starts = np.zeros(len(terms), np.int64)
-                lens = np.zeros(len(terms), np.int32)
-
-            # drop terms that ended up empty (all postings deleted)
-            nz = lens > 0
-            if not nz.all():
-                kept_terms = [t for t, ok in zip(terms, nz) if ok]
-                starts = starts[nz]
-                lens = lens[nz]
-                terms = kept_terms
-            term_to_tid = {t: i for i, t in enumerate(terms)}
-
-            present = flen_arr > 0
-            if deleted:
-                for d in deleted:
-                    if d < len(present):
-                        present[d] = False
-            stats = FieldStats(
-                doc_count=int(present.sum()),
-                sum_len=float(flen_arr[present].sum()),
-            )
-            self._committed[path] = _CommittedField(
-                terms=terms,
-                term_to_tid=term_to_tid,
-                starts=starts,
-                lens=lens,
-                doc=d_m.astype(np.int32),
-                tf=tf_m.astype(np.float32),
-                exact_tf=etf_m.astype(np.float32),
-                flen=flen_post.astype(np.float32),
-                stats=stats,
-            )
-            self._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
-
+                seg = self._compact_live(path)
+                if seg is not None:
+                    self._committed.setdefault(path, []).append(seg)
         self._live.clear()
+        self._live_rows.clear()
+        self._live_terms.clear()
         self._live_flens.clear()
         self._live_doc_terms.clear()
         self._dirty = True
+
+    def _live_parts(self, path, term_to_new):
+        """Flatten the live accumulator remapped to a global vocab:
+        (tid, doc, tf, etf) arrays, or None."""
+        rows = self._live_rows.get(path)
+        if rows is None or not rows[0]:
+            return None
+        r_doc, r_tid, r_tf, r_etf = rows
+        _, term_names = self._live_terms[path]
+        ld = np.asarray(r_doc, np.int64)
+        keep = ld >= 0  # drop delete-tombstoned rows
+        # a term whose live postings were all deleted is gone from the
+        # vocab union; its rows are tombstoned so any id works for them
+        lmap = np.fromiter(
+            (term_to_new.get(t, 0) for t in term_names), np.int64,
+            len(term_names),
+        )
+        lt = lmap[np.asarray(r_tid, np.int64)]
+        ltf = np.asarray(r_tf, np.float64)
+        letf = np.asarray(r_etf, np.float64)
+        if not keep.all():
+            ld, lt = ld[keep], lt[keep]
+            ltf, letf = ltf[keep], letf[keep]
+        if not len(ld):
+            return None
+        return lt, ld, ltf, letf
+
+    @staticmethod
+    def _pack_segment(terms, t_all, d_all, tf_all, etf_all, flen_arr,
+                      stats) -> "_CommittedField":
+        """Dedup (term, doc) pairs, impact-order, build the CSR arrays."""
+        if len(t_all):
+            order = np.lexsort((d_all, t_all))
+            t_all, d_all = t_all[order], d_all[order]
+            tf_all, etf_all = tf_all[order], etf_all[order]
+            new_run = np.empty(len(t_all), bool)
+            new_run[0] = True
+            new_run[1:] = (t_all[1:] != t_all[:-1]) | (d_all[1:] != d_all[:-1])
+            run_id = np.cumsum(new_run) - 1
+            n_runs = int(run_id[-1]) + 1
+            tf_m = np.zeros(n_runs)
+            etf_m = np.zeros(n_runs)
+            np.add.at(tf_m, run_id, tf_all)
+            np.add.at(etf_m, run_id, etf_all)
+            t_m = t_all[new_run]
+            d_m = d_all[new_run]
+
+            # impact ordering within each term
+            flen_post = flen_arr[d_m]
+            impact = tf_m / np.maximum(flen_post, 1e-9)
+            order2 = np.lexsort((-impact, t_m))
+            t_m, d_m = t_m[order2], d_m[order2]
+            tf_m, etf_m = tf_m[order2], etf_m[order2]
+            flen_post = flen_post[order2]
+
+            starts = np.searchsorted(t_m, np.arange(len(terms))).astype(np.int64)
+            lens = np.diff(np.append(starts, len(t_m))).astype(np.int32)
+        else:
+            d_m = np.zeros(0, np.int64)
+            tf_m = etf_m = np.zeros(0)
+            flen_post = np.zeros(0)
+            starts = np.zeros(len(terms), np.int64)
+            lens = np.zeros(len(terms), np.int32)
+
+        # drop terms that ended up empty (all postings deleted)
+        nz = lens > 0
+        if not nz.all():
+            terms = [t for t, ok in zip(terms, nz) if ok]
+            starts = starts[nz]
+            lens = lens[nz]
+        return _CommittedField(
+            terms=terms,
+            term_to_tid={t: i for i, t in enumerate(terms)},
+            starts=starts,
+            lens=lens,
+            doc=d_m.astype(np.int32),
+            tf=tf_m.astype(np.float32),
+            exact_tf=etf_m.astype(np.float32),
+            flen=flen_post.astype(np.float32),
+            stats=stats,
+        )
+
+    def _compact_live(self, path) -> Optional["_CommittedField"]:
+        """Live layer → one new segment; O(live rows)."""
+        live = self._live.get(path, {})
+        terms = sorted(live.keys())
+        term_to_new = {t: i for i, t in enumerate(terms)}
+        parts = self._live_parts(path, term_to_new)
+        if parts is None:
+            return None
+        lt, ld, ltf, letf = parts
+        live_flens = self._live_flens.get(path, {})
+        max_doc = int(ld.max())
+        flen_arr = np.zeros(max_doc + 1, np.float64)
+        if live_flens:
+            fd = np.fromiter(live_flens.keys(), np.int64, len(live_flens))
+            fv = np.fromiter(live_flens.values(), np.float64, len(live_flens))
+            sel = fd <= max_doc
+            flen_arr[fd[sel]] = fv[sel]
+        s = self._stats.get(path) or FieldStats()
+        stats = FieldStats(s.doc_count, s.sum_len)
+        return self._pack_segment(terms, lt, ld, ltf, letf, flen_arr, stats)
+
+    @staticmethod
+    def _segment_tids(seg: "_CommittedField", term_to_new) -> np.ndarray:
+        """Per-posting global term ids for a segment. Segments store
+        postings contiguously in ascending tid order, so this is one
+        np.repeat; falls back to a slice loop for irregular layouts."""
+        pos = np.fromiter(
+            (term_to_new[t] for t in seg.terms), np.int64, len(seg.terms)
+        )
+        lens64 = seg.lens.astype(np.int64)
+        if int(lens64.sum()) == len(seg.doc) and (
+            len(seg.starts) == 0
+            or bool((np.diff(seg.starts) >= 0).all())
+        ):
+            return np.repeat(pos, lens64)
+        out = np.empty(len(seg.doc), np.int64)
+        for tid in range(len(seg.terms)):
+            s, l = int(seg.starts[tid]), int(seg.lens[tid])
+            out[s : s + l] = pos[tid]
+        return out
+
+    def _full_merge(self, path, deleted: set) -> None:
+        segs = self._committed.get(path, [])
+        live = self._live.get(path, {})
+
+        term_set = set(live.keys())
+        for seg in segs:
+            term_set.update(seg.terms)
+        terms = sorted(term_set)
+        term_to_new = {t: i for i, t in enumerate(terms)}
+
+        parts_t: List[np.ndarray] = []
+        parts_d: List[np.ndarray] = []
+        parts_tf: List[np.ndarray] = []
+        parts_etf: List[np.ndarray] = []
+        for seg in segs:
+            if not len(seg.doc):
+                continue
+            parts_t.append(self._segment_tids(seg, term_to_new))
+            parts_d.append(seg.doc.astype(np.int64))
+            parts_tf.append(seg.tf.astype(np.float64))
+            parts_etf.append(seg.exact_tf.astype(np.float64))
+        lp = self._live_parts(path, term_to_new)
+        if lp is not None:
+            lt, ld, ltf, letf = lp
+            parts_t.append(lt)
+            parts_d.append(ld)
+            parts_tf.append(ltf)
+            parts_etf.append(letf)
+
+        # field lengths per doc (committed values + live additions)
+        max_doc = -1
+        for seg in segs:
+            if len(seg.doc):
+                max_doc = max(max_doc, int(seg.doc.max()))
+        live_flens = self._live_flens.get(path, {})
+        if live_flens:
+            max_doc = max(max_doc, max(live_flens))
+        if max_doc < 0:
+            self._committed.pop(path, None)
+            self._stats[path] = FieldStats()
+            return
+        flen_arr = np.zeros(max_doc + 1, np.float64)
+        for seg in segs:
+            if len(seg.doc):
+                # docs are disjoint across segments (each doc's postings
+                # are compacted exactly once), so assignment is safe
+                flen_arr[seg.doc.astype(np.int64)] = seg.flen.astype(np.float64)
+        if live_flens:
+            fd = np.fromiter(live_flens.keys(), np.int64, len(live_flens))
+            fv = np.fromiter(live_flens.values(), np.float64, len(live_flens))
+            flen_arr[fd] += fv
+
+        t_all = np.concatenate(parts_t) if parts_t else np.zeros(0, np.int64)
+        d_all = np.concatenate(parts_d) if parts_d else np.zeros(0, np.int64)
+        tf_all = np.concatenate(parts_tf) if parts_tf else np.zeros(0)
+        etf_all = np.concatenate(parts_etf) if parts_etf else np.zeros(0)
+
+        if deleted:
+            keep = ~np.isin(d_all, np.fromiter(deleted, np.int64, len(deleted)))
+            t_all, d_all = t_all[keep], d_all[keep]
+            tf_all, etf_all = tf_all[keep], etf_all[keep]
+
+        present = flen_arr > 0
+        if deleted:
+            for d in deleted:
+                if d < len(present):
+                    present[d] = False
+        stats = FieldStats(
+            doc_count=int(present.sum()),
+            sum_len=float(flen_arr[present].sum()),
+        )
+        merged = self._pack_segment(
+            terms, t_all, d_all, tf_all, etf_all, flen_arr, stats
+        )
+        if not len(merged.doc):
+            self._committed.pop(path, None)
+            self._stats[path] = FieldStats()
+            return
+        self._committed[path] = [merged]
+        self._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
 
     # ------------------------------------------------------------------
     # Search slab: flat arrays merging committed + live
@@ -456,43 +575,68 @@ class StringIndex:
         terms_by_field: Dict[str, set] = {}
         offset = 0
 
-        for path, cf in self._committed.items():
-            n = len(cf.doc)
-            if n:
-                docs_parts.append(cf.doc)
-                tf_parts.append(cf.tf)
-                etf_parts.append(cf.exact_tf)
-                flen_parts.append(cf.flen)
+        for path, segs in self._committed.items():
             tset = terms_by_field.setdefault(path, set())
-            for tid, term in enumerate(cf.terms):
-                ranges[(path, term)] = [
-                    (offset + int(cf.starts[tid]), int(cf.lens[tid]))
-                ]
-                tset.add(term)
-            offset += n
+            for cf in segs:
+                n = len(cf.doc)
+                if n:
+                    docs_parts.append(cf.doc)
+                    tf_parts.append(cf.tf)
+                    etf_parts.append(cf.exact_tf)
+                    flen_parts.append(cf.flen)
+                for tid, term in enumerate(cf.terms):
+                    ranges.setdefault((path, term), []).append(
+                        (offset + int(cf.starts[tid]), int(cf.lens[tid]))
+                    )
+                    tset.add(term)
+                offset += n
 
-        # live pack
-        for path, live in self._live.items():
+        # live pack: one vectorized (tid, doc) sort of the flat
+        # accumulator per path — per-term work is only the ranges-dict
+        # bookkeeping (O(#terms) cheap dict ops, no numpy allocations)
+        for path, rows in self._live_rows.items():
+            r_doc, r_tid, r_tf, r_etf = rows
+            if not r_doc:
+                continue
             flens = self._live_flens.get(path, {})
             tset = terms_by_field.setdefault(path, set())
-            for term in sorted(live):
-                postings = live[term]
-                if not postings:
-                    continue
-                ds = sorted(postings)
-                docs_parts.append(np.asarray(ds, np.int32))
-                tf_parts.append(
-                    np.asarray([postings[d][0] for d in ds], np.float32)
+            _, term_names = self._live_terms[path]
+            ld = np.asarray(r_doc, np.int64)
+            keep = ld >= 0
+            lt = np.asarray(r_tid, np.int64)[keep]
+            ld = ld[keep]
+            ltf = np.asarray(r_tf, np.float32)[keep]
+            letf = np.asarray(r_etf, np.float32)[keep]
+            if not len(ld):
+                continue
+            order = np.lexsort((ld, lt))
+            lt, ld = lt[order], ld[order]
+            ltf, letf = ltf[order], letf[order]
+            # dense flen lookup (live docs only)
+            if flens:
+                fd = np.fromiter(flens.keys(), np.int64, len(flens))
+                fv = np.fromiter(flens.values(), np.float64, len(flens))
+                dense = np.ones(int(fd.max()) + 1, np.float64)
+                dense[fd] = fv
+                lflen = dense[np.clip(ld, 0, len(dense) - 1)].astype(np.float32)
+            else:
+                lflen = np.ones(len(ld), np.float32)
+            docs_parts.append(ld.astype(np.int32))
+            tf_parts.append(ltf)
+            etf_parts.append(letf)
+            flen_parts.append(lflen)
+            # per-term ranges: run boundaries of the sorted tid column
+            boundaries = np.flatnonzero(
+                np.concatenate(([True], lt[1:] != lt[:-1]))
+            )
+            run_lens = np.diff(np.concatenate((boundaries, [len(lt)])))
+            for b, rl in zip(boundaries.tolist(), run_lens.tolist()):
+                term = term_names[int(lt[b])]
+                ranges.setdefault((path, term), []).append(
+                    (offset + b, int(rl))
                 )
-                etf_parts.append(
-                    np.asarray([postings[d][1] for d in ds], np.float32)
-                )
-                flen_parts.append(
-                    np.asarray([float(flens.get(d, 1)) for d in ds], np.float32)
-                )
-                ranges.setdefault((path, term), []).append((offset, len(ds)))
                 tset.add(term)
-                offset += len(ds)
+            offset += len(ld)
 
         if offset == 0:
             arrays = (
@@ -528,17 +672,25 @@ class StringIndex:
         ranges and add on top, so champions never go stale mid-commit."""
         self._champ_map: Dict[Tuple[str, str], int] = {}
         self._champ_matrix: Optional[np.ndarray] = None
-        self._champ_meta: List[Tuple[float, int, int]] = []  # (avg, start, len)
-        heavy: List[Tuple[int, str, str, int, int]] = []
+        # (avg, covered) — covered is the frozenset of slab ranges the
+        # champion row replaces (a term may span several segments)
+        self._champ_meta: List[Tuple[float, frozenset]] = []
+        by_term: Dict[Tuple[str, str], List[Tuple[int, int]]] = {}
         offset = 0
-        for path, cf in self._committed.items():
-            for tid, term in enumerate(cf.terms):
-                ln = int(cf.lens[tid])
-                if ln >= CHAMPION_MIN:
-                    heavy.append(
-                        (ln, path, term, offset + int(cf.starts[tid]), ln)
-                    )
-            offset += len(cf.doc)
+        for path, segs in self._committed.items():
+            for cf in segs:
+                for tid, term in enumerate(cf.terms):
+                    ln = int(cf.lens[tid])
+                    if ln >= CHAMPION_MIN // max(len(segs), 1):
+                        by_term.setdefault((path, term), []).append(
+                            (offset + int(cf.starts[tid]), ln)
+                        )
+                offset += len(cf.doc)
+        heavy = [
+            (sum(ln for _, ln in rngs), path, term, rngs)
+            for (path, term), rngs in by_term.items()
+            if sum(ln for _, ln in rngs) >= CHAMPION_MIN
+        ]
         if not heavy:
             return
         heavy.sort(reverse=True)
@@ -546,19 +698,20 @@ class StringIndex:
         p_doc, p_tf, _etf, p_flen = arrays
         cap = int(p_doc.max()) + 1 if len(p_doc) else 1
         rows = np.zeros((len(heavy), cap), np.float32)
-        for ci, (_ln, path, term, start, ln) in enumerate(heavy):
+        for ci, (_total, path, term, rngs) in enumerate(heavy):
             stats = self._stats.get(path)
             avg = stats.avg_len if stats and stats.avg_len > 0 else 1.0
-            d = p_doc[start:start + ln]
-            tf = p_tf[start:start + ln]
-            fl = p_flen[start:start + ln]
-            denom = (1.0 - DEFAULT_B) + DEFAULT_B * fl / max(avg, 1e-9)
-            # accumulate (not assign): engine commits dedup (term, doc)
-            # pairs, but externally-built CSR slabs may repeat them and
-            # the ranged path SUMS duplicates
-            np.add.at(rows[ci], d, tf / np.maximum(denom, 1e-9))
+            for start, ln in rngs:
+                d = p_doc[start:start + ln]
+                tf = p_tf[start:start + ln]
+                fl = p_flen[start:start + ln]
+                denom = (1.0 - DEFAULT_B) + DEFAULT_B * fl / max(avg, 1e-9)
+                # accumulate (not assign): engine commits dedup (term,
+                # doc) pairs within a segment, but the ranged path SUMS
+                # duplicates across segments/external slabs
+                np.add.at(rows[ci], d, tf / np.maximum(denom, 1e-9))
             self._champ_map[(path, term)] = ci
-            self._champ_meta.append((float(avg), start, ln))
+            self._champ_meta.append((float(avg), frozenset(rngs)))
         self._champ_matrix = rows
 
     def _term_matrix(self, path: str):
@@ -688,12 +841,12 @@ class StringIndex:
                 if use_champions and not tolerance:
                     ci = self._champ_map.get((path, token))
                     if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
-                        c_avg, c_start, c_len = self._champ_meta[ci]
+                        c_avg, covered = self._champ_meta[ci]
                         if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
                             champs.append((ci, w))
-                            champ_skip = (c_start, c_len)
+                            champ_skip = covered
                 for (start, length) in self._match_terms(path, token, tolerance):
-                    if champ_skip is not None and (start, length) == champ_skip:
+                    if champ_skip is not None and (start, length) in champ_skip:
                         continue  # covered by the champion row
                     if impact_cap is not None and length > impact_cap:
                         length = impact_cap
@@ -774,20 +927,24 @@ def save_string_index(idx: StringIndex, path_prefix: str) -> None:
 
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
     arrays = {}
-    meta = {"fields": {}}
-    for path, cf in idx._committed.items():
+    meta = {"v": 2, "fields": {}}
+    for path, segs in idx._committed.items():
         key = path.replace("/", "_")
-        arrays[f"{key}__starts"] = cf.starts
-        arrays[f"{key}__lens"] = cf.lens
-        arrays[f"{key}__doc"] = cf.doc
-        arrays[f"{key}__tf"] = cf.tf
-        arrays[f"{key}__exact_tf"] = cf.exact_tf
-        arrays[f"{key}__flen"] = cf.flen
+        stats = idx._stats.get(path) or FieldStats()
+        seg_metas = []
+        for si, cf in enumerate(segs):
+            skey = f"{key}__s{si}"
+            arrays[f"{skey}__starts"] = cf.starts
+            arrays[f"{skey}__lens"] = cf.lens
+            arrays[f"{skey}__doc"] = cf.doc
+            arrays[f"{skey}__tf"] = cf.tf
+            arrays[f"{skey}__exact_tf"] = cf.exact_tf
+            arrays[f"{skey}__flen"] = cf.flen
+            seg_metas.append({"key": skey, "terms": cf.terms})
         meta["fields"][path] = {
-            "key": key,
-            "terms": cf.terms,
-            "doc_count": cf.stats.doc_count,
-            "sum_len": cf.stats.sum_len,
+            "segments": seg_metas,
+            "doc_count": stats.doc_count,
+            "sum_len": stats.sum_len,
         }
     # atomic: write tmp then rename, so a crash mid-write never leaves a
     # corrupt npz beside a valid meta file
@@ -814,20 +971,27 @@ def load_string_index(path_prefix: str) -> StringIndex:
         meta = msgpack.unpackb(fh.read(), raw=False)
     with np.load(path_prefix + ".npz") as arrays:
         for path, m in meta["fields"].items():
-            key = m["key"]
-            terms = list(m["terms"])
             stats = FieldStats(m["doc_count"], m["sum_len"])
-            idx._committed[path] = _CommittedField(
-                terms=terms,
-                term_to_tid={t: i for i, t in enumerate(terms)},
-                starts=arrays[f"{key}__starts"],
-                lens=arrays[f"{key}__lens"],
-                doc=arrays[f"{key}__doc"],
-                tf=arrays[f"{key}__tf"],
-                exact_tf=arrays[f"{key}__exact_tf"],
-                flen=arrays[f"{key}__flen"],
-                stats=stats,
-            )
+            if "segments" in m:
+                seg_metas = m["segments"]
+            else:  # legacy v1: one unsegmented field per path
+                seg_metas = [{"key": m["key"], "terms": m["terms"]}]
+            segs = []
+            for sm in seg_metas:
+                key = sm["key"]
+                terms = list(sm["terms"])
+                segs.append(_CommittedField(
+                    terms=terms,
+                    term_to_tid={t: i for i, t in enumerate(terms)},
+                    starts=arrays[f"{key}__starts"],
+                    lens=arrays[f"{key}__lens"],
+                    doc=arrays[f"{key}__doc"],
+                    tf=arrays[f"{key}__tf"],
+                    exact_tf=arrays[f"{key}__exact_tf"],
+                    flen=arrays[f"{key}__flen"],
+                    stats=FieldStats(stats.doc_count, stats.sum_len),
+                ))
+            idx._committed[path] = segs
             idx._stats[path] = FieldStats(stats.doc_count, stats.sum_len)
     idx._dirty = True
     return idx

@@ -431,12 +431,12 @@ def test_champion_rows_sum_duplicate_pairs(monkeypatch):
     doc = np.asarray([0, 0, 1, 2, 3], np.int32)
     tf = np.asarray([1.0, 2.0, 1.0, 1.0, 1.0], np.float32)
     flen = np.full(5, 4.0, np.float32)
-    idx._committed["body"] = _CommittedField(
+    idx._committed["body"] = [_CommittedField(
         terms=["heavy"], term_to_tid={"heavy": 0},
         starts=np.asarray([0], np.int64), lens=np.asarray([5], np.int32),
         doc=doc, tf=tf, exact_tf=tf, flen=flen,
         stats=FieldStats(doc_count=4, sum_len=16.0),
-    )
+    )]
     idx._stats["body"] = FieldStats(4, 16.0)
     idx.slab()
     assert ("body", "heavy") in idx._champ_map
