@@ -443,3 +443,120 @@ def test_champion_rows_sum_duplicate_pairs(monkeypatch):
     row = idx._champ_matrix[idx._champ_map[("body", "heavy")]]
     # doc 0 accumulated BOTH postings (tf 1+2 normalized), not just one
     assert row[0] == pytest.approx(row[1] * 3.0, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# segmented commits (reference: segmented StringStorage, string_field.rs)
+# ---------------------------------------------------------------------------
+
+def test_segmented_commits_score_identically():
+    """N incremental commits build N segments; scores match a single-
+    commit index exactly (host oracle AND kernel)."""
+    idx_seg = StringIndex()
+    idx_one = StringIndex()
+    batches = [DOCS[:2], DOCS[2:3], DOCS[3:]]
+    doc_id = 0
+    for batch in batches:
+        for doc in batch:
+            for path, text in doc.items():
+                parsed = PARSER.tokenize_and_stem(text)
+                idx_seg.index_text(doc_id, path, parsed)
+                idx_one.index_text(doc_id, path, parsed)
+            doc_id += 1
+        idx_seg.commit()  # one segment per batch
+    idx_one.commit()
+    assert len(idx_seg._committed["title"]) == 3
+    assert len(idx_one._committed["title"]) == 1
+    n = len(DOCS)
+    for term in ["quick fox", "dog", "brown"]:
+        tokens = flatten_tokens(term)
+        exp = host_bm25_reference(idx_one, tokens, ["title", "body"], {}, n)
+        got, _ = tpu_scores(idx_seg, tokens, ["title", "body"], n, cap=n)
+        for d in range(n):
+            assert got[d] == pytest.approx(exp.get(d, 0.0), abs=1e-4), (term, d)
+
+
+def test_segment_full_merge_at_threshold(monkeypatch):
+    import oramacore_tpu.index.string_index as si
+
+    monkeypatch.setattr(si, "MAX_SEGMENTS", 3)
+    idx = StringIndex()
+    for i in range(5):
+        idx.index_text(i, "t", PARSER.tokenize_and_stem(f"word{i} shared"))
+        idx.commit()
+        assert len(idx._committed["t"]) <= 3
+    # merged state still scores every doc
+    got, _ = tpu_scores(idx, ["share"], ["t"], 5, cap=5)
+    assert (np.asarray(got[:5]) > 0).all()
+
+
+def test_segment_delete_triggers_merge_and_prunes():
+    idx = StringIndex()
+    for i in range(4):
+        idx.index_text(i, "t", PARSER.tokenize_and_stem("shared text"))
+    idx.commit()
+    idx.index_text(4, "t", PARSER.tokenize_and_stem("shared more"))
+    idx.commit()
+    assert len(idx._committed["t"]) == 2
+    idx.commit(deleted={1, 4})
+    assert len(idx._committed["t"]) == 1  # full merge collapsed segments
+    got, _ = tpu_scores(idx, ["share"], ["t"], 5, cap=5)
+    got = np.asarray(got)
+    assert got[1] == 0 and got[4] == 0
+    assert (got[[0, 2, 3]] > 0).all()
+    # stats pruned the deleted docs
+    assert idx._stats["t"].doc_count == 3
+
+
+def test_segmented_save_load_roundtrip(tmp_path):
+    from oramacore_tpu.index.string_index import (
+        load_string_index, save_string_index,
+    )
+
+    idx = StringIndex()
+    idx.index_text(0, "t", PARSER.tokenize_and_stem("alpha beta"))
+    idx.commit()
+    idx.index_text(1, "t", PARSER.tokenize_and_stem("beta gamma"))
+    idx.commit()
+    assert len(idx._committed["t"]) == 2
+    prefix = str(tmp_path / "seg")
+    save_string_index(idx, prefix)
+    loaded = load_string_index(prefix)
+    assert len(loaded._committed["t"]) == 2
+    for term in ["alpha", "beta", "gamma"]:
+        tokens = flatten_tokens(term)
+        exp = host_bm25_reference(idx, tokens, ["t"], {}, 2)
+        got, _ = tpu_scores(loaded, tokens, ["t"], 2, cap=2)
+        for d in range(2):
+            assert got[d] == pytest.approx(exp.get(d, 0.0), abs=1e-5)
+
+
+def test_multi_segment_champion_rows(monkeypatch):
+    """A heavy term spanning multiple segments still gets a champion row
+    covering ALL its segment ranges."""
+    import oramacore_tpu.index.string_index as si
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 8)
+    idx = StringIndex(index_bigrams=False)
+    for i in range(6):
+        idx.index_text(i, "t", PARSER.tokenize_and_stem("heavy common word"))
+    idx.commit()
+    for i in range(6, 12):
+        idx.index_text(i, "t", PARSER.tokenize_and_stem("heavy common word"))
+    idx.commit()
+    assert len(idx._committed["t"]) == 2
+    idx.slab()  # builds champions
+    key = ("t", "heavi")  # stemmed
+    if key not in idx._champ_map:
+        key = ("t", "heavy")
+    assert key in idx._champ_map
+    avg, covered = idx._champ_meta[idx._champ_map[key]]
+    assert len(covered) == 2  # one range per segment
+    # champion-routed plan scores identically to the plain plan
+    plan_champ = idx.plan_query(["heavy"], ["t"], {}, use_champions=True)
+    assert plan_champ.champ_idx is not None
+    ex = StringSearchExecutor()
+    got_plain, _ = tpu_scores(idx, flatten_tokens("heavy"), ["t"], 12, cap=12)
+    exp = host_bm25_reference(idx, flatten_tokens("heavy"), ["t"], {}, 12)
+    for d in range(12):
+        assert got_plain[d] == pytest.approx(exp.get(d, 0.0), abs=1e-4)
