@@ -52,7 +52,9 @@ def gather_windows(
 
         def body(sems):
             def get(i, slot):
-                s0 = pl.multiple_of(starts_ref[pid, i], ALIGN)
+                s0 = pl.multiple_of(
+                    starts_ref[pid * rows_per_program + i], ALIGN
+                )
                 return pltpu.make_async_copy(
                     src_ref.at[pl.ds(s0, w)],
                     out_ref.at[pl.ds(i * w, w)],
@@ -85,5 +87,8 @@ def gather_windows(
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((ns * w,), src.dtype),
-    )(aligned_starts.reshape(-1, rows_per_program), src)
+        # 1-D scalar prefetch: SMEM pads the last dim to 128 lanes, so a
+        # (grid, rows) layout would waste ~32x the scalar budget and OOM
+        # SMEM at a few thousand windows
+    )(aligned_starts.reshape(-1), src)
     return out.reshape(ns, w)
