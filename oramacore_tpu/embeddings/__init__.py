@@ -115,6 +115,10 @@ class _HashEncoderCache:
 
     def __init__(self):
         self._cache: Dict[Tuple[str, int], Tuple[int, float]] = {}
+        # word -> (bucket idx array, weighted sign array) for the word's
+        # own feature + its char trigrams, so encoding is np.add.at's
+        # instead of per-trigram Python loops (the ingest hot spot)
+        self._word_cache: Dict[Tuple[str, int], Tuple[np.ndarray, np.ndarray]] = {}
 
     def feat(self, s: str, dim: int) -> Tuple[int, float]:
         key = (s, dim)
@@ -123,6 +127,22 @@ class _HashEncoderCache:
             v = _hash_sign_idx(s, dim)
             if len(self._cache) < 2_000_000:
                 self._cache[key] = v
+        return v
+
+    def word_feats(self, w: str, dim: int) -> Tuple[np.ndarray, np.ndarray]:
+        key = (w, dim)
+        v = self._word_cache.get(key)
+        if v is None:
+            idx = [0] * (1 + max(len(w) - 2, 0))
+            val = [0.0] * len(idx)
+            idx[0], val[0] = _hash_sign_idx("w:" + w, dim)
+            for j in range(len(w) - 2):
+                i2, s2 = _hash_sign_idx("c:" + w[j : j + 3], dim)
+                idx[j + 1] = i2
+                val[j + 1] = 0.35 * s2
+            v = (np.asarray(idx, np.int64), np.asarray(val, np.float32))
+            if len(self._word_cache) < 1_000_000:
+                self._word_cache[key] = v
         return v
 
 
@@ -134,15 +154,18 @@ def hash_encode(text: str, dim: int) -> np.ndarray:
     hashed into `dim` buckets with random signs; L2-normalized."""
     vec = np.zeros(dim, np.float32)
     words = _WORD_RE.findall(text.lower())
+    if not words:
+        return vec
+    parts_i = []
+    parts_v = []
     for w in words:
-        i, s = _HASH_CACHE.feat("w:" + w, dim)
-        vec[i] += s
-        for j in range(len(w) - 2):
-            i2, s2 = _HASH_CACHE.feat("c:" + w[j : j + 3], dim)
-            vec[i2] += 0.35 * s2
+        i, v = _HASH_CACHE.word_feats(w, dim)
+        parts_i.append(i)
+        parts_v.append(v)
     for a, b in zip(words, words[1:]):
         i, s = _HASH_CACHE.feat(f"b:{a}|{b}", dim)
         vec[i] += 0.5 * s
+    np.add.at(vec, np.concatenate(parts_i), np.concatenate(parts_v))
     n = float(np.linalg.norm(vec))
     if n > 0:
         vec /= n
