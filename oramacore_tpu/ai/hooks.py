@@ -205,10 +205,17 @@ class HooksRuntime:
         execution_timeout_s: float = 5.0,
         allowed_domains: Optional[Sequence[str]] = None,
         deny_domains: Optional[Sequence[str]] = None,
+        allow_js: bool = False,
     ):
         self.execution_timeout_s = execution_timeout_s
         self.allowed_domains = list(allowed_domains or [])
         self.deny_domains = list(deny_domains or [])
+        # JS hooks lack the seccomp + brokered-fetch sandbox the Python
+        # harness gets (node has no injectable syscall filter here; the
+        # reference isolates JS in orama-js-pool/V8). Default-deny so
+        # operators opt into the weaker isolation deliberately
+        # (config hooks.allow_js).
+        self.allow_js = allow_js
         self._node = shutil.which("node")
         self._log_subs: Dict[str, List[asyncio.Queue]] = {}
         self._log_lock = threading.Lock()
@@ -312,6 +319,15 @@ class HooksRuntime:
         """Run hook code; returns the hook's output or None on error/skip
         (reference: typed exec returning Option)."""
         is_js = _looks_like_js(code)
+        if is_js and not self.allow_js:
+            self._emit_log(
+                collection_id,
+                {"level": "error", "hook": hook_name,
+                 "message": "JS hooks are disabled (hooks.allow_js=false: "
+                            "the node executor lacks the seccomp/brokered-"
+                            "fetch sandbox of the Python harness); skipped"},
+            )
+            return None
         if is_js and not self._node:
             self._emit_log(
                 collection_id,

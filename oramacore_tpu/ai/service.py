@@ -72,6 +72,7 @@ class AIService:
             execution_timeout_s=config.hooks.execution_timeout_ms / 1000.0,
             allowed_domains=config.hooks.allowed_domains,
             deny_domains=config.hooks.deny_domains,
+            allow_js=config.hooks.allow_js,
         )
         # LLM-driven automatic embedding-property selection on field
         # discovery (reference AutomaticEmbeddingsSelector,

@@ -104,6 +104,11 @@ class HooksConfig:
     deny_domains: List[str] = field(default_factory=list)
     evaluation_timeout_ms: int = 2000
     execution_timeout_ms: int = 5000
+    # JS hooks run under `node` WITHOUT the seccomp + brokered-fetch
+    # sandbox the Python harness gets (no V8 isolate pool in this stack;
+    # the reference uses orama-js-pool/Deno). Default-deny: operators
+    # must opt in explicitly, accepting the weaker JS isolation.
+    allow_js: bool = False
 
 
 def _make_log_config():

@@ -140,3 +140,37 @@ def hook(x):
     return {"m": math.floor(2.9), "r": bool(re.match(r"a+", "aaa"))}
 """)
     assert out == {"m": 2, "r": True}
+
+
+def test_js_hooks_gated_by_default():
+    """JS hooks are default-deny (node executor lacks the seccomp +
+    brokered-fetch sandbox); hooks.allow_js opts in explicitly."""
+    from oramacore_tpu.ai.hooks import HooksRuntime
+
+    rt = HooksRuntime()
+    assert rt.allow_js is False
+    rt._node = "/usr/bin/node"  # pretend node exists: gate must still win
+    logs = []
+    rt._emit_log = lambda cid, entry: logs.append(entry)
+    out = rt.exec_hook("c", "BeforeSearch", "export default (x) => x", {"a": 1})
+    assert out is None
+    assert any("allow_js" in e["message"] for e in logs)
+
+    # python hooks are unaffected by the gate
+    rt2 = HooksRuntime()
+    out = rt2.exec_hook(
+        "c", "BeforeSearch", "def hook(x):\n    return x", {"a": 1}
+    )
+    assert out == {"a": 1}
+
+
+def test_js_gate_config_plumbs_through():
+    from oramacore_tpu.config import OramacoreConfig
+
+    cfg = OramacoreConfig()
+    assert cfg.hooks.allow_js is False
+    cfg.hooks.allow_js = True
+    from oramacore_tpu.ai.hooks import HooksRuntime
+
+    rt = HooksRuntime(allow_js=cfg.hooks.allow_js)
+    assert rt.allow_js is True
