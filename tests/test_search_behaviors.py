@@ -268,3 +268,91 @@ def test_threshold_with_filters(ctx):
         "where": {"stock": True},
     })
     assert ids_of(out) == ["1"]
+
+
+# ---------------------------------------------------------------------------
+# fulltext behaviors from the reference suite not yet covered e2e
+# (fulltext_search.rs: tolerance, exact multi-term, unknown property on
+# multi-index collections, stopword-only queries)
+# ---------------------------------------------------------------------------
+
+def test_tolerance_fuzzy_e2e(ctx):
+    """A typo'd query matches with tolerance (fulltext_search.rs
+    test_fulltext_tolerance); without tolerance it does not."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([
+        {"id": "1", "t": "chocolate brownie recipe"},
+        {"id": "2", "t": "vanilla pudding"},
+    ])
+    miss = coll.search({"term": "chocolat"})  # stem may still differ
+    hit = coll.search({"term": "chocolqte", "tolerance": 1})
+    assert ids_of(hit) == ["1"]
+    strict = coll.search({"term": "chocolqte"})
+    assert strict.count == 0
+    # committed state keeps tolerance working
+    ctx.commit_all()
+    hit = coll.search({"term": "chocolqte", "tolerance": 1})
+    assert ids_of(hit) == ["1"]
+
+
+def test_exact_multi_terms_e2e(ctx):
+    """Exact mode matches surface forms only, per token
+    (fulltext_search.rs test_fulltext_exact_multi_terms)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([
+        {"id": "1", "t": "running shoes store"},
+        {"id": "2", "t": "run shoe stores"},
+    ])
+    # stems collide ("run"/"running"), exact separates them
+    loose = coll.search({"term": "running shoes"})
+    assert loose.count == 2
+    exact = coll.search({"term": "running shoes", "exact": True})
+    assert ids_of(exact) == ["1"]
+    exact2 = coll.search({"term": "run shoe", "exact": True})
+    assert ids_of(exact2) == ["2"]
+
+
+def test_unknown_property_on_multi_index_collection(ctx):
+    """Searching a property that exists in only ONE index of a
+    collection must not error — indexes lacking it contribute nothing
+    (fulltext_search.rs
+    test_fulltext_ignore_unknown_property_on_multi_index_collection)."""
+    coll = ctx.create_collection()
+    idx_a = coll.create_index("books")
+    idx_b = coll.create_index("movies")
+    idx_a.insert_documents([{"id": "b1", "title": "dune the novel"}])
+    idx_b.insert_documents([{"id": "m1", "director": "denis villeneuve",
+                             "name": "dune the film"}])
+    out = coll.search({"term": "dune", "properties": ["title"]})
+    assert ids_of(out) == ["b1"]
+    out = coll.search({"term": "villeneuve", "properties": ["director"]})
+    assert ids_of(out) == ["m1"]
+    # both indexes contribute on '*'
+    out = coll.search({"term": "dune"})
+    assert {i for i in ids_of(out)} == {"b1", "m1"}
+
+
+def test_deep_pagination_is_stable_across_commit(ctx):
+    """Page windows tile the result set without overlap or gaps, before
+    and after commit (fulltext_search.rs test_fulltext_search_offset)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents([
+        {"id": str(i), "t": "common word " + " ".join(f"x{j}" for j in range(i % 3))}
+        for i in range(25)
+    ])
+
+    def pages():
+        seen = []
+        for off in range(0, 30, 7):
+            out = coll.search({"term": "common", "limit": 7, "offset": off})
+            seen.extend(ids_of(out))
+        return seen
+
+    before = pages()
+    assert len(before) == 25 and len(set(before)) == 25
+    ctx.commit_all()
+    after = pages()
+    assert len(after) == 25 and len(set(after)) == 25
