@@ -259,47 +259,140 @@ def main():
     )
     qvecs = qvecs / jnp.linalg.norm(qvecs, axis=1, keepdims=True)
 
+    # ---- champion rows for heavy terms (CHAMPION_MIN analog) -------------
+    # The engine precomputes dense normalized-TF rows for terms with
+    # >= 32,768 postings at commit; a heavy term then costs one
+    # bandwidth-bound row read instead of scattering its postings
+    # (~43M postings/s at cap=10M). Build rows for the heaviest terms.
+    CHAMPION_MIN = 32768
+    # MAX_CHAMPIONS=64 as in the engine: at cap=10.49M each dense row is
+    # 42 MiB, so the champion matrix is bounded at 2.7 GiB HBM
+    n_champ = min(int(np.searchsorted(-df, -CHAMPION_MIN)), 64)
+    champ_terms = list(range(n_champ))
+    AVG = 27.5
+
+    t_ch = time.perf_counter()
+    rows_buf = jnp.zeros((n_champ, N), jnp.float32)
+    scat = jax.jit(
+        lambda rb, ci, row: rb.at[ci].add(row), donate_argnums=(0,)
+    )
+    one_row = jax.jit(
+        lambda start, length: (
+            lambda d, tf, fl: jnp.zeros((N + 1,), jnp.float32).at[
+                jnp.where(
+                    (jax.lax.broadcasted_iota(
+                        jnp.int32, (MAX_RANGE_LEN, 1), 0
+                    ).squeeze(-1) < length) & (tf > 0),
+                    d, N,
+                )
+            ].add(
+                jnp.where(
+                    (jax.lax.broadcasted_iota(
+                        jnp.int32, (MAX_RANGE_LEN, 1), 0
+                    ).squeeze(-1) < length) & (tf > 0),
+                    tf / jnp.maximum(0.25 + 0.75 * fl / AVG, 1e-9),
+                    0.0,
+                )
+            )[:N]
+        )(
+            jax.lax.dynamic_slice(p_doc, (start,), (MAX_RANGE_LEN,)),
+            jax.lax.dynamic_slice(p_tf, (start,), (MAX_RANGE_LEN,)),
+            jax.lax.dynamic_slice(p_flen, (start,), (MAX_RANGE_LEN,)),
+        )
+    )
+    for ci, t_id in enumerate(champ_terms):
+        s0, n_p = int(tstart[t_id]), int(df[t_id])
+        while n_p > 0:
+            take = min(n_p, MAX_RANGE_LEN)
+            rows_buf = scat(rows_buf, ci, one_row(s0, take))
+            s0 += take
+            n_p -= take
+    rows_buf.block_until_ready()
+    log(f"built {n_champ} champion rows "
+        f"({n_champ * N * 4 / 2**30:.2f} GiB) in "
+        f"{time.perf_counter() - t_ch:.1f}s")
+
+    def build_plans_champ(B, T=3):
+        """Same query distribution; champion-eligible terms route to
+        dense rows, the rest keep posting ranges."""
+        idesc, fdesc, scalars, lr = build_plans(B, T)
+        st, ln = idesc[0].copy(), idesc[1].copy()
+        NC = 1
+        ch_idx = np.full((B, T, NC), -1, np.int32)
+        ch_w = np.zeros((B, T, NC), np.float32)
+        rng2 = np.random.default_rng(13)
+        # recover term ids from range starts (first range start = tstart)
+        for b in range(B):
+            for t in range(T):
+                tid = int(np.searchsorted(tstart, st[b, t, 0], "right")) - 1
+                if tid < n_champ and ln[b, t, 0] > 0:
+                    ch_idx[b, t, 0] = tid
+                    ch_w[b, t, 0] = 1.0
+                    st[b, t, :] = 0
+                    ln[b, t, :] = 0
+        lr2 = int(min(
+            round(2 ** np.ceil(np.log2(max(ln.max(), 8)))), MAX_RANGE_LEN
+        ))
+        return np.stack([st, ln]), fdesc, scalars, lr2, ch_idx, ch_w
+
     dummy_mask = jnp.zeros((1, 1), bool)
     dummy_omc = jnp.ones((1,), jnp.float32)
     results = []
     for B in (8, 16):
-        idesc, fdesc, scalars, lr = build_plans(B)
-        qb = qvecs[:B]
+        for champs in (False, True):
+            if champs:
+                idesc, fdesc, scalars, lr, ch_idx, ch_w = (
+                    build_plans_champ(B)
+                )
+                n_routed = int((ch_idx >= 0).sum())
+                if n_routed == 0:
+                    continue
+                log(f"B={B} champions: {n_routed}/{B * 3} tokens routed "
+                    "to dense rows")
+            else:
+                idesc, fdesc, scalars, lr = build_plans(B)
+                ch_idx = ch_w = None
+            qb = qvecs[:B]
 
-        def run():
-            return hybrid_search_topk_packed_int8(
-                p_doc, p_tf, p_tf, p_flen,
-                jnp.asarray(idesc), jnp.asarray(fdesc),
-                jnp.asarray(scalars),
-                buf, scales, row_doc, unit_cen, unit_st, qb,
-                dummy_mask, dummy_omc,
-                lr=lr, exact=False, cap=N, k=16,
-                V=256, nprobe=8, window=WINDOW,
-                has_mask=False, has_omc=False,
-                has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
-            )
+            def run():
+                return hybrid_search_topk_packed_int8(
+                    p_doc, p_tf, p_tf, p_flen,
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars),
+                    buf, scales, row_doc, unit_cen, unit_st, qb,
+                    dummy_mask, dummy_omc,
+                    rows_buf if champs else None,
+                    jnp.asarray(ch_idx) if champs else None,
+                    jnp.asarray(ch_w) if champs else None,
+                    lr=lr, exact=False, cap=N, k=16,
+                    V=256, nprobe=8, window=WINDOW,
+                    has_mask=False, has_omc=False,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                    has_champ=champs,
+                )
 
-        t_c = time.perf_counter()
-        vals, ids, cnts = run()
-        vals.block_until_ready()
-        log(f"B={B}: compiled+first run in "
-            f"{time.perf_counter() - t_c:.1f}s; "
-            f"sample counts {np.asarray(cnts)[:4].tolist()}")
-        iters = 5
-        t = time.perf_counter()
-        for _ in range(iters):
+            t_c = time.perf_counter()
             vals, ids, cnts = run()
             vals.block_until_ready()
-        dt = (time.perf_counter() - t) / iters
-        log(f"B={B}: fused hybrid lat={dt * 1000:.1f}ms qps={B / dt:.0f}")
-        results.append((B, B / dt, dt * 1000, dt * 1000 / B))
-        sample_v = np.asarray(vals)[0, :3]
-        log(f"  top scores q0: {np.round(sample_v, 4).tolist()}")
+            log(f"B={B} champ={champs}: compiled+first run in "
+                f"{time.perf_counter() - t_c:.1f}s; "
+                f"sample counts {np.asarray(cnts)[:4].tolist()}")
+            iters = 5
+            t = time.perf_counter()
+            for _ in range(iters):
+                vals, ids, cnts = run()
+                vals.block_until_ready()
+            dt = (time.perf_counter() - t) / iters
+            name = "champion" if champs else "ranged"
+            log(f"B={B} {name}: lat={dt * 1000:.1f}ms qps={B / dt:.0f}")
+            results.append((B, name, B / dt, dt * 1000, dt * 1000 / B))
+            sample_v = np.asarray(vals)[0, :3]
+            log(f"  top scores q0: {np.round(sample_v, 4).tolist()}")
 
-    print("\n| batch | QPS | batch latency (ms) | ms/query |")
-    print("|---|---|---|---|")
-    for B, qps, lat, msq in results:
-        print(f"| {B} | {qps:.0f} | {lat:.1f} | {msq:.2f} |")
+    print("\n| batch | path | QPS | batch latency (ms) | ms/query |")
+    print("|---|---|---|---|---|")
+    for B, name, qps, lat, msq in results:
+        print(f"| {B} | {name} | {qps:.0f} | {lat:.1f} | {msq:.2f} |")
 
 
 if __name__ == "__main__":

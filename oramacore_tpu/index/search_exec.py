@@ -436,18 +436,26 @@ class HybridSearchTopK(StringSearchTopK):
         V = round_up_pow2(
             min(candidates or HYBRID_INT8_CANDIDATES, int(mat_i8.shape[0])), 8
         )
+        champs_dev = (
+            self._get_device_champs(index, pb.capb) if pb.has_champ else None
+        )
+        has_champ = champs_dev is not None
         vals, idx, counts = hybrid_search_topk_packed_int8(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             mat_i8, scales, row_doc, unit_cen, unit_starts,
             jnp.asarray(q),
             jnp.asarray(mask_arr), omc_arr,
+            champs_dev,
+            jnp.asarray(pb.ch_idx) if has_champ else None,
+            jnp.asarray(pb.ch_w) if has_champ else None,
             lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
             V=V, nprobe=nprobe, window=window,
             has_mask=has_mask, has_omc=has_omc,
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
+            has_champ=has_champ,
         )
         return (
             np.asarray(vals[: pb.B, :k]),

@@ -183,6 +183,7 @@ def _vector_dense_scores_int8(
     static_argnames=(
         "lr", "exact", "cap", "k", "V", "nprobe", "window",
         "has_mask", "has_omc", "has_rescale", "rescale_lo", "rescale_hi",
+        "has_champ",
     ),
 )
 def hybrid_search_topk_packed_int8(
@@ -192,15 +193,20 @@ def hybrid_search_topk_packed_int8(
     mat_i8, scales, row_doc, unit_cen, unit_starts,
     queries,      # f32[B, dim]
     doc_mask, omc,
+    champs=None, ch_idx=None, ch_w=None,   # champion dense rows
     *,
     lr: int, exact: bool, cap: int, k: int,
     V: int, nprobe: int, window: int,
     has_mask: bool, has_omc: bool,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
+    has_champ: bool = False,
 ):
     """Fused hybrid for int8/IVF-tier vector indexes (the >=2M-row
     layout): BM25 ranged scoring + IVF candidate probe + fusion + OMC +
-    top-k, one dispatch."""
+    top-k, one dispatch. Champion rows replace heavy terms' posting
+    scans with dense row-adds — at 10M-doc caps the scatter-add
+    aggregation runs ~43M elems/s, so a 393k-posting term costs ~9 ms
+    scattered vs one bandwidth-bound row read."""
     starts, lens = idesc[0], idesc[1]
     weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
     n_docs, thr_counts, sim = scalars[0], scalars[1], scalars[2]
@@ -209,7 +215,9 @@ def hybrid_search_topk_packed_int8(
 
     bm25, matched = bm25_score_batch(
         p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
-        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+        avg_flen, n_docs, mask,
+        champs, ch_idx, ch_w,
+        lr=lr, exact=exact, cap=cap, has_champ=has_champ,
     )
     vec = _vector_dense_scores_int8(
         mat_i8, scales, row_doc, unit_cen, unit_starts, queries, sim,

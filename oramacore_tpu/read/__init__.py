@@ -714,10 +714,20 @@ class ReadSide:
                 )
             else:
                 # IVF-sized vector index: fused hybrid over the int8
-                # packed layout (candidate probe inside the dispatch)
+                # packed layout (candidate probe inside the dispatch);
+                # champion rows replace heavy terms' posting scans —
+                # at multi-million-doc caps the scatter aggregation is
+                # the bottleneck (~43M postings/s)
                 vec_int8 = idx.vector.int8_device_rows()
                 if vec_int8 is None:
                     return None
+                # champion rows bake non-exact tf — skip for exact mode
+                if not mode.exact:
+                    champ_planned = self._plan_fulltext(
+                        idx, mode, params, use_champions=True
+                    )
+                    if champ_planned is not None:
+                        _, plan = champ_planned
                 out = ex.search_topk_hybrid_int8(
                     idx.string, [plan], [idx.document_count()], cap, k,
                     vec_int8, q, [mode.similarity],

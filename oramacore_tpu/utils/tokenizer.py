@@ -267,11 +267,33 @@ class TextParser:
 
     _native_lib = None
     _native_checked = False
+    # full Snowball stemmers (NLTK's pure-Python implementations — the
+    # same algorithm family the reference gets from rust-stemmers).
+    # English stays on our Porter2 for parity with the native C++ path.
+    _SNOWBALL_LANGS = frozenset({
+        "arabic", "danish", "dutch", "finnish", "french", "german",
+        "hungarian", "italian", "norwegian", "portuguese", "romanian",
+        "russian", "spanish", "swedish",
+    })
+    _snowball_cache: dict = {}
 
     def __init__(self, locale: Locale = Locale.EN, use_native: bool = True):
         self.locale = locale
         self._is_cjk = locale in (Locale.ZH, Locale.JA, Locale.KO)
         self._use_native = use_native and locale == Locale.EN
+        self._snowball = None
+        self._stem_memo: dict = {}
+        if locale.value in self._SNOWBALL_LANGS:
+            sb = TextParser._snowball_cache.get(locale.value)
+            if sb is None and locale.value not in TextParser._snowball_cache:
+                try:
+                    from nltk.stem.snowball import SnowballStemmer
+
+                    sb = SnowballStemmer(locale.value)
+                except Exception:  # noqa: BLE001 — light stemmer fallback
+                    sb = None
+                TextParser._snowball_cache[locale.value] = sb
+            self._snowball = sb
         if self._use_native and not TextParser._native_checked:
             TextParser._native_checked = True
             try:
@@ -305,6 +327,13 @@ class TextParser:
     def stem(self, token: str) -> str:
         if self.locale == Locale.EN:
             return porter2_stem(token)
+        if self._snowball is not None:
+            s = self._stem_memo.get(token)
+            if s is None:
+                s = self._snowball.stem(token)
+                if len(self._stem_memo) < 500_000:
+                    self._stem_memo[token] = s
+            return s
         if self.locale in _LIGHT_STEMMERS:
             return light_stem(token, self.locale)
         return token

