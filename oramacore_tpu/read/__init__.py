@@ -317,6 +317,11 @@ class ReadSide:
                 temp.index_id = b["target"]
                 coll.indexes[b["target"]] = temp
                 coll.aliases[b["temp"]] = b["target"]
+                # the promoted index must be REWRITTEN under its new
+                # snapshot dir: a clean index skips save at commit while
+                # the GC removes the old temp-named dir — without this a
+                # reload after promote+commit would lose the index
+                temp.dirty = True
                 coll._executors.pop(b["target"], None)
                 coll._executors.pop(b["temp"], None)
                 coll._sharded_executors.pop(b["target"], None)

@@ -114,6 +114,9 @@ class ReadIndex:
             self.filters.string(path).insert(doc_id, values)
         for path, latlon in (body.get("geos") or {}).items():
             self.filters.geo(path).insert(doc_id, latlon[0], latlon[1])
+        for path, values in (body.get("dates") or {}).items():
+            for v in values:
+                self.filters.date(path).insert(doc_id, v)
         omc = body.get("omc")
         if omc is not None:
             self.omc[doc_id] = float(omc)

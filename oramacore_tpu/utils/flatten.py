@@ -58,6 +58,30 @@ T_NUMBER_ARRAY = "number[]"
 T_EMBEDDING = "embedding"
 
 
+import re as _re
+
+# strict ISO-like shapes only (YYYY-MM-DD with optional time); loose
+# matches like "2024" or "1.2.3" must stay plain strings
+_DATE_SHAPE_RE = _re.compile(
+    r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d+)?)?(Z|[+-]\d{2}:?\d{2})?)?$"
+)
+
+
+def looks_like_date(s: str) -> bool:
+    """String-shaped date detection (reference: a string field whose
+    value parses as OramaDate becomes a DATE filter field while staying
+    a string score field — write/index/mod.rs:812)."""
+    if not _DATE_SHAPE_RE.match(s.strip()):
+        return False
+    from ..types import parse_date_to_epoch_ms
+
+    try:
+        parse_date_to_epoch_ms(s)
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
 def infer_field_type(value: Any) -> Optional[str]:
     """Infer the index type for one flattened leaf value.
 
@@ -70,7 +94,7 @@ def infer_field_type(value: Any) -> Optional[str]:
     if isinstance(value, (int, float)):
         return T_NUMBER
     if isinstance(value, str):
-        return T_STRING
+        return T_DATE if looks_like_date(value) else T_STRING
     if is_geopoint_shape(value):
         return T_GEO
     if isinstance(value, list):

@@ -36,6 +36,7 @@ from ..utils.flatten import (
     number_values,
     string_values,
     T_BOOL,
+    T_DATE,
     T_GEO,
     T_NUMBER,
     T_NUMBER_ARRAY,
@@ -696,11 +697,12 @@ class WriteSide:
         bools: Dict[str, bool] = {}
         string_filters: Dict[str, List[str]] = {}
         geos: Dict[str, List[float]] = {}
+        dates: Dict[str, List[int]] = {}
         for path, value in flat.items():
             if path == OMC_FIELD:
                 continue
             t = idx.field_types.get(path) or infer_field_type(value)
-            if t in (T_STRING, T_STRING_ARRAY):
+            if t in (T_STRING, T_STRING_ARRAY, T_DATE):
                 texts = string_values(value)
                 parsed: List[Tuple[str, List[str]]] = []
                 for s in texts:
@@ -710,7 +712,19 @@ class WriteSide:
                         else parser.tokenize_and_stem(s)
                     )
                 strings[path] = [[tok, variants] for tok, variants in parsed]
-                if path != "id" and is_filterable_enum(value):
+                if t == T_DATE:
+                    # date-shaped string: ALSO a date filter column
+                    # (reference write/index/mod.rs:812 — the string
+                    # score field is kept alongside)
+                    from ..types import parse_date_to_epoch_ms
+
+                    try:
+                        dates[path] = [
+                            parse_date_to_epoch_ms(s) for s in texts
+                        ]
+                    except (ValueError, TypeError):
+                        pass  # later non-date value: string side only
+                elif path != "id" and is_filterable_enum(value):
                     string_filters[path] = texts
             elif t in (T_NUMBER, T_NUMBER_ARRAY):
                 numbers[path] = number_values(value)
@@ -726,6 +740,7 @@ class WriteSide:
             "bools": bools,
             "string_filters": string_filters,
             "geos": geos,
+            "dates": dates,
             "omc": extract_omc(flat),
             "raw": raw_doc,
         }
