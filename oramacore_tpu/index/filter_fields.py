@@ -493,7 +493,9 @@ def save_filter_fields(ff: FilterFields, path_prefix: str) -> None:
         meta["geos"].append(path)
     tmp_npz = path_prefix + ".npz.tmp"
     with open(tmp_npz, "wb") as fh:
-        np.savez_compressed(fh, **arrays)
+        from ..storage.files import savez_snapshot
+
+        savez_snapshot(fh, **arrays)
     os.replace(tmp_npz, path_prefix + ".npz")
     tmp = path_prefix + ".meta.msgpack.tmp"
     with open(tmp, "wb") as fh:

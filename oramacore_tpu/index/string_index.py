@@ -46,6 +46,13 @@ MAX_CHAMPIONS = 64
 MAX_SEGMENTS = 8
 
 
+def use_native_live() -> bool:
+    """Native live accumulator opt-out (ORAMACORE_NATIVE_LIVE=0)."""
+    import os
+
+    return os.environ.get("ORAMACORE_NATIVE_LIVE", "1") != "0"
+
+
 @dataclass
 class FieldStats:
     doc_count: int = 0
@@ -172,6 +179,18 @@ class StringIndex:
         self._live_rows: Dict[str, Tuple[list, list, list, list]] = {}
         # local term table: path -> (term -> local id, [terms by id])
         self._live_terms: Dict[str, Tuple[Dict[str, int], List[str]]] = {}
+        # native (C++) live accumulator: the bump loop in C
+        # (native/live_accum.cpp); None -> the pure-Python fallback above
+        self._native_live = None
+        if use_native_live():
+            try:
+                from ..native import NativeLiveAccum, load_live_accum
+
+                lib = load_live_accum()
+                if lib is not None:
+                    self._native_live = NativeLiveAccum(lib)
+            except Exception:  # noqa: BLE001 — fallback silently
+                self._native_live = None
         # live field lengths: path -> doc_id -> token count
         self._live_flens: Dict[str, Dict[int, int]] = {}
         # live doc -> [(path, term)] for physical live deletes
@@ -221,7 +240,13 @@ class StringIndex:
             for segs in self._committed.values()
             for seg in segs
         )
-        n += sum(len(t) for t in self._live.values())
+        if self._native_live is not None:
+            n += sum(
+                self._native_live.n_terms(p)
+                for p in self._native_live.live_paths()
+            )
+        else:
+            n += sum(len(t) for t in self._live.values())
         return n
 
     def pending_ops(self) -> int:
@@ -242,23 +267,31 @@ class StringIndex:
             # empty string still counts as a present field with length 0?
             # reference indexes a 0-length field; keep stats consistent.
             parsed = []
-        field_live = self._live.setdefault(path, {})
         flens = self._live_flens.setdefault(path, {})
-        doc_terms = self._live_doc_terms.setdefault(doc_id, [])
         stats = self.field_stats(path)
-        rows = self._live_rows.get(path)
-        if rows is None:
-            rows = self._live_rows[path] = ([], [], [], [])
-            self._live_terms[path] = ({}, [])
-        r_doc, r_tid, r_tf, r_etf = rows
-        intern, term_names = self._live_terms[path]
-
         n_tokens = len(parsed)
         prev = flens.get(doc_id, 0)
         flens[doc_id] = prev + n_tokens  # multiple values (arrays) accumulate
         if prev == 0:
             stats.doc_count += 1
         stats.sum_len += n_tokens
+
+        if self._native_live is not None:
+            if parsed:
+                self._native_live.index_parsed(
+                    path, doc_id, parsed, self.index_bigrams
+                )
+            self._dirty = True
+            return
+
+        field_live = self._live.setdefault(path, {})
+        doc_terms = self._live_doc_terms.setdefault(doc_id, [])
+        rows = self._live_rows.get(path)
+        if rows is None:
+            rows = self._live_rows[path] = ([], [], [], [])
+            self._live_terms[path] = ({}, [])
+        r_doc, r_tid, r_tf, r_etf = rows
+        intern, term_names = self._live_terms[path]
 
         def bump(term: str, exact: bool):
             postings = field_live.setdefault(term, {})
@@ -297,18 +330,23 @@ class StringIndex:
     def delete_doc_live(self, doc_id: int) -> None:
         """Physically remove a doc's live contributions (committed docs are
         masked by the caller's tombstone set until the next commit)."""
-        terms = self._live_doc_terms.pop(doc_id, None)
-        if terms:
-            for path, term in terms:
-                postings = self._live.get(path, {}).get(term)
-                if postings is not None:
-                    idx = postings.pop(doc_id, None)
-                    if idx is not None:
-                        # tombstone the flat row (skipped at commit/slab)
-                        self._live_rows[path][0][idx] = -1
-                    if not postings:
-                        self._live[path].pop(term, None)
-            self._dirty = True
+        if self._native_live is not None:
+            if self._native_live.delete_doc(doc_id):
+                self._dirty = True
+        else:
+            terms = self._live_doc_terms.pop(doc_id, None)
+            if terms:
+                for path, term in terms:
+                    postings = self._live.get(path, {}).get(term)
+                    if postings is not None:
+                        idx = postings.pop(doc_id, None)
+                        if idx is not None:
+                            # tombstone the flat row (dropped at
+                            # commit/slab by the keep mask)
+                            self._live_rows[path][0][idx] = -1
+                        if not postings:
+                            self._live[path].pop(term, None)
+                self._dirty = True
         for path, flens in self._live_flens.items():
             n = flens.pop(doc_id, None)
             if n is not None:
@@ -338,6 +376,8 @@ class StringIndex:
         paths = (
             set(self._stats) | set(self._committed) | set(self._live_rows)
         )
+        if self._native_live is not None:
+            paths.update(self._native_live.live_paths())
         for path in paths:
             segs = self._committed.get(path, [])
             if deleted or force_merge or len(segs) + 1 > MAX_SEGMENTS:
@@ -351,27 +391,47 @@ class StringIndex:
         self._live_terms.clear()
         self._live_flens.clear()
         self._live_doc_terms.clear()
+        if self._native_live is not None:
+            self._native_live.clear()
         self._dirty = True
 
-    def _live_parts(self, path, term_to_new):
-        """Flatten the live accumulator remapped to a global vocab:
-        (tid, doc, tf, etf) arrays, or None."""
+    def _live_rows_arrays(self, path):
+        """The live layer's flat rows for one path, from either the
+        native (C++) accumulator or the Python fallback:
+        (doc i64[n], local_tid i64[n], tf f64[n], etf f64[n], names)
+        where names maps local term id -> term string. None when the
+        path has no live rows (tombstoned-only counts as having rows)."""
+        if self._native_live is not None:
+            return self._native_live.rows(path)
         rows = self._live_rows.get(path)
         if rows is None or not rows[0]:
             return None
-        r_doc, r_tid, r_tf, r_etf = rows
-        _, term_names = self._live_terms[path]
-        ld = np.asarray(r_doc, np.int64)
-        keep = ld >= 0  # drop delete-tombstoned rows
-        # a term whose live postings were all deleted is gone from the
-        # vocab union; its rows are tombstoned so any id works for them
-        lmap = np.fromiter(
-            (term_to_new.get(t, 0) for t in term_names), np.int64,
-            len(term_names),
+        _, names = self._live_terms[path]
+        return (
+            np.asarray(rows[0], np.int64),
+            np.asarray(rows[1], np.int64),
+            np.asarray(rows[2], np.float64),
+            np.asarray(rows[3], np.float64),
+            names,
         )
-        lt = lmap[np.asarray(r_tid, np.int64)]
-        ltf = np.asarray(r_tf, np.float64)
-        letf = np.asarray(r_etf, np.float64)
+
+    def _live_paths(self) -> List[str]:
+        if self._native_live is not None:
+            return self._native_live.live_paths()
+        return [p for p, r in self._live_rows.items() if r[0]]
+
+    @staticmethod
+    def _remap_live(arrs, term_to_new):
+        """Remap live rows to a global vocab, dropping tombstoned rows:
+        (tid, doc, tf, etf) or None."""
+        ld, lt_local, ltf, letf, names = arrs
+        keep = ld >= 0  # drop delete-tombstoned rows
+        # a term whose live postings were all deleted may be missing
+        # from the vocab union; its rows are tombstoned so any id works
+        lmap = np.fromiter(
+            (term_to_new.get(t, 0) for t in names), np.int64, len(names)
+        )
+        lt = lmap[lt_local]
         if not keep.all():
             ld, lt = ld[keep], lt[keep]
             ltf, letf = ltf[keep], letf[keep]
@@ -436,10 +496,14 @@ class StringIndex:
 
     def _compact_live(self, path) -> Optional["_CommittedField"]:
         """Live layer → one new segment; O(live rows)."""
-        live = self._live.get(path, {})
-        terms = sorted(live.keys())
+        arrs = self._live_rows_arrays(path)
+        if arrs is None:
+            return None
+        # vocab = the intern table (may include fully-deleted terms —
+        # _pack_segment drops terms that end up with no postings)
+        terms = sorted(set(arrs[4]))
         term_to_new = {t: i for i, t in enumerate(terms)}
-        parts = self._live_parts(path, term_to_new)
+        parts = self._remap_live(arrs, term_to_new)
         if parts is None:
             return None
         lt, ld, ltf, letf = parts
@@ -477,9 +541,9 @@ class StringIndex:
 
     def _full_merge(self, path, deleted: set) -> None:
         segs = self._committed.get(path, [])
-        live = self._live.get(path, {})
+        arrs = self._live_rows_arrays(path)
 
-        term_set = set(live.keys())
+        term_set = set(arrs[4]) if arrs is not None else set()
         for seg in segs:
             term_set.update(seg.terms)
         terms = sorted(term_set)
@@ -496,7 +560,7 @@ class StringIndex:
             parts_d.append(seg.doc.astype(np.int64))
             parts_tf.append(seg.tf.astype(np.float64))
             parts_etf.append(seg.exact_tf.astype(np.float64))
-        lp = self._live_parts(path, term_to_new)
+        lp = self._remap_live(arrs, term_to_new) if arrs is not None else None
         if lp is not None:
             lt, ld, ltf, letf = lp
             parts_t.append(lt)
@@ -594,19 +658,18 @@ class StringIndex:
         # live pack: one vectorized (tid, doc) sort of the flat
         # accumulator per path — per-term work is only the ranges-dict
         # bookkeeping (O(#terms) cheap dict ops, no numpy allocations)
-        for path, rows in self._live_rows.items():
-            r_doc, r_tid, r_tf, r_etf = rows
-            if not r_doc:
+        for path in self._live_paths():
+            arrs = self._live_rows_arrays(path)
+            if arrs is None:
                 continue
+            ld, lt, ltf64, letf64, term_names = arrs
             flens = self._live_flens.get(path, {})
             tset = terms_by_field.setdefault(path, set())
-            _, term_names = self._live_terms[path]
-            ld = np.asarray(r_doc, np.int64)
             keep = ld >= 0
-            lt = np.asarray(r_tid, np.int64)[keep]
+            lt = lt[keep]
             ld = ld[keep]
-            ltf = np.asarray(r_tf, np.float32)[keep]
-            letf = np.asarray(r_etf, np.float32)[keep]
+            ltf = ltf64[keep].astype(np.float32)
+            letf = letf64[keep].astype(np.float32)
             if not len(ld):
                 continue
             order = np.lexsort((ld, lt))
@@ -950,7 +1013,9 @@ def save_string_index(idx: StringIndex, path_prefix: str) -> None:
     # corrupt npz beside a valid meta file
     tmp_npz = path_prefix + ".npz.tmp"
     with open(tmp_npz, "wb") as fh:
-        np.savez_compressed(fh, **arrays)
+        from ..storage.files import savez_snapshot
+
+        savez_snapshot(fh, **arrays)
     os.replace(tmp_npz, path_prefix + ".npz")
     tmp = path_prefix + ".meta.msgpack.tmp"
     with open(tmp, "wb") as fh:

@@ -416,9 +416,11 @@ def save_vector_index(vidx: VectorIndex, path_prefix: str) -> None:
     import os
 
     os.makedirs(os.path.dirname(path_prefix) or ".", exist_ok=True)
+    from ..storage.files import savez_snapshot
+
     tmp = path_prefix + ".npz.tmp"
     with open(tmp, "wb") as fh:
-        np.savez_compressed(
+        savez_snapshot(
             fh,
             matrix=vidx._committed_matrix,
             docs=vidx._committed_docs,

@@ -90,3 +90,176 @@ def native_stem(lib, word: str) -> str:
         return ctypes.string_at(ptr).decode("utf-8", errors="replace")
     finally:
         lib.free_result(ptr)
+
+
+# ---------------------------------------------------------------------------
+# Live-layer accumulator (live_accum.cpp): the read-side apply hot loop
+# ---------------------------------------------------------------------------
+
+_LA_SRC = os.path.join(_DIR, "live_accum.cpp")
+_LA_LIB = os.path.join(_DIR, "liblive_accum.so")
+_la_lock = threading.Lock()
+_la_lib = None
+_la_tried = False
+
+_TOKEN_SEP = b"\x02"
+_VARIANT_SEP = b"\x01"
+
+
+def load_live_accum():
+    """ctypes lib for the native live accumulator, or None."""
+    global _la_lib, _la_tried
+    with _la_lock:
+        if _la_lib is not None or _la_tried:
+            return _la_lib
+        _la_tried = True
+        if not os.path.exists(_LA_LIB) or (
+            os.path.exists(_LA_SRC)
+            and os.path.getmtime(_LA_SRC) > os.path.getmtime(_LA_LIB)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _LA_LIB,
+                     _LA_SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    subprocess.TimeoutExpired) as e:
+                logger.warning("native live accumulator build failed: %s", e)
+                return None
+        try:
+            lib = ctypes.CDLL(_LA_LIB)
+            lib.la_new.restype = ctypes.c_void_p
+            lib.la_free.argtypes = [ctypes.c_void_p]
+            lib.la_index_field.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ]
+            lib.la_index_field.restype = ctypes.c_int64
+            lib.la_delete_doc.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            lib.la_delete_doc.restype = ctypes.c_int64
+            lib.la_n_rows.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+            lib.la_n_rows.restype = ctypes.c_int64
+            lib.la_n_terms.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+            lib.la_n_terms.restype = ctypes.c_int64
+            lib.la_n_paths.argtypes = [ctypes.c_void_p]
+            lib.la_n_paths.restype = ctypes.c_int32
+            lib.la_export_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.la_term_names.argtypes = [
+                ctypes.c_void_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.la_term_names.restype = ctypes.c_void_p
+            lib.la_free_buf.argtypes = [ctypes.c_void_p]
+            lib.la_clear.argtypes = [ctypes.c_void_p]
+            _la_lib = lib
+        except OSError as e:
+            logger.warning("native live accumulator load failed: %s", e)
+            _la_lib = None
+        return _la_lib
+
+
+class NativeLiveAccum:
+    """Per-StringIndex handle over the C++ live accumulator."""
+
+    __slots__ = ("_lib", "_h", "_path_ids", "_paths")
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._h = ctypes.c_void_p(lib.la_new())
+        self._path_ids = {}
+        self._paths = []
+
+    def __del__(self):
+        try:
+            if self._h:
+                self._lib.la_free(self._h)
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+    def path_id(self, path: str) -> int:
+        pid = self._path_ids.get(path)
+        if pid is None:
+            pid = len(self._paths)
+            self._path_ids[path] = pid
+            self._paths.append(path)
+        return pid
+
+    def index_parsed(self, path: str, doc_id: int, parsed,
+                     index_bigrams: bool) -> int:
+        payload = _TOKEN_SEP.join(
+            _VARIANT_SEP.join(
+                [tok.encode()] + [v.encode() for v in variants]
+            )
+            for tok, variants in parsed
+        )
+        return self._lib.la_index_field(
+            self._h, self.path_id(path), doc_id, payload, len(payload),
+            1 if index_bigrams else 0,
+        )
+
+    def delete_doc(self, doc_id: int) -> int:
+        return self._lib.la_delete_doc(self._h, doc_id)
+
+    def live_paths(self):
+        return [
+            p for p in self._paths
+            if self._lib.la_n_rows(self._h, self._path_ids[p]) > 0
+        ]
+
+    def n_terms(self, path: str) -> int:
+        pid = self._path_ids.get(path)
+        if pid is None:
+            return 0
+        return int(self._lib.la_n_terms(self._h, pid))
+
+    def n_rows(self, path: str) -> int:
+        pid = self._path_ids.get(path)
+        if pid is None:
+            return 0
+        return int(self._lib.la_n_rows(self._h, pid))
+
+    def rows(self, path: str):
+        """(doc int64[n], tid int64[n], tf f64[n], etf f64[n], names) or
+        None when the path has no live rows."""
+        import numpy as np
+
+        pid = self._path_ids.get(path)
+        if pid is None:
+            return None
+        n = int(self._lib.la_n_rows(self._h, pid))
+        if n == 0:
+            return None
+        doc = np.empty(n, np.int64)
+        tid = np.empty(n, np.int32)
+        tf = np.empty(n, np.float32)
+        etf = np.empty(n, np.float32)
+        self._lib.la_export_rows(
+            self._h, pid,
+            doc.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            tid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            etf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        ln = ctypes.c_int64(0)
+        buf = self._lib.la_term_names(self._h, pid, ctypes.byref(ln))
+        try:
+            raw = ctypes.string_at(buf, ln.value)
+        finally:
+            self._lib.la_free_buf(buf)
+        names = raw.decode("utf-8", errors="replace").split("\n")[:-1]
+        return (
+            doc, tid.astype(np.int64), tf.astype(np.float64),
+            etf.astype(np.float64), names,
+        )
+
+    def clear(self):
+        self._lib.la_clear(self._h)
+        self._path_ids.clear()
+        self._paths.clear()

@@ -1,0 +1,224 @@
+// Native live-layer accumulator for StringIndex.
+//
+// The read side applies index_document ops by bumping (path, term, doc)
+// posting cells; in Python this is ~2.7us per token occurrence (dict
+// lookups + list appends dominate read-side apply throughput). This
+// accumulator keeps the live layer in C++ — flat row arrays (doc, tid,
+// tf, exact_tf) per path plus an intern table — and exports them as
+// numpy-ready buffers for commit/slab-build (the same flat layout the
+// Python fallback uses; see index/string_index.py).
+//
+// The reference runs this loop in Rust (read/index/mod.rs update_data).
+//
+// C ABI (ctypes): all strings are UTF-8. A "field payload" encodes the
+// tokenize_and_stem output for one index_text call:
+//   token := surface [ 0x01 variant ]*
+//   payload := token ( 0x02 token )*
+// Adjacency bigram shadow terms (surface 0x1F surface — BIGRAM_SEP in
+// the Python layer) are generated here when index_bigrams != 0.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr char kVariantSep = '\x01';
+constexpr char kTokenSep = '\x02';
+constexpr char kBigramSep = '\x1f';
+
+struct PathAccum {
+  // (lid << 40 | doc) -> row index.  lids < 2^23, docs < 2^40.
+  std::unordered_map<uint64_t, int64_t> cell;
+  std::unordered_map<std::string, int32_t> intern;
+  std::vector<std::string> names;
+  std::vector<int64_t> doc;
+  std::vector<int32_t> tid;
+  std::vector<float> tf;
+  std::vector<float> etf;
+
+  int32_t intern_term(const char* s, size_t n) {
+    auto it = intern.find(std::string(s, n));
+    if (it != intern.end()) return it->second;
+    int32_t lid = static_cast<int32_t>(names.size());
+    names.emplace_back(s, n);
+    intern.emplace(names.back(), lid);
+    return lid;
+  }
+
+  void bump(const char* s, size_t n, int64_t d, bool exact) {
+    int32_t lid = intern_term(s, n);
+    uint64_t key = (static_cast<uint64_t>(lid) << 40) |
+                   static_cast<uint64_t>(d & ((1ULL << 40) - 1));
+    auto it = cell.find(key);
+    int64_t row;
+    if (it == cell.end()) {
+      row = static_cast<int64_t>(doc.size());
+      cell.emplace(key, row);
+      doc.push_back(d);
+      tid.push_back(lid);
+      tf.push_back(0.0f);
+      etf.push_back(0.0f);
+    } else {
+      row = it->second;
+    }
+    tf[row] += 1.0f;
+    if (exact) etf[row] += 1.0f;
+  }
+};
+
+struct LiveAccum {
+  std::vector<PathAccum> paths;
+  // doc -> rows per path, for tombstoning deletes: (path_id, row)
+  std::unordered_map<int64_t, std::vector<std::pair<int32_t, int64_t>>>
+      doc_rows;
+  int64_t tombstoned = 0;
+
+  PathAccum& path(int32_t pid) {
+    if (static_cast<size_t>(pid) >= paths.size()) paths.resize(pid + 1);
+    return paths[pid];
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* la_new() { return new LiveAccum(); }
+
+void la_free(void* h) { delete static_cast<LiveAccum*>(h); }
+
+// Returns the number of surface tokens indexed.
+int64_t la_index_field(void* h, int32_t path_id, int64_t doc_id,
+                       const char* payload, int64_t payload_len,
+                       int32_t index_bigrams) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  PathAccum& pa = la->path(path_id);
+  auto& rows = la->doc_rows[doc_id];
+  size_t row_mark = pa.doc.size();
+
+  int64_t n_tokens = 0;
+  const char* p = payload;
+  const char* end = payload + payload_len;
+  const char* prev_surface = nullptr;
+  size_t prev_surface_len = 0;
+  std::string bigram;
+  while (p < end) {
+    const char* tok_end = static_cast<const char*>(
+        memchr(p, kTokenSep, static_cast<size_t>(end - p)));
+    if (tok_end == nullptr) tok_end = end;
+    // surface
+    const char* var = static_cast<const char*>(
+        memchr(p, kVariantSep, static_cast<size_t>(tok_end - p)));
+    const char* surf_end = var == nullptr ? tok_end : var;
+    if (surf_end > p) {
+      pa.bump(p, static_cast<size_t>(surf_end - p), doc_id, true);
+      ++n_tokens;
+      if (index_bigrams && prev_surface != nullptr) {
+        bigram.assign(prev_surface, prev_surface_len);
+        bigram.push_back(kBigramSep);
+        bigram.append(p, static_cast<size_t>(surf_end - p));
+        pa.bump(bigram.data(), bigram.size(), doc_id, true);
+      }
+      prev_surface = p;
+      prev_surface_len = static_cast<size_t>(surf_end - p);
+    }
+    // variants
+    while (var != nullptr) {
+      const char* v0 = var + 1;
+      const char* v1 = static_cast<const char*>(
+          memchr(v0, kVariantSep, static_cast<size_t>(tok_end - v0)));
+      const char* v_end = v1 == nullptr ? tok_end : v1;
+      if (v_end > v0)
+        pa.bump(v0, static_cast<size_t>(v_end - v0), doc_id, false);
+      var = v1;
+    }
+    p = tok_end < end ? tok_end + 1 : end;
+  }
+  // record the rows this call created for delete tombstoning
+  for (size_t r = row_mark; r < pa.doc.size(); ++r)
+    rows.emplace_back(path_id, static_cast<int64_t>(r));
+  return n_tokens;
+}
+
+// Tombstone every live row of a doc (doc -> -1); rows are dropped at
+// commit/slab-build by the keep mask. Returns rows tombstoned.
+int64_t la_delete_doc(void* h, int64_t doc_id) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  auto it = la->doc_rows.find(doc_id);
+  if (it == la->doc_rows.end()) return 0;
+  int64_t n = 0;
+  for (auto& [pid, row] : it->second) {
+    PathAccum& pa = la->paths[pid];
+    if (pa.doc[row] == doc_id) {
+      uint64_t key = (static_cast<uint64_t>(pa.tid[row]) << 40) |
+                     static_cast<uint64_t>(doc_id & ((1ULL << 40) - 1));
+      pa.cell.erase(key);
+      pa.doc[row] = -1;
+      ++n;
+    }
+  }
+  la->doc_rows.erase(it);
+  la->tombstoned += n;
+  return n;
+}
+
+int64_t la_n_rows(void* h, int32_t path_id) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  if (static_cast<size_t>(path_id) >= la->paths.size()) return 0;
+  return static_cast<int64_t>(la->paths[path_id].doc.size());
+}
+
+int64_t la_n_terms(void* h, int32_t path_id) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  if (static_cast<size_t>(path_id) >= la->paths.size()) return 0;
+  return static_cast<int64_t>(la->paths[path_id].names.size());
+}
+
+int32_t la_n_paths(void* h) {
+  return static_cast<int32_t>(static_cast<LiveAccum*>(h)->paths.size());
+}
+
+// Copy row arrays into caller-provided buffers (sized via la_n_rows).
+void la_export_rows(void* h, int32_t path_id, int64_t* doc_out,
+                    int32_t* tid_out, float* tf_out, float* etf_out) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  PathAccum& pa = la->paths[path_id];
+  size_t n = pa.doc.size();
+  memcpy(doc_out, pa.doc.data(), n * sizeof(int64_t));
+  memcpy(tid_out, pa.tid.data(), n * sizeof(int32_t));
+  memcpy(tf_out, pa.tf.data(), n * sizeof(float));
+  memcpy(etf_out, pa.etf.data(), n * sizeof(float));
+}
+
+// Term names for a path, '\n'-joined. Caller frees with la_free_buf.
+// total byte length returned via out_len.
+char* la_term_names(void* h, int32_t path_id, int64_t* out_len) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  PathAccum& pa = la->paths[path_id];
+  size_t total = 0;
+  for (auto& s : pa.names) total += s.size() + 1;
+  char* buf = static_cast<char*>(malloc(total > 0 ? total : 1));
+  char* w = buf;
+  for (auto& s : pa.names) {
+    memcpy(w, s.data(), s.size());
+    w += s.size();
+    *w++ = '\n';
+  }
+  *out_len = static_cast<int64_t>(total);
+  return buf;
+}
+
+void la_free_buf(void* p) { free(p); }
+
+void la_clear(void* h) {
+  LiveAccum* la = static_cast<LiveAccum*>(h);
+  la->paths.clear();
+  la->doc_rows.clear();
+  la->tombstoned = 0;
+}
+
+}  // extern "C"
