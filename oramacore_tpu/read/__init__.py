@@ -63,9 +63,13 @@ class CollectionReader:
         data_dir: str,
         description: Optional[str] = None,
         mcp_description: Optional[str] = None,
+        write_api_key: Optional[str] = None,
     ):
         self.collection_id = collection_id
         self.read_api_key = read_api_key
+        # the collection's WRITE key also grants reads (reference
+        # api_key_chain.rs test_write_api_key_to_search)
+        self.write_api_key = write_api_key
         self.default_locale = default_locale
         self.embedding_model = embedding_model
         self.description = description
@@ -269,6 +273,7 @@ class ReadSide:
                 data_dir=os.path.join(self.data_dir, "collections", cid),
                 description=b.get("description"),
                 mcp_description=b.get("mcp_description"),
+                write_api_key=b.get("write_api_key"),
             )
             return
         if kind == "delete_collection":
@@ -388,6 +393,10 @@ class ReadSide:
         if coll is None:
             raise ReadError(f"collection {collection_id!r} not found", 404)
         if key == coll.read_api_key or key == self.config.auth.master_api_key:
+            return coll
+        # the collection's write key grants reads too (reference key
+        # chain: api_key_chain.rs test_write_api_key_to_search)
+        if key is not None and key == coll.write_api_key:
             return coll
         jwt_manager = getattr(self, "jwt_manager", None)
         if key and jwt_manager is not None and jwt_manager.looks_like_jwt(key):
@@ -1175,6 +1184,7 @@ class ReadSide:
         manifest = {
             "collection_id": coll.collection_id,
             "read_api_key": coll.read_api_key,
+            "write_api_key": coll.write_api_key,
             "default_locale": coll.default_locale,
             "embedding_model": coll.embedding_model,
             "description": coll.description,
@@ -1273,6 +1283,7 @@ class ReadSide:
             coll = CollectionReader(
                 collection_id=meta["collection_id"],
                 read_api_key=meta["read_api_key"],
+                write_api_key=meta.get("write_api_key"),
                 default_locale=meta.get("default_locale", "english"),
                 embedding_model=meta.get("embedding_model", "builtin-minihash-384"),
                 nlp=self.nlp,

@@ -77,6 +77,10 @@ class WriteIndex:
     # the full map as JSON on every commit — O(N) per commit at 1M docs)
     doc_id_map: Dict[str, int] = dc_field(default_factory=dict)
     is_temp: bool = False
+    # runtime index a temp index was created from: claim-limit counting
+    # excludes its docs (they are replaced at promotion — reference
+    # write/mod.rs:788 "temp + all_runtime - linked_runtime <= max")
+    source_index: Optional[str] = None
     created_at: float = dc_field(default_factory=time.time)
     doc_map_dirty: bool = True
     # LLM auto-selection of embedding properties attempted (run once)
@@ -92,6 +96,7 @@ class WriteIndex:
             "field_params": self.field_params,
             "field_types": self.field_types,
             "is_temp": self.is_temp,
+            "source_index": self.source_index,
             "created_at": self.created_at,
             "auto_select_done": self.auto_select_done,
         }
@@ -109,6 +114,7 @@ class WriteIndex:
             # legacy info.json carried the map inline
             doc_id_map={k: int(v) for k, v in d.get("doc_id_map", {}).items()},
             is_temp=d.get("is_temp", False),
+            source_index=d.get("source_index"),
             created_at=d.get("created_at", time.time()),
             auto_select_done=d.get("auto_select_done", False),
         )
@@ -332,9 +338,21 @@ class WriteSide:
         if self.master_api_key and key != self.master_api_key:
             raise WriteError("invalid master api key", 401)
 
-    def check_write_key(self, collection_id: str, key: Optional[str]) -> WriteCollection:
+    def check_write_key(
+        self,
+        collection_id: str,
+        key: Optional[str],
+        *,
+        target_index: Optional[str] = None,
+        incoming: int = 0,
+    ) -> WriteCollection:
         """ApiKey or JWT bearer (reference write auth: DashboardClaims,
-        types.rs:576, with doc-count claim limitations)."""
+        types.rs:576, with doc-count claim limitations).
+
+        Claim-limited inserts pass the target index + incoming count so
+        the limit applies to the POST-insert total; a temp index's count
+        excludes its linked runtime index (those docs are replaced at
+        promotion — reference write/mod.rs:781-800)."""
         coll = self.collections.get(collection_id)
         if coll is None:
             raise WriteError(f"collection {collection_id!r} not found", 404)
@@ -349,13 +367,26 @@ class WriteSide:
             if claims.collection_id not in (None, collection_id):
                 raise WriteError("jwt not valid for this collection", 401)
             if claims.claim_limitations is not None:
-                current = sum(
-                    len(i.doc_id_map) for i in coll.indexes.values()
+                limit = claims.claim_limitations
+                target = coll.indexes.get(target_index) if target_index else None
+                runtime_total = sum(
+                    len(i.doc_id_map)
+                    for i in coll.indexes.values() if not i.is_temp
                 )
-                if current >= claims.claim_limitations:
+                if target is not None and target.is_temp:
+                    # temp + all_runtime - linked_runtime <= max
+                    current = runtime_total + len(target.doc_id_map)
+                    src = (
+                        coll.indexes.get(target.source_index)
+                        if target.source_index else None
+                    )
+                    if src is not None:
+                        current -= len(src.doc_id_map)
+                else:
+                    current = runtime_total
+                if current + incoming > limit:
                     raise WriteError(
-                        f"claim limitation reached: {claims.claim_limitations} docs",
-                        403,
+                        f"document limit exceeded: {limit} docs", 403
                     )
             return coll
         raise WriteError("invalid write api key", 401)
@@ -398,6 +429,7 @@ class WriteSide:
                 collection=collection_id,
                 body={
                     "read_api_key": coll.read_api_key,
+                    "write_api_key": coll.write_api_key,
                     "description": description,
                     "default_locale": coll.default_locale,
                     "embedding_model": coll.embedding_model,
@@ -525,7 +557,10 @@ class WriteSide:
         write_key: Optional[str],
         docs: Sequence[Dict[str, Any]],
     ) -> InsertStats:
-        coll = self.check_write_key(collection_id, write_key)
+        coll = self.check_write_key(
+            collection_id, write_key,
+            target_index=index_id, incoming=len(docs),
+        )
         idx = coll.indexes.get(index_id)
         if idx is None:
             raise WriteError(f"index {index_id!r} not found", 404)
@@ -818,7 +853,7 @@ class WriteSide:
         if source_index_id not in coll.indexes:
             raise WriteError(f"index {source_index_id!r} not found", 404)
         tid = temp_index_id or f"{source_index_id}-temp-{secrets.token_hex(4)}"
-        return self.create_index(
+        idx = self.create_index(
             collection_id,
             write_key,
             tid,
@@ -827,6 +862,8 @@ class WriteSide:
             copy_from=source_index_id,
             locale=locale,
         )
+        idx.source_index = source_index_id
+        return idx
 
     def replace_index(
         self,
