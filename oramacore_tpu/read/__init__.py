@@ -777,14 +777,19 @@ class ReadSide:
         if not tokens:
             tokens = [""]
         # properties: specified (string fields only) or all string fields
+        # date-shaped string fields remain string SCORE fields
+        # (reference write/index/mod.rs:812 keeps both)
+        def _searchable(t):
+            return t.startswith("string") or t == "date"
+
         if params.properties is not None:
             props = [
                 p for p in params.properties
-                if idx.field_types.get(p, "").startswith("string")
+                if _searchable(idx.field_types.get(p, ""))
             ]
         else:
             props = [
-                p for p, t in idx.field_types.items() if t.startswith("string")
+                p for p, t in idx.field_types.items() if _searchable(t)
             ]
         if not props:
             return None
@@ -838,6 +843,18 @@ class ReadSide:
         the tunnel instead of dense (cap,) score vectors. With
         omc_in_kernel, OMC multipliers apply on-device before top-k (sets
         self._last_omc_applied so callers don't double-apply)."""
+        # empty term = match-all (reference fulltext_search.rs
+        # test_fulltext_empty_term returns every doc; bugs.rs test_bug_1
+        # relies on it for filter-only searches)
+        if not mode.term.strip():
+            self._last_fused_count = None
+            self._last_omc_applied = False
+            alive = idx.alive_doc_ids()
+            if mask is not None:
+                return {
+                    d: 0.0 for d in alive if d < len(mask) and mask[d]
+                }
+            return {d: 0.0 for d in alive}
         # champion rows apply only on the single-device fused path (the
         # dense/sharded/hybrid executors consume ranged plans)
         planned = self._plan_fulltext(

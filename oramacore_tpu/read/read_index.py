@@ -71,6 +71,13 @@ class ReadIndex:
     def document_count(self) -> int:
         return len(self.doc_user_ids)
 
+    def alive_doc_ids(self):
+        """Internal ids of live (non-tombstoned) docs — the match-all set
+        for empty-term searches (reference test_fulltext_empty_term)."""
+        if not self.deleted:
+            return list(self.doc_user_ids)
+        return [d for d in self.doc_user_ids if d not in self.deleted]
+
     def cap(self) -> int:
         return max(self.max_doc_id + 1, 1)
 

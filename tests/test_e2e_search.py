@@ -127,10 +127,18 @@ def test_exact(ctx):
 
 
 def test_empty_term(ctx):
+    # reference fulltext_search.rs test_fulltext_empty_term: an empty
+    # term is MATCH-ALL, before and after commit
     coll = ctx.create_collection()
     idx = coll.create_index()
-    idx.insert_documents([{"id": "1", "text": "something"}])
-    assert coll.search({"term": ""}).count == 0
+    idx.insert_documents([
+        {"id": "1", "text": "The pen is on the table"},
+        {"id": "2", "text": "the pen", "text2": "is on the table"},
+        {"id": "3", "text": "the pen"},
+    ])
+    assert coll.search({"term": ""}).count == 3
+    ctx.commit_all()
+    assert coll.search({"term": ""}).count == 3
 
 
 def test_filters_where(ctx):
