@@ -294,20 +294,13 @@ class VectorIndex:
             return 16384
         return 65536
 
-    def search(
-        self,
-        targets: Sequence[np.ndarray],   # query vectors (multi-chunk query)
-        limit: int,
-        similarity: float,
-        filter_mask: Optional[np.ndarray] = None,  # bool[cap] over doc ids
-        cap: Optional[int] = None,
-    ) -> Dict[int, float]:
-        """doc -> score (max over rows & targets), score >= similarity."""
-        if self.n_rows() == 0 or not targets:
-            return {}
+    def _topk_rows(self, q: np.ndarray, limit: int,
+                   filter_mask: Optional[np.ndarray]):
+        """One batched device dispatch over already-normalized query rows
+        q f32[B, dim]: returns (vals f32[B, k] — f32-reranked in IVF
+        mode, rows i32[B, k], row_doc host array, spill_hits or None)."""
         (matrix, row_doc, row_valid, centroids, starts, is_ivf,
          spill_dev) = self._device_slab()
-        q = np.stack([l2_normalize(np.asarray(t, np.float32).reshape(-1)) for t in targets])
         k = min(
             round_up_pow2(max(limit * 4, 16), 16),
             int(matrix.shape[0]),
@@ -382,30 +375,80 @@ class VectorIndex:
             )
             spill_hits = (np.asarray(s_vals), np.asarray(s_rows),
                           np.asarray(sp_d))
+        return vals, rows, row_doc_h, spill_hits
+
+    def _absorb_rows(self, out: Dict[int, float], vals_b, rows_b,
+                     doc_lookup, similarity: float) -> None:
         rescale = self.config.score_rescale
+        for vi in range(len(vals_b)):
+            s = float(vals_b[vi])
+            r = int(rows_b[vi])
+            if r < 0 or s <= -1e29:
+                continue
+            if rescale is not None:
+                lo, hi = rescale
+                s = (s - lo) / (hi - lo)
+                s = min(max(s, 0.0), 1.0)
+            if s < similarity:
+                continue
+            d = int(doc_lookup[r])
+            if s > out.get(d, -1.0):
+                out[d] = s
+
+    def search(
+        self,
+        targets: Sequence[np.ndarray],   # query vectors (multi-chunk query)
+        limit: int,
+        similarity: float,
+        filter_mask: Optional[np.ndarray] = None,  # bool[cap] over doc ids
+        cap: Optional[int] = None,
+    ) -> Dict[int, float]:
+        """doc -> score (max over rows & targets), score >= similarity."""
+        if self.n_rows() == 0 or not targets:
+            return {}
+        q = np.stack([
+            l2_normalize(np.asarray(t, np.float32).reshape(-1))
+            for t in targets
+        ])
+        vals, rows, row_doc_h, spill_hits = self._topk_rows(
+            q, limit, filter_mask
+        )
         out: Dict[int, float] = {}
-
-        def absorb(vals_a, rows_a, doc_lookup):
-            for bi in range(vals_a.shape[0]):
-                for vi in range(vals_a.shape[1]):
-                    s = float(vals_a[bi, vi])
-                    r = int(rows_a[bi, vi])
-                    if r < 0 or s <= -1e29:
-                        continue
-                    if rescale is not None:
-                        lo, hi = rescale
-                        s = (s - lo) / (hi - lo)
-                        s = min(max(s, 0.0), 1.0)
-                    if s < similarity:
-                        continue
-                    d = int(doc_lookup[r])
-                    if s > out.get(d, -1.0):
-                        out[d] = s
-
-        absorb(vals, rows, row_doc_h)
+        for bi in range(vals.shape[0]):
+            self._absorb_rows(out, vals[bi], rows[bi], row_doc_h, similarity)
         if spill_hits is not None:
-            absorb(*spill_hits)
+            s_vals, s_rows, sp_d = spill_hits
+            for bi in range(s_vals.shape[0]):
+                self._absorb_rows(out, s_vals[bi], s_rows[bi], sp_d, similarity)
         return out
+
+    def search_many(
+        self,
+        queries: np.ndarray,             # f32[B, dim], one vector per query
+        limit: int,
+        similarities: Sequence[float],
+    ) -> List[Dict[int, float]]:
+        """B independent single-vector queries in ONE device dispatch
+        (the batched-search API tier; no per-query filters here — the
+        caller falls back per-query when filters are present)."""
+        B = len(queries)
+        if self.n_rows() == 0 or B == 0:
+            return [{} for _ in range(B)]
+        q = l2_normalize(np.asarray(queries, np.float32))
+        vals, rows, row_doc_h, spill_hits = self._topk_rows(q, limit, None)
+        outs: List[Dict[int, float]] = []
+        for bi in range(B):
+            out: Dict[int, float] = {}
+            self._absorb_rows(
+                out, vals[bi], rows[bi], row_doc_h, similarities[bi]
+            )
+            if spill_hits is not None:
+                s_vals, s_rows, sp_d = spill_hits
+                self._absorb_rows(
+                    out, s_vals[bi], s_rows[bi], sp_d, similarities[bi]
+                )
+            outs.append(out)
+        return outs
 
 
 # ---------------------------------------------------------------------------

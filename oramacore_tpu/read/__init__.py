@@ -1384,14 +1384,19 @@ def _can_use_shared(params_list: List[SearchParams]) -> Optional[str]:
             kinds.add("fulltext")
         elif isinstance(p.mode, HybridMode):
             kinds.add("hybrid")
+        elif isinstance(p.mode, VectorMode):
+            kinds.add("vector")
         else:
             return None
         if p.facets or p.group_by or p.sort_by:
             return None
-        if p.mode.exact or p.mode.tolerance or p.phrase_boost:
+        if getattr(p.mode, "exact", False) or \
+                getattr(p.mode, "tolerance", None) or p.phrase_boost:
             return None
         if p.properties != first.properties or p.boost != first.boost:
             return None
+        if isinstance(p.mode, VectorMode) and not p.where.is_empty():
+            return None  # per-query filters: vector batch has no mask path
     if len(kinds) != 1:
         return None
     return kinds.pop()
@@ -1422,6 +1427,53 @@ def _search_batch(
     return out
 
 
+def _search_batch_vector(
+    self: "ReadSide",
+    coll: CollectionReader,
+    indexes,
+    params_list: List[SearchParams],
+) -> Optional[List[SearchResult]]:
+    """Homogeneous pure-vector batch: ONE embeddings call + ONE device
+    top-k dispatch for all B queries (flat bf16 or IVF/int8 layout),
+    then per-query threshold/rescale/hydration."""
+    idx = indexes[0]
+    if idx.vector is None or idx.vector.n_rows() == 0:
+        return [
+            SearchResult(hits=[], count=0) for _ in params_list
+        ]
+    all_targets = self.embeddings.calculate_embeddings(
+        [p.mode.term for p in params_list], Intent.QUERY,
+        idx.embedding_model,
+    )
+    if any(len(t) != 1 for t in all_targets):
+        return None  # multi-chunk query embeddings: per-query fallback
+    queries = np.stack([np.asarray(t[0], np.float32) for t in all_targets])
+    limit = max(p.limit + p.offset for p in params_list)
+    score_maps = idx.vector.search_many(
+        queries, limit=limit,
+        similarities=[p.mode.similarity for p in params_list],
+    )
+    alive = idx.alive_mask()
+    results: List[SearchResult] = []
+    for p, scores in zip(params_list, score_maps):
+        if alive is not None:
+            scores = {
+                d: s for d, s in scores.items()
+                if d < len(alive) and alive[d]
+            }
+        # OMC multipliers after scoring (search.rs:342 semantics)
+        if idx.omc:
+            for d in list(scores.keys()):
+                m = idx.omc.get(d)
+                if m is not None:
+                    scores[d] *= m
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        page = ranked[p.offset : p.offset + p.limit]
+        hits = self._hydrate(coll, indexes, page)
+        results.append(SearchResult(hits=hits, count=len(scores)))
+    return results
+
+
 def _search_batch_locked(
     self: "ReadSide",
     coll: CollectionReader,
@@ -1433,6 +1485,8 @@ def _search_batch_locked(
 
     idx = indexes[0]
     first = params_list[0]
+    if shared_kind == "vector":
+        return _search_batch_vector(self, coll, indexes, params_list)
     if first.properties is not None:
         props = [
             p for p in first.properties

@@ -913,3 +913,45 @@ def test_shelves_and_values_replicate_and_persist(ctx):
         assert "banner" not in rcoll.values
     finally:
         ctx2.orama.stop()
+
+
+def test_search_batch_vector_single_dispatch(ctx):
+    """A homogeneous batch of pure-vector queries runs as one embeddings
+    call + one device top-k dispatch and matches per-query results."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "t": "greek mythology gods of olympus", "n": 1},
+            {"id": "2", "t": "modern javascript web frameworks", "n": 2},
+            {"id": "3", "t": "fresh fruit salad with banana", "n": 3},
+            {"id": "4", "t": "ancient roman empire history", "n": 4},
+        ]
+    )
+    ctx.commit_all()
+    from oramacore_tpu.types import SearchParams
+
+    queries = ["greek gods", "web framework", "banana fruit"]
+    params = [
+        SearchParams.from_json(
+            {"mode": "vector", "term": q, "similarity": 0.05}
+        )
+        for q in queries
+    ]
+    results = ctx.reader.search_batch(coll.collection_id, coll.read_key, params)
+    for p, batch_result in zip(params, results):
+        single = ctx.reader.search(coll.collection_id, coll.read_key, p)
+        assert ids_of(single) == ids_of(batch_result)
+        assert single.count == batch_result.count
+        for hs, hb in zip(single.hits, batch_result.hits):
+            assert hb.score == pytest.approx(hs.score, rel=1e-4)
+    # a filtered vector query falls back to the per-query path
+    params_f = [
+        SearchParams.from_json(
+            {"mode": "vector", "term": "greek gods", "similarity": 0.05,
+             "where": {"n": {"gt": 100}}}
+        ),
+        params[1],
+    ]
+    out = ctx.reader.search_batch(coll.collection_id, coll.read_key, params_f)
+    assert out[0].count == 0
