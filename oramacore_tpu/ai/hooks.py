@@ -197,6 +197,32 @@ def _domain_matches(host: str, domain: str) -> bool:
     return host == d or host.endswith("." + d)
 
 
+def _resolves_to_private(host: str) -> bool:
+    """True if host is, or resolves to, a non-public address
+    (loopback, link-local incl. 169.254.169.254 metadata, RFC1918,
+    unique-local v6). DNS is resolved so rebound names don't slip by."""
+    import ipaddress
+    import socket
+
+    def private_ip(s: str) -> bool:
+        try:
+            ip = ipaddress.ip_address(s)
+        except ValueError:
+            return False
+        return (
+            ip.is_private or ip.is_loopback or ip.is_link_local
+            or ip.is_reserved or ip.is_unspecified
+        )
+
+    if host in ("localhost",) or private_ip(host):
+        return True
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except OSError:
+        return True  # unresolvable: refuse rather than probe
+    return any(private_ip(info[4][0]) for info in infos)
+
+
 class HooksRuntime:
     """Executes hook code in sandboxed subprocesses; streams logs."""
 
@@ -230,7 +256,13 @@ class HooksRuntime:
             return False
         if self.allowed_domains:
             return any(_domain_matches(host, d) for d in self.allowed_domains)
-        return True
+        # no allowlist: public internet only. The broker runs in the
+        # PARENT process (full network, inside the trust boundary), so
+        # tenant hook code must not be able to use it as an SSRF proxy
+        # to loopback/link-local/private targets (cloud metadata, the
+        # server's own localhost surfaces). Explicit allowlisting of a
+        # private domain is the opt-in.
+        return not _resolves_to_private(host)
 
     def _do_fetch(self, req: Dict[str, Any]) -> Dict[str, Any]:
         url = str(req.get("url", ""))

@@ -30,11 +30,12 @@ class StringSearchExecutor:
         self._slab_gen: Optional[int] = None
 
     def _get_device_slab(self, index: StringIndex):
-        # key the HBM cache on the index's monotonic slab generation —
-        # id(numpy array) can collide when the old slab is freed and a new
-        # one lands at the same address (stale-slab scoring bug)
+        # key the HBM cache on (index uid, slab generation) — generation
+        # alone collides across different StringIndex objects (executors
+        # can be shared across indexes/collections), and id(numpy array)
+        # can be recycled after free (stale-slab scoring bug)
         slab = index.slab()
-        gen = index.generation  # read AFTER slab() (build bumps it)
+        gen = (index.uid, index.generation)  # read AFTER slab()
         if self._slab_gen != gen:
             # pad with MAX_RANGE_LEN zeros so vmapped dynamic_slice windows
             # never clamp (tf=0 padding contributes nothing)
@@ -230,7 +231,7 @@ class StringSearchTopK(StringSearchExecutor):
         self._champ_dev: Optional[Tuple[int, int, object]] = None
 
     def _get_device_champs(self, index: StringIndex, capb: int):
-        gen = index.generation
+        gen = (index.uid, index.generation)
         cached = self._champ_dev
         if cached is not None and cached[0] == gen and cached[1] == capb:
             return cached[2]

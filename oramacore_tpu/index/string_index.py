@@ -159,11 +159,19 @@ class QueryPlan:
     champ_w: Optional[np.ndarray] = None
 
 
+_INDEX_UIDS = __import__("itertools").count(1)
+
+
 class StringIndex:
     """All string fields of one index."""
 
     def __init__(self, index_bigrams: bool = True):
         import threading
+
+        # process-unique id: executor device caches key on (uid,
+        # generation) — generation alone collides across index objects
+        # (every index starts at 0), and id() can be recycled
+        self.uid = next(_INDEX_UIDS)
 
         # adjacency shadow terms for phrase capability (see index_text)
         self.index_bigrams = index_bigrams

@@ -49,10 +49,24 @@ struct PathAccum {
     return lid;
   }
 
+  static bool packable(int32_t lid, int64_t d) {
+    return lid < (1 << 23) && d >= 0 && d < (1LL << 40);
+  }
+
   void bump(const char* s, size_t n, int64_t d, bool exact) {
     int32_t lid = intern_term(s, n);
+    // (lid, doc) outside the packed-key range: append WITHOUT live
+    // dedup — commit's (term, doc) lexsort merges duplicate pairs by
+    // summing, so correctness holds; only live-layer compactness drops
+    if (!packable(lid, d)) {
+      doc.push_back(d);
+      tid.push_back(lid);
+      tf.push_back(1.0f);
+      etf.push_back(exact ? 1.0f : 0.0f);
+      return;
+    }
     uint64_t key = (static_cast<uint64_t>(lid) << 40) |
-                   static_cast<uint64_t>(d & ((1ULL << 40) - 1));
+                   static_cast<uint64_t>(d);
     auto it = cell.find(key);
     int64_t row;
     if (it == cell.end()) {
@@ -154,9 +168,11 @@ int64_t la_delete_doc(void* h, int64_t doc_id) {
   for (auto& [pid, row] : it->second) {
     PathAccum& pa = la->paths[pid];
     if (pa.doc[row] == doc_id) {
-      uint64_t key = (static_cast<uint64_t>(pa.tid[row]) << 40) |
-                     static_cast<uint64_t>(doc_id & ((1ULL << 40) - 1));
-      pa.cell.erase(key);
+      if (PathAccum::packable(pa.tid[row], doc_id)) {
+        uint64_t key = (static_cast<uint64_t>(pa.tid[row]) << 40) |
+                       static_cast<uint64_t>(doc_id);
+        pa.cell.erase(key);
+      }
       pa.doc[row] = -1;
       ++n;
     }

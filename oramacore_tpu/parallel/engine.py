@@ -71,7 +71,9 @@ class ShardedStringExec:
 
     def ensure_slab(self, index: StringIndex) -> None:
         slab = index.slab()
-        gen = index.generation
+        # (uid, generation): generation alone collides across index
+        # objects when an executor outlives/serves several indexes
+        gen = (index.uid, index.generation)
         if self._slab_gen == gen:
             return
         with self._lock:
@@ -82,7 +84,9 @@ class ShardedStringExec:
             P_total = len(p_doc)
             shard = (p_doc.astype(np.int64) % D).astype(np.int32)
             counts = np.bincount(shard, minlength=D)
-            prefix = np.zeros((D, P_total + 1), np.int64)
+            # int32 prefix: halves the O(D * P) host footprint (postings
+            # per slab stay < 2^31 by construction — int32 p_doc)
+            prefix = np.zeros((D, P_total + 1), np.int32)
             for s in range(D):
                 np.cumsum(shard == s, out=prefix[s, 1:])
             max_p = int(counts.max()) if P_total else 1

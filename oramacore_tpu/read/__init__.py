@@ -710,7 +710,7 @@ class ReadSide:
                 exact=mode.exact,
                 doc_masks=[mask] if mask is not None else None,
                 thresholds=[thr] if thr is not None else None,
-                omc=omc_arr, omc_key=idx.omc_version,
+                omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                 rescale=idx.vector.config.score_rescale,
             )
         if out is None:
@@ -723,7 +723,7 @@ class ReadSide:
                     exact=mode.exact,
                     doc_masks=[mask] if mask is not None else None,
                     thresholds=[thr] if thr is not None else None,
-                    omc=omc_arr, omc_key=idx.omc_version,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     rescale=idx.vector.config.score_rescale,
                 )
             else:
@@ -748,7 +748,7 @@ class ReadSide:
                     exact=mode.exact,
                     doc_masks=[mask] if mask is not None else None,
                     thresholds=[thr] if thr is not None else None,
-                    omc=omc_arr, omc_key=idx.omc_version,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     rescale=idx.vector.config.score_rescale,
                 )
         vals, ids, counts = out
@@ -881,7 +881,7 @@ class ReadSide:
                 exact=mode.exact,
                 doc_masks=[mask] if mask is not None else None,
                 thresholds=[thr] if thr is not None else None,
-                omc=omc_arr, omc_key=idx.omc_version,
+                omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
             )
             self._last_fused_count = int(counts[0])
             self._last_omc_applied = omc_arr is not None
@@ -1217,10 +1217,16 @@ class ReadSide:
         return to_save, manifest
 
     def _commit_collection_io(self, coll, to_save, manifest):
-        """Phase 2: file I/O, outside the state lock (searches proceed)."""
+        """Phase 2: file I/O, outside the state lock (searches proceed).
+
+        Doc storage commits FIRST: index snapshots record the committed
+        offset, and replay dedup skips doc_storage.insert for ops at or
+        below it — if the snapshot landed before the doc blobs, a crash
+        in between would lose raw documents forever (orphan blobs from
+        the reverse order are harmless)."""
+        coll.doc_storage.commit()
         for iid, idx in to_save:
             idx.save(os.path.join(coll.data_dir, "indexes", iid))
-        coll.doc_storage.commit()
         atomic_write_json(
             os.path.join(coll.data_dir, "collection.json"), manifest
         )
@@ -1393,6 +1399,8 @@ def _can_use_shared(params_list: List[SearchParams]) -> Optional[str]:
         if getattr(p.mode, "exact", False) or \
                 getattr(p.mode, "tolerance", None) or p.phrase_boost:
             return None
+        if not p.mode.term.strip():
+            return None  # empty term = match-all: single-path semantics
         if p.properties != first.properties or p.boost != first.boost:
             return None
         if isinstance(p.mode, VectorMode) and not p.where.is_empty():
@@ -1574,7 +1582,7 @@ def _search_batch_locked(
         doc_masks=doc_masks,
         field_params=fp,
         omc=idx.omc_array(),
-        omc_key=idx.omc_version,
+        omc_key=(idx.uid, idx.omc_version),
         **hybrid_args,
     )
     results: List[SearchResult] = []

@@ -30,8 +30,15 @@ from ..types import Locale
 from ..utils.tokenizer import NLPService
 
 
+_READ_INDEX_UIDS = __import__("itertools").count(1)
+
+
 class ReadIndex:
     def __init__(self, index_id: str, locale: str, embedding_model: str, nlp: NLPService):
+        # process-unique id for executor-level device caches (omc arrays
+        # are keyed on (uid, omc_version); version alone collides across
+        # index objects)
+        self.uid = next(_READ_INDEX_UIDS)
         self.index_id = index_id
         self.locale = locale
         self.embedding_model = embedding_model

@@ -175,12 +175,16 @@ class AwsSecretsProvider(SecretsProvider):
 
         body = json.dumps({"SecretId": key}).encode()
         parsed = urllib.parse.urlparse(self.endpoint)
+        # sign and request the SAME path (a mismatch — e.g. signing "/"
+        # but requesting "//" — is a silent SignatureDoesNotMatch)
+        path = parsed.path or "/"
+        url = f"{parsed.scheme}://{parsed.netloc}{path}"
         signer = SigV4Signer(
             self.access_key, self.secret_key, self.region,
             "secretsmanager", self.session_token,
         )
         headers = signer.signed_headers(
-            "POST", parsed.netloc, parsed.path or "/", "",
+            "POST", parsed.netloc, path, "",
             {
                 "content-type": "application/x-amz-json-1.1",
                 "x-amz-target": "secretsmanager.GetSecretValue",
@@ -188,7 +192,7 @@ class AwsSecretsProvider(SecretsProvider):
             body,
         )
         req = urllib.request.Request(
-            self.endpoint + "/", data=body, headers=headers, method="POST"
+            url, data=body, headers=headers, method="POST"
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout_s) as r:

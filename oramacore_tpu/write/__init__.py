@@ -1138,7 +1138,13 @@ class WriteSide:
                             idx.doc_id_map = {
                                 str(k): int(v) for k, v in m.items()
                             }
-                    idx.doc_map_dirty = False
+                        idx.doc_map_dirty = False
+                    else:
+                        # legacy v1: the map came inline from info.json —
+                        # keep it DIRTY so the first v2 commit writes the
+                        # per-index msgpack (marking it clean here would
+                        # drop the map entirely at the next commit)
+                        idx.doc_map_dirty = True
 
     def stop(self):
         self.embedding_queue.stop()

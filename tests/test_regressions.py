@@ -71,3 +71,122 @@ def test_commit_batch_size_one(tmp_path):
         assert out.count == 1
     finally:
         orama.stop()
+
+
+def test_shared_executor_no_cross_collection_cache_collision(ctx):
+    """Review finding: ReadSide's shared batch executor cached device
+    slabs keyed on the index GENERATION alone — two collections whose
+    indexes reach the same generation number reused each other's slab,
+    scoring queries against the wrong corpus."""
+    a = ctx.create_collection()
+    a.create_index().insert_documents(
+        [{"id": "a1", "t": "apple orchard harvest"}]
+    )
+    b = ctx.create_collection()
+    b.create_index().insert_documents(
+        [{"id": "b1", "t": "zebra savanna stripes"}]
+    )
+    from oramacore_tpu.types import SearchParams
+
+    def batch(coll, term):
+        return ctx.reader.search_batch(
+            coll.collection_id, coll.read_key,
+            [SearchParams.from_json({"term": term})],
+        )[0]
+
+    # interleave batches so the shared executor flips between indexes
+    # with equal generations
+    for _ in range(2):
+        out_a = batch(a, "apple")
+        assert [h.id.split(":", 1)[1] for h in out_a.hits] == ["a1"]
+        out_b = batch(b, "zebra")
+        assert [h.id.split(":", 1)[1] for h in out_b.hits] == ["b1"]
+        assert batch(a, "zebra").count == 0
+        assert batch(b, "apple").count == 0
+
+
+def test_v1_doc_id_map_migration_survives_two_restarts(tmp_path):
+    """Review finding: a legacy v1 info.json carries doc_id_map inline;
+    loading marked it clean, so the first v2 commit dropped the map
+    (never writing the per-index msgpack) and the SECOND restart lost
+    upsert/delete-by-id semantics."""
+    import json as _json
+    import os
+    import shutil
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+    from oramacore_tpu.types import SearchParams
+
+    def cfg():
+        c = OramacoreConfig()
+        c.data_dir = str(tmp_path)
+        c.auth.master_api_key = "mk"
+        c.writer_side.insert_batch_commit_size = 10_000_000
+        c.reader_side.insert_batch_commit_size = 10_000_000
+        return c
+
+    orama = build_orama(cfg(), sync_embeddings=True, start_consumer=False)
+    coll = orama.write_side.create_collection("mk", "c")
+    orama.write_side.create_index("c", coll.write_api_key, "main")
+    orama.write_side.insert_documents(
+        "c", "main", coll.write_api_key, [{"id": "x", "t": "original"}]
+    )
+    orama.write_side.commit()
+    orama.read_side.pump()
+    orama.read_side.commit(force=True)
+    orama.stop()
+
+    # rewrite the writer info.json as LEGACY v1: doc_id_map inline,
+    # no per-index msgpack files
+    info_path = os.path.join(str(tmp_path), "writer", "info.json")
+    info = _json.load(open(info_path))
+    for c in info["collections"].values():
+        for idx in c["indexes"].values():
+            idx["doc_id_map"] = {"x": 0}
+    info.pop("v", None)
+    _json.dump(info, open(info_path, "w"))
+    shutil.rmtree(
+        os.path.join(str(tmp_path), "writer", "doc_maps"),
+        ignore_errors=True,
+    )
+
+    # restart 1: loads the inline map, commits (must WRITE the msgpack)
+    orama = build_orama(cfg(), sync_embeddings=True, start_consumer=False)
+    assert orama.write_side.collections["c"].indexes["main"].doc_id_map == {
+        "x": 0
+    }
+    orama.write_side.commit()
+    orama.stop()
+
+    # restart 2: the map must still be there; an upsert REPLACES
+    orama = build_orama(cfg(), sync_embeddings=True, start_consumer=False)
+    try:
+        idx = orama.write_side.collections["c"].indexes["main"]
+        assert idx.doc_id_map == {"x": 0}
+        stats = orama.write_side.insert_documents(
+            "c", "main", coll.write_api_key, [{"id": "x", "t": "replaced"}]
+        )
+        assert stats.replaced == 1 and stats.inserted == 0
+    finally:
+        orama.stop()
+
+
+def test_hook_fetch_blocks_private_targets_by_default():
+    """Review finding: with no allowlist the brokered fetch proxied ANY
+    url through the parent process — including loopback and the cloud
+    metadata endpoint (SSRF). Private targets now require an explicit
+    allowlist entry."""
+    from oramacore_tpu.ai.hooks import HooksRuntime
+
+    rt = HooksRuntime()
+    assert not rt.domain_allowed("http://127.0.0.1:8080/v1/secrets")
+    assert not rt.domain_allowed("http://localhost/admin")
+    assert not rt.domain_allowed("http://169.254.169.254/latest/meta-data/")
+    assert not rt.domain_allowed("http://10.0.0.5/internal")
+    # explicit allowlisting opts in
+    rt2 = HooksRuntime(allowed_domains=["127.0.0.1"])
+    assert rt2.domain_allowed("http://127.0.0.1:9999/x")
+    # public hostnames stay reachable with no allowlist (resolution
+    # failures deny, so use a numeric public address)
+    assert rt.domain_allowed("http://93.184.216.34/")  # example.com's IP
