@@ -114,9 +114,23 @@ class InMemoryTransport:
 
     def __init__(self):
         self._log: List[Operation] = []
+        # absolute offset of the last op in the log; `_base` is the
+        # absolute offset BEFORE the first op in `_log` (ops below it
+        # predate this process — the reference seeds its in-memory
+        # AtomicU64 from the writer's persisted offset the same way,
+        # operation/mod.rs:188-193, so a restarted reader's replay
+        # dedup lines up with fresh ops)
         self._offset = 0
+        self._base = 0
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
+
+    def resume_from(self, offset: Offset) -> None:
+        """Continue numbering after a restart (before any send)."""
+        with self._cond:
+            if not self._log and offset > self._offset:
+                self._offset = offset
+                self._base = offset
 
     def sender(self) -> "InMemorySender":
         return InMemorySender(self)
@@ -141,6 +155,9 @@ class InMemorySender(OperationSender):
         with self._t._lock:
             return self._t._offset
 
+    def resume_from(self, offset: Offset) -> None:
+        self._t.resume_from(offset)
+
 
 class InMemoryReceiver(OperationReceiver):
     def __init__(self, transport: InMemoryTransport, start_offset: Offset):
@@ -149,6 +166,10 @@ class InMemoryReceiver(OperationReceiver):
 
     def recv(self, timeout: Optional[float] = None) -> Optional[Tuple[Offset, Operation]]:
         with self._t._cond:
+            # ops at or below the base predate this process (already
+            # committed by the reader that asked to start there)
+            if self._cursor < self._t._base:
+                self._cursor = self._t._base
             if self._cursor >= self._t._offset:
                 if timeout == 0:
                     return None
@@ -156,7 +177,7 @@ class InMemoryReceiver(OperationReceiver):
                     lambda: self._cursor < self._t._offset, timeout=timeout
                 ):
                     return None
-            op = self._t._log[self._cursor]
+            op = self._t._log[self._cursor - self._t._base]
             self._cursor += 1
             return self._cursor, op
 

@@ -1124,6 +1124,15 @@ class WriteSide:
 
         info = read_json(os.path.join(self.data_dir, "info.json"))
         if info:
+            # resume op numbering from the persisted offset so a
+            # restarted in-memory channel's fresh ops are NOT deduped
+            # as replays by a reader that committed up to that offset
+            # (reference seeds the in-memory AtomicU64 the same way,
+            # operation/mod.rs:188-193; durable transports resume from
+            # their own stream and ignore this)
+            resume = getattr(self.op_sender, "resume_from", None)
+            if resume is not None and info.get("offset"):
+                resume(int(info["offset"]))
             self.collections = {
                 k: WriteCollection.from_json(v)
                 for k, v in info.get("collections", {}).items()

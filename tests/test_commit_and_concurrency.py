@@ -258,3 +258,141 @@ def test_deleted_index_snapshot_dirs_are_gced(tmp_path):
         assert os.listdir(idx_root) == ["keep"], "deleted index dir GC'd"
     finally:
         orama.stop()
+
+
+def test_empty_index_reload():
+    """commit.rs test_empty_index_reload: an index with no documents
+    commits and reloads cleanly."""
+    from .utils import TestCollectionClient, TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        coll.create_index()
+        ctx.commit_all()
+        ctx2 = ctx.reload()
+        try:
+            c2 = TestCollectionClient(
+                ctx2, coll.collection_id, coll.write_key, coll.read_key
+            )
+            stats = c2.stats()
+            assert stats["document_count"] == 0
+            assert len(stats["indexes"]) == 1
+            # still usable after the empty reload
+            ctx2.writer.insert_documents(
+                coll.collection_id, stats["indexes"][0]["id"],
+                coll.write_key, [{"id": "1", "t": "post-reload doc"}],
+            )
+            ctx2.pump()
+            assert c2.search({"term": "post-reload"}).count == 1
+        finally:
+            ctx2.orama.stop()
+    finally:
+        ctx.close()
+
+
+def test_empty_collection_reload():
+    """commit.rs test_empty_collection_reload: a collection with no
+    indexes commits and reloads."""
+    from .utils import TestCollectionClient, TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        ctx.commit_all()
+        ctx2 = ctx.reload()
+        try:
+            c2 = TestCollectionClient(
+                ctx2, coll.collection_id, coll.write_key, coll.read_key
+            )
+            stats = c2.stats()
+            assert stats["indexes"] == []
+        finally:
+            ctx2.orama.stop()
+    finally:
+        ctx.close()
+
+
+def test_commit_partial_fields():
+    """commit.rs test_collection_commit_partial_fields: after a first
+    doc with every field type, later docs touch ONE field each with a
+    commit in between — only dirty fields compact, and every field
+    stays queryable across reload."""
+    from .utils import TestCollectionClient, TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{
+            "id": "full", "text": "alpha words", "number": 0,
+            "boolean": True, "geo": {"lat": 10.0, "lon": 20.0},
+            "date": "2024-01-01T00:00:00Z",
+        }])
+        ctx.commit_all()
+        partials = [
+            {"id": "p-text", "text": "alpha partial"},
+            {"id": "p-number", "number": 7},
+            {"id": "p-boolean", "boolean": True},
+            {"id": "p-geo", "geo": {"lat": 10.1, "lon": 20.1}},
+            {"id": "p-date", "date": "2024-06-01T00:00:00Z"},
+        ]
+        for doc in partials:
+            idx.insert_documents([doc])
+            ctx.commit_all()  # compacts only the dirty field(s)
+
+        def check(client):
+            assert client.search({"term": "alpha"}).count == 2
+            assert client.search(
+                {"term": "", "where": {"number": 7}}
+            ).count == 1
+            assert client.search(
+                {"term": "", "where": {"boolean": True}}
+            ).count == 2
+            out = client.search({"term": "", "where": {"geo": {
+                "radius": {"coordinates": {"lat": 10.0, "lon": 20.0},
+                           "value": 50, "unit": "km"}}}})
+            assert out.count == 2
+            assert client.search({"term": "", "where": {"date": {
+                "gte": "2024-05-01T00:00:00Z"}}}).count == 1
+
+        check(coll)
+        ctx2 = ctx.reload()
+        try:
+            check(TestCollectionClient(
+                ctx2, coll.collection_id, coll.write_key, coll.read_key
+            ))
+        finally:
+            ctx2.orama.stop()
+    finally:
+        ctx.close()
+
+
+def test_collection_continue_commit():
+    """commit.rs test_collection_continue_commit: commit, keep
+    inserting, commit again — both layers merge and survive reload."""
+    from .utils import TestCollectionClient, TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{"id": "1", "t": "first wave"}])
+        ctx.commit_all()
+        idx.insert_documents([{"id": "2", "t": "second wave"}])
+        ctx.commit_all()
+        idx.insert_documents([{"id": "3", "t": "third wave uncommitted"}])
+        assert coll.search({"term": "wave"}).count == 3
+        ctx2 = ctx.reload()  # reload commits pending state first
+        try:
+            c2 = TestCollectionClient(
+                ctx2, coll.collection_id, coll.write_key, coll.read_key
+            )
+            assert c2.search({"term": "wave"}).count == 3
+            for t, i in [("first", "1"), ("second", "2"), ("third", "3")]:
+                out = c2.search({"term": t})
+                assert [h.id.split(":", 1)[1] for h in out.hits] == [i]
+        finally:
+            ctx2.orama.stop()
+    finally:
+        ctx.close()
