@@ -1,0 +1,449 @@
+"""Pruned BM25F scoring for huge corpora: candidates + exact rescore.
+
+The dense scoring path (ops/bm25.py) accumulates every posting into a
+(B, cap) score matrix. At cap ~ 10M the per-token aggregation is a
+scatter-add measured at ~43M postings/s on TPU v5e (benches/RESULTS.md
+"Batched fused hybrid at 10M docs") — a 350k-df term costs ~9 ms per
+query. TPUs have no fast scatter; the reference stays fast at scale via
+FST/postings locality instead
+(src/collection_manager/sides/read/index/string_field.rs:19-28).
+
+This module replaces the dense accumulator with a TPU-native two-phase
+plan that never scatters into the doc space:
+
+- PHASE 1 (candidates): score only the IMPACT-ORDERED PREFIX of each
+  posting range (commit stores postings highest-normalized-TF first,
+  index/string_index.py _pack_segment). Per-doc partial scores come from
+  a sort + segmented-sum over the (doc, token)-keyed prefix
+  contributions — cumsum tricks on sorted keys, no scatter. The top-C
+  partial scorers become the candidate set. This is the fix for the
+  recall-0.04 `impact_cap` footgun (benches/RESULTS.md): prefix-partial
+  scores ONLY nominate candidates, they never rank the final result.
+
+- PHASE 2 (exact rescore): stream the FULL posting ranges of every query
+  token in chunks; each posting's doc id is mapped to its candidate slot
+  with a vectorized binary search over the sorted candidate list
+  (log2(C) gather steps), then aggregated with the one-hot MXU matmul at
+  cap=C (ops/bm25.py _aggregate_dense one-hot tier). Candidate scores,
+  per-token accumulators, saturation and matched-token counts are all
+  EXACT — HBM-bandwidth-bound streaming replaces the scatter.
+
+Result quality: the final top-k is exact iff every true top-k doc made
+the candidate set; a miss requires a doc to rank below top-C on
+prefix-partial score yet inside the true top-k. Parity is asserted
+exactly for C >= corpus (tests) and as >=0.95 top-10 overlap at scale
+(benches/hybrid10m_bench.py --pruned).
+
+Known approximations (documented, all bounded):
+- the per-token IDF is computed on the HOST from posting-range lengths
+  (exact when each token's ranges are doc-disjoint — single-field plans
+  over committed segments; engine plans fall back to the dense path
+  otherwise);
+- total match `counts` over the corpus cannot be known without a full
+  aggregation — the kernel returns the count of verified candidates (a
+  lower bound); callers may substitute the union-probability estimate
+  (search_exec.estimate_match_count);
+- per-query filters change the filtered-df IDF semantics
+  (collect_contributions_with_filter, token_score.rs:229-251) which
+  requires the full scan — filtered searches keep the dense path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .bm25 import K1, _aggregate_dense
+
+NEG_INF = -1e30
+
+
+def _seg_totals_sorted(keys: jax.Array, vals: jax.Array):
+    """Segmented sums over runs of equal (sorted) keys, scatter-free.
+
+    keys int32[B, M] non-decreasing along axis 1; vals f32[B, M].
+    Returns (is_end bool[B, M], totals f32[B, M]) where totals[i] holds
+    the full run sum at each run-END position (junk elsewhere).
+    """
+    B, M = keys.shape
+    cs = jnp.cumsum(vals, axis=1)
+    excl = cs - vals
+    is_start = jnp.concatenate(
+        [jnp.ones((B, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
+    )
+    idx = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    start_idx = jnp.where(is_start, idx, 0)
+    run_start = jax.lax.cummax(start_idx, axis=1)
+    base = jnp.take_along_axis(excl, run_start, axis=1)
+    totals = cs - base
+    is_end = jnp.concatenate(
+        [keys[:, 1:] != keys[:, :-1], jnp.ones((B, 1), bool)], axis=1
+    )
+    return is_end, totals
+
+
+def _lower_bound(sorted_vals: jax.Array, queries: jax.Array) -> jax.Array:
+    """Vectorized lower_bound: first index where sorted_vals >= query.
+
+    sorted_vals int32[B, C] ascending (C power of two), queries
+    int32[B, L]. Returns int32[B, L] in [0, C]. log2(C) gather rounds —
+    the scatter-free join of postings onto candidate slots.
+    """
+    B, C = sorted_vals.shape
+    assert C & (C - 1) == 0, "C must be a power of two"
+    pos = jnp.zeros(queries.shape, jnp.int32)
+    step = C >> 1
+    while step >= 1:
+        probe = pos + step
+        pv = jnp.take_along_axis(sorted_vals, probe - 1, axis=1)
+        pos = jnp.where(pv < queries, probe, pos)
+        step >>= 1
+    return pos
+
+
+def _prefix_candidates(
+    p_doc, tf_src, p_flen,
+    pre_starts, pre_lens,      # int32[B, T, NPR] (lens <= lp)
+    pre_w, pre_fb, pre_av,     # f32[B, T, NPR]
+    idf,                       # f32[B, T]
+    *,
+    lp: int, cap: int, C: int,
+):
+    """Phase 1: top-C candidate docs per query from impact prefixes.
+
+    Returns cand int32[B, C] sorted ascending; `cap` marks empty slots.
+    """
+    B, T, NPR = pre_starts.shape
+    TT = 1
+    while TT < T + 1:
+        TT *= 2
+    assert cap * TT + TT < 2**31, "doc-id x token key overflows int32"
+
+    flat = pre_starts.reshape(-1)
+    docs = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (lp,)))(
+        flat
+    ).reshape(B, T, NPR, lp)
+    tf = jax.vmap(lambda s: jax.lax.dynamic_slice(tf_src, (s,), (lp,)))(
+        flat
+    ).reshape(B, T, NPR, lp)
+    fl = jax.vmap(lambda s: jax.lax.dynamic_slice(p_flen, (s,), (lp,)))(
+        flat
+    ).reshape(B, T, NPR, lp)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lp), 3)
+    valid = slot < pre_lens[:, :, :, None]
+    fb = pre_fb[:, :, :, None]
+    denom = (1.0 - fb) + fb * fl / jnp.maximum(pre_av[:, :, :, None], 1e-9)
+    ntf = pre_w[:, :, :, None] * tf / jnp.maximum(denom, 1e-9)
+    keep = valid & (tf > 0)
+    ntf = jnp.where(keep, ntf, 0.0)
+    docs = jnp.where(keep, docs, cap)
+    tok = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1, 1), 1)
+    key = docs * TT + tok                                   # (B, T, NPR, lp)
+
+    M = T * NPR * lp
+    key = key.reshape(B, M)
+    ntf = ntf.reshape(B, M)
+    key_s, ntf_s = jax.lax.sort((key, ntf), dimension=1, num_keys=1)
+
+    # per-(doc, token) accumulation -> saturation
+    t_end, t_acc = _seg_totals_sorted(key_s, ntf_s)
+    tok_s = jnp.clip(key_s - (key_s // TT) * TT, 0, T - 1)
+    idf_s = jnp.take_along_axis(idf, tok_s, axis=1)
+    sat = idf_s * (K1 + 1.0) * t_acc / (K1 + t_acc)
+    sat = jnp.where(t_end & (t_acc > 0.0) & (key_s < cap * TT), sat, 0.0)
+
+    # per-doc partial score (second segmented sum; doc key stays sorted)
+    dkey = key_s // TT
+    d_end, d_tot = _seg_totals_sorted(dkey, sat)
+    part = jnp.where(d_end & (d_tot > 0.0) & (dkey < cap), d_tot, NEG_INF)
+
+    if C > part.shape[1]:  # tiny prefix pools: pad up to the budget
+        padn = C - part.shape[1]
+        part = jnp.pad(part, ((0, 0), (0, padn)), constant_values=NEG_INF)
+        dkey = jnp.pad(dkey, ((0, 0), (0, padn)), constant_values=cap)
+    _, pi = jax.lax.top_k(part, C)
+    pv = jnp.take_along_axis(part, pi, axis=1)
+    cand = jnp.take_along_axis(dkey, pi, axis=1)
+    cand = jnp.where(pv > NEG_INF / 2, cand, cap)
+    cand = jax.lax.sort(cand, dimension=1)
+    # safety dedup (top-C of doc-run-ends is already unique per doc)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+    )
+    cand = jnp.where(dup, cap, cand)
+    return jax.lax.sort(cand, dimension=1)
+
+
+def _rescore_candidates(
+    p_doc, tf_src, p_flen,
+    starts, lens,              # int32[B, T, NR]
+    wts, fbs, avs,             # f32[B, T, NR]
+    n_docs,                    # f32[B] corpus size (for the IDF)
+    cand,                      # int32[B, C] sorted ascending (cap = empty)
+    *,
+    lr: int, lch: int, C: int,
+):
+    """Phase 2: EXACT BM25F scores + matched-token counts for the
+    candidate set, streaming all postings of every token in lch-sized
+    chunks. The per-token document frequency is counted ON DEVICE during
+    the same stream (postings with tf_src > 0 — exact whenever a token's
+    ranges are doc-disjoint, which also makes exact-mode df over
+    exact_tf correct). Returns (scores f32[B, C], matched f32[B, C])."""
+    B, T, NR = starts.shape
+    assert lr % lch == 0 and lr >= lch
+    n_sub = lr // lch
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+
+    scores = jnp.zeros((B, C), jnp.float32)
+    matched = jnp.zeros((B, C), jnp.float32)
+    for t in range(T):
+        st_t = starts[:, t, :]                                  # (B, NR)
+        ln_t = lens[:, t, :]
+        w_t = wts[:, t, :]
+        fb_t = fbs[:, t, :]
+        av_t = avs[:, t, :]
+
+        def step(carry, j, st_t=st_t, ln_t=ln_t, w_t=w_t, fb_t=fb_t,
+                 av_t=av_t):
+            acc, dfc = carry
+            r = j // n_sub
+            s = j - r * n_sub
+            st_r = jax.lax.dynamic_slice(st_t, (0, r), (B, 1))[:, 0]
+            ln_r = jax.lax.dynamic_slice(ln_t, (0, r), (B, 1))[:, 0]
+            w_r = jax.lax.dynamic_slice(w_t, (0, r), (B, 1))
+            fb_r = jax.lax.dynamic_slice(fb_t, (0, r), (B, 1))
+            av_r = jax.lax.dynamic_slice(av_t, (0, r), (B, 1))
+            st_eff = st_r + s * lch
+            rem = ln_r - s * lch                                # (B,)
+            docs = jax.vmap(
+                lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
+            )(st_eff)
+            tf = jax.vmap(
+                lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
+            )(st_eff)
+            fl = jax.vmap(
+                lambda x: jax.lax.dynamic_slice(p_flen, (x,), (lch,))
+            )(st_eff)
+            validm = iot < rem[:, None]
+            denom = (1.0 - fb_r) + fb_r * fl / jnp.maximum(av_r, 1e-9)
+            ntf = w_r * tf / jnp.maximum(denom, 1e-9)
+            keepm = validm & (tf > 0)
+            ntf = jnp.where(keepm, ntf, 0.0)
+            pos = _lower_bound(cand, docs)                      # (B, lch)
+            posc = jnp.minimum(pos, C - 1)
+            found = (
+                jnp.take_along_axis(cand, posc, axis=1) == docs
+            ) & (pos < C)
+            slots = jnp.where(keepm & found, posc, C)
+            dfc = dfc + jnp.sum(keepm, axis=1).astype(jnp.float32)
+            return (acc + _aggregate_dense(slots, ntf, C), dfc), None
+
+        (acc_t, df_t), _ = jax.lax.scan(
+            step,
+            (jnp.zeros((B, C), jnp.float32), jnp.zeros((B,), jnp.float32)),
+            jnp.arange(NR * n_sub),
+        )
+        present = acc_t > 0.0
+        df_t = jnp.maximum(df_t, 1.0)  # corpus_df = max(1, ...) parity
+        idf_t = jnp.log1p((n_docs - df_t + 0.5) / (df_t + 0.5))
+        sat = idf_t[:, None] * (K1 + 1.0) * acc_t / (K1 + acc_t)
+        scores = scores + jnp.where(present, sat, 0.0)
+        matched = matched + present.astype(jnp.float32)
+    return scores, matched
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lp", "lr", "lch", "cap", "C", "k", "exact", "has_omc"),
+)
+def pruned_fulltext_topk(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    pre_idesc,    # int32[2, B, T, NPR] impact-prefix ranges (lens <= lp)
+    pre_fdesc,    # f32[3, B, T, NPR] weights, field_b, avg_flen
+    full_idesc,   # int32[2, B, T, NR] full ranges
+    full_fdesc,   # f32[3, B, T, NR]
+    idf,          # f32[B, T] host IDF — ONLY ranks phase-1 nominations
+    n_docs,       # f32[B] corpus size (device-exact IDF in the rescore)
+    thr_counts,   # f32[B] min distinct matched tokens
+    omc,          # f32[cap] (dummy (1,) when has_omc=False)
+    *,
+    lp: int, lr: int, lch: int, cap: int, C: int, k: int,
+    exact: bool, has_omc: bool,
+):
+    """Fused pruned full-text search: ONE dispatch, (B, k) results.
+
+    Returns (vals f32[B, k], ids int32[B, k], cand_counts int32[B]) —
+    cand_counts is the number of verified candidates passing threshold,
+    a LOWER bound on the corpus-wide match count.
+    """
+    tf_src = p_exact_tf if exact else p_tf
+    cand = _prefix_candidates(
+        p_doc, tf_src, p_flen,
+        pre_idesc[0], pre_idesc[1],
+        pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+        idf, lp=lp, cap=cap, C=C,
+    )
+    scores, matched = _rescore_candidates(
+        p_doc, tf_src, p_flen,
+        full_idesc[0], full_idesc[1],
+        full_fdesc[0], full_fdesc[1], full_fdesc[2],
+        n_docs, cand, lr=lr, lch=lch, C=C,
+    )
+    keep = (
+        (matched >= thr_counts[:, None]) & (scores > 0.0) & (cand < cap)
+    )
+    if has_omc:
+        omc_c = jnp.take(omc, jnp.clip(cand, 0, omc.shape[0] - 1))
+        s = scores * omc_c
+    else:
+        s = scores
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    s = jnp.where(keep, s, -jnp.inf)
+    vals, ci = jax.lax.top_k(s, k)
+    ids = jnp.take_along_axis(cand, ci, axis=1)
+    return vals, ids, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lp", "lr", "lch", "cap", "C", "k", "exact", "has_omc",
+        "V", "nprobe", "window", "has_rescale", "rescale_lo", "rescale_hi",
+    ),
+)
+def pruned_hybrid_topk_int8(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    pre_idesc, pre_fdesc, full_idesc, full_fdesc,
+    idf, n_docs, thr_counts,
+    mat_i8,       # int8[N, D] packed by cluster
+    scales,       # f32[N]
+    row_doc,      # int32[N] packed row -> doc id
+    unit_cen,     # f32[U, D]
+    unit_starts,  # int32[U]
+    doc2row,      # int32[cap + 1] doc id -> packed row (-1 = no vector)
+    queries,      # f32[B, dim] L2-normalized
+    sim,          # f32[B] similarity threshold
+    omc,          # f32[cap] (dummy (1,) when has_omc=False)
+    *,
+    lp: int, lr: int, lch: int, cap: int, C: int, k: int,
+    exact: bool, has_omc: bool,
+    V: int, nprobe: int, window: int,
+    has_rescale: bool, rescale_lo: float, rescale_hi: float,
+):
+    """Fused pruned hybrid over the int8/IVF vector layout.
+
+    Candidates = fulltext prefix top-C UNION the IVF probe's top-V rows;
+    both sides are then scored EXACTLY on the candidate set (BM25F via
+    the streaming rescore, cosine via an int8 row gather) and fused with
+    the reference's min-max-over-span semantics (token_score.rs:357-422)
+    — the span is the candidate max, which equals the global max
+    whenever each side's argmax is a candidate (it nominated them).
+    """
+    from .vector import ivf_int8_topk
+
+    B = queries.shape[0]
+    tf_src = p_exact_tf if exact else p_tf
+
+    # fulltext candidate nomination
+    ft_cand = _prefix_candidates(
+        p_doc, tf_src, p_flen,
+        pre_idesc[0], pre_idesc[1],
+        pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+        idf, lp=lp, cap=cap, C=C,
+    )
+    # vector candidate nomination (IVF probe)
+    v_vals, v_rows = ivf_int8_topk(
+        queries, mat_i8, scales, unit_cen, unit_starts,
+        k=V, nprobe=nprobe, window=window,
+    )
+    v_docs = jnp.where(
+        (v_rows >= 0) & (v_vals > NEG_INF / 2),
+        jnp.take(row_doc, jnp.clip(v_rows, 0, row_doc.shape[0] - 1)),
+        cap,
+    )
+
+    # union: sort, mask duplicates to cap, sort again (Ct is small)
+    Ct = C + V
+    cand = jnp.concatenate([ft_cand, v_docs], axis=1)
+    cand = jax.lax.sort(cand, dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+    )
+    cand = jnp.where(dup, cap, cand)
+    cand = jax.lax.sort(cand, dimension=1)
+
+    # exact BM25F over the union
+    scores, matched = _rescore_candidates(
+        p_doc, tf_src, p_flen,
+        full_idesc[0], full_idesc[1],
+        full_fdesc[0], full_fdesc[1], full_fdesc[2],
+        n_docs, cand, lr=lr, lch=lch, C=Ct,
+    )
+
+    # exact vector score per candidate: gather the doc's int8 row
+    rows_c = jnp.take(doc2row, jnp.clip(cand, 0, doc2row.shape[0] - 1))
+    safe_rows = jnp.clip(rows_c, 0, mat_i8.shape[0] - 1)
+    tiles = jnp.take(mat_i8, safe_rows, axis=0)             # (B, Ct, D)
+    sc_c = jnp.take(scales, safe_rows)                      # (B, Ct)
+    vec = jnp.einsum(
+        "bcd,bd->bc",
+        tiles.astype(jnp.bfloat16),
+        queries.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * sc_c
+    vec = jnp.where((rows_c >= 0) & (cand < cap), vec, 0.0)
+    # multi-vector docs: a probe hit may come from a better row than the
+    # doc2row representative — fold the probe's own values in (max)
+    pos_v = _lower_bound(cand, v_docs)
+    posc_v = jnp.minimum(pos_v, Ct - 1)
+    hit_v = (
+        jnp.take_along_axis(cand, posc_v, axis=1) == v_docs
+    ) & (v_docs < cap)
+    probe_vals = jnp.where(hit_v, v_vals, 0.0)
+
+    def fold_probe(vec_b, pos_b, val_b):
+        return vec_b.at[pos_b].max(val_b)
+
+    vec = jax.vmap(fold_probe)(vec, posc_v, probe_vals)
+    if has_rescale:
+        vec = jnp.clip(
+            (vec - rescale_lo) / (rescale_hi - rescale_lo), 0.0, 1.0
+        )
+    vec = jnp.where(vec >= sim[:, None], vec, 0.0)
+
+    # reference min-max fusion over the shared span (ops/hybrid.py _fuse)
+    ft_keep = (
+        (scores > 0.0) & (matched >= thr_counts[:, None]) & (cand < cap)
+    )
+    vc_keep = (vec > 0.0) & (cand < cap)
+    ft = jnp.where(ft_keep, scores, 0.0)
+    vc = jnp.where(vc_keep, vec, 0.0)
+    hi = jnp.maximum(jnp.max(ft, axis=1), jnp.max(vc, axis=1))
+    span = jnp.where(hi > 0.0, hi, 1.0)
+    fused = (ft + vc) / span[:, None]
+    if has_omc:
+        omc_c = jnp.take(omc, jnp.clip(cand, 0, omc.shape[0] - 1))
+        fused = fused * omc_c
+    present = ft_keep | vc_keep
+    counts = jnp.sum(present, axis=1).astype(jnp.int32)
+    s = jnp.where(present, fused, -jnp.inf)
+    vals, ci = jax.lax.top_k(s, k)
+    ids = jnp.take_along_axis(cand, ci, axis=1)
+    return vals, ids, counts
+
+
+def estimate_match_count(n_docs: float, dfs) -> int:
+    """Union-probability estimate of the corpus-wide match count for the
+    pruned path (the dense path counts exactly; a pruned search would
+    need a full aggregation). Independence assumption:
+    E[|union|] = N * (1 - prod_t (1 - df_t / N))."""
+    import numpy as np
+
+    n = max(float(n_docs), 1.0)
+    miss = 1.0
+    for df in dfs:
+        miss *= max(0.0, 1.0 - float(df) / n)
+    return int(round(n * (1.0 - miss)))
