@@ -1,18 +1,29 @@
-"""Batched fused hybrid at the 10M tier: BM25F + int8 IVF vector probe +
-fusion + top-k in ONE dispatch (ops/hybrid.py hybrid_search_topk_packed_int8).
+"""Batched fused hybrid + fulltext at the 10M tier: dense (ranged) vs
+PRUNED two-phase kernels (ops/pruned.py).
 
 Extends BASELINE config 4 (10M x 768-d vectors) with a text side: a
 synthetic zipf postings slab over the same 10.49M docs, built ON DEVICE
 (the axon tunnel makes bulk H2D infeasible — same constraint as
-vec10m_bench.py). Measures end-to-end fused hybrid QPS per batch size.
+vec10m_bench.py), then IMPACT-ORDERED per term with one global device
+sort (the engine's _pack_segment layout) so the pruned path's phase-1
+prefixes are meaningful.
 
-Memory budget (v5e, 16 GiB):
-  int8 corpus 10.49M x 768            7.5 GiB
-  postings slab 128M x (doc,tf,flen)  1.5 GiB  (p_exact_tf aliases p_tf)
-  dense (B, cap) score arrays         ~0.7 GiB per array at B=16
-so B<=16 for the BM25-dense fusion tier.
+Modes (--mode):
+  ranged    dense fused hybrid (round-2 kernel; the 43-46 QPS baseline)
+  champion  dense + champion rows (round-2 negative result, kept for
+            the record)
+  pruned    pruned hybrid (candidates + exact rescore) + top-16 overlap
+            vs the ranged kernel on identical queries
+  ft        dense fulltext vs pruned fulltext + overlap
+  all       everything
 
-Usage: python benches/hybrid10m_bench.py [--chunks 20] (2 = smoke run)
+Memory budget (v5e, 16 GiB): int8 corpus 7.5 GiB + slab 1.5 GiB; the
+dense modes add (B, cap) f32 score arrays (~0.7 GiB per array at B=16 —
+their B ceiling); the pruned modes add only (B, C) candidate state so
+they run at B=64-256.
+
+Usage: python benches/hybrid10m_bench.py [--chunks 20] [--mode all]
+(--chunks 2 = smoke run)
 """
 
 from __future__ import annotations
@@ -29,12 +40,19 @@ CH = 524288
 D = 768
 KC_TRUE = 1024
 SIGMA = 0.037
-C = 4096                 # IVF centroids
+C_IVF = 4096             # IVF centroids
 WINDOW = 2048
 LLOYD_ITERS = 4
 SAMPLE = 262144
 V_TERMS = 65536          # vocabulary size
 P_CHUNK = 8 * 1024 * 1024
+
+# pruned-path knobs
+LP = 8192                # impact-prefix length per token
+C_FT = 1024              # fulltext candidate budget (pow2)
+C_HY = 768               # hybrid fulltext candidates (C_HY + V = pow2)
+V_HY = 256               # hybrid vector candidates
+LCH = 16384              # rescore streaming chunk
 
 T0 = time.perf_counter()
 
@@ -48,16 +66,26 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
+    ap.add_argument("--mode", default="all",
+                    choices=["ranged", "champion", "pruned", "ft", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
+    modes = (
+        ["ranged", "champion", "pruned", "ft"]
+        if args.mode == "all" else [args.mode]
+    )
 
     import jax
     import jax.numpy as jnp
 
-    from oramacore_tpu.ops.bm25 import MAX_RANGE_LEN
+    from oramacore_tpu.ops.bm25 import MAX_RANGE_LEN, bm25_search_topk_packed
     from oramacore_tpu.ops.hybrid import hybrid_search_topk_packed_int8
+    from oramacore_tpu.ops.pruned import (
+        pruned_fulltext_topk,
+        pruned_hybrid_topk_int8,
+    )
     from oramacore_tpu.ops.vector import quantize_rows_int8
 
     dev = jax.devices()[0]
@@ -66,113 +94,8 @@ def main():
     root = jax.random.PRNGKey(20260816)
     k_centers, k_chunks, k_query, k_kmeans, k_post = jax.random.split(root, 5)
 
-    centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)
-    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
-
-    @jax.jit
-    def gen_chunk(centers, ci):
-        kc = jax.random.fold_in(k_chunks, ci)
-        ka, kn = jax.random.split(kc)
-        assign = jax.random.randint(ka, (CH,), 0, KC_TRUE)
-        rows = jnp.take(centers, assign, axis=0) + SIGMA * jax.random.normal(
-            kn, (CH, D), jnp.float32
-        )
-        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
-
-    # ---- IVF centroids (k-means on an on-device sample) ------------------
-    ks, kinit = jax.random.split(k_kmeans)
-    s_assign = jax.random.randint(ks, (SAMPLE,), 0, KC_TRUE)
-    sample = jnp.take(centers, s_assign, axis=0) + SIGMA * jax.random.normal(
-        jax.random.fold_in(ks, 1), (SAMPLE, D), jnp.float32
-    )
-    sample = sample / jnp.linalg.norm(sample, axis=1, keepdims=True)
-    cen = sample[jax.random.choice(kinit, SAMPLE, (C,), replace=False)]
-    LB = 16384
-
-    @jax.jit
-    def lloyd(sample, cen):
-        def blk(carry, i):
-            sums, cnt = carry
-            rows = jax.lax.dynamic_slice(sample, (i * LB, 0), (LB, D))
-            a = jnp.argmax(
-                jnp.dot(rows.astype(jnp.bfloat16),
-                        cen.astype(jnp.bfloat16).T,
-                        preferred_element_type=jnp.float32),
-                axis=1,
-            )
-            onehot = jax.nn.one_hot(a, C, dtype=jnp.bfloat16)
-            sums = sums + jnp.dot(
-                onehot.T, rows.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            cnt = cnt + jnp.sum(onehot.astype(jnp.float32), axis=0)
-            return (sums, cnt), None
-
-        init = (jnp.zeros((C, D), jnp.float32), jnp.zeros((C,), jnp.float32))
-        (sums, cnt), _ = jax.lax.scan(blk, init, jnp.arange(SAMPLE // LB))
-        new = jnp.where(cnt[:, None] > 0,
-                        sums / jnp.maximum(cnt[:, None], 1.0), cen)
-        return new / jnp.maximum(
-            jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
-        )
-
-    for _ in range(LLOYD_ITERS):
-        cen = lloyd(sample, cen)
-    cen.block_until_ready()
-    log("k-means done")
-
-    # ---- pass 1: cluster assignments (host bookkeeping) ------------------
-    @jax.jit
-    def assign_chunk(centers, cen, ci):
-        rows = gen_chunk(centers, ci)
-        return jnp.argmax(
-            jnp.dot(rows.astype(jnp.bfloat16), cen.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32),
-            axis=1,
-        ).astype(jnp.int32)
-
-    assignment = np.empty(N, np.int32)
-    for ci in range(NCHUNK):
-        assignment[ci * CH:(ci + 1) * CH] = np.asarray(
-            assign_chunk(centers, cen, ci)
-        )
-    perm = np.argsort(assignment, kind="stable")
-    counts = np.bincount(assignment, minlength=C)
-    starts = np.zeros(C + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    pos = np.empty(N, np.int64)
-    pos[perm] = np.arange(N)
-    unit_starts, unit_cluster = [], []
-    for c in range(C):
-        st = int(starts[c])
-        for j in range(0, max(int(counts[c]), 0), WINDOW):
-            unit_starts.append(st + j)
-            unit_cluster.append(c)
-    unit_starts = np.asarray(unit_starts, np.int32)
-    log(f"layout: {len(unit_starts)} probe units")
-
-    # ---- pass 2: quantize + pack the vector corpus -----------------------
-    @jax.jit
-    def quant_chunk(centers, ci):
-        return quantize_rows_int8(gen_chunk(centers, ci))
-
-    scatter = jax.jit(lambda b, p, r: b.at[p].set(r), donate_argnums=(0,))
-    scatter_s = jax.jit(lambda b, p, v: b.at[p].set(v), donate_argnums=(0,))
-    buf = jnp.zeros((N, D), jnp.int8)
-    scales = jnp.zeros((N,), jnp.float32)
-    for ci in range(NCHUNK):
-        qrows, qs = quant_chunk(centers, ci)
-        p = jnp.asarray(pos[ci * CH:(ci + 1) * CH])
-        buf = scatter(buf, p, qrows)
-        scales = scatter_s(scales, p, qs)
-    buf.block_until_ready()
-    row_doc = jnp.asarray(perm.astype(np.int32))  # packed row -> doc id
-    unit_cen = jnp.take(cen, jnp.asarray(unit_cluster), axis=0)
-    unit_st = jnp.asarray(unit_starts)
-    log("int8 vector corpus resident")
-
-    # ---- synthetic zipf postings slab, generated on device ---------------
-    # term t owns the contiguous posting range [tstart[t], tstart[t]+df[t])
+    # ---- synthetic zipf postings slab, generated + impact-ordered on
+    # device (BEFORE the vector corpus: the sort needs transient HBM) ---
     ranks = np.arange(V_TERMS, dtype=np.float64)
     w = 1.0 / (ranks + 50.0)
     df = np.maximum((w / w.sum() * P).astype(np.int64), 1)
@@ -197,28 +120,175 @@ def main():
         lambda b, v, o: jax.lax.dynamic_update_slice(b, v, (o,)),
         static_argnums=(2,), donate_argnums=(0,),
     )
-    p_doc = jnp.zeros((P + PAD,), jnp.int32)
-    p_tf = jnp.zeros((P + PAD,), jnp.float32)
-    p_flen = jnp.ones((P + PAD,), jnp.float32)
+    raw_doc = jnp.zeros((P,), jnp.int32)
+    raw_tf = jnp.zeros((P,), jnp.float32)
+    raw_fl = jnp.ones((P,), jnp.float32)
     for i in range(P // P_CHUNK):
         d_, t_, f_ = gen_post(k_post, i)
-        p_doc = upd(p_doc, d_, i * P_CHUNK)
-        p_tf = upd(p_tf, t_, i * P_CHUNK)
-        p_flen = upd(p_flen, f_, i * P_CHUNK)
+        raw_doc = upd(raw_doc, d_, i * P_CHUNK)
+        raw_tf = upd(raw_tf, t_, i * P_CHUNK)
+        raw_fl = upd(raw_fl, f_, i * P_CHUNK)
+    raw_doc.block_until_ready()
+    log("raw postings generated")
+
+    # impact order per term = ONE global 2-key sort:
+    # (term asc, impact desc). The impact bits trick: a non-negative
+    # f32's IEEE bit pattern is order-preserving, so 0x7FFFFFFF - bits
+    # sorts descending impact in int32 (engine _pack_segment analog).
+    tstart_dev = jnp.asarray(tstart.astype(np.int32))
+
+    @jax.jit
+    def impact_sort(doc, tf, fl):
+        idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).squeeze(-1)
+        term = (
+            jnp.searchsorted(tstart_dev, idx, side="right").astype(jnp.int32)
+            - 1
+        )
+        impact = tf / jnp.maximum(fl, 1e-9)
+        bits = jax.lax.bitcast_convert_type(impact, jnp.uint32)
+        negimp = (0x7FFFFFFF - bits.astype(jnp.int32))
+        _, _, d2, t2, f2 = jax.lax.sort(
+            (term, negimp, doc, tf, fl), dimension=0, num_keys=2
+        )
+        return d2, t2, f2
+
+    s_doc, s_tf, s_fl = impact_sort(raw_doc, raw_tf, raw_fl)
+    s_doc.block_until_ready()
+    del raw_doc, raw_tf, raw_fl
+    pad_i = jax.jit(
+        lambda a, fill: jnp.concatenate(
+            [a, jnp.full((PAD,), fill, a.dtype)]
+        )
+    )
+    p_doc = pad_i(s_doc, 0)
+    p_tf = pad_i(s_tf, 0.0)
+    p_flen = pad_i(s_fl, 1.0)
     p_doc.block_until_ready()
-    log(f"postings slab resident ({(P + PAD) * 12 / 2**30:.2f} GiB)")
+    del s_doc, s_tf, s_fl
+    log(f"postings slab impact-ordered + resident "
+        f"({(P + PAD) * 12 / 2**30:.2f} GiB)")
+
+    # ---- vector corpus -------------------------------------------------
+    centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)
+    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+    @jax.jit
+    def gen_chunk(centers, ci):
+        kc = jax.random.fold_in(k_chunks, ci)
+        ka, kn = jax.random.split(kc)
+        assign = jax.random.randint(ka, (CH,), 0, KC_TRUE)
+        rows = jnp.take(centers, assign, axis=0) + SIGMA * jax.random.normal(
+            kn, (CH, D), jnp.float32
+        )
+        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+    # IVF centroids (k-means on an on-device sample)
+    ks, kinit = jax.random.split(k_kmeans)
+    s_assign = jax.random.randint(ks, (SAMPLE,), 0, KC_TRUE)
+    sample = jnp.take(centers, s_assign, axis=0) + SIGMA * jax.random.normal(
+        jax.random.fold_in(ks, 1), (SAMPLE, D), jnp.float32
+    )
+    sample = sample / jnp.linalg.norm(sample, axis=1, keepdims=True)
+    cen = sample[jax.random.choice(kinit, SAMPLE, (C_IVF,), replace=False)]
+    LB = 16384
+
+    @jax.jit
+    def lloyd(sample, cen):
+        def blk(carry, i):
+            sums, cnt = carry
+            rows = jax.lax.dynamic_slice(sample, (i * LB, 0), (LB, D))
+            a = jnp.argmax(
+                jnp.dot(rows.astype(jnp.bfloat16),
+                        cen.astype(jnp.bfloat16).T,
+                        preferred_element_type=jnp.float32),
+                axis=1,
+            )
+            onehot = jax.nn.one_hot(a, C_IVF, dtype=jnp.bfloat16)
+            sums = sums + jnp.dot(
+                onehot.T, rows.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            cnt = cnt + jnp.sum(onehot.astype(jnp.float32), axis=0)
+            return (sums, cnt), None
+
+        init = (jnp.zeros((C_IVF, D), jnp.float32),
+                jnp.zeros((C_IVF,), jnp.float32))
+        (sums, cnt), _ = jax.lax.scan(blk, init, jnp.arange(SAMPLE // LB))
+        new = jnp.where(cnt[:, None] > 0,
+                        sums / jnp.maximum(cnt[:, None], 1.0), cen)
+        return new / jnp.maximum(
+            jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
+        )
+
+    for _ in range(LLOYD_ITERS):
+        cen = lloyd(sample, cen)
+    cen.block_until_ready()
+    log("k-means done")
+
+    @jax.jit
+    def assign_chunk(centers, cen, ci):
+        rows = gen_chunk(centers, ci)
+        return jnp.argmax(
+            jnp.dot(rows.astype(jnp.bfloat16), cen.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32),
+            axis=1,
+        ).astype(jnp.int32)
+
+    assignment = np.empty(N, np.int32)
+    for ci in range(NCHUNK):
+        assignment[ci * CH:(ci + 1) * CH] = np.asarray(
+            assign_chunk(centers, cen, ci)
+        )
+    perm = np.argsort(assignment, kind="stable")
+    counts = np.bincount(assignment, minlength=C_IVF)
+    starts = np.zeros(C_IVF + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    pos = np.empty(N, np.int64)
+    pos[perm] = np.arange(N)
+    unit_starts, unit_cluster = [], []
+    for c in range(C_IVF):
+        st = int(starts[c])
+        for j in range(0, max(int(counts[c]), 0), WINDOW):
+            unit_starts.append(st + j)
+            unit_cluster.append(c)
+    unit_starts = np.asarray(unit_starts, np.int32)
+    log(f"layout: {len(unit_starts)} probe units")
+
+    @jax.jit
+    def quant_chunk(centers, ci):
+        return quantize_rows_int8(gen_chunk(centers, ci))
+
+    scatter = jax.jit(lambda b, p, r: b.at[p].set(r), donate_argnums=(0,))
+    scatter_s = jax.jit(lambda b, p, v: b.at[p].set(v), donate_argnums=(0,))
+    buf = jnp.zeros((N, D), jnp.int8)
+    scales = jnp.zeros((N,), jnp.float32)
+    for ci in range(NCHUNK):
+        qrows, qs = quant_chunk(centers, ci)
+        p = jnp.asarray(pos[ci * CH:(ci + 1) * CH])
+        buf = scatter(buf, p, qrows)
+        scales = scatter_s(scales, p, qs)
+    buf.block_until_ready()
+    row_doc = jnp.asarray(perm.astype(np.int32))  # packed row -> doc id
+    doc2row = jnp.asarray(
+        np.concatenate([pos.astype(np.int32), [-1]])
+    )  # doc id -> packed row (sentinel for cap)
+    unit_cen = jnp.take(cen, jnp.asarray(unit_cluster), axis=0)
+    unit_st = jnp.asarray(unit_starts)
+    log("int8 vector corpus resident")
 
     # ---- query plans: 3 mid-frequency zipf terms per query ---------------
     AVG_FLEN = 27.5
 
-    def build_plans(B, T=3, seed=7):
-        # log-uniform ranks in [10, 5000): df from ~90k down to ~350.
-        # seeded per call so the ranged and champion modes score the
-        # SAME queries (a shared rng drew different term sets per mode)
+    def term_sets(B, T=3, seed=7):
+        # log-uniform ranks in [10, 5000): df from ~300k down to ~3.5k.
         rng = np.random.default_rng(seed + B)
-        term_ids = np.exp(
+        return np.exp(
             rng.uniform(np.log(10), np.log(5000), size=(B, T))
         ).astype(np.int64)
+
+    def build_plans(B, T=3, seed=7, term_ids=None):
+        if term_ids is None:
+            term_ids = term_sets(B, T, seed)
         NR = int(max(
             (df[t] + MAX_RANGE_LEN - 1) // MAX_RANGE_LEN
             for t in term_ids.ravel()
@@ -251,164 +321,320 @@ def main():
         lr = int(min(
             round(2 ** np.ceil(np.log2(max(ln.max(), 8)))), MAX_RANGE_LEN
         ))
-        return idesc, fdesc, scalars, lr
+        return idesc, fdesc, scalars, lr, term_ids
+
+    def build_pruned_plans(B, T=3, seed=7, term_ids=None):
+        """pre (prefix) + full descriptors + host idf for the pruned
+        kernels. The prefix of a term is the first LP postings of its
+        impact-ordered span (ONE range per token here)."""
+        idesc, fdesc, scalars, lr, term_ids = build_plans(
+            B, T, seed, term_ids
+        )
+        pre_st = np.zeros((B, T, 1), np.int32)
+        pre_ln = np.zeros((B, T, 1), np.int32)
+        idf = np.zeros((B, T), np.float32)
+        for b in range(B):
+            for t in range(T):
+                tid = term_ids[b, t]
+                pre_st[b, t, 0] = int(tstart[tid])
+                pre_ln[b, t, 0] = min(int(df[tid]), LP)
+                d = max(float(df[tid]), 1.0)
+                idf[b, t] = np.log1p((N - d + 0.5) / (d + 0.5))
+        pre_idesc = np.stack([pre_st, pre_ln])
+        pre_fdesc = np.stack([
+            np.ones((B, T, 1), np.float32),
+            np.full((B, T, 1), 0.75, np.float32),
+            np.full((B, T, 1), AVG_FLEN, np.float32),
+        ])
+        return (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                term_ids)
 
     # queries from the same mixture as the corpus
     ka, kn = jax.random.split(k_query)
-    q_assign = jax.random.randint(ka, (64,), 0, KC_TRUE)
+    NQ = 512
+    q_assign = jax.random.randint(ka, (NQ,), 0, KC_TRUE)
     qvecs = jnp.take(centers, q_assign, axis=0) + SIGMA * jax.random.normal(
-        kn, (64, D), jnp.float32
+        kn, (NQ, D), jnp.float32
     )
     qvecs = qvecs / jnp.linalg.norm(qvecs, axis=1, keepdims=True)
-
-    # ---- champion rows for heavy terms (CHAMPION_MIN analog) -------------
-    # The engine precomputes dense normalized-TF rows for terms with
-    # >= 32,768 postings at commit; a heavy term then costs one
-    # bandwidth-bound row read instead of scattering its postings
-    # (~43M postings/s at cap=10M). Build rows for the heaviest terms.
-    CHAMPION_MIN = 32768
-    # MAX_CHAMPIONS=64 as in the engine: at cap=10.49M each dense row is
-    # 42 MiB, so the champion matrix is bounded at 2.7 GiB HBM
-    n_champ = min(int(np.searchsorted(-df, -CHAMPION_MIN)), 64)
-    champ_terms = list(range(n_champ))
-    AVG = 27.5
-
-    t_ch = time.perf_counter()
-    # flatten every champion term's ranges; ONE jitted scan builds all
-    # rows on device (a host loop would round-trip the multi-GiB rows
-    # buffer through the tunnel on every donation)
-    ch_starts, ch_lens, ch_cids = [], [], []
-    for ci, t_id in enumerate(champ_terms):
-        s0, n_p = int(tstart[t_id]), int(df[t_id])
-        while n_p > 0:
-            take = min(n_p, MAX_RANGE_LEN)
-            ch_starts.append(s0)
-            ch_lens.append(take)
-            ch_cids.append(ci)
-            s0 += take
-            n_p -= take
-
-    @jax.jit
-    def build_champs(p_doc, p_tf, p_flen, starts_a, lens_a, cids_a):
-        def body(buf, x):
-            start, length, ci = x
-            d = jax.lax.dynamic_slice(p_doc, (start,), (MAX_RANGE_LEN,))
-            tf = jax.lax.dynamic_slice(p_tf, (start,), (MAX_RANGE_LEN,))
-            fl = jax.lax.dynamic_slice(p_flen, (start,), (MAX_RANGE_LEN,))
-            valid = (
-                jax.lax.broadcasted_iota(
-                    jnp.int32, (MAX_RANGE_LEN, 1), 0
-                ).squeeze(-1) < length
-            ) & (tf > 0)
-            ntf = jnp.where(
-                valid, tf / jnp.maximum(0.25 + 0.75 * fl / AVG, 1e-9), 0.0
-            )
-            row = jnp.zeros((N + 1,), jnp.float32).at[
-                jnp.where(valid, d, N)
-            ].add(ntf)[:N]
-            return buf.at[ci].add(row), None
-
-        buf, _ = jax.lax.scan(
-            body, jnp.zeros((n_champ, N), jnp.float32),
-            (starts_a, lens_a, cids_a),
-        )
-        return buf
-
-    rows_buf = build_champs(
-        p_doc, p_tf, p_flen,
-        jnp.asarray(ch_starts, jnp.int32),
-        jnp.asarray(ch_lens, jnp.int32),
-        jnp.asarray(ch_cids, jnp.int32),
-    )
-    rows_buf.block_until_ready()
-    log(f"built {n_champ} champion rows from {len(ch_starts)} ranges "
-        f"({n_champ * N * 4 / 2**30:.2f} GiB) in "
-        f"{time.perf_counter() - t_ch:.1f}s")
-
-    def build_plans_champ(B, T=3):
-        """Same queries as build_plans(B) (same seed); champion-eligible
-        terms route to dense rows, the rest keep posting ranges."""
-        idesc, fdesc, scalars, lr = build_plans(B, T)
-        st, ln = idesc[0].copy(), idesc[1].copy()
-        NC = 1
-        ch_idx = np.full((B, T, NC), -1, np.int32)
-        ch_w = np.zeros((B, T, NC), np.float32)
-        # recover term ids from range starts (first range start = tstart)
-        for b in range(B):
-            for t in range(T):
-                tid = int(np.searchsorted(tstart, st[b, t, 0], "right")) - 1
-                if tid < n_champ and ln[b, t, 0] > 0:
-                    ch_idx[b, t, 0] = tid
-                    ch_w[b, t, 0] = 1.0
-                    st[b, t, :] = 0
-                    ln[b, t, :] = 0
-        lr2 = int(min(
-            round(2 ** np.ceil(np.log2(max(ln.max(), 8)))), MAX_RANGE_LEN
-        ))
-        return np.stack([st, ln]), fdesc, scalars, lr2, ch_idx, ch_w
+    qvecs_np = np.asarray(qvecs)
 
     dummy_mask = jnp.zeros((1, 1), bool)
     dummy_omc = jnp.ones((1,), jnp.float32)
     results = []
-    for B in (8, 16):
-        for champs in (False, True):
-            if champs:
-                idesc, fdesc, scalars, lr, ch_idx, ch_w = (
-                    build_plans_champ(B)
-                )
-                n_routed = int((ch_idx >= 0).sum())
-                if n_routed == 0:
-                    continue
-                log(f"B={B} champions: {n_routed}/{B * 3} tokens routed "
-                    "to dense rows")
-            else:
-                idesc, fdesc, scalars, lr = build_plans(B)
-                ch_idx = ch_w = None
-            qb = qvecs[:B]
 
-            def run():
+    def timeit(fn, variants, iters=5):
+        """fn(variant) -> arrays; cycles distinct inputs per iteration
+        (the axon terminal memoizes identical input buffers)."""
+        out = fn(variants[0])
+        jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        t = time.perf_counter()
+        for i in range(iters):
+            out = fn(variants[i % len(variants)])
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        return (time.perf_counter() - t) / iters
+
+    def overlap(ids_a, ids_b, k):
+        return float(np.mean([
+            len(set(ids_a[b, :k].tolist()) & set(ids_b[b, :k].tolist())) / k
+            for b in range(ids_a.shape[0])
+        ]))
+
+    # ---------------- dense hybrid (ranged / champion) ----------------
+    ranged_ids = {}   # B -> ids (ground truth for pruned overlap)
+    if "ranged" in modes or "pruned" in modes:
+        for B in (8, 16):
+            variants = []
+            for s in range(3):
+                idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7 + s)
+                variants.append((
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars), lr, qvecs[:B],
+                ))
+
+            def run(v):
+                idesc, fdesc, scalars, lr, qb = v
                 return hybrid_search_topk_packed_int8(
                     p_doc, p_tf, p_tf, p_flen,
-                    jnp.asarray(idesc), jnp.asarray(fdesc),
-                    jnp.asarray(scalars),
+                    idesc, fdesc, scalars,
                     buf, scales, row_doc, unit_cen, unit_st, qb,
                     dummy_mask, dummy_omc,
-                    rows_buf if champs else None,
-                    jnp.asarray(ch_idx) if champs else None,
-                    jnp.asarray(ch_w) if champs else None,
                     lr=lr, exact=False, cap=N, k=16,
-                    V=256, nprobe=8, window=WINDOW,
+                    V=V_HY, nprobe=8, window=WINDOW,
                     has_mask=False, has_omc=False,
                     has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
-                    has_champ=champs,
                 )
 
-            t_c = time.perf_counter()
             try:
-                vals, ids, cnts = run()
-                vals.block_until_ready()
-            except Exception as e:  # HBM headroom varies with B
-                log(f"B={B} champ={champs}: SKIPPED ({type(e).__name__})")
+                dt = timeit(run, variants)
+            except Exception as e:
+                log(f"hybrid ranged B={B}: SKIPPED ({type(e).__name__}: {e})")
                 continue
-            log(f"B={B} champ={champs}: compiled+first run in "
-                f"{time.perf_counter() - t_c:.1f}s; "
-                f"sample counts {np.asarray(cnts)[:4].tolist()}")
-            iters = 5
-            t = time.perf_counter()
-            for _ in range(iters):
-                vals, ids, cnts = run()
-                vals.block_until_ready()
-            dt = (time.perf_counter() - t) / iters
-            name = "champion" if champs else "ranged"
-            log(f"B={B} {name}: lat={dt * 1000:.1f}ms qps={B / dt:.0f}")
-            results.append((B, name, B / dt, dt * 1000, dt * 1000 / B))
-            sample_v = np.asarray(vals)[0, :3]
-            log(f"  top scores q0: {np.round(sample_v, 4).tolist()}")
+            _, ids, _ = run(variants[0])
+            ranged_ids[B] = np.asarray(ids)
+            log(f"hybrid ranged B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}")
+            results.append((B, "hybrid-ranged", B / dt, dt * 1000))
 
-    print("\n| batch | path | QPS | batch latency (ms) | ms/query |")
-    print("|---|---|---|---|---|")
-    for B, name, qps, lat, msq in results:
-        print(f"| {B} | {name} | {qps:.0f} | {lat:.1f} | {msq:.2f} |")
+    # ---------------- pruned hybrid ----------------
+    if "pruned" in modes:
+        for B in (8, 16, 64, 128):
+            variants = []
+            for s in range(3):
+                (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                 tids) = build_pruned_plans(B, seed=7 + s)
+                variants.append((
+                    jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(idf), lr, qvecs[:B],
+                    jnp.asarray(scalars[2][:B]),
+                ))
+
+            def run_p(v):
+                pre_i, pre_f, full_i, full_f, idf_a, lr, qb, sims = v
+                return pruned_hybrid_topk_int8(
+                    p_doc, p_tf, p_tf, p_flen,
+                    pre_i, pre_f, full_i, full_f,
+                    idf_a,
+                    jnp.full((qb.shape[0],), float(N), jnp.float32),
+                    jnp.zeros((qb.shape[0],), jnp.float32),
+                    buf, scales, row_doc, unit_cen, unit_st, doc2row,
+                    qb, sims, dummy_omc,
+                    lp=LP, lr=lr, lch=min(LCH, lr), cap=N,
+                    C=C_HY, k=16,
+                    exact=False, has_omc=False,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                )
+
+            try:
+                dt = timeit(run_p, variants)
+            except Exception as e:
+                log(f"hybrid pruned B={B}: SKIPPED ({type(e).__name__}: {e})")
+                continue
+            _, idsp, _ = run_p(variants[0])
+            note = ""
+            if B in ranged_ids:
+                ov = overlap(ranged_ids[B], np.asarray(idsp), 16)
+                note = f" overlap@16={ov:.3f}"
+            log(f"hybrid pruned B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}{note}")
+            results.append((B, "hybrid-pruned" + note, B / dt, dt * 1000))
+
+    # ---------------- fulltext dense vs pruned ----------------
+    if "ft" in modes:
+        ft_ids = {}
+        for B in (8,):
+            variants = []
+            for s in range(3):
+                idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7 + s)
+                variants.append((
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars[:2]), lr,
+                ))
+
+            def run_d(v):
+                idesc, fdesc, scalars2, lr = v
+                return bm25_search_topk_packed(
+                    p_doc, p_tf, p_tf, p_flen,
+                    idesc, fdesc, scalars2,
+                    dummy_mask, dummy_omc,
+                    lr=lr, exact=False, cap=N, k=16,
+                    has_mask=False, has_omc=False,
+                )
+
+            try:
+                dt = timeit(run_d, variants)
+                _, ids, _ = run_d(variants[0])
+                ft_ids[B] = np.asarray(ids)
+                log(f"fulltext dense B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}")
+                results.append((B, "ft-dense", B / dt, dt * 1000))
+            except Exception as e:
+                log(f"fulltext dense B={B}: SKIPPED ({type(e).__name__})")
+
+        for B in (8, 64, 256):
+            variants = []
+            for s in range(3):
+                (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                 tids) = build_pruned_plans(B, seed=7 + s)
+                variants.append((
+                    jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(idf), lr,
+                ))
+
+            def run_pf(v):
+                pre_i, pre_f, full_i, full_f, idf_a, lr = v
+                B_ = idf_a.shape[0]
+                return pruned_fulltext_topk(
+                    p_doc, p_tf, p_tf, p_flen,
+                    pre_i, pre_f, full_i, full_f,
+                    idf_a,
+                    jnp.full((B_,), float(N), jnp.float32),
+                    jnp.zeros((B_,), jnp.float32),
+                    dummy_omc,
+                    lp=LP, lr=lr, lch=min(LCH, lr), cap=N,
+                    C=C_FT, k=16, exact=False, has_omc=False,
+                )
+
+            try:
+                dt = timeit(run_pf, variants)
+            except Exception as e:
+                log(f"fulltext pruned B={B}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            _, idsp, _ = run_pf(variants[0])
+            note = ""
+            if B in ft_ids:
+                ov = overlap(ft_ids[B], np.asarray(idsp), 16)
+                note = f" overlap@16={ov:.3f}"
+            log(f"fulltext pruned B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}{note}")
+            results.append((B, "ft-pruned" + note, B / dt, dt * 1000))
+
+    # ---------------- champion mode (round-2 record) ----------------
+    if "champion" in modes:
+        CHAMPION_MIN = 32768
+        n_champ = min(int(np.searchsorted(-df, -CHAMPION_MIN)), 64)
+        champ_terms = list(range(n_champ))
+        t_ch = time.perf_counter()
+        ch_starts, ch_lens, ch_cids = [], [], []
+        for ci, t_id in enumerate(champ_terms):
+            s0, n_p = int(tstart[t_id]), int(df[t_id])
+            while n_p > 0:
+                take = min(n_p, MAX_RANGE_LEN)
+                ch_starts.append(s0)
+                ch_lens.append(take)
+                ch_cids.append(ci)
+                s0 += take
+                n_p -= take
+
+        @jax.jit
+        def build_champs(p_doc, p_tf, p_flen, starts_a, lens_a, cids_a):
+            def body(buf, x):
+                start, length, ci = x
+                d = jax.lax.dynamic_slice(p_doc, (start,), (MAX_RANGE_LEN,))
+                tf = jax.lax.dynamic_slice(p_tf, (start,), (MAX_RANGE_LEN,))
+                fl = jax.lax.dynamic_slice(p_flen, (start,), (MAX_RANGE_LEN,))
+                valid = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (MAX_RANGE_LEN, 1), 0
+                    ).squeeze(-1) < length
+                ) & (tf > 0)
+                ntf = jnp.where(
+                    valid,
+                    tf / jnp.maximum(0.25 + 0.75 * fl / AVG_FLEN, 1e-9),
+                    0.0,
+                )
+                row = jnp.zeros((N + 1,), jnp.float32).at[
+                    jnp.where(valid, d, N)
+                ].add(ntf)[:N]
+                return buf.at[ci].add(row), None
+
+            buf, _ = jax.lax.scan(
+                body, jnp.zeros((n_champ, N), jnp.float32),
+                (starts_a, lens_a, cids_a),
+            )
+            return buf
+
+        try:
+            rows_buf = build_champs(
+                p_doc, p_tf, p_flen,
+                jnp.asarray(ch_starts, jnp.int32),
+                jnp.asarray(ch_lens, jnp.int32),
+                jnp.asarray(ch_cids, jnp.int32),
+            )
+            rows_buf.block_until_ready()
+            log(f"built {n_champ} champion rows in "
+                f"{time.perf_counter() - t_ch:.1f}s")
+            for B in (8,):
+                idesc, fdesc, scalars, lr, term_ids = build_plans(B)
+                st, ln = idesc[0].copy(), idesc[1].copy()
+                ch_idx = np.full((B, 3, 1), -1, np.int32)
+                ch_w = np.zeros((B, 3, 1), np.float32)
+                for b in range(B):
+                    for t in range(3):
+                        tid = int(term_ids[b, t])
+                        if tid < n_champ and ln[b, t, 0] > 0:
+                            ch_idx[b, t, 0] = tid
+                            ch_w[b, t, 0] = 1.0
+                            st[b, t, :] = 0
+                            ln[b, t, :] = 0
+                lr2 = int(min(
+                    round(2 ** np.ceil(np.log2(max(ln.max(), 8)))),
+                    MAX_RANGE_LEN,
+                ))
+                if int((ch_idx >= 0).sum()) == 0:
+                    continue
+
+                def run_c():
+                    return hybrid_search_topk_packed_int8(
+                        p_doc, p_tf, p_tf, p_flen,
+                        jnp.asarray(np.stack([st, ln])), jnp.asarray(fdesc),
+                        jnp.asarray(scalars),
+                        buf, scales, row_doc, unit_cen, unit_st, qvecs[:B],
+                        dummy_mask, dummy_omc,
+                        rows_buf, jnp.asarray(ch_idx), jnp.asarray(ch_w),
+                        lr=lr2, exact=False, cap=N, k=16,
+                        V=V_HY, nprobe=8, window=WINDOW,
+                        has_mask=False, has_omc=False,
+                        has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                        has_champ=True,
+                    )
+
+                dt = timeit(lambda _v: run_c(), [0], iters=3)
+                log(f"hybrid champion B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}")
+                results.append((B, "hybrid-champion", B / dt, dt * 1000))
+            del rows_buf
+        except Exception as e:
+            log(f"champion mode SKIPPED ({type(e).__name__}: {e})")
+
+    print("\n| batch | path | QPS | batch latency (ms) |")
+    print("|---|---|---|---|")
+    for B, name, qps, lat in results:
+        print(f"| {B} | {name} | {qps:.0f} | {lat:.1f} |")
 
 
 if __name__ == "__main__":

@@ -45,8 +45,17 @@ class ReaderSideConfig:
     notifier_url: Optional[str] = None
     # impact-ordered postings prefix cap for fulltext scoring; None = exact.
     # Bounds per-term device work on huge postings lists (max-score-style
-    # pruning) — recommended ~8192 for multi-million-doc corpora.
+    # pruning) — superseded by `pruning` below (which rescores exactly);
+    # kept as an opt-in for filter-heavy workloads.
     impact_cap: Optional[int] = None
+    # pruned two-phase scoring (ops/pruned.py: impact-prefix candidates +
+    # exact candidate rescore — no dense doc-space accumulators):
+    #   "auto" engage on unfiltered searches once the corpus exceeds
+    #          pruned_min_docs; "on" always (tests); "off" never.
+    # Match counts on the pruned path are union-probability ESTIMATES
+    # (the exact count needs a full aggregation).
+    pruning: str = "auto"
+    pruned_min_docs: int = 2_000_000
     # doc-id-sharded search over a device mesh: number of shards
     # (devices) to spread each index over. 0/1 = single-device. Requires
     # that many JAX devices; the fused fulltext path dispatches to the

@@ -312,7 +312,110 @@ class StringSearchTopK(StringSearchExecutor):
         )
 
 
-class HybridSearchTopK(StringSearchTopK):
+class PrunedPlanMixin(StringSearchTopK):
+    """Shared helpers for the pruned (candidate + exact rescore) path:
+    prefix descriptors are derived from the SAME plans as the dense path
+    (commit stores every range impact-ordered, string_index._pack_segment,
+    so each range's first `lp` postings ARE its top-impact prefix)."""
+
+    PRUNED_PREFIX = 8192
+    PRUNED_CANDIDATES = 1024
+
+    @staticmethod
+    def _pruned_host_inputs(pb: "_PlanBatch", thresholds, lp: int):
+        """(pre_idesc, full_idesc, fdesc, idf, thr, dfs) host arrays."""
+        pre_lens = np.minimum(pb.lens, lp)
+        pre_idesc = np.stack([pb.starts, pre_lens])
+        full_idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        # host df for phase-1 nomination IDF only (the rescore counts df
+        # on device); df = sum of range lens per token (exact when a
+        # token's ranges are doc-disjoint — see ops/pruned.py)
+        dfs = pb.lens.astype(np.float64).sum(axis=2)            # (B, T)
+        d = np.maximum(dfs, 1.0)
+        idf = np.where(
+            dfs > 0,
+            np.log1p((pb.nd[:, None] - d + 0.5) / (d + 0.5)),
+            0.0,
+        ).astype(np.float32)
+        Bb = pb.starts.shape[0]
+        thr = np.zeros((Bb,), np.float32)
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                thr[i] = t or 0.0
+        return pre_idesc, full_idesc, fdesc, idf, thr, dfs
+
+    @staticmethod
+    def _pruned_counts(cand_counts, dfs, nd, thresholds, B):
+        """Corpus-wide match counts for the pruned path: the union-
+        probability estimate (ops/pruned.py estimate_match_count),
+        floored by the verified-candidate lower bound. Thresholded
+        queries keep the lower bound (the union estimate ignores the
+        min-matched-tokens constraint)."""
+        from ..ops.pruned import estimate_match_count
+
+        out = np.asarray(cand_counts[:B]).copy()
+        for i in range(B):
+            thr_i = 0.0
+            if thresholds is not None and i < len(thresholds):
+                thr_i = thresholds[i] or 0.0
+            if thr_i <= 0.0:
+                est = estimate_match_count(
+                    float(nd[i]), [d for d in dfs[i] if d > 0]
+                )
+                out[i] = max(int(out[i]), est)
+        return out
+
+    def search_topk_pruned(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        exact: bool = False,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pruned fulltext search: unfiltered, single-device. Callers
+        gate eligibility (ReadSide._pruned_eligible)."""
+        from ..ops.pruned import pruned_fulltext_topk
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap)
+        lp = min(round_up_pow2(self.PRUNED_PREFIX, 8), pb.LRb)
+        pre_idesc, full_idesc, fdesc, idf, thr, dfs = (
+            self._pruned_host_inputs(pb, thresholds, lp)
+        )
+        has_omc = omc is not None
+        if has_omc:
+            omc_arr = self._get_device_omc(omc, omc_key, pb.capb)
+        else:
+            omc_arr = jnp.ones((1,), jnp.float32)
+        C = self.PRUNED_CANDIDATES
+        kb = min(round_up_pow2(k, 8), C)
+        lch = min(16384, pb.LRb)
+        vals, ids, cand_counts = pruned_fulltext_topk(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(pre_idesc), jnp.asarray(fdesc),
+            jnp.asarray(full_idesc), jnp.asarray(fdesc),
+            jnp.asarray(idf), jnp.asarray(pb.nd), jnp.asarray(thr),
+            omc_arr,
+            lp=int(lp), lr=pb.LRb, lch=int(lch), cap=pb.capb, C=C, k=kb,
+            exact=exact, has_omc=has_omc,
+        )
+        counts = self._pruned_counts(
+            cand_counts, dfs, pb.nd, thresholds, pb.B
+        )
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(ids[: pb.B, :k]),
+            counts,
+        )
+
+
+class HybridSearchTopK(PrunedPlanMixin):
     """Fused hybrid: BM25F + vector matmul + min-max fusion + threshold +
     OMC + top-k in ONE device dispatch (VERDICT r1 #7: the 2-3-dispatch
     hybrid path capped out at 17 QPS behind tunnel latency)."""
@@ -462,6 +565,83 @@ class HybridSearchTopK(StringSearchTopK):
             np.asarray(vals[: pb.B, :k]),
             np.asarray(idx[: pb.B, :k]),
             np.asarray(counts[: pb.B]),
+        )
+
+
+    def search_topk_hybrid_int8_pruned(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        vec_int8,                 # VectorIndex.int8_device_rows() tuple
+        doc2row,                  # VectorIndex.int8_doc2row(capb) device
+        queries: np.ndarray,
+        similarities: Sequence[float],
+        exact: bool = False,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+        rescale: Optional[Tuple[float, float]] = None,
+        candidates: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pruned fused hybrid over the int8/IVF layout: fulltext prefix
+        candidates UNION the IVF probe's top-V rows, both sides scored
+        exactly on that set (ops/pruned.py pruned_hybrid_topk_int8) —
+        no dense (B, cap) accumulators, so batches scale past the dense
+        tier's HBM ceiling."""
+        from ..ops.pruned import pruned_hybrid_topk_int8
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap)
+        lp = min(round_up_pow2(self.PRUNED_PREFIX, 8), pb.LRb)
+        pre_idesc, full_idesc, fdesc, idf, thr, dfs = (
+            self._pruned_host_inputs(pb, thresholds, lp)
+        )
+        mat_i8, v_scales, row_doc, unit_cen, unit_starts, window, nprobe = (
+            vec_int8
+        )
+        V = round_up_pow2(
+            min(candidates or HYBRID_INT8_CANDIDATES, int(mat_i8.shape[0])),
+            8,
+        )
+        Ct = round_up_pow2(self.PRUNED_CANDIDATES + V, 8)
+        C = Ct - V
+        has_omc = omc is not None
+        if has_omc:
+            omc_arr = self._get_device_omc(omc, omc_key, pb.capb)
+        else:
+            omc_arr = jnp.ones((1,), jnp.float32)
+        Bb = pb.starts.shape[0]
+        q = np.zeros((Bb, queries.shape[1]), np.float32)
+        q[: len(queries)] = queries
+        sims = np.zeros((Bb,), np.float32)
+        for i, s in enumerate(similarities):
+            sims[i] = s
+        kb = min(round_up_pow2(k, 8), Ct)
+        lch = min(16384, pb.LRb)
+        vals, ids, cand_counts = pruned_hybrid_topk_int8(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(pre_idesc), jnp.asarray(fdesc),
+            jnp.asarray(full_idesc), jnp.asarray(fdesc),
+            jnp.asarray(idf), jnp.asarray(pb.nd), jnp.asarray(thr),
+            mat_i8, v_scales, row_doc, unit_cen, unit_starts, doc2row,
+            jnp.asarray(q), jnp.asarray(sims), omc_arr,
+            lp=int(lp), lr=pb.LRb, lch=int(lch), cap=pb.capb, C=C, k=kb,
+            exact=exact, has_omc=has_omc,
+            V=V, nprobe=nprobe, window=window,
+            has_rescale=rescale is not None,
+            rescale_lo=float(rescale[0]) if rescale else 0.0,
+            rescale_hi=float(rescale[1]) if rescale else 1.0,
+        )
+        counts = self._pruned_counts(
+            cand_counts, dfs, pb.nd, thresholds, pb.B
+        )
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(ids[: pb.B, :k]),
+            counts,
         )
 
 

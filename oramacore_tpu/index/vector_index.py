@@ -286,6 +286,26 @@ class VectorIndex:
             int(self._ivf["window"]), nprobe,
         )
 
+    def int8_doc2row(self, cap: int):
+        """doc id -> packed int8 row (device int32[cap+1], -1 = no
+        vector) for the pruned hybrid's candidate rescore. Multi-vector
+        docs keep ONE representative row (last write wins); rows the IVF
+        probe nominates are folded back exactly in the kernel
+        (ops/pruned.py pruned_hybrid_topk_int8 fold_probe)."""
+        if self._ivf is None:
+            return None
+        key = (self._gen, cap)
+        cached = getattr(self, "_doc2row_dev", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        arr = np.full(cap + 1, -1, np.int32)
+        docs = self._ivf["docs"]
+        sel = docs < cap
+        arr[docs[sel]] = np.arange(len(docs), dtype=np.int32)[sel]
+        dev = jnp.asarray(arr)
+        self._doc2row_dev = (key, dev)
+        return dev
+
     @staticmethod
     def _chunk_for(n: int) -> int:
         if n <= 8192:

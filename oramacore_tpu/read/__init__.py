@@ -735,22 +735,38 @@ class ReadSide:
                 vec_int8 = idx.vector.int8_device_rows()
                 if vec_int8 is None:
                     return None
-                # champion rows bake non-exact tf — skip for exact mode
-                if not mode.exact:
-                    champ_planned = self._plan_fulltext(
-                        idx, mode, params, use_champions=True
+                if self._pruned_eligible(idx, mask, k):
+                    # pruned hybrid: candidate union + exact rescore, no
+                    # dense doc-space accumulators (the 10M-tier path)
+                    from ..ops.bm25 import round_up_pow2
+
+                    capb = round_up_pow2(cap, 128)
+                    out = ex.search_topk_hybrid_int8_pruned(
+                        idx.string, [plan], [idx.document_count()], cap,
+                        k, vec_int8, idx.vector.int8_doc2row(capb), q,
+                        [mode.similarity],
+                        exact=mode.exact,
+                        thresholds=[thr] if thr is not None else None,
+                        omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                        rescale=idx.vector.config.score_rescale,
                     )
-                    if champ_planned is not None:
-                        _, plan = champ_planned
-                out = ex.search_topk_hybrid_int8(
-                    idx.string, [plan], [idx.document_count()], cap, k,
-                    vec_int8, q, [mode.similarity],
-                    exact=mode.exact,
-                    doc_masks=[mask] if mask is not None else None,
-                    thresholds=[thr] if thr is not None else None,
-                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
-                    rescale=idx.vector.config.score_rescale,
-                )
+                else:
+                    # champion rows bake non-exact tf — skip for exact
+                    if not mode.exact:
+                        champ_planned = self._plan_fulltext(
+                            idx, mode, params, use_champions=True
+                        )
+                        if champ_planned is not None:
+                            _, plan = champ_planned
+                    out = ex.search_topk_hybrid_int8(
+                        idx.string, [plan], [idx.document_count()], cap, k,
+                        vec_int8, q, [mode.similarity],
+                        exact=mode.exact,
+                        doc_masks=[mask] if mask is not None else None,
+                        thresholds=[thr] if thr is not None else None,
+                        omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                        rescale=idx.vector.config.score_rescale,
+                    )
         vals, ids, counts = out
         self._last_fused_count = int(counts[0])
         self._last_omc_applied = omc_arr is not None
@@ -759,6 +775,23 @@ class ReadSide:
             for v, d in zip(vals[0], ids[0])
             if v > float("-inf") and v > 0
         }
+
+    def _pruned_eligible(self, idx: ReadIndex, mask, k: int) -> bool:
+        """Pruned two-phase scoring (ops/pruned.py) eligibility: the
+        dense path keeps filtered searches (filtered-df IDF needs the
+        full scan), the sharded mesh (shard-local pruning is ROADMAP),
+        impact_cap opt-ins, and deep pagination beyond the candidate
+        budget."""
+        cfg = self.config.reader_side
+        if cfg.pruning == "off" or mask is not None:
+            return False
+        if self.sharded_mesh is not None or cfg.impact_cap:
+            return False
+        if k > 512:
+            return False
+        if cfg.pruning == "on":
+            return True
+        return idx.cap() >= cfg.pruned_min_docs
 
     def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
                        use_champions: bool = False):
@@ -855,34 +888,42 @@ class ReadSide:
                     d: 0.0 for d in alive if d < len(mask) and mask[d]
                 }
             return {d: 0.0 for d in alive}
-        # champion rows apply only on the single-device fused path (the
-        # dense/sharded/hybrid executors consume ranged plans)
+        cap = idx.cap()
+        k = min(max(2 * (params.limit + params.offset), 16), cap)
+        use_pruned = fused_ok and self._pruned_eligible(idx, mask, k)
+        # champion rows apply only on the single-device fused DENSE path
+        # (the pruned/sharded/hybrid executors consume ranged plans)
         planned = self._plan_fulltext(
             idx, mode, params,
-            use_champions=fused_ok and self.sharded_mesh is None
-            and not mode.exact,
+            use_champions=fused_ok and not use_pruned
+            and self.sharded_mesh is None and not mode.exact,
         )
         if planned is None:
             return {}
         tokens, plan = planned
-        cap = idx.cap()
         ex = self._fused_executor(coll, idx) if fused_ok else coll.executor(
             idx.index_id
         )
         if fused_ok:
-            k = max(2 * (params.limit + params.offset), 16)
-            k = min(k, cap)
             thr = None
             if mode.threshold is not None:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
-            vals, ids, counts = ex.search_topk(
-                idx.string, [plan], [idx.document_count()], cap, k=k,
-                exact=mode.exact,
-                doc_masks=[mask] if mask is not None else None,
-                thresholds=[thr] if thr is not None else None,
-                omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
-            )
+            if use_pruned:
+                vals, ids, counts = ex.search_topk_pruned(
+                    idx.string, [plan], [idx.document_count()], cap, k=k,
+                    exact=mode.exact,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                )
+            else:
+                vals, ids, counts = ex.search_topk(
+                    idx.string, [plan], [idx.document_count()], cap, k=k,
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                )
             self._last_fused_count = int(counts[0])
             self._last_omc_applied = omc_arr is not None
             return {

@@ -1,0 +1,149 @@
+"""Engine-level parity for the pruned two-phase scoring path.
+
+With `reader_side.pruning = "on"` the ReadSide routes eligible fused
+searches through ops/pruned.py (search_exec.PrunedPlanMixin). On small
+corpora the prefix (8192) and candidate budget (1024) cover everything,
+so hits and scores must match the dense path EXACTLY; match counts are
+union-probability estimates on the pruned path (documented in
+config.ReaderSideConfig.pruning) and are only sanity-checked.
+"""
+
+import numpy as np
+import pytest
+
+import oramacore_tpu.index.vector_index as vi
+from oramacore_tpu.types import SearchParams
+
+from .utils import TestContext, ids_of
+
+_SYL = ["ba", "de", "fi", "go", "ku", "lo", "mi", "na", "po", "ra", "su",
+        "ti"]
+VOCAB = ["apple", "banana", "cherry", "fig", "grape", "kiwi", "lemon",
+         "mango"] + [a + b for a in _SYL for b in _SYL]
+
+
+def _docs(n, seed=0):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        words = rng.choice(VOCAB, size=6, replace=False)
+        docs.append({
+            "id": str(i),
+            "t": " ".join(words),
+            "_omc": 1.5 if i % 9 == 0 else 1.0,
+        })
+    return docs
+
+
+def _search_both(ctx, coll, params):
+    """Run the same search with pruning off then on."""
+    ctx.reader.config.reader_side.pruning = "off"
+    dense = coll.search(dict(params))
+    ctx.reader.config.reader_side.pruning = "on"
+    try:
+        pruned = coll.search(dict(params))
+    finally:
+        ctx.reader.config.reader_side.pruning = "off"
+    return dense, pruned
+
+
+def _assert_hits_equal(dense, pruned):
+    assert ids_of(dense) == ids_of(pruned)
+    ds = [h.score for h in dense.hits]
+    ps = [h.score for h in pruned.hits]
+    assert np.allclose(ds, ps, rtol=1e-5, atol=1e-6), (ds, ps)
+
+
+def test_pruned_fulltext_engine_parity():
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(500))
+        ctx.commit_all()
+
+        for params in (
+            {"term": "apple banana", "limit": 10},
+            {"term": "apple kude bade", "limit": 10, "threshold": 0.6},
+            {"term": "apple", "limit": 5, "exact": True},
+            {"term": "cherry grape", "limit": 10,
+             "boost": {"t": 2.0}},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            _assert_hits_equal(dense, pruned)
+            # pruned counts are estimates but never below the hit count
+            assert pruned.count >= len(pruned.hits)
+    finally:
+        ctx.close()
+
+
+def test_pruned_skips_filtered_searches():
+    """Filters fall back to the dense path (filtered-df IDF semantics)
+    — results must match regardless of the pruning flag."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(300)
+        for i, d in enumerate(docs):
+            d["n"] = i % 7
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        params = {
+            "term": "apple banana",
+            "limit": 10,
+            "where": {"n": {"lt": 4}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert dense.count == pruned.count  # same (dense) path
+    finally:
+        ctx.close()
+
+
+def test_pruned_hybrid_int8_engine_parity(monkeypatch):
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(900, seed=3)
+        for s in range(0, 900, 300):
+            idx.insert_documents(docs[s:s + 300])
+        ctx.commit_all()
+        params = {
+            "term": "apple banana",
+            "mode": "hybrid",
+            "limit": 10,
+            "similarity": 0.05,
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        # the IVF probe nominates identical vector candidates on both
+        # paths and the fulltext budget covers the corpus -> identical
+        # rankings; scores may differ only via the fusion span source
+        assert ids_of(dense)[:5] == ids_of(pruned)[:5]
+        ds = [h.score for h in dense.hits]
+        ps = [h.score for h in pruned.hits]
+        assert np.allclose(ds, ps, rtol=1e-3, atol=1e-4), (ds, ps)
+    finally:
+        ctx.close()
+
+
+def test_pruned_pagination_and_match_all():
+    """Deep pagination beyond the candidate budget falls back to dense;
+    empty term (match-all) never routes through pruning."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(200))
+        ctx.commit_all()
+        dense, pruned = _search_both(
+            ctx, coll, {"term": "apple", "limit": 5, "offset": 400}
+        )
+        assert ids_of(dense) == ids_of(pruned)
+        dense, pruned = _search_both(ctx, coll, {"term": "", "limit": 3})
+        assert dense.count == pruned.count == 200
+    finally:
+        ctx.close()
