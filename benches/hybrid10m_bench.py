@@ -47,12 +47,15 @@ SAMPLE = 262144
 V_TERMS = 65536          # vocabulary size
 P_CHUNK = 8 * 1024 * 1024
 
-# pruned-path knobs
-LP = 8192                # impact-prefix length per token
-C_FT = 1024              # fulltext candidate budget (pow2)
-C_HY = 768               # hybrid fulltext candidates (C_HY + V = pow2)
+# pruned-path knobs. The synthetic corpus is iid-uniform tf in {1,2,3} —
+# the known WORST case for impact-prefix nomination (real text tf is
+# zipf) — so the prefix/candidate budgets run wide: LP=32k = the top ~9%
+# of a 373k-df term, C=2k candidates rescored exactly.
+LP = 32768               # impact-prefix length per token
+C_FT = 2048              # fulltext candidate budget
+C_HY = 2048              # hybrid fulltext candidates
 V_HY = 256               # hybrid vector candidates
-LCH = 16384              # rescore streaming chunk
+LCH = 32768              # rescore streaming chunk
 
 T0 = time.perf_counter()
 
@@ -131,42 +134,76 @@ def main():
     raw_doc.block_until_ready()
     log("raw postings generated")
 
-    # impact order per term = ONE global 2-key sort:
-    # (term asc, impact desc). The impact bits trick: a non-negative
-    # f32's IEEE bit pattern is order-preserving, so 0x7FFFFFFF - bits
-    # sorts descending impact in int32 (engine _pack_segment analog).
-    tstart_dev = jnp.asarray(tstart.astype(np.int32))
-
-    @jax.jit
-    def impact_sort(doc, tf, fl):
-        idx = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).squeeze(-1)
-        term = (
-            jnp.searchsorted(tstart_dev, idx, side="right").astype(jnp.int32)
-            - 1
-        )
-        impact = tf / jnp.maximum(fl, 1e-9)
-        bits = jax.lax.bitcast_convert_type(impact, jnp.uint32)
-        negimp = (0x7FFFFFFF - bits.astype(jnp.int32))
-        _, _, d2, t2, f2 = jax.lax.sort(
-            (term, negimp, doc, tf, fl), dimension=0, num_keys=2
-        )
-        return d2, t2, f2
-
-    s_doc, s_tf, s_fl = impact_sort(raw_doc, raw_tf, raw_fl)
-    s_doc.block_until_ready()
-    del raw_doc, raw_tf, raw_fl
+    # pad first so per-term sort windows can overrun into the pad
     pad_i = jax.jit(
         lambda a, fill: jnp.concatenate(
-            [a, jnp.full((PAD,), fill, a.dtype)]
-        )
+            [a, jnp.full((PAD * 4,), fill, a.dtype)]
+        ),
+        static_argnums=(1,), donate_argnums=(0,),
     )
-    p_doc = pad_i(s_doc, 0)
-    p_tf = pad_i(s_tf, 0.0)
-    p_flen = pad_i(s_fl, 1.0)
+    p_doc = pad_i(raw_doc, 0)
+    p_tf = pad_i(raw_tf, 0.0)
+    p_flen = pad_i(raw_fl, 1.0)
     p_doc.block_until_ready()
-    del s_doc, s_tf, s_fl
-    log(f"postings slab impact-ordered + resident "
-        f"({(P + PAD) * 12 / 2**30:.2f} GiB)")
+
+    # IMPACT ORDER per term (engine _pack_segment analog). A single
+    # global 134M-element variadic sort measured MINUTES on TPU (1-D
+    # bitonic is the worst case), so instead: only terms whose range
+    # exceeds the prefix LP need ordering (~2.2k of 65k); sort each
+    # term's padded pow2 window with a 2-key stable sort — key1 is an
+    # is-tail flag so pad-window postings of the NEXT term keep their
+    # original positions — sequentially inside lax.scan (sequential
+    # write-back makes the overlapping tails self-healing).
+    need = np.nonzero(df > LP)[0]
+    # bucket by smallest pow2 window that fits
+    buckets = {}
+    for t in need:
+        L = 16384
+        while L < df[t]:
+            L *= 2
+        buckets.setdefault(L, []).append(int(t))
+    assert all(L <= PAD * 4 for L in buckets), max(buckets)
+
+    t_s = time.perf_counter()
+    for L, terms in sorted(buckets.items()):
+        # sorted ascending-start so sequential tails self-heal
+        terms.sort(key=lambda t: int(tstart[t]))
+
+        @jax.jit
+        def sort_rows(doc, tf, fl, st_a, ln_a, L=L):
+            iot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).squeeze(-1)
+
+            def row(carry, x):
+                doc, tf, fl = carry
+                st, ln = x
+                d = jax.lax.dynamic_slice(doc, (st,), (L,))
+                t = jax.lax.dynamic_slice(tf, (st,), (L,))
+                f = jax.lax.dynamic_slice(fl, (st,), (L,))
+                tail = (iot >= ln).astype(jnp.int32)
+                imp = t / jnp.maximum(f, 1e-9)
+                bits = jax.lax.bitcast_convert_type(imp, jnp.uint32)
+                negimp = 0x7FFFFFFF - bits.astype(jnp.int32)
+                _, _, d2, t2, f2 = jax.lax.sort(
+                    (tail, negimp, d, t, f), dimension=0, num_keys=2,
+                    is_stable=True,
+                )
+                doc = jax.lax.dynamic_update_slice(doc, d2, (st,))
+                tf = jax.lax.dynamic_update_slice(tf, t2, (st,))
+                fl = jax.lax.dynamic_update_slice(fl, f2, (st,))
+                return (doc, tf, fl), None
+
+            (doc, tf, fl), _ = jax.lax.scan(
+                row, (doc, tf, fl), (st_a, ln_a)
+            )
+            return doc, tf, fl
+
+        st_a = jnp.asarray([int(tstart[t]) for t in terms], jnp.int32)
+        ln_a = jnp.asarray([int(df[t]) for t in terms], jnp.int32)
+        p_doc, p_tf, p_flen = sort_rows(p_doc, p_tf, p_flen, st_a, ln_a)
+        p_doc.block_until_ready()
+        log(f"impact-ordered {len(terms)} terms at window {L}")
+    log(f"postings slab impact-ordered in {time.perf_counter() - t_s:.1f}s "
+        f"({(P + PAD * 4) * 12 / 2**30:.2f} GiB resident)")
 
     # ---- vector corpus -------------------------------------------------
     centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)

@@ -645,6 +645,139 @@ class HybridSearchTopK(PrunedPlanMixin):
         )
 
 
+SHARED_LENGTH_CLASSES = (1024, 16384, 131072)
+SHARED_CHUNK_BY_CLASS = {1024: 64, 16384: 16, 131072: 8}
+
+
+def analyze_shared_batch(
+    index: StringIndex,
+    tokens_per_query: Sequence[Sequence[str]],
+    properties: Sequence[str],
+    boost: Dict[str, float],
+    field_params: Optional[Dict[str, Tuple[float, float]]],
+    exact: bool,
+    tolerance: Optional[int],
+    impact_cap: Optional[int],
+    use_champions: bool = True,
+):
+    """Host-side analysis shared by the single-device and mesh batched
+    executors: dedup the batch's tokens, resolve posting ranges, route
+    fully-champion-covered tokens (optional), and partition the rest
+    into range-length classes. Returns
+    (u_ranges, u_champs, token_map_global (B, T), classes, B, T)."""
+    from .string_index import DEFAULT_B
+
+    B = len(tokens_per_query)
+    T = max(1, max(len(t) for t in tokens_per_query))
+    unique: Dict[str, int] = {}
+    u_ranges: List[List[Tuple[int, int, float, float, float]]] = []
+    u_champs: List[Optional[List[Tuple[int, float]]]] = []
+    tol = 0 if exact else tolerance
+    for toks in tokens_per_query:
+        for tok in toks:
+            if tok in unique:
+                continue
+            ranges: List[Tuple[int, int, float, float, float]] = []
+            champ_slots: List[Tuple[int, float]] = []
+            champ_covers: List[frozenset] = []
+            for path in properties:
+                stats = index._stats.get(path)
+                if stats is None or stats.doc_count == 0:
+                    continue
+                fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
+                w = boost.get(path, 1.0) * fw
+                avg = stats.avg_len or 1.0
+                champ_skip = None
+                if use_champions and not exact and not tol:
+                    ci = index._champ_map.get((path, tok))
+                    if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
+                        c_avg, covered = index._champ_meta[ci]
+                        if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
+                            champ_slots.append((ci, w))
+                            champ_skip = covered
+                            champ_covers.append(covered)
+                for (start, length) in index._match_terms(path, tok, tol):
+                    if champ_skip is not None and \
+                            (start, length) in champ_skip:
+                        continue
+                    if impact_cap is not None and length > impact_cap:
+                        length = impact_cap
+                    from ..ops.bm25 import MAX_RANGE_LEN
+
+                    while length > MAX_RANGE_LEN:
+                        ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
+                        start += MAX_RANGE_LEN
+                        length -= MAX_RANGE_LEN
+                    ranges.append((start, length, w, fb, avg))
+            if champ_slots and ranges:
+                # partial coverage: revert champions to their ranges
+                from ..ops.bm25 import MAX_RANGE_LEN
+
+                for covered, (ci, w) in zip(champ_covers, champ_slots):
+                    avg_c = index._champ_meta[ci][0]
+                    for (c_start, c_len) in covered:
+                        start, length = c_start, c_len
+                        if impact_cap is not None and length > impact_cap:
+                            length = impact_cap
+                        while length > MAX_RANGE_LEN:
+                            ranges.append(
+                                (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
+                            )
+                            start += MAX_RANGE_LEN
+                            length -= MAX_RANGE_LEN
+                        ranges.append((start, length, w, DEFAULT_B, avg_c))
+                champ_slots = []
+            unique[tok] = len(u_ranges)
+            u_ranges.append(ranges)
+            u_champs.append(champ_slots or None)
+
+    token_map_global = np.full((B, T), -1, np.int32)
+    for b, toks in enumerate(tokens_per_query):
+        for t, tok in enumerate(toks[:T]):
+            token_map_global[b, t] = unique[tok]
+
+    classes: Dict[int, List[int]] = {c: [] for c in SHARED_LENGTH_CLASSES}
+    for ui, ranges in enumerate(u_ranges):
+        if u_champs[ui] is not None:
+            continue  # champion class handles this token
+        ml = max((l for (_, l, *_rest) in ranges), default=0)
+        for c in SHARED_LENGTH_CLASSES:
+            if ml <= c:
+                classes[c].append(ui)
+                break
+    return u_ranges, u_champs, token_map_global, classes, B, T
+
+
+def pack_shared_class(u_ranges, uids, token_map_global, B, T, cu):
+    """Padded per-class descriptor arrays for the shared kernels:
+    (st, ln, wt, fb, av (Up, NRb), tmap (B, T), lrb)."""
+    Up = max(cu, ((len(uids) + cu - 1) // cu) * cu)
+    NR = max(1, max(len(u_ranges[u]) for u in uids))
+    NRb = round_up_pow2(NR, 1)
+    st = np.zeros((Up, NRb), np.int32)
+    ln = np.zeros((Up, NRb), np.int32)
+    wt = np.zeros((Up, NRb), np.float32)
+    fb = np.full((Up, NRb), 0.75, np.float32)
+    av = np.ones((Up, NRb), np.float32)
+    local_of = {}
+    for li, ui in enumerate(uids):
+        local_of[ui] = li
+        for ri, (s0, l0, w0, b0, a0) in enumerate(u_ranges[ui][:NRb]):
+            st[li, ri] = s0
+            ln[li, ri] = l0
+            wt[li, ri] = w0
+            fb[li, ri] = b0
+            av[li, ri] = a0
+    tmap = np.full((B, T), Up, np.int32)
+    for b in range(B):
+        for t in range(T):
+            g = token_map_global[b, t]
+            if g >= 0 and g in local_of:
+                tmap[b, t] = local_of[g]
+    lrb = round_up_pow2(max(1, int(ln.max())), 8)
+    return st, ln, wt, fb, av, tmap, int(lrb)
+
+
 class SharedBatchExecutor(StringSearchTopK):
     """Term-deduplicated batched scoring: each unique query token is
     scored once into dense per-token rows; a (B, U) assignment matmul
@@ -652,8 +785,8 @@ class SharedBatchExecutor(StringSearchTopK):
     tokens are partitioned into range-length classes so each device call
     has homogeneous static shapes."""
 
-    LENGTH_CLASSES = (1024, 16384, 131072)
-    CHUNK_BY_CLASS = {1024: 64, 16384: 16, 131072: 8}
+    LENGTH_CLASSES = SHARED_LENGTH_CLASSES
+    CHUNK_BY_CLASS = SHARED_CHUNK_BY_CLASS
 
     def search_topk_shared(
         self,
@@ -682,100 +815,24 @@ class SharedBatchExecutor(StringSearchTopK):
         import jax.numpy as jnp
 
         from ..ops.bm25 import (
-            MAX_RANGE_LEN,
             bm25_shared_partial,
             bm25_shared_partial_masked,
             finalize_topk,
             round_up_pow2,
         )
-        from .string_index import DEFAULT_B
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
-
-        B = len(tokens_per_query)
-        T = max(1, max(len(t) for t in tokens_per_query))
         capb = round_up_pow2(cap, 128)
 
-        # ---- unique tokens + their ranges --------------------------------
-        unique: Dict[str, int] = {}
-        u_ranges: List[List[Tuple[int, int, float, float, float]]] = []
         # champion tokens: FULLY covered by precomputed dense rows (any
         # live/uncovered range falls the whole token back to ranged
         # scanning, keeping matched-token counts exact)
-        u_champs: List[Optional[List[Tuple[int, float]]]] = []
-        tol = 0 if exact else tolerance
-        for toks in tokens_per_query:
-            for tok in toks:
-                if tok in unique:
-                    continue
-                ranges: List[Tuple[int, int, float, float, float]] = []
-                champ_slots: List[Tuple[int, float]] = []
-                champ_covers: List[frozenset] = []
-                for path in properties:
-                    stats = index._stats.get(path)
-                    if stats is None or stats.doc_count == 0:
-                        continue
-                    fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
-                    w = boost.get(path, 1.0) * fw
-                    avg = stats.avg_len or 1.0
-                    champ_skip = None
-                    if not exact and not tol:
-                        ci = index._champ_map.get((path, tok))
-                        if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
-                            c_avg, covered = index._champ_meta[ci]
-                            if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
-                                champ_slots.append((ci, w))
-                                champ_skip = covered
-                                champ_covers.append(covered)
-                    for (start, length) in index._match_terms(path, tok, tol):
-                        if champ_skip is not None and \
-                                (start, length) in champ_skip:
-                            continue
-                        if impact_cap is not None and length > impact_cap:
-                            length = impact_cap
-                        while length > MAX_RANGE_LEN:
-                            ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
-                            start += MAX_RANGE_LEN
-                            length -= MAX_RANGE_LEN
-                        ranges.append((start, length, w, fb, avg))
-                if champ_slots and ranges:
-                    # partial coverage: revert champions to their ranges
-                    for covered, (ci, w) in zip(champ_covers, champ_slots):
-                        avg_c = index._champ_meta[ci][0]
-                        for (c_start, c_len) in covered:
-                            start, length = c_start, c_len
-                            if impact_cap is not None and length > impact_cap:
-                                length = impact_cap
-                            while length > MAX_RANGE_LEN:
-                                ranges.append(
-                                    (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
-                                )
-                                start += MAX_RANGE_LEN
-                                length -= MAX_RANGE_LEN
-                            ranges.append(
-                                (start, length, w, DEFAULT_B, avg_c)
-                            )
-                    champ_slots = []
-                unique[tok] = len(u_ranges)
-                u_ranges.append(ranges)
-                u_champs.append(champ_slots or None)
-
-        U = len(u_ranges)
-        token_map_global = np.full((B, T), -1, np.int32)
-        for b, toks in enumerate(tokens_per_query):
-            for t, tok in enumerate(toks[:T]):
-                token_map_global[b, t] = unique[tok]
-
-        # ---- partition unique tokens by max range length -----------------
-        classes: Dict[int, List[int]] = {c: [] for c in self.LENGTH_CLASSES}
-        for ui, ranges in enumerate(u_ranges):
-            if u_champs[ui] is not None:
-                continue  # champion class handles this token
-            ml = max((l for (_, l, *_rest) in ranges), default=0)
-            for c in self.LENGTH_CLASSES:
-                if ml <= c:
-                    classes[c].append(ui)
-                    break
+        u_ranges, u_champs, token_map_global, classes, B, T = (
+            analyze_shared_batch(
+                index, tokens_per_query, properties, boost, field_params,
+                exact, tolerance, impact_cap,
+            )
+        )
 
         has_masks = doc_masks is not None and any(
             m is not None for m in doc_masks
@@ -796,32 +853,8 @@ class SharedBatchExecutor(StringSearchTopK):
             if not uids:
                 continue
             cu = self.CHUNK_BY_CLASS[lr_class]
-            Up = max(cu, ((len(uids) + cu - 1) // cu) * cu)
-            NR = max(1, max(len(u_ranges[u]) for u in uids))
-            NRb = round_up_pow2(NR, 1)
-            st = np.zeros((Up, NRb), np.int32)
-            ln = np.zeros((Up, NRb), np.int32)
-            wt = np.zeros((Up, NRb), np.float32)
-            fb = np.full((Up, NRb), 0.75, np.float32)
-            av = np.ones((Up, NRb), np.float32)
-            local_of = {}
-            for li, ui in enumerate(uids):
-                local_of[ui] = li
-                for ri, (s0, l0, w0, b0, a0) in enumerate(u_ranges[ui][:NRb]):
-                    st[li, ri] = s0
-                    ln[li, ri] = l0
-                    wt[li, ri] = w0
-                    fb[li, ri] = b0
-                    av[li, ri] = a0
-            # per-class token map: slots of other classes -> Up (no match)
-            tmap = np.full((B, T), Up, np.int32)
-            for b in range(B):
-                for t in range(T):
-                    g = token_map_global[b, t]
-                    if g >= 0 and g in local_of:
-                        tmap[b, t] = local_of[g]
-            lrb = round_up_pow2(
-                max(1, max(int(ln.max()), 1)), 8
+            st, ln, wt, fb, av, tmap, lrb = pack_shared_class(
+                u_ranges, uids, token_map_global, B, T, cu
             )
             if has_masks:
                 scores, matched = bm25_shared_partial_masked(

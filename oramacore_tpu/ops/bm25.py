@@ -320,7 +320,7 @@ def bm25_search_topk_packed(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("lr", "cap", "cu", "exact")
+    jax.jit, static_argnames=("lr", "cap", "cu", "exact", "axis_name")
 )
 def bm25_shared_partial(
     p_doc, p_tf, p_exact_tf, p_flen,
@@ -335,6 +335,7 @@ def bm25_shared_partial(
     matched_in,  # f32[B, cap]
     *,
     lr: int, cap: int, cu: int, exact: bool,
+    axis_name=None,  # mesh axis for GLOBAL df under doc-id sharding
 ):
     U, NR = u_starts.shape
     B, T = token_map.shape
@@ -365,7 +366,10 @@ def bm25_shared_partial(
             docs.reshape(cu, NR * LR), ntf.reshape(cu, NR * LR), cap
         )  # (cu, cap)
         present = (acc > 0.0).astype(jnp.float32)
-        df = jnp.maximum(jnp.sum(present, axis=1), 1.0)
+        df = jnp.sum(present, axis=1)
+        if axis_name is not None:
+            df = jax.lax.psum(df, axis_name)  # global df over doc shards
+        df = jnp.maximum(df, 1.0)
         idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
         sat = idf[:, None] * (K1 + 1.0) * acc / (K1 + acc) * present
 
@@ -480,7 +484,7 @@ def finalize_topk(scores, matched, thr_counts, omc, *, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lr", "cap", "cu", "exact")
+    jax.jit, static_argnames=("lr", "cap", "cu", "exact", "axis_name")
 )
 def bm25_shared_partial_masked(
     p_doc, p_tf, p_exact_tf, p_flen,
@@ -491,6 +495,7 @@ def bm25_shared_partial_masked(
     scores_in, matched_in,
     *,
     lr: int, cap: int, cu: int, exact: bool,
+    axis_name=None,  # mesh axis for GLOBAL filtered df under doc sharding
 ):
     """Shared term-dedup scoring WITH per-query filters, still exact:
     per-(query, token) filtered document frequencies come from one extra
@@ -530,6 +535,8 @@ def bm25_shared_partial_masked(
 
         # per-(query, token) filtered df: (cu, cap) @ (cap, B)
         df = jnp.dot(present, mask_f.T, preferred_element_type=jnp.float32)
+        if axis_name is not None:
+            df = jax.lax.psum(df, axis_name)
         df = jnp.maximum(df, 1.0)                        # (cu, B)
         idf = jnp.log1p((n_docs - df + 0.5) / (df + 0.5))
 

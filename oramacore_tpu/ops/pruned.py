@@ -21,12 +21,12 @@ plan that never scatters into the doc space:
   scores ONLY nominate candidates, they never rank the final result.
 
 - PHASE 2 (exact rescore): stream the FULL posting ranges of every query
-  token in chunks; each posting's doc id is mapped to its candidate slot
-  with a vectorized binary search over the sorted candidate list
-  (log2(C) gather steps), then aggregated with the one-hot MXU matmul at
-  cap=C (ops/bm25.py _aggregate_dense one-hot tier). Candidate scores,
-  per-token accumulators, saturation and matched-token counts are all
-  EXACT — HBM-bandwidth-bound streaming replaces the scatter.
+  token in chunks; each chunk sorts by doc id, prefix-sums the
+  contributions, and every candidate's total is a two-gather difference
+  of the prefix sums at its binary-searched lower/upper bounds.
+  Candidate scores, per-token accumulators, saturation and
+  matched-token counts are all EXACT — sort + cumsum + gathers replace
+  the scatter entirely.
 
 Result quality: the final top-k is exact iff every true top-k doc made
 the candidate set; a miss requires a doc to rank below top-C on
@@ -55,7 +55,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .bm25 import K1, _aggregate_dense
+from .bm25 import K1
 
 NEG_INF = -1e30
 
@@ -87,18 +87,22 @@ def _seg_totals_sorted(keys: jax.Array, vals: jax.Array):
 def _lower_bound(sorted_vals: jax.Array, queries: jax.Array) -> jax.Array:
     """Vectorized lower_bound: first index where sorted_vals >= query.
 
-    sorted_vals int32[B, C] ascending (C power of two), queries
-    int32[B, L]. Returns int32[B, L] in [0, C]. log2(C) gather rounds —
-    the scatter-free join of postings onto candidate slots.
+    sorted_vals int32[B, C] ascending (any C), queries int32[B, L].
+    Returns int32[B, L] in [0, C]. log2(C) gather rounds — the
+    scatter-free join of postings onto sorted key tables (uniform binary
+    search with an upper-guard so C need not be a power of two).
     """
     B, C = sorted_vals.shape
-    assert C & (C - 1) == 0, "C must be a power of two"
     pos = jnp.zeros(queries.shape, jnp.int32)
-    step = C >> 1
+    step = 1
+    while step * 2 <= C:
+        step *= 2
     while step >= 1:
         probe = pos + step
-        pv = jnp.take_along_axis(sorted_vals, probe - 1, axis=1)
-        pos = jnp.where(pv < queries, probe, pos)
+        pv = jnp.take_along_axis(
+            sorted_vals, jnp.minimum(probe, C) - 1, axis=1
+        )
+        pos = jnp.where((probe <= C) & (pv < queries), probe, pos)
         step >>= 1
     return pos
 
@@ -188,14 +192,23 @@ def _rescore_candidates(
 ):
     """Phase 2: EXACT BM25F scores + matched-token counts for the
     candidate set, streaming all postings of every token in lch-sized
-    chunks. The per-token document frequency is counted ON DEVICE during
-    the same stream (postings with tf_src > 0 — exact whenever a token's
+    chunks. Per chunk the postings SORT by doc id, prefix-sum, and each
+    candidate's contribution is a two-gather difference of the prefix
+    sums at its lower/upper bounds — no scatter and no one-hot anywhere
+    (the first cut used a (B, L, C) one-hot matvec: MXU M=1 shapes +
+    materialized one-hot made the 10M-tier rescore ~17x slower than the
+    dense kernel it replaced).
+
+    The per-token document frequency is counted ON DEVICE during the
+    same stream (postings with tf_src > 0 — exact whenever a token's
     ranges are doc-disjoint, which also makes exact-mode df over
     exact_tf correct). Returns (scores f32[B, C], matched f32[B, C])."""
     B, T, NR = starts.shape
     assert lr % lch == 0 and lr >= lch
     n_sub = lr // lch
     iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+    sentinel = jnp.int32(2**30)
+    cand_hi = jnp.minimum(cand + 1, sentinel)
 
     scores = jnp.zeros((B, C), jnp.float32)
     matched = jnp.zeros((B, C), jnp.float32)
@@ -232,14 +245,23 @@ def _rescore_candidates(
             ntf = w_r * tf / jnp.maximum(denom, 1e-9)
             keepm = validm & (tf > 0)
             ntf = jnp.where(keepm, ntf, 0.0)
-            pos = _lower_bound(cand, docs)                      # (B, lch)
-            posc = jnp.minimum(pos, C - 1)
-            found = (
-                jnp.take_along_axis(cand, posc, axis=1) == docs
-            ) & (pos < C)
-            slots = jnp.where(keepm & found, posc, C)
+            dkey = jnp.where(keepm, docs, sentinel)
+            dkey, ntf_s = jax.lax.sort(
+                (dkey, ntf), dimension=1, num_keys=1
+            )
+            pref = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.float32),
+                 jnp.cumsum(ntf_s, axis=1)],
+                axis=1,
+            )                                               # (B, lch + 1)
+            lb = _lower_bound(dkey, cand)                   # (B, C)
+            ub = _lower_bound(dkey, cand_hi)
+            contrib = (
+                jnp.take_along_axis(pref, ub, axis=1)
+                - jnp.take_along_axis(pref, lb, axis=1)
+            )
             dfc = dfc + jnp.sum(keepm, axis=1).astype(jnp.float32)
-            return (acc + _aggregate_dense(slots, ntf, C), dfc), None
+            return (acc + contrib, dfc), None
 
         (acc_t, df_t), _ = jax.lax.scan(
             step,
