@@ -97,8 +97,10 @@ def main():
     root = jax.random.PRNGKey(20260816)
     k_centers, k_chunks, k_query, k_kmeans, k_post = jax.random.split(root, 5)
 
-    # ---- synthetic zipf postings slab, generated + impact-ordered on
-    # device (BEFORE the vector corpus: the sort needs transient HBM) ---
+    # ---- synthetic zipf postings slab, DOC-SORTED per term by
+    # construction (engine v3 _pack_segment layout): term t's doc ids
+    # are a stratified uniform sample doc_j = floor((j + u_j) * N / df)
+    # — sorted with zero sort work. tf/flen are iid as before. ---------
     ranks = np.arange(V_TERMS, dtype=np.float64)
     w = 1.0 / (ranks + 50.0)
     df = np.maximum((w / w.sum() * P).astype(np.int64), 1)
@@ -106,104 +108,126 @@ def main():
     tstart = np.zeros(V_TERMS + 1, np.int64)
     np.cumsum(df, out=tstart[1:])
     PAD = MAX_RANGE_LEN
-    gen_post = jax.jit(
-        lambda key, i: (
-            jax.random.randint(
-                jax.random.fold_in(key, i), (P_CHUNK,), 0, N, jnp.int32
-            ),
-            (1.0 + (jax.random.uniform(
-                jax.random.fold_in(key, 10_000 + i), (P_CHUNK,)
-            ) * 3).astype(jnp.int32)).astype(jnp.float32),
-            (5.0 + jax.random.uniform(
-                jax.random.fold_in(key, 20_000 + i), (P_CHUNK,)
-            ) * 45.0).astype(jnp.float32),
+    tstart_dev = jnp.asarray(tstart.astype(np.int32))
+    df_dev = jnp.asarray(df.astype(np.int32))
+
+    def _gen_chunk_sorted(key, i):
+        idx = jnp.arange(P_CHUNK, dtype=jnp.int32) + i * P_CHUNK
+        term = (
+            jnp.searchsorted(tstart_dev, idx, side="right").astype(jnp.int32)
+            - 1
         )
-    )
+        local = idx - jnp.take(tstart_dev, term)
+        dfv = jnp.take(df_dev, term).astype(jnp.float32)
+        u = jax.random.uniform(jax.random.fold_in(key, i), (P_CHUNK,))
+        doc = jnp.minimum(
+            ((local.astype(jnp.float32) + u) * (float(N) / dfv)).astype(
+                jnp.int32
+            ),
+            N - 1,
+        )
+        tf = (1.0 + (jax.random.uniform(
+            jax.random.fold_in(key, 10_000 + i), (P_CHUNK,)
+        ) * 3).astype(jnp.int32)).astype(jnp.float32)
+        fl = (5.0 + jax.random.uniform(
+            jax.random.fold_in(key, 20_000 + i), (P_CHUNK,)
+        ) * 45.0).astype(jnp.float32)
+        return doc, tf, fl
+
+    gen_post = jax.jit(_gen_chunk_sorted)
+
     upd = jax.jit(
         lambda b, v, o: jax.lax.dynamic_update_slice(b, v, (o,)),
         static_argnums=(2,), donate_argnums=(0,),
     )
-    raw_doc = jnp.zeros((P,), jnp.int32)
-    raw_tf = jnp.zeros((P,), jnp.float32)
-    raw_fl = jnp.ones((P,), jnp.float32)
+    p_doc = jnp.zeros((P + PAD,), jnp.int32)
+    p_tf = jnp.zeros((P + PAD,), jnp.float32)
+    p_flen = jnp.ones((P + PAD,), jnp.float32)
     for i in range(P // P_CHUNK):
         d_, t_, f_ = gen_post(k_post, i)
-        raw_doc = upd(raw_doc, d_, i * P_CHUNK)
-        raw_tf = upd(raw_tf, t_, i * P_CHUNK)
-        raw_fl = upd(raw_fl, f_, i * P_CHUNK)
-    raw_doc.block_until_ready()
-    log("raw postings generated")
-
-    # pad first so per-term sort windows can overrun into the pad
-    pad_i = jax.jit(
-        lambda a, fill: jnp.concatenate(
-            [a, jnp.full((PAD * 4,), fill, a.dtype)]
-        ),
-        static_argnums=(1,), donate_argnums=(0,),
-    )
-    p_doc = pad_i(raw_doc, 0)
-    p_tf = pad_i(raw_tf, 0.0)
-    p_flen = pad_i(raw_fl, 1.0)
+        p_doc = upd(p_doc, d_, i * P_CHUNK)
+        p_tf = upd(p_tf, t_, i * P_CHUNK)
+        p_flen = upd(p_flen, f_, i * P_CHUNK)
     p_doc.block_until_ready()
+    log(f"doc-sorted postings slab resident "
+        f"({(P + PAD) * 12 / 2**30:.2f} GiB)")
 
-    # IMPACT ORDER per term (engine _pack_segment analog). A single
-    # global 134M-element variadic sort measured MINUTES on TPU (1-D
-    # bitonic is the worst case), so instead: only terms whose range
-    # exceeds the prefix LP need ordering (~2.2k of 65k); sort each
-    # term's padded pow2 window with a 2-key stable sort — key1 is an
-    # is-tail flag so pad-window postings of the NEXT term keep their
-    # original positions — sequentially inside lax.scan (sequential
-    # write-back makes the overlapping tails self-healing).
-    need = np.nonzero(df > LP)[0]
-    # bucket by smallest pow2 window that fits
-    buckets = {}
-    for t in need:
-        L = 16384
-        while L < df[t]:
-            L *= 2
-        buckets.setdefault(L, []).append(int(t))
-    assert all(L <= PAD * 4 for L in buckets), max(buckets)
+    # ---- impact-prefix side blocks for heavy terms (engine
+    # _build_prefix_blocks analog): top-LP postings by tf/flen per term
+    # with df > LP, appended after the slab. Selection via top_k over a
+    # padded pow2 window per term, scanned per window bucket. ----------
+    heavy = [int(t) for t in np.nonzero(df > LP)[0]]
+    heavy.sort(key=lambda t: int(tstart[t]))
+    pre_ranges = {}
+    pre_off = P + PAD
+    n_heavy = len(heavy)
+    if n_heavy:
+        pre_buf_d = jnp.zeros((n_heavy * LP,), jnp.int32)
+        pre_buf_t = jnp.zeros((n_heavy * LP,), jnp.float32)
+        pre_buf_f = jnp.ones((n_heavy * LP,), jnp.float32)
+        buckets = {}
+        for hi, t in enumerate(heavy):
+            L = LP * 2
+            while L < df[t]:
+                L *= 2
+            buckets.setdefault(L, []).append((hi, t))
+            pre_ranges[t] = (pre_off + hi * LP, LP)
+        t_s = time.perf_counter()
+        for L, pairs in sorted(buckets.items()):
 
-    t_s = time.perf_counter()
-    for L, terms in sorted(buckets.items()):
-        # sorted ascending-start so sequential tails self-heal
-        terms.sort(key=lambda t: int(tstart[t]))
+            @jax.jit
+            def build_blocks(doc, tf, fl, bd, bt, bf, st_a, ln_a, out_a,
+                             L=L):
+                iot = jax.lax.broadcasted_iota(
+                    jnp.int32, (L, 1), 0
+                ).squeeze(-1)
 
-        @jax.jit
-        def sort_rows(doc, tf, fl, st_a, ln_a, L=L):
-            iot = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0).squeeze(-1)
+                def row(carry, x):
+                    bd, bt, bf = carry
+                    st, ln, out = x
+                    d = jax.lax.dynamic_slice(doc, (st,), (L,))
+                    t = jax.lax.dynamic_slice(tf, (st,), (L,))
+                    f = jax.lax.dynamic_slice(fl, (st,), (L,))
+                    imp = jnp.where(
+                        iot < ln, t / jnp.maximum(f, 1e-9), -1.0
+                    )
+                    _, sel = jax.lax.top_k(imp, LP)
+                    bd = jax.lax.dynamic_update_slice(
+                        bd, jnp.take(d, sel), (out,)
+                    )
+                    bt = jax.lax.dynamic_update_slice(
+                        bt, jnp.take(t, sel), (out,)
+                    )
+                    bf = jax.lax.dynamic_update_slice(
+                        bf, jnp.take(f, sel), (out,)
+                    )
+                    return (bd, bt, bf), None
 
-            def row(carry, x):
-                doc, tf, fl = carry
-                st, ln = x
-                d = jax.lax.dynamic_slice(doc, (st,), (L,))
-                t = jax.lax.dynamic_slice(tf, (st,), (L,))
-                f = jax.lax.dynamic_slice(fl, (st,), (L,))
-                tail = (iot >= ln).astype(jnp.int32)
-                imp = t / jnp.maximum(f, 1e-9)
-                bits = jax.lax.bitcast_convert_type(imp, jnp.uint32)
-                negimp = 0x7FFFFFFF - bits.astype(jnp.int32)
-                _, _, d2, t2, f2 = jax.lax.sort(
-                    (tail, negimp, d, t, f), dimension=0, num_keys=2,
-                    is_stable=True,
+                (bd, bt, bf), _ = jax.lax.scan(
+                    row, (bd, bt, bf), (st_a, ln_a, out_a)
                 )
-                doc = jax.lax.dynamic_update_slice(doc, d2, (st,))
-                tf = jax.lax.dynamic_update_slice(tf, t2, (st,))
-                fl = jax.lax.dynamic_update_slice(fl, f2, (st,))
-                return (doc, tf, fl), None
+                return bd, bt, bf
 
-            (doc, tf, fl), _ = jax.lax.scan(
-                row, (doc, tf, fl), (st_a, ln_a)
+            st_a = jnp.asarray(
+                [int(tstart[t]) for _hi, t in pairs], jnp.int32
             )
-            return doc, tf, fl
-
-        st_a = jnp.asarray([int(tstart[t]) for t in terms], jnp.int32)
-        ln_a = jnp.asarray([int(df[t]) for t in terms], jnp.int32)
-        p_doc, p_tf, p_flen = sort_rows(p_doc, p_tf, p_flen, st_a, ln_a)
+            ln_a = jnp.asarray([int(df[t]) for _hi, t in pairs], jnp.int32)
+            out_a = jnp.asarray([hi * LP for hi, _t in pairs], jnp.int32)
+            pre_buf_d, pre_buf_t, pre_buf_f = build_blocks(
+                p_doc, p_tf, p_flen, pre_buf_d, pre_buf_t, pre_buf_f,
+                st_a, ln_a, out_a,
+            )
+        pre_buf_d.block_until_ready()
+        cat = jax.jit(
+            lambda a, b: jnp.concatenate([a, b]), donate_argnums=(0,)
+        )
+        p_doc = cat(p_doc, pre_buf_d)
+        p_tf = cat(p_tf, pre_buf_t)
+        p_flen = cat(p_flen, pre_buf_f)
         p_doc.block_until_ready()
-        log(f"impact-ordered {len(terms)} terms at window {L}")
-    log(f"postings slab impact-ordered in {time.perf_counter() - t_s:.1f}s "
-        f"({(P + PAD * 4) * 12 / 2**30:.2f} GiB resident)")
+        log(f"{n_heavy} impact-prefix blocks built in "
+            f"{time.perf_counter() - t_s:.1f}s "
+            f"({n_heavy * LP * 12 / 2**20:.0f} MiB)")
 
     # ---- vector corpus -------------------------------------------------
     centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)
@@ -361,22 +385,41 @@ def main():
         return idesc, fdesc, scalars, lr, term_ids
 
     def build_pruned_plans(B, T=3, seed=7, term_ids=None):
-        """pre (prefix) + full descriptors + host idf for the pruned
-        kernels. The prefix of a term is the first LP postings of its
-        impact-ordered span (ONE range per token here)."""
+        """pre (impact-block prefixes) + worklist + host idf for the
+        pruned kernels (ops/pruned.py v3 API)."""
         idesc, fdesc, scalars, lr, term_ids = build_plans(
             B, T, seed, term_ids
         )
         pre_st = np.zeros((B, T, 1), np.int32)
         pre_ln = np.zeros((B, T, 1), np.int32)
         idf = np.zeros((B, T), np.float32)
+        wl = []
         for b in range(B):
             for t in range(T):
-                tid = term_ids[b, t]
-                pre_st[b, t, 0] = int(tstart[tid])
-                pre_ln[b, t, 0] = min(int(df[tid]), LP)
+                tid = int(term_ids[b, t])
+                if tid in pre_ranges:
+                    ps, pl = pre_ranges[tid]
+                else:
+                    ps, pl = int(tstart[tid]), int(df[tid])
+                pre_st[b, t, 0] = ps
+                pre_ln[b, t, 0] = pl
                 d = max(float(df[tid]), 1.0)
                 idf[b, t] = np.log1p((N - d + 0.5) / (d + 0.5))
+                s0, n0 = int(tstart[tid]), int(df[tid])
+                off = 0
+                while off < n0:
+                    take = min(n0 - off, LCH)
+                    wl.append((b, t, s0 + off, take))
+                    off += take
+        WCH = 128
+        W = max(WCH, ((len(wl) + WCH - 1) // WCH) * WCH)
+        wl_i = np.zeros((4, W), np.int32)
+        wl_f = np.zeros((3, W), np.float32)
+        wl_f[0, :len(wl)] = 1.0
+        wl_f[1, :] = 0.75
+        wl_f[2, :] = AVG_FLEN
+        for j, (bb, tt, s0, l0) in enumerate(wl):
+            wl_i[:, j] = (bb, tt, s0, l0)
         pre_idesc = np.stack([pre_st, pre_ln])
         pre_fdesc = np.stack([
             np.ones((B, T, 1), np.float32),
@@ -384,7 +427,7 @@ def main():
             np.full((B, T, 1), AVG_FLEN, np.float32),
         ])
         return (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
-                term_ids)
+                wl_i, wl_f, term_ids)
 
     # queries from the same mixture as the corpus
     ka, kn = jax.random.split(k_query)
@@ -459,26 +502,26 @@ def main():
             variants = []
             for s in range(3):
                 (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
-                 tids) = build_pruned_plans(B, seed=7 + s)
+                 wl_i, wl_f, tids) = build_pruned_plans(B, seed=7 + s)
                 variants.append((
                     jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-                    jnp.asarray(idesc), jnp.asarray(fdesc),
-                    jnp.asarray(idf), lr, qvecs[:B],
+                    jnp.asarray(wl_i), jnp.asarray(wl_f),
+                    jnp.asarray(idf), qvecs[:B],
                     jnp.asarray(scalars[2][:B]),
                 ))
 
             def run_p(v):
-                pre_i, pre_f, full_i, full_f, idf_a, lr, qb, sims = v
+                pre_i, pre_f, wli, wlf, idf_a, qb, sims = v
                 return pruned_hybrid_topk_int8(
                     p_doc, p_tf, p_tf, p_flen,
-                    pre_i, pre_f, full_i, full_f,
+                    pre_i, pre_f, wli, wlf,
                     idf_a,
                     jnp.full((qb.shape[0],), float(N), jnp.float32),
                     jnp.zeros((qb.shape[0],), jnp.float32),
                     buf, scales, row_doc, unit_cen, unit_st, doc2row,
                     qb, sims, dummy_omc,
-                    lp=LP, lr=lr, lch=min(LCH, lr), cap=N,
-                    C=C_HY, k=16,
+                    lp=LP, lch=LCH, cap=N,
+                    C=C_HY, k=16, T=idf_a.shape[1],
                     exact=False, has_omc=False,
                     V=V_HY, nprobe=8, window=WINDOW,
                     has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
@@ -534,25 +577,26 @@ def main():
             variants = []
             for s in range(3):
                 (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
-                 tids) = build_pruned_plans(B, seed=7 + s)
+                 wl_i, wl_f, tids) = build_pruned_plans(B, seed=7 + s)
                 variants.append((
                     jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-                    jnp.asarray(idesc), jnp.asarray(fdesc),
-                    jnp.asarray(idf), lr,
+                    jnp.asarray(wl_i), jnp.asarray(wl_f),
+                    jnp.asarray(idf),
                 ))
 
             def run_pf(v):
-                pre_i, pre_f, full_i, full_f, idf_a, lr = v
+                pre_i, pre_f, wli, wlf, idf_a = v
                 B_ = idf_a.shape[0]
                 return pruned_fulltext_topk(
                     p_doc, p_tf, p_tf, p_flen,
-                    pre_i, pre_f, full_i, full_f,
+                    pre_i, pre_f, wli, wlf,
                     idf_a,
                     jnp.full((B_,), float(N), jnp.float32),
                     jnp.zeros((B_,), jnp.float32),
                     dummy_omc,
-                    lp=LP, lr=lr, lch=min(LCH, lr), cap=N,
-                    C=C_FT, k=16, exact=False, has_omc=False,
+                    lp=LP, lch=LCH, cap=N,
+                    C=C_FT, k=16, T=idf_a.shape[1],
+                    exact=False, has_omc=False,
                 )
 
             try:

@@ -633,6 +633,151 @@ item's results — always cover every query with a positive cap.""",
     PROMPTS["advanced_autoquery_budget_planner"].user,
 )
 
+# ---------------------------------------------------------------------------
+# Party-planner action prompts (reference
+# src/prompts/v1/party_planner/actions/ — 7 system+user pairs; the flow
+# itself is dormant in the reference, `planned_answer` at ai/answer.rs:93
+# only emits related queries, but the registry carries every pair).
+# Texts are original; variable slots and output contracts match.
+# ---------------------------------------------------------------------------
+
+_register(
+    "party_planner_optimize_query",
+    """You rewrite raw user inputs into effective web-search queries.
+
+You receive an input (### Input) and a description (### Description)
+telling you what the rewritten query must accomplish. Strip filler
+words, keep the distinguishing terms, add disambiguating keywords only
+when the description calls for them, and never invent constraints the
+input does not contain.
+
+Output contract — reply with EXACTLY this JSON object and nothing else:
+
+{ "query": "<optimized-query>" }""",
+    """### Input
+{input}
+
+### Description
+{description}""",
+)
+
+_register(
+    "party_planner_generate_queries",
+    """You turn one user input into a SMALL set of complementary search
+queries.
+
+You receive an input (### Input) and a description (### Description) of
+the goal. Produce at most THREE queries; produce fewer when one or two
+already cover the intent. Each query must target a distinct angle of
+the input (different keywords, sub-questions, or phrasings) — near-
+duplicates waste a search.
+
+Output contract — reply with EXACTLY this JSON object and nothing else:
+
+{ "queries": ["<optimized-query>", "<optimized-query>"] }""",
+    """### Input
+{input}
+
+### Description
+{description}""",
+)
+
+_register(
+    "party_planner_describe_input_code",
+    """You summarize code in plain language.
+
+You receive code as input (### Input) and a description
+(### Description) of what the summary should focus on. State what the
+code does, its apparent intent, its key constructs, and any visible
+errors. Do NOT propose fixes or solutions at this step — a short,
+neutral description only.
+
+Output contract — reply with EXACTLY this JSON object and nothing else:
+
+{ "description": "<code-description>" }
+
+Example: for the input "What does this error mean? TypeError: 'NoneType'
+object is not subscriptable" a good reply is
+{ "description": "The user hit a Python TypeError from indexing a value
+that is None, likely a missing dictionary entry." }""",
+    """### Input
+{input}
+
+### Description
+{description}""",
+)
+
+_register(
+    "party_planner_create_code",
+    """You write code on demand.
+
+You receive an input (### Input) and a description (### Description)
+with the instructions to follow. Generate code that satisfies the
+description, grounded in the input; keep it minimal, correct, and
+self-contained.
+
+Output contract — reply with EXACTLY this JSON object and nothing else:
+
+{
+    "code": "<example-code>"
+}""",
+    """### Input
+{input}
+
+### Description
+{description}""",
+)
+
+_register(
+    "party_planner_improve_input",
+    """You revise a piece of user text.
+
+You receive the text (### Input) and instructions (### Description)
+describing how it must be improved. Apply exactly the requested
+improvements — do not change meaning, add content, or editorialize
+beyond the description's scope.
+
+Reply in plain text with the improved input only.""",
+    """### Input
+{input}
+
+### Description
+{description}""",
+)
+
+_register(
+    "party_planner_give_reply",
+    """You are a product support agent answering a user's question from
+retrieved documentation.
+
+You receive context (### Context) and a question (### Question).
+
+Hard rules:
+- Ground every statement in the context or the question; never draw on
+  outside knowledge.
+- Include code snippets or quotes only when they can be derived from
+  the context, and always name the language on fenced code blocks.
+- Write valid markdown in short paragraphs; no headers, and do not wrap
+  the reply in quotes.
+- Never mention the words "context" or "question" — just answer.
+- If the context and conversation history cannot support an answer:
+  when the question itself is unclear or incomplete, reply exactly
+  "I'm sorry. Could you clarify your question? I'm not sure I fully
+  understood it."; when the user is troubleshooting something the
+  context doesn't cover, ask targeted follow-up questions that move
+  them toward a solution instead of a flat refusal.""",
+    """### Question
+{question}
+
+### Context
+{context}""",
+)
+
+# the reference reuses ask_followup for both KnownPrompts::Followup and
+# the party-planner action; mirror that with an alias entry
+PROMPTS["party_planner_ask_followup"] = PROMPTS["followup"]
+
+
 # name aliases matching the reference enum spellings (llms.rs:54-92)
 ALIASES = {
     "ANSWER": "answer",

@@ -122,6 +122,10 @@ EMBEDDING_CALCULATION_TIME = REGISTRY.histogram(
 )
 ANSWER_TIME = REGISTRY.histogram("answer_time_seconds", "Answer flow latency")
 HTTP_REQUESTS = REGISTRY.counter("http_requests_total", "HTTP requests")
+BATCH_FALLBACKS = REGISTRY.counter(
+    "search_batch_fallbacks_total",
+    "Batched searches that fell back to per-query execution, by reason",
+)
 RANGE_TRUNCATIONS = REGISTRY.counter(
     "query_range_truncations_total",
     "Query tokens whose matched posting ranges exceeded the per-token cap "

@@ -181,118 +181,120 @@ def _prefix_candidates(
     return jax.lax.sort(cand, dimension=1)
 
 
-def _rescore_candidates(
+def _rescore_worklist(
     p_doc, tf_src, p_flen,
-    starts, lens,              # int32[B, T, NR]
-    wts, fbs, avs,             # f32[B, T, NR]
+    wl_i,                      # int32[4, W]: b, t, start, len (len <= lch)
+    wl_f,                      # f32[3, W]: weight, field_b, avg_flen
     n_docs,                    # f32[B] corpus size (for the IDF)
     cand,                      # int32[B, C] sorted ascending (cap = empty)
     *,
-    lr: int, lch: int, C: int,
+    lch: int, C: int, T: int, wch: int = 128,
 ):
     """Phase 2: EXACT BM25F scores + matched-token counts for the
-    candidate set, streaming all postings of every token in lch-sized
-    chunks. Per chunk the postings SORT by doc id, prefix-sum, and each
-    candidate's contribution is a two-gather difference of the prefix
-    sums at its lower/upper bounds — no scatter and no one-hot anywhere
-    (the first cut used a (B, L, C) one-hot matvec: MXU M=1 shapes +
-    materialized one-hot made the 10M-tier rescore ~17x slower than the
-    dense kernel it replaced).
+    candidate set, streaming a PACKED WORKLIST of (query, token, chunk)
+    entries — work is proportional to the batch's REAL postings, not to
+    a (B, T, NR, LR) padded grid (small-df terms in a batch with one
+    373k-df term previously paid the 131k-slot bucket).
 
-    The per-token document frequency is counted ON DEVICE during the
-    same stream (postings with tf_src > 0 — exact whenever a token's
-    ranges are doc-disjoint, which also makes exact-mode df over
-    exact_tf correct). Returns (scores f32[B, C], matched f32[B, C])."""
-    B, T, NR = starts.shape
-    assert lr % lch == 0 and lr >= lch
-    n_sub = lr // lch
+    Ranges are DOC-SORTED at commit (string_index._pack_segment), so a
+    gathered chunk is already sorted: contributions resolve with a
+    cumsum + two binary-searched prefix-sum gathers per candidate — no
+    device sort, no scatter, no one-hot (a per-chunk lax.sort measured
+    ~30 ms/query at the 10M tier: TPU sorts are the enemy; an earlier
+    (B, L, C) one-hot matvec was worse still).
+
+    Per-entry results reduce onto (B*T) rows with one small one-hot
+    matmul; the per-token document frequency is counted in the same
+    stream (postings with tf_src > 0 — exact whenever a token's ranges
+    are doc-disjoint, which also makes exact-mode df over exact_tf
+    correct). Returns (scores f32[B, C], matched f32[B, C])."""
+    W = wl_i.shape[1]
+    B = cand.shape[0]
+    assert W % wch == 0
+    BT = B * T
     iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
     sentinel = jnp.int32(2**30)
     cand_hi = jnp.minimum(cand + 1, sentinel)
 
-    scores = jnp.zeros((B, C), jnp.float32)
-    matched = jnp.zeros((B, C), jnp.float32)
-    for t in range(T):
-        st_t = starts[:, t, :]                                  # (B, NR)
-        ln_t = lens[:, t, :]
-        w_t = wts[:, t, :]
-        fb_t = fbs[:, t, :]
-        av_t = avs[:, t, :]
-
-        def step(carry, j, st_t=st_t, ln_t=ln_t, w_t=w_t, fb_t=fb_t,
-                 av_t=av_t):
-            acc, dfc = carry
-            r = j // n_sub
-            s = j - r * n_sub
-            st_r = jax.lax.dynamic_slice(st_t, (0, r), (B, 1))[:, 0]
-            ln_r = jax.lax.dynamic_slice(ln_t, (0, r), (B, 1))[:, 0]
-            w_r = jax.lax.dynamic_slice(w_t, (0, r), (B, 1))
-            fb_r = jax.lax.dynamic_slice(fb_t, (0, r), (B, 1))
-            av_r = jax.lax.dynamic_slice(av_t, (0, r), (B, 1))
-            st_eff = st_r + s * lch
-            rem = ln_r - s * lch                                # (B,)
-            docs = jax.vmap(
-                lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
-            )(st_eff)
-            tf = jax.vmap(
-                lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
-            )(st_eff)
-            fl = jax.vmap(
-                lambda x: jax.lax.dynamic_slice(p_flen, (x,), (lch,))
-            )(st_eff)
-            validm = iot < rem[:, None]
-            denom = (1.0 - fb_r) + fb_r * fl / jnp.maximum(av_r, 1e-9)
-            ntf = w_r * tf / jnp.maximum(denom, 1e-9)
-            keepm = validm & (tf > 0)
-            ntf = jnp.where(keepm, ntf, 0.0)
-            dkey = jnp.where(keepm, docs, sentinel)
-            dkey, ntf_s = jax.lax.sort(
-                (dkey, ntf), dimension=1, num_keys=1
-            )
-            pref = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.float32),
-                 jnp.cumsum(ntf_s, axis=1)],
-                axis=1,
-            )                                               # (B, lch + 1)
-            lb = _lower_bound(dkey, cand)                   # (B, C)
-            ub = _lower_bound(dkey, cand_hi)
-            contrib = (
-                jnp.take_along_axis(pref, ub, axis=1)
-                - jnp.take_along_axis(pref, lb, axis=1)
-            )
-            dfc = dfc + jnp.sum(keepm, axis=1).astype(jnp.float32)
-            return (acc + contrib, dfc), None
-
-        (acc_t, df_t), _ = jax.lax.scan(
-            step,
-            (jnp.zeros((B, C), jnp.float32), jnp.zeros((B,), jnp.float32)),
-            jnp.arange(NR * n_sub),
+    def step(carry, j):
+        acc_bt, df_bt = carry
+        bw = jax.lax.dynamic_slice(wl_i[0], (j * wch,), (wch,))
+        tw = jax.lax.dynamic_slice(wl_i[1], (j * wch,), (wch,))
+        st = jax.lax.dynamic_slice(wl_i[2], (j * wch,), (wch,))
+        ln = jax.lax.dynamic_slice(wl_i[3], (j * wch,), (wch,))
+        ww = jax.lax.dynamic_slice(wl_f[0], (j * wch,), (wch,))
+        fbw = jax.lax.dynamic_slice(wl_f[1], (j * wch,), (wch,))
+        avw = jax.lax.dynamic_slice(wl_f[2], (j * wch,), (wch,))
+        docs = jax.vmap(
+            lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
+        )(st)
+        tf = jax.vmap(
+            lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
+        )(st)
+        fl = jax.vmap(
+            lambda x: jax.lax.dynamic_slice(p_flen, (x,), (lch,))
+        )(st)
+        validm = iot < ln[:, None]
+        denom = (1.0 - fbw[:, None]) + fbw[:, None] * fl / jnp.maximum(
+            avw[:, None], 1e-9
         )
-        present = acc_t > 0.0
-        df_t = jnp.maximum(df_t, 1.0)  # corpus_df = max(1, ...) parity
-        idf_t = jnp.log1p((n_docs - df_t + 0.5) / (df_t + 0.5))
-        sat = idf_t[:, None] * (K1 + 1.0) * acc_t / (K1 + acc_t)
-        scores = scores + jnp.where(present, sat, 0.0)
-        matched = matched + present.astype(jnp.float32)
+        ntf = ww[:, None] * tf / jnp.maximum(denom, 1e-9)
+        keepm = validm & (tf > 0)
+        ntf = jnp.where(keepm, ntf, 0.0)
+        dkey = jnp.where(validm, docs, sentinel)  # suffix stays sorted
+        pref = jnp.concatenate(
+            [jnp.zeros((wch, 1), jnp.float32), jnp.cumsum(ntf, axis=1)],
+            axis=1,
+        )                                               # (wch, lch + 1)
+        cw = jnp.take(cand, bw, axis=0)                 # (wch, C)
+        cwhi = jnp.take(cand_hi, bw, axis=0)
+        lb = _lower_bound(dkey, cw)
+        ub = _lower_bound(dkey, cwhi)
+        contrib = (
+            jnp.take_along_axis(pref, ub, axis=1)
+            - jnp.take_along_axis(pref, lb, axis=1)
+        )                                               # (wch, C)
+        g = jax.nn.one_hot(bw * T + tw, BT, dtype=jnp.float32)
+        acc_bt = acc_bt + jnp.einsum(
+            "wc,wg->gc", contrib, g, preferred_element_type=jnp.float32
+        )
+        df_bt = df_bt + jnp.dot(
+            jnp.sum(keepm, axis=1).astype(jnp.float32), g,
+            preferred_element_type=jnp.float32,
+        )
+        return (acc_bt, df_bt), None
+
+    (acc_bt, df_bt), _ = jax.lax.scan(
+        step,
+        (jnp.zeros((BT, C), jnp.float32), jnp.zeros((BT,), jnp.float32)),
+        jnp.arange(W // wch),
+    )
+    acc = acc_bt.reshape(B, T, C)
+    df = jnp.maximum(df_bt.reshape(B, T), 1.0)  # corpus_df = max(1, ...)
+    idf_dev = jnp.log1p((n_docs[:, None] - df + 0.5) / (df + 0.5))
+    present = acc > 0.0
+    sat = idf_dev[:, :, None] * (K1 + 1.0) * acc / (K1 + acc)
+    scores = jnp.sum(jnp.where(present, sat, 0.0), axis=1)
+    matched = jnp.sum(present.astype(jnp.float32), axis=1)
     return scores, matched
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lp", "lr", "lch", "cap", "C", "k", "exact", "has_omc"),
+    static_argnames=("lp", "lch", "cap", "C", "k", "T", "exact", "has_omc"),
 )
 def pruned_fulltext_topk(
     p_doc, p_tf, p_exact_tf, p_flen,
     pre_idesc,    # int32[2, B, T, NPR] impact-prefix ranges (lens <= lp)
     pre_fdesc,    # f32[3, B, T, NPR] weights, field_b, avg_flen
-    full_idesc,   # int32[2, B, T, NR] full ranges
-    full_fdesc,   # f32[3, B, T, NR]
+    wl_i,         # int32[4, W] rescore worklist: b, t, start, len<=lch
+    wl_f,         # f32[3, W] weight, field_b, avg_flen per entry
     idf,          # f32[B, T] host IDF — ONLY ranks phase-1 nominations
     n_docs,       # f32[B] corpus size (device-exact IDF in the rescore)
     thr_counts,   # f32[B] min distinct matched tokens
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
     *,
-    lp: int, lr: int, lch: int, cap: int, C: int, k: int,
+    lp: int, lch: int, cap: int, C: int, k: int, T: int,
     exact: bool, has_omc: bool,
 ):
     """Fused pruned full-text search: ONE dispatch, (B, k) results.
@@ -308,11 +310,9 @@ def pruned_fulltext_topk(
         pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
         idf, lp=lp, cap=cap, C=C,
     )
-    scores, matched = _rescore_candidates(
-        p_doc, tf_src, p_flen,
-        full_idesc[0], full_idesc[1],
-        full_fdesc[0], full_fdesc[1], full_fdesc[2],
-        n_docs, cand, lr=lr, lch=lch, C=C,
+    scores, matched = _rescore_worklist(
+        p_doc, tf_src, p_flen, wl_i, wl_f,
+        n_docs, cand, lch=lch, C=C, T=T,
     )
     keep = (
         (matched >= thr_counts[:, None]) & (scores > 0.0) & (cand < cap)
@@ -332,13 +332,13 @@ def pruned_fulltext_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "lp", "lr", "lch", "cap", "C", "k", "exact", "has_omc",
+        "lp", "lch", "cap", "C", "k", "T", "exact", "has_omc",
         "V", "nprobe", "window", "has_rescale", "rescale_lo", "rescale_hi",
     ),
 )
 def pruned_hybrid_topk_int8(
     p_doc, p_tf, p_exact_tf, p_flen,
-    pre_idesc, pre_fdesc, full_idesc, full_fdesc,
+    pre_idesc, pre_fdesc, wl_i, wl_f,
     idf, n_docs, thr_counts,
     mat_i8,       # int8[N, D] packed by cluster
     scales,       # f32[N]
@@ -350,7 +350,7 @@ def pruned_hybrid_topk_int8(
     sim,          # f32[B] similarity threshold
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
     *,
-    lp: int, lr: int, lch: int, cap: int, C: int, k: int,
+    lp: int, lch: int, cap: int, C: int, k: int, T: int,
     exact: bool, has_omc: bool,
     V: int, nprobe: int, window: int,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
@@ -398,11 +398,9 @@ def pruned_hybrid_topk_int8(
     cand = jax.lax.sort(cand, dimension=1)
 
     # exact BM25F over the union
-    scores, matched = _rescore_candidates(
-        p_doc, tf_src, p_flen,
-        full_idesc[0], full_idesc[1],
-        full_fdesc[0], full_fdesc[1], full_fdesc[2],
-        n_docs, cand, lr=lr, lch=lch, C=Ct,
+    scores, matched = _rescore_worklist(
+        p_doc, tf_src, p_flen, wl_i, wl_f,
+        n_docs, cand, lch=lch, C=Ct, T=T,
     )
 
     # exact vector score per candidate: gather the doc's int8 row

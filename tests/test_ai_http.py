@@ -25,6 +25,7 @@ SCRIPT = [
     ("classify a search query", '{"mode": "fulltext"}'),
     ("suggested queries", '["cheap keyboards", "mice"]'),
     ("title for a conversation", "Keyboard shopping"),
+    ("used as training data", '["keyboard", "cheap keyboard", "kyeboard"]'),
 ]
 
 
@@ -44,6 +45,7 @@ def ai_http_test(fn):
                 ai = AIService(cfg, orama.write_side, orama.read_side)
                 server = ApiServer(cfg, orama.write_side, orama.read_side, ai)
                 tc = TestClient(TestServer(server.app))
+                tc.mock = mock  # tests inspect captured LLM requests
                 await tc.start_server()
                 # seed data
                 coll = orama.write_side.create_collection(MASTER, "c")
@@ -339,3 +341,27 @@ async def test_tools_http(client, rk, wk):
         json={"id": "t2"}, headers=auth(rk),
     )
     assert resp.status == 401
+
+
+@ai_http_test
+async def test_training_sets_generate_samples_documents(client, rk, wk):
+    """`generate` must pass REAL collection documents to the prompt
+    (reference training_sets.rs:75; VERDICT r2: `documents` was always
+    empty, so generated queries could not reflect corpus content)."""
+    resp = await client.post(
+        "/v1/collections/c/training_sets/queries_generator/generate",
+        json={"count": 3},
+        headers=auth(wk),
+    )
+    assert resp.status == 200, await resp.text()
+    body = await resp.json()
+    assert isinstance(body.get("data"), list) and body["data"], body
+    # the LLM request must contain the seeded document's content
+    import json as _json
+
+    gen_reqs = [
+        r for r in client.mock.requests
+        if "training data" in _json.dumps(r.get("messages", []))
+    ]
+    assert gen_reqs, "generator prompt never reached the LLM"
+    assert "mechanical keyboard" in _json.dumps(gen_reqs[-1]["messages"])

@@ -57,8 +57,42 @@ def test_prompts_registry_complete():
         "v1_1_advanced_autoquery_properties_selector",
         "v1_1_advanced_autoquery_query_composer",
         "v1_1_advanced_autoquery_budget_planner",
+        # party-planner action pairs (reference
+        # src/prompts/v1/party_planner/actions/, registered even though
+        # the flow is dormant — registry covers every reference name)
+        "party_planner_ask_followup", "party_planner_create_code",
+        "party_planner_describe_input_code",
+        "party_planner_generate_queries", "party_planner_give_reply",
+        "party_planner_improve_input", "party_planner_optimize_query",
     }
     assert expected <= set(PROMPTS.keys())
+
+
+def test_party_planner_action_contracts():
+    """Slots and output contracts match the reference action prompts."""
+    from oramacore_tpu.ai.prompts import format_prompt
+
+    for name, slots, marker in (
+        ("party_planner_optimize_query", ("input", "description"),
+         '"query"'),
+        ("party_planner_generate_queries", ("input", "description"),
+         '"queries"'),
+        ("party_planner_describe_input_code", ("input", "description"),
+         '"description"'),
+        ("party_planner_create_code", ("input", "description"), '"code"'),
+        ("party_planner_improve_input", ("input", "description"),
+         "plain text"),
+        ("party_planner_give_reply", ("question", "context"), "markdown"),
+    ):
+        p = PROMPTS[name]
+        for s in slots:
+            assert "{" + s + "}" in p.user, (name, s)
+        assert marker in p.system, (name, marker)
+        sys_t, user_t = format_prompt(
+            name, [(s, f"<{s}>") for s in slots]
+        )
+        for s in slots:
+            assert f"<{s}>" in user_t
 
 
 def test_format_prompt_slots():

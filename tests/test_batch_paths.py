@@ -1,0 +1,153 @@
+"""Batched-search coverage (VERDICT r2 weak #9: silent downgrades).
+
+The shared term-dedup batch path now covers exact mode, tolerance,
+phrase_boost and multi-index collections; remaining fallbacks
+(facets/groups/sort, mixed configs) increment the
+search_batch_fallbacks_total metric and log the reason.
+"""
+
+import numpy as np
+import pytest
+
+from oramacore_tpu.metrics import BATCH_FALLBACKS
+from oramacore_tpu.types import SearchParams
+
+from .utils import TestContext
+
+_WORDS = ["orange", "banana", "apple", "grape", "melon", "kiwi", "plum",
+          "pear", "fig", "cherry", "lime", "date"]
+
+
+def _docs(n, seed=3):
+    rng = np.random.default_rng(seed)
+    docs = []
+    for i in range(n):
+        words = rng.choice(_WORDS, size=int(rng.integers(2, 6)),
+                           replace=False).tolist()
+        words += [f"z{i}w{j}" for j in range(4 * i)]
+        docs.append({"id": str(i), "t": " ".join(words), "n": int(i % 5)})
+    return docs
+
+
+def _params(batch):
+    return [SearchParams.from_json(dict(q)) for q in batch]
+
+
+def _assert_matches_sequential(ctx, coll, batch):
+    seq = [
+        ctx.reader.search(
+            coll.collection_id, coll.read_key,
+            SearchParams.from_json(dict(q)),
+        )
+        for q in batch
+    ]
+    got = ctx.reader.search_batch(
+        coll.collection_id, coll.read_key, _params(batch)
+    )
+    for s, g, q in zip(seq, got, batch):
+        assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+        for hs, hg in zip(s.hits, g.hits):
+            assert hg.score == pytest.approx(hs.score, rel=1e-4), q
+        assert s.count == g.count, q
+
+
+def test_batch_exact_mode():
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(80)
+        docs.append({"id": "x1", "t": "running shoes", "n": 0})
+        docs.append({"id": "x2", "t": "runs shoe", "n": 0})
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        _assert_matches_sequential(ctx, coll, [
+            {"term": "running", "exact": True, "limit": 5},
+            {"term": "apple banana", "exact": True, "limit": 5},
+            {"term": "orange", "exact": True, "limit": 5},
+        ])
+    finally:
+        ctx.close()
+
+
+def test_batch_tolerance():
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(60))
+        ctx.commit_all()
+        _assert_matches_sequential(ctx, coll, [
+            {"term": "aple", "tolerance": 1, "limit": 5},
+            {"term": "bananna", "tolerance": 1, "limit": 5},
+            {"term": "oronge kiwi", "tolerance": 1, "limit": 5},
+        ])
+    finally:
+        ctx.close()
+
+
+def test_batch_phrase_boost():
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(60)
+        docs.append({"id": "p1", "t": "orange banana smoothie", "n": 0})
+        docs.append({"id": "p2", "t": "banana then some orange", "n": 0})
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        _assert_matches_sequential(ctx, coll, [
+            {"term": "orange banana", "phrase_boost": 2.5, "limit": 8},
+            {"term": "kiwi plum", "phrase_boost": 2.5, "limit": 8},
+        ])
+    finally:
+        ctx.close()
+
+
+def test_batch_multi_index():
+    """Multi-index collections batch per index and merge by score —
+    previously a silent per-query fallback."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx1 = coll.create_index("one")
+        idx2 = coll.create_index("two")
+        docs = _docs(60, seed=5)
+        idx1.insert_documents(docs[:30])
+        idx2.insert_documents([
+            {**d, "id": "b" + d["id"]} for d in docs[30:]
+        ])
+        ctx.commit_all()
+        before = dict(BATCH_FALLBACKS._values)
+        _assert_matches_sequential(ctx, coll, [
+            {"term": "orange banana", "limit": 8},
+            {"term": "apple", "limit": 8},
+            {"term": "kiwi plum fig", "limit": 8},
+        ])
+        # the multi-index batch must NOT have fallen back
+        assert BATCH_FALLBACKS._values == before
+    finally:
+        ctx.close()
+
+
+def test_batch_fallback_metric():
+    """Unsupported batches (facets) fall back per-query AND count it."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(20))
+        ctx.commit_all()
+        key = (("reason", "facets_groups_sort"),)
+        before = BATCH_FALLBACKS._values.get(key, 0.0)
+        ctx.reader.search_batch(
+            coll.collection_id, coll.read_key,
+            _params([
+                {"term": "orange",
+                 "facets": {"n": {"ranges": [{"from": 0, "to": 3}]}}},
+                {"term": "banana"},
+            ]),
+        )
+        assert BATCH_FALLBACKS._values.get(key, 0.0) == before + 1
+    finally:
+        ctx.close()

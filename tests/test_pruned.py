@@ -1,10 +1,15 @@
 """Parity tests for the pruned (candidate + exact-rescore) BM25F path.
 
 The pruned kernels (ops/pruned.py) must match the dense reference
-kernels (ops/bm25.py, ops/hybrid.py) exactly whenever the candidate
-budget C covers the whole corpus, and with high top-k overlap when it
-does not (the VERDICT r2 done-criterion is >=0.95 overlap at 10M docs;
-benches/hybrid10m_bench.py measures that tier on hardware).
+kernels (ops/bm25.py, ops/hybrid.py) exactly whenever the nomination
+prefixes + candidate budget cover the whole corpus, and with high top-k
+overlap when they do not (the VERDICT r2 done-criterion is >=0.95
+overlap at 10M docs; benches/hybrid10m_bench.py measures that tier on
+hardware).
+
+v3 layout: main ranges are DOC-SORTED (the rescore streams them with
+cumsum + binary-searched prefix-sum gathers — no device sort); phase-1
+nomination reads impact-prefix side blocks.
 """
 
 from __future__ import annotations
@@ -21,10 +26,15 @@ from oramacore_tpu.ops.pruned import (
     pruned_fulltext_topk,
 )
 
+LCH = 4096
+WCH = 128
 
-def build_corpus(n_docs, n_terms, seed=0, zipf=1.1, max_df=None):
-    """Synthetic single-field slab, impact-ordered within each term range
-    (the engine's _pack_segment layout). Returns dict of arrays + meta."""
+
+def build_corpus(n_docs, n_terms, seed=0, zipf=1.1, max_df=None,
+                 prefix_len=1024):
+    """Synthetic single-field slab: DOC-SORTED per-term ranges (the
+    engine's v3 _pack_segment layout) + impact-prefix side blocks for
+    terms longer than prefix_len."""
     rng = np.random.default_rng(seed)
     w = 1.0 / (np.arange(1, n_terms + 1) ** zipf)
     df = np.maximum((w / w.sum() * n_docs * 6).astype(np.int64), 1)
@@ -38,19 +48,39 @@ def build_corpus(n_docs, n_terms, seed=0, zipf=1.1, max_df=None):
     p_flen = np.empty(P, np.float32)
     for t in range(n_terms):
         s, n = int(tstart[t]), int(df[t])
-        docs = rng.choice(n_docs, size=n, replace=False).astype(np.int32)
-        # geometric term frequencies (real text is zipf-ish: mostly 1,
-        # occasionally high) — iid-uniform tf is the known worst case
-        # for impact-prefix nomination and is covered by the exactness
-        # tests (full prefix coverage) instead
+        docs = np.sort(
+            rng.choice(n_docs, size=n, replace=False).astype(np.int32)
+        )
+        # geometric term frequencies (real text is zipf-ish)
         tf = np.minimum(rng.geometric(0.55, size=n), 12).astype(np.float32)
         etf = np.minimum(tf, rng.integers(0, 3, size=n)).astype(np.float32)
         fl = rng.uniform(5.0, 60.0, size=n).astype(np.float32)
-        order = np.argsort(-(tf / fl), kind="stable")  # impact order
-        p_doc[s:s + n] = docs[order]
-        p_tf[s:s + n] = tf[order]
-        p_etf[s:s + n] = etf[order]
-        p_flen[s:s + n] = fl[order]
+        p_doc[s:s + n] = docs
+        p_tf[s:s + n] = tf
+        p_etf[s:s + n] = etf
+        p_flen[s:s + n] = fl
+    # impact-prefix side blocks appended after the CSR region
+    pre = {}
+    pd, pt, pe, pf = [], [], [], []
+    off = P
+    for t in range(n_terms):
+        s, n = int(tstart[t]), int(df[t])
+        if n > prefix_len:
+            imp = p_tf[s:s + n] / np.maximum(p_flen[s:s + n], 1e-9)
+            sel = np.argpartition(-imp, prefix_len)[:prefix_len] + s
+            pd.append(p_doc[sel])
+            pt.append(p_tf[sel])
+            pe.append(p_etf[sel])
+            pf.append(p_flen[sel])
+            pre[t] = (off, prefix_len)
+            off += prefix_len
+        else:
+            pre[t] = (s, n)
+    if pd:
+        p_doc = np.concatenate([p_doc] + pd)
+        p_tf = np.concatenate([p_tf] + pt)
+        p_etf = np.concatenate([p_etf] + pe)
+        p_flen = np.concatenate([p_flen] + pf)
     pad = np.zeros(MAX_RANGE_LEN, np.float32)
     return {
         "p_doc": np.concatenate([p_doc, pad.astype(np.int32)]),
@@ -59,13 +89,15 @@ def build_corpus(n_docs, n_terms, seed=0, zipf=1.1, max_df=None):
         "p_flen": np.concatenate([p_flen, np.ones_like(pad)]),
         "df": df,
         "tstart": tstart,
+        "pre": pre,
         "n_docs": n_docs,
     }
 
 
 def build_plans(corpus, queries_terms, avg_flen=30.0, b=0.75):
-    """(pre/full idesc+fdesc, idf) for a batch of term-id queries."""
-    df, tstart = corpus["df"], corpus["tstart"]
+    """(full idesc+fdesc, pre idesc+fdesc, idf, worklist) for a batch of
+    term-id queries. Mirrors PrunedPlanMixin._pruned_host_inputs."""
+    df, tstart, pre = corpus["df"], corpus["tstart"], corpus["pre"]
     B = len(queries_terms)
     T = max(len(q) for q in queries_terms)
     NR = 1
@@ -74,24 +106,43 @@ def build_plans(corpus, queries_terms, avg_flen=30.0, b=0.75):
     w = np.zeros((B, T, NR), np.float32)
     fb = np.full((B, T, NR), b, np.float32)
     av = np.full((B, T, NR), avg_flen, np.float32)
+    pre_st = np.zeros((B, T, 1), np.int32)
+    pre_ln = np.zeros((B, T, 1), np.int32)
     idf = np.zeros((B, T), np.float32)
     n = float(corpus["n_docs"])
+    wl = []
     for bi, terms in enumerate(queries_terms):
         for ti, t in enumerate(terms):
-            st[bi, ti, 0] = int(tstart[t])
-            ln[bi, ti, 0] = int(df[t])
+            s0, n0 = int(tstart[t]), int(df[t])
+            st[bi, ti, 0] = s0
+            ln[bi, ti, 0] = n0
             w[bi, ti, 0] = 1.0
-            d = max(float(df[t]), 1.0)
+            ps, pl = pre[int(t)]
+            pre_st[bi, ti, 0] = ps
+            pre_ln[bi, ti, 0] = pl
+            d = max(float(n0), 1.0)
             idf[bi, ti] = np.log1p((n - d + 0.5) / (d + 0.5))
+            off = 0
+            while off < n0:
+                take = min(n0 - off, LCH)
+                wl.append((bi, ti, s0 + off, take, 1.0, b, avg_flen))
+                off += take
+    W = max(WCH, ((len(wl) + WCH - 1) // WCH) * WCH)
+    wl_i = np.zeros((4, W), np.int32)
+    wl_f = np.zeros((3, W), np.float32)
+    wl_f[2, :] = 1.0
+    for j, (bb, tt, s0, l0, w0, b0, a0) in enumerate(wl):
+        wl_i[:, j] = (bb, tt, s0, l0)
+        wl_f[:, j] = (w0, b0, a0)
     full_idesc = np.stack([st, ln])
     full_fdesc = np.stack([w, fb, av])
-    return full_idesc, full_fdesc, idf
-
-
-def prefix_of(full_idesc, full_fdesc, lp):
-    st, ln = full_idesc[0], full_idesc[1]
-    pre_idesc = np.stack([st, np.minimum(ln, lp)])
-    return pre_idesc, full_fdesc.copy()
+    pre_idesc = np.stack([pre_st, pre_ln])
+    pre_fdesc = np.stack([
+        np.ones((B, T, 1), np.float32),
+        np.full((B, T, 1), b, np.float32),
+        np.full((B, T, 1), avg_flen, np.float32),
+    ])
+    return full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, wl_i, wl_f
 
 
 def dense_reference(corpus, full_idesc, full_fdesc, thr, omc, k, exact=False):
@@ -124,13 +175,9 @@ def dense_reference(corpus, full_idesc, full_fdesc, thr, omc, k, exact=False):
     return np.asarray(vals), np.asarray(ids), np.asarray(counts)
 
 
-def run_pruned(corpus, full_idesc, full_fdesc, idf, thr, omc, k, C,
-               lp=64, exact=False):
-    pre_idesc, pre_fdesc = prefix_of(full_idesc, full_fdesc, lp)
-    lr = 8
-    while lr < int(full_idesc[1].max()):
-        lr *= 2
-    lch = min(lr, 2048)
+def run_pruned(corpus, plans, thr, omc, k, C, lp=1024, exact=False):
+    full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, wl_i, wl_f = plans
+    B, T = idf.shape
     cap = corpus["n_docs"]
     has_omc = omc is not None
     omc_arr = (
@@ -138,16 +185,19 @@ def run_pruned(corpus, full_idesc, full_fdesc, idf, thr, omc, k, C,
     )
     if has_omc:
         omc_arr[: len(omc)] = omc
+    lp_b = 8
+    while lp_b < max(int(pre_idesc[1].max()), 8):
+        lp_b *= 2
     vals, ids, counts = pruned_fulltext_topk(
         jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
         jnp.asarray(corpus["p_etf"]), jnp.asarray(corpus["p_flen"]),
         jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-        jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
+        jnp.asarray(wl_i), jnp.asarray(wl_f),
         jnp.asarray(idf),
-        jnp.full((full_idesc.shape[1],), float(cap), jnp.float32),
+        jnp.full((B,), float(cap), jnp.float32),
         jnp.asarray(np.asarray(thr, np.float32)),
         jnp.asarray(omc_arr),
-        lp=lp, lr=lr, lch=lch, cap=cap, C=C, k=k,
+        lp=lp_b, lch=LCH, cap=cap, C=C, k=k, T=T,
         exact=exact, has_omc=has_omc,
     )
     return np.asarray(vals), np.asarray(ids), np.asarray(counts)
@@ -172,48 +222,46 @@ def assert_topk_equal(vd, idd, vp, idp, tol=2e-5):
 
 
 def test_pruned_exact_when_candidates_cover_corpus():
-    corpus = build_corpus(n_docs=1500, n_terms=64, seed=1)
+    # prefix_len > every df -> prefixes span whole ranges; C spans the
+    # corpus -> pruned must equal dense EXACTLY
+    corpus = build_corpus(n_docs=1500, n_terms=64, seed=1, prefix_len=10**9)
     queries = [[0, 3, 10], [1, 2], [5, 20, 40], [7]]
-    full_idesc, full_fdesc, idf = build_plans(corpus, queries)
+    plans = build_plans(corpus, queries)
     thr = [0.0, 2.0, 0.0, 0.0]
     omc = np.ones(1500, np.float32)
     omc[::7] = 1.5
-    vd, idd, cd = dense_reference(corpus, full_idesc, full_fdesc, thr, omc, 10)
-    # exactness requires full coverage: prefixes span whole ranges
-    # (lp >= max df) AND the candidate budget spans the corpus
-    vp, idp, cp = run_pruned(
-        corpus, full_idesc, full_fdesc, idf, thr, omc, 10, C=2048, lp=2048
-    )
+    vd, idd, cd = dense_reference(corpus, plans[0], plans[1], thr, omc, 10)
+    vp, idp, cp = run_pruned(corpus, plans, thr, omc, 10, C=2048)
     assert_topk_equal(vd, idd, vp, idp)
     # C covers the corpus -> candidate counts equal the exact counts
     assert np.array_equal(cd, cp)
 
 
 def test_pruned_exact_mode_and_no_omc():
-    corpus = build_corpus(n_docs=800, n_terms=32, seed=3)
+    corpus = build_corpus(n_docs=800, n_terms=32, seed=3, prefix_len=10**9)
     queries = [[0, 1], [4, 9]]
-    full_idesc, full_fdesc, idf = build_plans(corpus, queries)
+    plans = build_plans(corpus, queries)
     vd, idd, _ = dense_reference(
-        corpus, full_idesc, full_fdesc, [0.0, 0.0], None, 8, exact=True
+        corpus, plans[0], plans[1], [0.0, 0.0], None, 8, exact=True
     )
     vp, idp, _ = run_pruned(
-        corpus, full_idesc, full_fdesc, idf, [0.0, 0.0], None, 8,
-        C=1024, lp=1024, exact=True,
+        corpus, plans, [0.0, 0.0], None, 8, C=1024, exact=True
     )
     assert_topk_equal(vd, idd, vp, idp)
 
 
 def test_pruned_overlap_at_scale():
-    """C < corpus: top-10 overlap vs dense must be >= 0.95 on zipf data."""
-    corpus = build_corpus(n_docs=30000, n_terms=48, seed=7, max_df=12000)
+    """Impact-prefix blocks + C < corpus: top-10 overlap vs dense must
+    be >= 0.95 on zipf data."""
+    corpus = build_corpus(
+        n_docs=30000, n_terms=48, seed=7, max_df=12000, prefix_len=2048
+    )
     rng = np.random.default_rng(11)
     queries = [list(rng.choice(24, size=3, replace=False)) for _ in range(16)]
-    full_idesc, full_fdesc, idf = build_plans(corpus, queries)
+    plans = build_plans(corpus, queries)
     thr = [0.0] * len(queries)
-    vd, idd, _ = dense_reference(corpus, full_idesc, full_fdesc, thr, None, 10)
-    vp, idp, _ = run_pruned(
-        corpus, full_idesc, full_fdesc, idf, thr, None, 10, C=1024, lp=2048
-    )
+    vd, idd, _ = dense_reference(corpus, plans[0], plans[1], thr, None, 10)
+    vp, idp, _ = run_pruned(corpus, plans, thr, None, 10, C=1024)
     overlaps = [
         len(set(idd[b].tolist()) & set(idp[b].tolist())) / 10.0
         for b in range(len(queries))
@@ -258,7 +306,6 @@ def build_ivf(n_docs, D=16, n_clusters=8, window=64, seed=5):
         "doc2row": doc2row,
         "window": window,
         "n_units": len(unit_starts),
-        "rows_f32": rows,
     }
 
 
@@ -268,12 +315,15 @@ def test_pruned_hybrid_parity():
     from oramacore_tpu.ops.pruned import pruned_hybrid_topk_int8
 
     n_docs = 700
-    corpus = build_corpus(n_docs=n_docs, n_terms=24, seed=9)
+    corpus = build_corpus(n_docs=n_docs, n_terms=24, seed=9,
+                          prefix_len=10**9)
     ivf = build_ivf(n_docs)
     rng = np.random.default_rng(13)
     B = 4
     queries = [[0, 2, 5], [1, 3], [4, 8], [0, 7]]
-    full_idesc, full_fdesc, idf = build_plans(corpus, queries)
+    (full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, wl_i, wl_f) = (
+        build_plans(corpus, queries)
+    )
     qvecs = rng.normal(size=(B, 16)).astype(np.float32)
     qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
     sims = np.full((B,), 0.1, np.float32)
@@ -305,12 +355,11 @@ def test_pruned_hybrid_parity():
         has_mask=False, has_omc=False,
         has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
     )
-    pre_idesc, pre_fdesc = prefix_of(full_idesc, full_fdesc, 1024)
     vp, idp, _ = pruned_hybrid_topk_int8(
         jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
         jnp.asarray(corpus["p_etf"]), jnp.asarray(corpus["p_flen"]),
         jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-        jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
+        jnp.asarray(wl_i), jnp.asarray(wl_f),
         jnp.asarray(idf),
         jnp.full((B,), float(n_docs), jnp.float32),
         jnp.asarray(thr),
@@ -319,7 +368,7 @@ def test_pruned_hybrid_parity():
         jnp.asarray(ivf["unit_starts"]), jnp.asarray(ivf["doc2row"]),
         jnp.asarray(qvecs), jnp.asarray(sims),
         jnp.ones((1,), jnp.float32),
-        lp=1024, lr=lr, lch=min(lr, 2048), cap=n_docs, C=1024, k=10,
+        lp=4096, lch=LCH, cap=n_docs, C=1024, k=10, T=idf.shape[1],
         exact=False, has_omc=False,
         V=1024, nprobe=ivf["n_units"], window=ivf["window"],
         has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,

@@ -560,3 +560,52 @@ def test_multi_segment_champion_rows(monkeypatch):
     exp = host_bm25_reference(idx, flatten_tokens("heavy"), ["t"], {}, 12)
     for d in range(12):
         assert got_plain[d] == pytest.approx(exp.get(d, 0.0), abs=1e-4)
+
+
+def test_fuzzy_term_matrix_memory_bounded():
+    """VERDICT r2 weak #10: one long outlier term must not balloon the
+    fuzzy-match matrices (previously '<U1' padded EVERY term to the
+    longest). Buckets bound padding at the bucket width."""
+    from oramacore_tpu.index.string_index import StringIndex
+
+    idx = StringIndex(index_bigrams=False)
+    words = [f"word{i:05d}" for i in range(5000)]
+    outlier = "x" * 500
+    parsed = [(w, []) for w in words] + [(outlier, [])]
+    idx.index_text(1, "t", parsed)
+    idx.commit()
+    buckets = idx._term_matrix("t")
+    total_cells = sum(mat.size for _t, mat, _l in buckets)
+    # bounded: ~4 bytes/char, not vocab x outlier-length
+    assert total_cells < 5001 * 16 + 600, total_cells
+    naive_cells = 5001 * 500
+    assert total_cells < naive_cells / 20
+    # the outlier is still fuzzy-matchable in its own bucket
+    hits = idx._fuzzy_match("t", "x" * 499, 1)
+    assert any(t == outlier for _d, t in hits)
+    # and normal terms match with tolerance across buckets
+    hits = idx._fuzzy_match("t", "word0000", 1)
+    assert hits and hits[0][1].startswith("word0000")
+
+
+def test_incremental_slab_committed_cache():
+    """Slab rebuilds between commits are O(live): the committed portion
+    (arrays + ranges + champions) is cached on segment identity."""
+    from oramacore_tpu.index.string_index import StringIndex
+
+    idx = StringIndex(index_bigrams=False)
+    for d in range(50):
+        idx.index_text(d, "t", [(f"w{d % 7}", [])])
+    idx.commit()
+    idx.slab()
+    comm1 = idx._slab_committed
+    # live-only additions must NOT rebuild the committed portion
+    idx.index_text(100, "t", [("fresh", [])])
+    idx.slab()
+    assert idx._slab_committed is comm1
+    assert ("t", "fresh") in idx._slab_live_ranges
+    # a commit appends a segment -> committed portion rebuilds
+    idx.commit()
+    idx.slab()
+    assert idx._slab_committed is not comm1
+    assert ("t", "fresh") in idx._slab_ranges
