@@ -147,3 +147,61 @@ def test_pruned_pagination_and_match_all():
         assert dense.count == pruned.count == 200
     finally:
         ctx.close()
+
+
+def test_pruned_with_engaged_prefix_blocks():
+    """A term with df > PREFIX_LEN (8192) gets an impact-prefix side
+    block at commit; the pruned path must nominate from the block and
+    still agree with the dense path on the top page."""
+    import oramacore_tpu.index.string_index as si
+
+    ctx = TestContext()
+    try:
+        # keep everything in ONE segment (the per-collection operation
+        # threshold would otherwise auto-commit at 10k ops and split the
+        # heavy term across segments — each below PREFIX_LEN, correctly
+        # covered WHOLE by the nomination pool instead of via a block)
+        ctx.config.reader_side.operation_threshold = 10**9
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(17)
+        n = 11000
+        batch = []
+        for i in range(n):
+            words = ["common"]  # df 11000 > PREFIX_LEN
+            if i % 3 == 0:
+                words.append("secondary")
+            # i-dependent field length de-ties scores (tie groups order
+            # arbitrarily between the dense and candidate top-k)
+            words += [f"u{i}x{j}" for j in range(i % 23)]
+            batch.append({"id": str(i), "t": " ".join(words)})
+            if len(batch) == 2000:
+                idx.insert_documents(batch)
+                batch = []
+        if batch:
+            idx.insert_documents(batch)
+        ctx.commit_all()
+        ridx = next(iter(
+            ctx.reader.collections[coll.collection_id].indexes.values()
+        ))
+        # the side block exists for the heavy term
+        sidx = ridx.string
+        sidx.slab()
+        assert any(
+            term == "common" for (_p, term) in sidx._slab_prefix_ranges
+        ), "prefix block missing for heavy term"
+        for params in (
+            {"term": "common secondary", "limit": 10},
+            {"term": "common", "limit": 10},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            ds = [h.score for h in dense.hits]
+            ps = [h.score for h in pruned.hits]
+            # rank-for-rank score parity (the top ranks are a large
+            # exact-tie group — 'common secondary' docs with minimal
+            # field length — whose members order arbitrarily, so id
+            # equality is not meaningful here; the scores are)
+            assert np.allclose(ds, ps, rtol=1e-4), (params, ds, ps)
+            assert len(ps) == 10 and pruned.count >= len(ps)
+    finally:
+        ctx.close()
