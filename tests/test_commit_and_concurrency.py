@@ -396,3 +396,62 @@ def test_collection_continue_commit():
             ctx2.orama.stop()
     finally:
         ctx.close()
+
+
+def test_concurrent_pruned_search_during_commits():
+    """Round-3 slab incrementalism race check: searches on the PRUNED
+    path race live inserts + commits (committed-portion cache swap +
+    device-slab append under the build lock) without errors and with a
+    consistent final state."""
+    import threading
+
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        ctx.reader.config.reader_side.pruning = "on"
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(
+            [{"id": str(i), "t": f"alpha beta w{i % 13}"}
+             for i in range(300)]
+        )
+        ctx.commit_all()
+        stop = threading.Event()
+        errors = []
+
+        def searcher():
+            while not stop.is_set():
+                try:
+                    out = coll.search({"term": "alpha", "limit": 5})
+                    assert out.count >= 300 - 50
+                except Exception as e:  # noqa: BLE001
+                    errors.append(e)
+                    return
+
+        def churner():
+            n = 300
+            for round_ in range(6):
+                idx.insert_documents(
+                    [{"id": str(n + i), "t": f"alpha gamma w{i % 7}"}
+                     for i in range(40)]
+                )
+                n += 40
+                ctx.commit_all()
+            stop.set()
+
+        threads = [threading.Thread(target=searcher) for _ in range(3)]
+        ch = threading.Thread(target=churner)
+        for t in threads:
+            t.start()
+        ch.start()
+        ch.join(timeout=120)
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors, errors[:1]
+        out = coll.search({"term": "alpha", "limit": 5})
+        assert out.count == 300 + 6 * 40
+    finally:
+        ctx.reader.config.reader_side.pruning = "off"
+        ctx.close()
