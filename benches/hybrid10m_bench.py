@@ -29,6 +29,7 @@ Usage: python benches/hybrid10m_bench.py [--chunks 20] [--mode all]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -81,6 +82,9 @@ def main():
     )
 
     import jax
+
+    if os.environ.get("ORAMACORE_BENCH_CPU") == "1":  # smoke runs
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from oramacore_tpu.ops.bm25 import MAX_RANGE_LEN, bm25_search_topk_packed
@@ -229,113 +233,116 @@ def main():
             f"{time.perf_counter() - t_s:.1f}s "
             f"({n_heavy * LP * 12 / 2**20:.0f} MiB)")
 
-    # ---- vector corpus -------------------------------------------------
-    centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)
-    centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+    needs_vectors = bool(set(modes) - {"ft"})
+    buf = scales = row_doc = doc2row = unit_cen = unit_st = None
+    if needs_vectors:
+        # ---- vector corpus -------------------------------------------------
+        centers = jax.random.normal(k_centers, (KC_TRUE, D), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
 
-    @jax.jit
-    def gen_chunk(centers, ci):
-        kc = jax.random.fold_in(k_chunks, ci)
-        ka, kn = jax.random.split(kc)
-        assign = jax.random.randint(ka, (CH,), 0, KC_TRUE)
-        rows = jnp.take(centers, assign, axis=0) + SIGMA * jax.random.normal(
-            kn, (CH, D), jnp.float32
+        @jax.jit
+        def gen_chunk(centers, ci):
+            kc = jax.random.fold_in(k_chunks, ci)
+            ka, kn = jax.random.split(kc)
+            assign = jax.random.randint(ka, (CH,), 0, KC_TRUE)
+            rows = jnp.take(centers, assign, axis=0) + SIGMA * jax.random.normal(
+                kn, (CH, D), jnp.float32
+            )
+            return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+
+        # IVF centroids (k-means on an on-device sample)
+        ks, kinit = jax.random.split(k_kmeans)
+        s_assign = jax.random.randint(ks, (SAMPLE,), 0, KC_TRUE)
+        sample = jnp.take(centers, s_assign, axis=0) + SIGMA * jax.random.normal(
+            jax.random.fold_in(ks, 1), (SAMPLE, D), jnp.float32
         )
-        return rows / jnp.linalg.norm(rows, axis=1, keepdims=True)
+        sample = sample / jnp.linalg.norm(sample, axis=1, keepdims=True)
+        cen = sample[jax.random.choice(kinit, SAMPLE, (C_IVF,), replace=False)]
+        LB = 16384
 
-    # IVF centroids (k-means on an on-device sample)
-    ks, kinit = jax.random.split(k_kmeans)
-    s_assign = jax.random.randint(ks, (SAMPLE,), 0, KC_TRUE)
-    sample = jnp.take(centers, s_assign, axis=0) + SIGMA * jax.random.normal(
-        jax.random.fold_in(ks, 1), (SAMPLE, D), jnp.float32
-    )
-    sample = sample / jnp.linalg.norm(sample, axis=1, keepdims=True)
-    cen = sample[jax.random.choice(kinit, SAMPLE, (C_IVF,), replace=False)]
-    LB = 16384
+        @jax.jit
+        def lloyd(sample, cen):
+            def blk(carry, i):
+                sums, cnt = carry
+                rows = jax.lax.dynamic_slice(sample, (i * LB, 0), (LB, D))
+                a = jnp.argmax(
+                    jnp.dot(rows.astype(jnp.bfloat16),
+                            cen.astype(jnp.bfloat16).T,
+                            preferred_element_type=jnp.float32),
+                    axis=1,
+                )
+                onehot = jax.nn.one_hot(a, C_IVF, dtype=jnp.bfloat16)
+                sums = sums + jnp.dot(
+                    onehot.T, rows.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                cnt = cnt + jnp.sum(onehot.astype(jnp.float32), axis=0)
+                return (sums, cnt), None
 
-    @jax.jit
-    def lloyd(sample, cen):
-        def blk(carry, i):
-            sums, cnt = carry
-            rows = jax.lax.dynamic_slice(sample, (i * LB, 0), (LB, D))
-            a = jnp.argmax(
-                jnp.dot(rows.astype(jnp.bfloat16),
-                        cen.astype(jnp.bfloat16).T,
+            init = (jnp.zeros((C_IVF, D), jnp.float32),
+                    jnp.zeros((C_IVF,), jnp.float32))
+            (sums, cnt), _ = jax.lax.scan(blk, init, jnp.arange(SAMPLE // LB))
+            new = jnp.where(cnt[:, None] > 0,
+                            sums / jnp.maximum(cnt[:, None], 1.0), cen)
+            return new / jnp.maximum(
+                jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
+            )
+
+        for _ in range(LLOYD_ITERS):
+            cen = lloyd(sample, cen)
+        cen.block_until_ready()
+        log("k-means done")
+
+        @jax.jit
+        def assign_chunk(centers, cen, ci):
+            rows = gen_chunk(centers, ci)
+            return jnp.argmax(
+                jnp.dot(rows.astype(jnp.bfloat16), cen.astype(jnp.bfloat16).T,
                         preferred_element_type=jnp.float32),
                 axis=1,
+            ).astype(jnp.int32)
+
+        assignment = np.empty(N, np.int32)
+        for ci in range(NCHUNK):
+            assignment[ci * CH:(ci + 1) * CH] = np.asarray(
+                assign_chunk(centers, cen, ci)
             )
-            onehot = jax.nn.one_hot(a, C_IVF, dtype=jnp.bfloat16)
-            sums = sums + jnp.dot(
-                onehot.T, rows.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            cnt = cnt + jnp.sum(onehot.astype(jnp.float32), axis=0)
-            return (sums, cnt), None
+        perm = np.argsort(assignment, kind="stable")
+        counts = np.bincount(assignment, minlength=C_IVF)
+        starts = np.zeros(C_IVF + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        pos = np.empty(N, np.int64)
+        pos[perm] = np.arange(N)
+        unit_starts, unit_cluster = [], []
+        for c in range(C_IVF):
+            st = int(starts[c])
+            for j in range(0, max(int(counts[c]), 0), WINDOW):
+                unit_starts.append(st + j)
+                unit_cluster.append(c)
+        unit_starts = np.asarray(unit_starts, np.int32)
+        log(f"layout: {len(unit_starts)} probe units")
 
-        init = (jnp.zeros((C_IVF, D), jnp.float32),
-                jnp.zeros((C_IVF,), jnp.float32))
-        (sums, cnt), _ = jax.lax.scan(blk, init, jnp.arange(SAMPLE // LB))
-        new = jnp.where(cnt[:, None] > 0,
-                        sums / jnp.maximum(cnt[:, None], 1.0), cen)
-        return new / jnp.maximum(
-            jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9
-        )
+        @jax.jit
+        def quant_chunk(centers, ci):
+            return quantize_rows_int8(gen_chunk(centers, ci))
 
-    for _ in range(LLOYD_ITERS):
-        cen = lloyd(sample, cen)
-    cen.block_until_ready()
-    log("k-means done")
-
-    @jax.jit
-    def assign_chunk(centers, cen, ci):
-        rows = gen_chunk(centers, ci)
-        return jnp.argmax(
-            jnp.dot(rows.astype(jnp.bfloat16), cen.astype(jnp.bfloat16).T,
-                    preferred_element_type=jnp.float32),
-            axis=1,
-        ).astype(jnp.int32)
-
-    assignment = np.empty(N, np.int32)
-    for ci in range(NCHUNK):
-        assignment[ci * CH:(ci + 1) * CH] = np.asarray(
-            assign_chunk(centers, cen, ci)
-        )
-    perm = np.argsort(assignment, kind="stable")
-    counts = np.bincount(assignment, minlength=C_IVF)
-    starts = np.zeros(C_IVF + 1, np.int64)
-    np.cumsum(counts, out=starts[1:])
-    pos = np.empty(N, np.int64)
-    pos[perm] = np.arange(N)
-    unit_starts, unit_cluster = [], []
-    for c in range(C_IVF):
-        st = int(starts[c])
-        for j in range(0, max(int(counts[c]), 0), WINDOW):
-            unit_starts.append(st + j)
-            unit_cluster.append(c)
-    unit_starts = np.asarray(unit_starts, np.int32)
-    log(f"layout: {len(unit_starts)} probe units")
-
-    @jax.jit
-    def quant_chunk(centers, ci):
-        return quantize_rows_int8(gen_chunk(centers, ci))
-
-    scatter = jax.jit(lambda b, p, r: b.at[p].set(r), donate_argnums=(0,))
-    scatter_s = jax.jit(lambda b, p, v: b.at[p].set(v), donate_argnums=(0,))
-    buf = jnp.zeros((N, D), jnp.int8)
-    scales = jnp.zeros((N,), jnp.float32)
-    for ci in range(NCHUNK):
-        qrows, qs = quant_chunk(centers, ci)
-        p = jnp.asarray(pos[ci * CH:(ci + 1) * CH])
-        buf = scatter(buf, p, qrows)
-        scales = scatter_s(scales, p, qs)
-    buf.block_until_ready()
-    row_doc = jnp.asarray(perm.astype(np.int32))  # packed row -> doc id
-    doc2row = jnp.asarray(
-        np.concatenate([pos.astype(np.int32), [-1]])
-    )  # doc id -> packed row (sentinel for cap)
-    unit_cen = jnp.take(cen, jnp.asarray(unit_cluster), axis=0)
-    unit_st = jnp.asarray(unit_starts)
-    log("int8 vector corpus resident")
+        scatter = jax.jit(lambda b, p, r: b.at[p].set(r), donate_argnums=(0,))
+        scatter_s = jax.jit(lambda b, p, v: b.at[p].set(v), donate_argnums=(0,))
+        buf = jnp.zeros((N, D), jnp.int8)
+        scales = jnp.zeros((N,), jnp.float32)
+        for ci in range(NCHUNK):
+            qrows, qs = quant_chunk(centers, ci)
+            p = jnp.asarray(pos[ci * CH:(ci + 1) * CH])
+            buf = scatter(buf, p, qrows)
+            scales = scatter_s(scales, p, qs)
+        buf.block_until_ready()
+        row_doc = jnp.asarray(perm.astype(np.int32))  # packed row -> doc id
+        doc2row = jnp.asarray(
+            np.concatenate([pos.astype(np.int32), [-1]])
+        )  # doc id -> packed row (sentinel for cap)
+        unit_cen = jnp.take(cen, jnp.asarray(unit_cluster), axis=0)
+        unit_st = jnp.asarray(unit_starts)
+        log("int8 vector corpus resident")
 
     # ---- query plans: 3 mid-frequency zipf terms per query ---------------
     AVG_FLEN = 27.5
@@ -430,14 +437,15 @@ def main():
                 wl_i, wl_f, term_ids)
 
     # queries from the same mixture as the corpus
-    ka, kn = jax.random.split(k_query)
-    NQ = 512
-    q_assign = jax.random.randint(ka, (NQ,), 0, KC_TRUE)
-    qvecs = jnp.take(centers, q_assign, axis=0) + SIGMA * jax.random.normal(
-        kn, (NQ, D), jnp.float32
-    )
-    qvecs = qvecs / jnp.linalg.norm(qvecs, axis=1, keepdims=True)
-    qvecs_np = np.asarray(qvecs)
+    qvecs = None
+    if needs_vectors:
+        ka, kn = jax.random.split(k_query)
+        NQ = 512
+        q_assign = jax.random.randint(ka, (NQ,), 0, KC_TRUE)
+        qvecs = jnp.take(centers, q_assign, axis=0) + SIGMA * (
+            jax.random.normal(kn, (NQ, D), jnp.float32)
+        )
+        qvecs = qvecs / jnp.linalg.norm(qvecs, axis=1, keepdims=True)
 
     dummy_mask = jnp.zeros((1, 1), bool)
     dummy_omc = jnp.ones((1,), jnp.float32)
