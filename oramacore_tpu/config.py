@@ -43,10 +43,10 @@ class ReaderSideConfig:
     time_threshold: float = 300.0
     analytics_enabled: bool = True
     notifier_url: Optional[str] = None
-    # impact-ordered postings prefix cap for fulltext scoring; None = exact.
-    # Bounds per-term device work on huge postings lists (max-score-style
-    # pruning) — superseded by `pruning` below (which rescores exactly);
-    # kept as an opt-in for filter-heavy workloads.
+    # DEPRECATED and harmful since the v3 doc-sorted slab layout: the
+    # cap now keeps an arbitrary lowest-doc-id prefix (recall collapses
+    # on capped terms; a loud warning is logged at boot). Use `pruning`
+    # below — it bounds device work AND rescores candidates exactly.
     impact_cap: Optional[int] = None
     # pruned two-phase scoring (ops/pruned.py: impact-prefix candidates +
     # exact candidate rescore — no dense doc-space accumulators):

@@ -25,15 +25,21 @@ HYBRID_INT8_CANDIDATES = 256
 class StringSearchExecutor:
     """Caches device slabs and executes batched BM25F scoring."""
 
+    # bounded multi-slot device caches: ONE executor can serve several
+    # indexes (the shared batched executor, multi-index collections), so
+    # single-slot caches would thrash a full O(corpus) re-upload per
+    # index per batch
+    MAX_CACHED_SLABS = 4
+
     def __init__(self):
-        self._device_slab: Optional[Tuple] = None
-        self._slab_gen: Optional[int] = None
+        from collections import OrderedDict
+
+        self._slabs: "OrderedDict" = OrderedDict()   # gen -> device slab
         # committed-portion device cache: stable between commits, so a
         # live-layer generation bump uploads only the live rows and
         # device-concatenates (O(live) H2D instead of re-uploading the
         # whole slab through the tunnel — VERDICT r2 weak #5)
-        self._comm_dev: Optional[Tuple] = None
-        self._comm_key = None
+        self._comms: "OrderedDict" = OrderedDict()   # ckey -> arrays
 
     def _get_device_slab(self, index: StringIndex):
         # key the HBM cache on (index uid, slab generation) — generation
@@ -42,17 +48,26 @@ class StringSearchExecutor:
         # can be recycled after free (stale-slab scoring bug)
         comm, live, ck = index.slab_split()
         gen = (index.uid, index.generation)  # read AFTER slab build
-        if self._slab_gen == gen:
-            return self._device_slab
+        cached = self._slabs.get(gen)
+        if cached is not None:
+            self._slabs.move_to_end(gen)
+            return cached
         from ..ops.bm25 import MAX_RANGE_LEN
 
         ckey = (index.uid, ck)
-        if self._comm_key != ckey:
-            self._comm_dev = (
-                tuple(jnp.asarray(a) for a in comm)
-                if comm is not None else None
-            )
-            self._comm_key = ckey
+        comm_dev = self._comms.get(ckey)
+        if comm_dev is None and comm is not None:
+            comm_dev = tuple(jnp.asarray(a) for a in comm)
+            self._comms[ckey] = comm_dev
+            # drop stale committed snapshots of the SAME index first
+            for k in [k for k in self._comms if k[0] == index.uid
+                      and k != ckey]:
+                del self._comms[k]
+            while len(self._comms) > self.MAX_CACHED_SLABS:
+                self._comms.popitem(last=False)
+        else:
+            self._comms.move_to_end(ckey, last=True) \
+                if comm_dev is not None else None
         pads = (
             np.zeros(MAX_RANGE_LEN, np.int32),
             np.zeros(MAX_RANGE_LEN, np.float32),
@@ -62,17 +77,22 @@ class StringSearchExecutor:
         out = []
         for i in range(4):
             parts = []
-            if self._comm_dev is not None:
-                parts.append(self._comm_dev[i])
+            if comm_dev is not None:
+                parts.append(comm_dev[i])
             if live is not None:
                 parts.append(jnp.asarray(live[i]))
             parts.append(jnp.asarray(pads[i]))
             out.append(
                 parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             )
-        self._device_slab = tuple(out)
-        self._slab_gen = gen
-        return self._device_slab
+        slab = tuple(out)
+        # stale generations of the same index can never be queried again
+        for k in [k for k in self._slabs if k[0] == index.uid]:
+            del self._slabs[k]
+        self._slabs[gen] = slab
+        while len(self._slabs) > self.MAX_CACHED_SLABS:
+            self._slabs.popitem(last=False)
+        return slab
 
     def score(
         self,
@@ -249,37 +269,58 @@ class StringSearchTopK(StringSearchExecutor):
     only (B, k) values/ids transfer back."""
 
     def __init__(self):
+        from collections import OrderedDict
+
         super().__init__()
         # device-resident OMC multipliers, keyed on (version, capb) so the
-        # f32[cap] array doesn't cross the tunnel on every query
-        self._omc_dev: Optional[Tuple[int, int, object]] = None
-        # device-resident champion matrix, keyed on (generation, capb)
-        self._champ_dev: Optional[Tuple[int, int, object]] = None
+        # f32[cap] array doesn't cross the tunnel on every query; bounded
+        # multi-slot (the shared batched executor serves many indexes)
+        self._omc_dev: "OrderedDict" = OrderedDict()
+        # device-resident champion matrices, keyed on (uid, gen, capb)
+        self._champ_dev: "OrderedDict" = OrderedDict()
 
     def _get_device_champs(self, index: StringIndex, capb: int):
-        gen = (index.uid, index.generation)
-        cached = self._champ_dev
-        if cached is not None and cached[0] == gen and cached[1] == capb:
-            return cached[2]
+        key = (index.uid, index.generation, capb)
+        cached = self._champ_dev.get(key)
+        if cached is not None:
+            self._champ_dev.move_to_end(key)
+            return cached
         mat = index._champ_matrix
         if mat is None:
             return None
         padded = np.zeros((mat.shape[0], capb), np.float32)
         padded[:, : min(mat.shape[1], capb)] = mat[:, :capb]
         dev = jnp.asarray(padded)
-        self._champ_dev = (gen, capb, dev)
+        for k in [k for k in self._champ_dev if k[0] == index.uid]:
+            del self._champ_dev[k]
+        self._champ_dev[key] = dev
+        while len(self._champ_dev) > self.MAX_CACHED_SLABS:
+            self._champ_dev.popitem(last=False)
         return dev
 
     def _get_device_omc(self, omc: np.ndarray, omc_key: Optional[int], capb: int):
-        cached = self._omc_dev
-        if omc_key is not None and cached is not None and cached[0] == omc_key \
-                and cached[1] == capb:
-            return cached[2]
+        key = (omc_key, capb) if omc_key is not None else None
+        if key is not None:
+            cached = self._omc_dev.get(key)
+            if cached is not None:
+                self._omc_dev.move_to_end(key)
+                return cached
         arr = np.ones((capb,), np.float32)
         arr[: min(len(omc), capb)] = omc[:capb]
         dev = jnp.asarray(arr)
-        if omc_key is not None:
-            self._omc_dev = (omc_key, capb, dev)
+        if key is not None:
+            # omc_key is (index uid, omc version): stale versions of the
+            # same index can never be requested again
+            if isinstance(omc_key, tuple) and len(omc_key) == 2:
+                for k in [
+                    k for k in self._omc_dev
+                    if isinstance(k[0], tuple) and k[0][0] == omc_key[0]
+                    and k != key
+                ]:
+                    del self._omc_dev[k]
+            self._omc_dev[key] = dev
+            while len(self._omc_dev) > 2 * self.MAX_CACHED_SLABS:
+                self._omc_dev.popitem(last=False)
         return dev
 
     def search_topk(
@@ -413,9 +454,10 @@ class PrunedPlanMixin(StringSearchTopK):
                         wl.append((i, t, s0 + off, take, w0, b0, a0))
                         off += take
         lp = round_up_pow2(lp, 8)
-        W = max(cls.PRUNED_WCH,
-                ((len(wl) + cls.PRUNED_WCH - 1) // cls.PRUNED_WCH)
-                * cls.PRUNED_WCH)
+        # pow2-bucket W like every other static dim: the worklist length
+        # varies with each batch's matched postings, and an unbucketed W
+        # means a fresh XLA compile per novel shape
+        W = round_up_pow2(max(len(wl), 1), cls.PRUNED_WCH)
         wl_i = np.zeros((4, W), np.int32)
         wl_f = np.zeros((3, W), np.float32)
         wl_f[2, :] = 1.0

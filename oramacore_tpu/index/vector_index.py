@@ -44,7 +44,13 @@ class VectorIndexConfig:
 
 
 class VectorIndex:
+    _UIDS = __import__("itertools").count(1)
+
     def __init__(self, config: VectorIndexConfig):
+        # process-unique id: executor device caches key on (uid, _gen) —
+        # generation alone collides across index objects (every index
+        # starts at 0; executors are shared across indexes/collections)
+        self.uid = next(VectorIndex._UIDS)
         self.config = config
         self._live_rows: List[np.ndarray] = []
         self._live_docs: List[int] = []

@@ -50,39 +50,48 @@ class ShardedStringExec:
     """Doc-sharded executor with the same search_topk contract as
     StringSearchTopK: (vals f32[B,k], GLOBAL ids i32[B,k], counts i32[B])."""
 
+    # a sharded executor may serve several indexes (multi-index batch
+    # loops); keep a couple of sharded slabs resident instead of
+    # re-partitioning per index per batch
+    MAX_CACHED = 2
+
     def __init__(self, mesh: Mesh):
+        from collections import OrderedDict
+
         self.mesh = mesh
         self.D = int(mesh.shape["d"])
-        self._slab_gen: Optional[int] = None
-        self._dev: Optional[Tuple] = None
-        # BOUNDARY-indexed shard prefix (VERDICT r2 weak #4: a dense
-        # (D, P+1) prefix matrix cost O(D*P) host RAM — ~4.3 GB at the
+        # gen -> (dev slab 4-tuple, boundaries, bprefix). BOUNDARY-
+        # indexed shard prefix (VERDICT r2 weak #4: a dense (D, P+1)
+        # prefix matrix cost O(D*P) host RAM — ~4.3 GB at the
         # 134M-posting tier). Query plans only ever reference stored
         # range boundaries (+ their MAX_RANGE_LEN split grid), so the
         # prefix needs values at those ~#terms positions only:
-        # _bprefix[s, i] = # postings with shard==s before boundary i.
-        self._boundaries: Optional[np.ndarray] = None
-        self._bprefix: Optional[np.ndarray] = None
+        # bprefix[s, i] = # postings with shard==s before boundary i.
+        self._slabs: "OrderedDict" = OrderedDict()
+        self._active_gen = None
         self._steps: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
         self._omc_dev: Optional[Tuple[int, int, object]] = None
-        self._vec_dev = None
-        self._vec_gen = None
 
     # ------------------------------------------------------------------
     # Sharded slab build (at commit / generation change)
     # ------------------------------------------------------------------
 
-    def ensure_slab(self, index: StringIndex) -> None:
+    def ensure_slab(self, index: StringIndex):
+        """Partition + upload the index's slab (cached); returns
+        (dev_slab_4tuple, boundaries, bprefix) for this index."""
         slab = index.slab()
         # (uid, generation): generation alone collides across index
         # objects when an executor outlives/serves several indexes
         gen = (index.uid, index.generation)
-        if self._slab_gen == gen:
-            return
+        cached = self._slabs.get(gen)
+        if cached is not None:
+            self._slabs.move_to_end(gen)
+            return cached
         with self._lock:
-            if self._slab_gen == gen:
-                return
+            cached = self._slabs.get(gen)
+            if cached is not None:
+                return cached
             p_doc, p_tf, p_etf, p_flen = slab
             D = self.D
             P_total = len(p_doc)
@@ -129,15 +138,22 @@ class ShardedStringExec:
                 etf_l[s, :n] = p_etf[sel]
                 flen_l[s, :n] = p_flen[sel]
             sharding = NamedSharding(self.mesh, P("d", None))
-            self._dev = tuple(
+            dev = tuple(
                 jax.device_put(a, sharding)
                 for a in (docs_l, tf_l, etf_l, flen_l)
             )
-            self._boundaries = boundaries
-            self._bprefix = bprefix
-            self._slab_gen = gen
+            # stale generations of the same index can't be queried again
+            for k in [k for k in self._slabs if k[0] == index.uid]:
+                del self._slabs[k]
+            entry = (dev, boundaries, bprefix)
+            self._slabs[gen] = entry
+            while len(self._slabs) > self.MAX_CACHED:
+                self._slabs.popitem(last=False)
+            return entry
 
-    def _shard_ranges(self, starts: np.ndarray, lens: np.ndarray):
+    @staticmethod
+    def _shard_ranges_on(boundaries, bprefix, D,
+                         starts: np.ndarray, lens: np.ndarray):
         """Map global (B, T, NR) ranges onto per-shard local sub-ranges
         -> (D, B, T, NR) starts/lens. Plan offsets must land on stored
         boundaries (range starts/ends + the MAX_RANGE_LEN split grid) —
@@ -146,21 +162,20 @@ class ShardedStringExec:
         shape = starts.shape
         st = starts.reshape(-1).astype(np.int64)
         en = st + lens.reshape(-1).astype(np.int64)
-        bi = np.searchsorted(self._boundaries, st)
-        be = np.searchsorted(self._boundaries, en)
+        bi = np.searchsorted(boundaries, st)
+        be = np.searchsorted(boundaries, en)
         if not (
-            np.all(np.take(self._boundaries, np.minimum(
-                bi, len(self._boundaries) - 1)) == st)
-            and np.all(np.take(self._boundaries, np.minimum(
-                be, len(self._boundaries) - 1)) == en)
+            np.all(np.take(boundaries, np.minimum(
+                bi, len(boundaries) - 1)) == st)
+            and np.all(np.take(boundaries, np.minimum(
+                be, len(boundaries) - 1)) == en)
         ):
             raise ValueError(
                 "sharded plan offsets must align to stored range "
                 "boundaries (is impact_cap enabled on a mesh?)"
             )
-        s_st = self._bprefix[:, bi]                   # (D, B*T*NR)
-        s_ln = self._bprefix[:, be] - s_st
-        D = self.D
+        s_st = bprefix[:, bi]                        # (D, B*T*NR)
+        s_ln = bprefix[:, be] - s_st
         return (
             s_st.reshape((D,) + shape).astype(np.int32),
             s_ln.reshape((D,) + shape).astype(np.int32),
@@ -242,18 +257,44 @@ class ShardedStringExec:
     # the postings, so a doc's fused score is entirely shard-local
     # ------------------------------------------------------------------
 
-    def ensure_vectors(self, vector_index) -> bool:
-        """Partition the flat vector rows across the mesh. Returns False
-        when the index is in int8/IVF mode (hybrid falls back)."""
+    def _vec_cache(self):
+        from collections import OrderedDict
+
+        if not hasattr(self, "_vecs"):
+            self._vecs = OrderedDict()
+        return self._vecs
+
+    def _vec_cache_put(self, gen, value):
+        cache = self._vec_cache()
+        uid = gen[0] if not isinstance(gen[0], str) else gen[1]
+        for k in [k for k in cache if k != gen and (
+            k[0] == gen[0] if not isinstance(gen[0], str)
+            else (isinstance(k[0], str) and len(k) > 1 and k[1] == uid)
+        )]:
+            del cache[k]
+        cache[gen] = value
+        while len(cache) > 2 * self.MAX_CACHED:
+            cache.popitem(last=False)
+        return value
+
+    def ensure_vectors(self, vector_index):
+        """Partition the flat vector rows across the mesh. Returns the
+        device tuple, or None when the index is absent / in int8/IVF
+        mode (hybrid callers fall back or take the int8 path)."""
         if vector_index is None:
-            return False
-        gen = vector_index._gen
-        if getattr(self, "_vec_gen", None) == gen:
-            return self._vec_dev is not None
+            return None
+        # (uid, gen): bare generations collide across vector indexes
+        # served by one shared executor (two indexes at gen 3 would
+        # silently reuse each other's corpus)
+        gen = (getattr(vector_index, "uid", id(vector_index)),
+               vector_index._gen)
+        cache = self._vec_cache()
+        if gen in cache:
+            cache.move_to_end(gen)
+            out = cache[gen]
+            return out if out is not False else None
         if vector_index._ivf is not None and not vector_index._live_rows:
-            self._vec_gen = gen
-            self._vec_dev = None
-            return False
+            return self._vec_cache_put(gen, False) or None
         parts_m = [vector_index._committed_matrix]
         parts_d = [vector_index._committed_docs]
         if vector_index._live_rows:
@@ -276,13 +317,11 @@ class ShardedStringExec:
             valid_l[s, :n] = True
         sh2 = NamedSharding(self.mesh, P("d", None))
         sh3 = NamedSharding(self.mesh, P("d", None, None))
-        self._vec_dev = (
+        return self._vec_cache_put(gen, (
             jax.device_put(mat_l.astype(np.float32), sh3),
             jax.device_put(doc_l, sh2),
             jax.device_put(valid_l, sh2),
-        )
-        self._vec_gen = gen
-        return True
+        ))
 
     def _get_hybrid_step(self, *, lr, cap_l, k, exact, has_mask, has_omc,
                          has_rescale, rescale_lo, rescale_hi):
@@ -376,7 +415,7 @@ class ShardedStringExec:
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        self.ensure_slab(index)
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         B = len(plans)
         T = max(p.starts.shape[0] for p in plans)
@@ -400,7 +439,9 @@ class ShardedStringExec:
             nd[i] = max(float(n_docs[i]), 1.0)
             if thresholds is not None and thresholds[i]:
                 thr[i] = thresholds[i]
-        s_starts, s_lens = self._shard_ranges(g_starts, g_lens)
+        s_starts, s_lens = self._shard_ranges_on(
+            boundaries, bprefix, D, g_starts, g_lens
+        )
         # shard axis first: (D, B, T, NR)
         lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
@@ -431,7 +472,7 @@ class ShardedStringExec:
             lr=int(lr), cap_l=int(cap_l), k=int(kb), exact=exact,
             has_mask=has_mask, has_omc=has_omc,
         )
-        p_doc, p_tf, p_etf, p_flen = self._dev
+        p_doc, p_tf, p_etf, p_flen = dev_slab
         sh = NamedSharding(self.mesh, P("d", None, None, None))
         vals, ids, counts = step(
             p_doc, p_tf, p_etf, p_flen,
@@ -461,15 +502,18 @@ class ShardedStringExec:
     # exact (a shard contributes at most V of the global top-V).
     # ------------------------------------------------------------------
 
-    def ensure_vectors_int8(self, vector_index) -> bool:
+    def ensure_vectors_int8(self, vector_index):
         """Partition the packed int8/IVF layout across the mesh. Returns
-        False when the index is not in int8/IVF mode."""
+        the device tuple, or None when not in int8/IVF mode."""
         if vector_index is None or vector_index._ivf is None \
                 or vector_index._live_rows:
-            return False
-        gen = ("i8", vector_index._gen)
-        if getattr(self, "_vec8_gen", None) == gen:
-            return self._vec8_dev is not None
+            return None
+        gen = ("i8", getattr(vector_index, "uid", id(vector_index)),
+               vector_index._gen)
+        cache = self._vec_cache()
+        if gen in cache:
+            cache.move_to_end(gen)
+            return cache[gen]
         ivf = vector_index._ivf
         D = self.D
         q = ivf["q"]
@@ -497,7 +541,7 @@ class ShardedStringExec:
             doc_l[s, j * window: j * window + n] = docs[st:en]
         sh2 = NamedSharding(self.mesh, P("d", None))
         sh3 = NamedSharding(self.mesh, P("d", None, None))
-        self._vec8_dev = (
+        return self._vec_cache_put(gen, (
             jax.device_put(mat_l, sh3),
             jax.device_put(sc_l, sh2),
             jax.device_put(doc_l, sh2),
@@ -505,9 +549,7 @@ class ShardedStringExec:
             jnp.asarray((np.arange(U) % D).astype(np.int32)),   # owner
             jnp.asarray(unit_local),
             window,
-        )
-        self._vec8_gen = gen
-        return True
+        ))
 
     def search_topk_hybrid(
         self,
@@ -528,9 +570,10 @@ class ShardedStringExec:
     ):
         """Doc-sharded fused hybrid over the mesh; returns None when the
         vector index can't shard (int8/IVF mode) so callers fall back."""
-        if not self.ensure_vectors(vector_index):
+        vecs = self.ensure_vectors(vector_index)
+        if vecs is None:
             return None
-        self.ensure_slab(index)
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         B = len(plans)
         T = max(p.starts.shape[0] for p in plans)
@@ -556,7 +599,9 @@ class ShardedStringExec:
             if thresholds is not None and thresholds[i]:
                 thr[i] = thresholds[i]
             sim[i] = similarities[i]
-        s_starts, s_lens = self._shard_ranges(g_starts, g_lens)
+        s_starts, s_lens = self._shard_ranges_on(
+            boundaries, bprefix, D, g_starts, g_lens
+        )
         lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
         kb = min(round_up_pow2(k, 8), cap_l)
@@ -586,8 +631,8 @@ class ShardedStringExec:
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
         )
-        p_doc, p_tf, p_etf, p_flen = self._dev
-        vec_m, vec_d, vec_v = self._vec_dev
+        p_doc, p_tf, p_etf, p_flen = dev_slab
+        vec_m, vec_d, vec_v = vecs
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
         vals, ids, counts = step(
             p_doc, p_tf, p_etf, p_flen,
@@ -930,15 +975,14 @@ class ShardedBatchExec(ShardedStringExec):
         )
 
         hybrid = vector_index is not None
-        vec8 = None
+        vecs = vec8t = None
         if hybrid:
-            if self.ensure_vectors(vector_index):
-                vec8 = False
-            elif self.ensure_vectors_int8(vector_index):
-                vec8 = True
-            else:
-                return None
-        self.ensure_slab(index)
+            vecs = self.ensure_vectors(vector_index)
+            if vecs is None:
+                vec8t = self.ensure_vectors_int8(vector_index)
+                if vec8t is None:
+                    return None
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         u_ranges, _champs, token_map_global, classes, B, T = (
             analyze_shared_batch(
@@ -978,13 +1022,18 @@ class ShardedBatchExec(ShardedStringExec):
         else:
             omc_dev = jnp.ones((1,), jnp.float32)
 
-        scores = jax.device_put(
-            np.zeros((D, B, cap_l), np.float32), sh3
-        )
-        matched = jax.device_put(
-            np.zeros((D, B, cap_l), np.float32), sh3
-        )
-        p_doc, p_tf, p_etf, p_flen = self._dev
+        # sharded device-side zeros (a host np.zeros + device_put here
+        # costs two O(D*B*cap_l) host allocations + H2D per batch)
+        zkey = ("zeros", B, cap_l)
+        zfn = self._steps.get(zkey)
+        if zfn is None:
+            zfn = self._steps[zkey] = jax.jit(
+                lambda: jnp.zeros((D, B, cap_l), jnp.float32),
+                out_shardings=sh3,
+            )
+        scores = zfn()
+        matched = zfn()
+        p_doc, p_tf, p_etf, p_flen = dev_slab
         for lr_class, uids in classes.items():
             if not uids:
                 continue
@@ -992,7 +1041,9 @@ class ShardedBatchExec(ShardedStringExec):
             st, ln, wt, fb, av, tmap, _lrb = pack_shared_class(
                 u_ranges, uids, token_map_global, B, T, cu
             )
-            s_st, s_ln = self._shard_ranges(st, ln)    # (D, Up, NRb)
+            s_st, s_ln = self._shard_ranges_on(
+                boundaries, bprefix, D, st, ln
+            )  # (D, Up, NRb)
             lrb = round_up_pow2(max(1, int(s_ln.max())), 8)
             step = self._get_shared_step(
                 lr=int(lrb), cap_l=int(cap_l), cu=cu, exact=exact,
@@ -1020,7 +1071,7 @@ class ShardedBatchExec(ShardedStringExec):
         else:
             q = np.asarray(queries, np.float32)
             sims = np.asarray(similarities, np.float32)
-            if not vec8:
+            if vecs is not None:
                 step = self._get_hybrid_tail_step(
                     cap_l=int(cap_l), k=int(kb), has_omc=has_omc,
                     has_mask=has_masks,
@@ -1028,7 +1079,7 @@ class ShardedBatchExec(ShardedStringExec):
                     rescale_lo=float(rescale[0]) if rescale else 0.0,
                     rescale_hi=float(rescale[1]) if rescale else 1.0,
                 )
-                vec_m, vec_d, vec_v = self._vec_dev
+                vec_m, vec_d, vec_v = vecs
                 vals, ids, counts = step(
                     scores, matched, jnp.asarray(thr), jnp.asarray(sims),
                     vec_m, vec_d, vec_v, jnp.asarray(q),
@@ -1036,7 +1087,7 @@ class ShardedBatchExec(ShardedStringExec):
                 )
             else:
                 (mat8, sc8, doc8, unit_cen, owner, unit_local,
-                 window) = self._vec8_dev
+                 window) = vec8t
                 from ..index.search_exec import HYBRID_INT8_CANDIDATES
 
                 V = round_up_pow2(

@@ -129,6 +129,16 @@ class ReadSide:
         llm_resolve_mode: Optional[ResolveModeFn] = None,
     ):
         self.config = config
+        if config.reader_side.impact_cap:
+            import logging
+
+            logging.getLogger("oramacore_tpu.read").warning(
+                "reader_side.impact_cap is DEPRECATED and now harmful: "
+                "since the v3 slab layout, ranges are doc-sorted, so "
+                "the cap keeps an arbitrary (lowest-doc-id) prefix — "
+                "recall on capped terms will collapse. Use "
+                "reader_side.pruning instead (exact candidate rescore)."
+            )
         self.embeddings = embeddings
         self.nlp = nlp
         self.llm_resolve_mode = llm_resolve_mode
@@ -686,7 +696,7 @@ class ReadSide:
         k0 = min(max(2 * (params.limit + params.offset), 16), cap0)
         planned = self._plan_fulltext(
             idx, mode, params,
-            with_prefix=self._pruned_eligible(idx, mask, k0),
+            with_prefix=self._pruned_eligible(idx, mask, k0, mode, params),
         )
         if planned is None:
             return None
@@ -740,7 +750,7 @@ class ReadSide:
                 vec_int8 = idx.vector.int8_device_rows()
                 if vec_int8 is None:
                     return None
-                if self._pruned_eligible(idx, mask, k):
+                if self._pruned_eligible(idx, mask, k, mode, params):
                     # pruned hybrid: candidate union + exact rescore, no
                     # dense doc-space accumulators (the 10M-tier path)
                     from ..ops.bm25 import round_up_pow2
@@ -781,12 +791,23 @@ class ReadSide:
             if v > float("-inf") and v > 0
         }
 
-    def _pruned_eligible(self, idx: ReadIndex, mask, k: int) -> bool:
+    def _pruned_eligible(self, idx: ReadIndex, mask, k: int,
+                         mode=None, params=None) -> bool:
         """Pruned two-phase scoring (ops/pruned.py) eligibility: the
         dense path keeps filtered searches (filtered-df IDF needs the
         full scan), the sharded mesh (shard-local pruning is ROADMAP),
         impact_cap opt-ins, and deep pagination beyond the candidate
-        budget."""
+        budget. Additionally (the kernel's documented preconditions):
+        - single searchable string FIELD only — the device df counts
+          postings, which equals distinct docs only when a token's
+          ranges are doc-disjoint; a token matching in two fields would
+          double-count df and skew the IDF;
+        - no tolerance — fuzzy matches can coalesce different terms'
+          ranges into one (string_index._coalesce_and_cap), breaking
+          the doc-sorted invariant the rescore's binary search needs;
+        - no match threshold — thresholded counts would be capped at
+          the candidate budget (the union estimate doesn't model the
+          min-matched-tokens constraint)."""
         cfg = self.config.reader_side
         if cfg.pruning == "off" or mask is not None:
             return False
@@ -794,9 +815,28 @@ class ReadSide:
             return False
         if k > 512:
             return False
+        if mode is not None:
+            if getattr(mode, "tolerance", None):
+                return False
+            if getattr(mode, "threshold", None) is not None:
+                return False
+        if params is not None and len(self._string_props(idx, params)) != 1:
+            return False
         if cfg.pruning == "on":
             return True
         return idx.cap() >= cfg.pruned_min_docs
+
+    @staticmethod
+    def _string_props(idx: ReadIndex, params: SearchParams):
+        def _searchable(t):
+            return t.startswith("string") or t == "date"
+
+        if params.properties is not None:
+            return [
+                p for p in params.properties
+                if _searchable(idx.field_types.get(p, ""))
+            ]
+        return [p for p, t in idx.field_types.items() if _searchable(t)]
 
     def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
                        use_champions: bool = False,
@@ -901,7 +941,7 @@ class ReadSide:
             return {d: 0.0 for d in alive}
         cap = idx.cap()
         k = min(max(2 * (params.limit + params.offset), 16), cap)
-        use_pruned = fused_ok and self._pruned_eligible(idx, mask, k)
+        use_pruned = fused_ok and self._pruned_eligible(idx, mask, k, mode, params)
         # champion rows apply only on the single-device fused DENSE path
         # (the pruned/sharded/hybrid executors consume ranged plans)
         planned = self._plan_fulltext(
