@@ -629,6 +629,7 @@ class ReadSide:
             count=count,
             facets=facet_results if params.facets else None,
             groups=groups,
+            count_estimated=getattr(self, "_last_count_estimated", False),
         )
 
     # -- scoring ---------------------------------------------------------
@@ -644,6 +645,7 @@ class ReadSide:
     ) -> Dict[int, float]:
         self._last_fused_count = None
         self._last_omc_applied = False
+        self._last_count_estimated = False
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
                 coll, idx, mode, params, mask, fused_ok=fused_ok,
@@ -753,6 +755,7 @@ class ReadSide:
                 if self._pruned_eligible(idx, mask, k, mode, params):
                     # pruned hybrid: candidate union + exact rescore, no
                     # dense doc-space accumulators (the 10M-tier path)
+                    self._last_count_estimated = True
                     from ..ops.bm25 import round_up_pow2
 
                     capb = round_up_pow2(cap, 128)
@@ -962,6 +965,7 @@ class ReadSide:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
+                self._last_count_estimated = True
                 vals, ids, counts = ex.search_topk_pruned(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,

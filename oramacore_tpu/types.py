@@ -638,12 +638,18 @@ class SearchResult:
     count: int
     facets: Optional[Dict[str, FacetResult]] = None
     groups: Optional[List[GroupedResult]] = None
+    # True when `count` is a union-probability ESTIMATE (the pruned
+    # scoring tier — an exact corpus-wide count needs a full
+    # aggregation). Additive field: absent/False on exact paths.
+    count_estimated: bool = False
 
     def to_json(self) -> Dict[str, Any]:
         out: Dict[str, Any] = {
             "hits": [h.to_json() for h in self.hits],
             "count": self.count,
         }
+        if self.count_estimated:
+            out["count_estimated"] = True
         if self.facets is not None:
             out["facets"] = {k: v.to_json() for k, v in self.facets.items()}
         if self.groups is not None:

@@ -73,6 +73,12 @@ def test_pruned_fulltext_engine_parity():
             _assert_hits_equal(dense, pruned)
             # pruned counts are estimates but never below the hit count
             assert pruned.count >= len(pruned.hits)
+            assert not dense.count_estimated
+            # thresholded queries fall back to the dense exact path
+            if params.get("threshold") is None:
+                assert pruned.count_estimated, params
+            else:
+                assert not pruned.count_estimated, params
     finally:
         ctx.close()
 
