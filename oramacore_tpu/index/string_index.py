@@ -562,8 +562,9 @@ class StringIndex:
     @staticmethod
     def _build_prefix_blocks(cf: "_CommittedField") -> None:
         """Impact-prefix side blocks for terms with len > PREFIX_LEN:
-        top-PREFIX_LEN postings by tf/flen impact (order within a block
-        is irrelevant — phase-1 nomination scores the whole block)."""
+        top-PREFIX_LEN postings by tf/flen impact, stored IMPACT-
+        DESCENDING (nomination scores the whole block, and the sorted
+        head doubles as a zero-compute per-token candidate source)."""
         heavy = np.nonzero(cf.lens > PREFIX_LEN)[0]
         if not len(heavy):
             return
@@ -572,7 +573,8 @@ class StringIndex:
         for tid in heavy:
             s, n = int(cf.starts[tid]), int(cf.lens[tid])
             imp = cf.tf[s:s + n] / np.maximum(cf.flen[s:s + n], 1e-9)
-            sel = np.argpartition(-imp, PREFIX_LEN)[:PREFIX_LEN] + s
+            sel = np.argpartition(-imp, PREFIX_LEN)[:PREFIX_LEN]
+            sel = sel[np.argsort(-imp[sel], kind="stable")] + s
             pd.append(cf.doc[sel])
             pt.append(cf.tf[sel])
             pe.append(cf.exact_tf[sel])
