@@ -50,9 +50,11 @@ P_CHUNK = 8 * 1024 * 1024
 
 # pruned-path knobs. The synthetic corpus is iid-uniform tf in {1,2,3} —
 # the known WORST case for impact-prefix nomination (real text tf is
-# zipf) — so the prefix/candidate budgets run wide: LP=32k = the top ~9%
-# of a 373k-df term, C=2k candidates rescored exactly.
-LP = 32768               # impact-prefix length per token
+# zipf; a true top-k doc here needs mid contributions on ALL terms, so
+# nomination needs DEEP prefixes) — budgets run wide: LP=64k = the top
+# ~18% of a 373k-df term, C=2k candidates rescored exactly. The engine's
+# default block depth for real corpora is PREFIX_LEN=8192.
+LP = 65536               # impact-prefix length per token
 C_FT = 2048              # fulltext candidate budget
 C_HY = 2048              # hybrid fulltext candidates
 V_HY = 256               # hybrid vector candidates
