@@ -432,7 +432,7 @@ def test_champion_rows_sum_duplicate_pairs(monkeypatch):
     tf = np.asarray([1.0, 2.0, 1.0, 1.0, 1.0], np.float32)
     flen = np.full(5, 4.0, np.float32)
     idx._committed["body"] = [_CommittedField(
-        terms=["heavy"], term_to_tid={"heavy": 0},
+        terms=["heavy"],
         starts=np.asarray([0], np.int64), lens=np.asarray([5], np.int32),
         doc=doc, tf=tf, exact_tf=tf, flen=flen,
         stats=FieldStats(doc_count=4, sum_len=16.0),
