@@ -609,3 +609,68 @@ def test_incremental_slab_committed_cache():
     idx.slab()
     assert idx._slab_committed is not comm1
     assert ("t", "fresh") in idx._slab_ranges
+
+
+def test_legacy_v2_snapshot_migrates_to_doc_sorted(tmp_path):
+    """v2 snapshots stored ranges IMPACT-ordered; loading one must
+    re-sort every range by doc id (the pruned rescore's invariant) and
+    rebuild impact-prefix side blocks — with identical search results."""
+    import msgpack
+
+    from oramacore_tpu.index.string_index import (
+        StringIndex,
+        load_string_index,
+        save_string_index,
+    )
+    from oramacore_tpu.index.search_exec import host_bm25_reference
+
+    rng = np.random.default_rng(5)
+    idx = StringIndex(index_bigrams=False)
+    for d in range(400):
+        toks = [f"w{x}" for x in rng.integers(0, 30, size=6)]
+        idx.index_text(d, "t", [(t, []) for t in toks])
+    idx.commit()
+    prefix = str(tmp_path / "snap")
+    save_string_index(idx, prefix)
+    want = host_bm25_reference(idx, ["w1", "w2"], ["t"], {}, 400.0)
+
+    # doctor the snapshot into v2 shape: impact-shuffle each range,
+    # strip prefix blocks, stamp v=2
+    meta = msgpack.unpackb(
+        open(prefix + ".meta.msgpack", "rb").read(), raw=False
+    )
+    meta["v"] = 2
+    arrays = dict(np.load(prefix + ".npz"))
+    for m in meta["fields"].values():
+        for sm in m["segments"]:
+            sm.pop("prefix", None)
+            key = sm["key"]
+            for suffix in ("pdoc", "ptf", "petf", "pflen"):
+                arrays.pop(f"{key}__{suffix}", None)
+            starts = arrays[f"{key}__starts"]
+            lens = arrays[f"{key}__lens"]
+            for tid in range(len(starts)):
+                s, n = int(starts[tid]), int(lens[tid])
+                tf = arrays[f"{key}__tf"][s:s + n]
+                fl = arrays[f"{key}__flen"][s:s + n]
+                order = np.argsort(-(tf / np.maximum(fl, 1e-9)),
+                                   kind="stable")
+                for name in ("doc", "tf", "exact_tf", "flen"):
+                    a = arrays[f"{key}__{name}"]
+                    a[s:s + n] = a[s:s + n][order]
+    np.savez(prefix + ".npz", **arrays)
+    open(prefix + ".meta.msgpack", "wb").write(
+        msgpack.packb(meta, use_bin_type=True)
+    )
+
+    loaded = load_string_index(prefix)
+    # ranges are doc-sorted again
+    for segs in loaded._committed.values():
+        for cf in segs:
+            for tid in range(len(cf.terms)):
+                s, n = int(cf.starts[tid]), int(cf.lens[tid])
+                assert np.all(np.diff(cf.doc[s:s + n]) >= 0)
+    got = host_bm25_reference(loaded, ["w1", "w2"], ["t"], {}, 400.0)
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-6
