@@ -420,10 +420,20 @@ def test_concurrent_pruned_search_during_commits():
         stop = threading.Event()
         errors = []
 
+        from oramacore_tpu.types import SearchParams
+
         def searcher():
+            # search WITHOUT pumping: op application is single-consumer
+            # in production (start_consumer thread); the TestContext
+            # pump-on-search convenience is not safe from many threads
             while not stop.is_set():
                 try:
-                    out = coll.search({"term": "alpha", "limit": 5})
+                    out = ctx.reader.search(
+                        coll.collection_id, coll.read_key,
+                        SearchParams.from_json(
+                            {"term": "alpha", "limit": 5}
+                        ),
+                    )
                     assert out.count >= 300 - 50
                 except Exception as e:  # noqa: BLE001
                     errors.append(e)

@@ -65,9 +65,18 @@ class TestContext:
         return self.orama.read_side
 
     def pump(self):
-        """Deliver all pending ops to the read side."""
-        self.orama.write_side.embedding_queue.flush_and_wait()
-        return self.orama.read_side.pump()
+        """Deliver all pending ops to the read side. Serialized: op
+        application is single-consumer in production (the start_consumer
+        thread); tests calling pump from several threads (searchers +
+        ingesters) must not interleave applies."""
+        import threading
+
+        lock = getattr(self, "_pump_lock", None)
+        if lock is None:
+            lock = self._pump_lock = threading.Lock()
+        with lock:
+            self.orama.write_side.embedding_queue.flush_and_wait()
+            return self.orama.read_side.pump()
 
     # -- fluent helpers (reference TestCollectionClient) -----------------
 
