@@ -425,7 +425,10 @@ class PrunedPlanMixin(StringSearchTopK):
         nd = np.ones((Bb,), np.float32)
         dfs = np.zeros((Bb, Tb), np.float64)
         # --- rescore worklist --------------------------------------------
-        wl = []   # (b, t, start, len, w, fb, av)
+        wl = []        # (b, t, start, len, w, fb, av)
+        wl_earlier = []  # per entry: [(span_start, span_len), ...] of
+        #                  EARLIER FIELDS of the same token (union df)
+        max_span = 0
         for i, p in enumerate(plans):
             nd[i] = max(float(n_docs[i]), 1.0)
             ps, pl, pw, pf, pa = pre_of(p)
@@ -439,6 +442,9 @@ class PrunedPlanMixin(StringSearchTopK):
                 lp = max(lp, int(pl.max()))
             t_n, r_n = p.starts.shape
             for t in range(t_n):
+                # earlier-field spans by ordinal, cumulative
+                spans_t = (p.spans[t] if p.spans is not None
+                           and t < len(p.spans) else [])
                 for r in range(r_n):
                     ln = int(p.lens[t, r])
                     if ln <= 0:
@@ -448,10 +454,20 @@ class PrunedPlanMixin(StringSearchTopK):
                     w0 = float(p.weights[t, r])
                     b0 = float(p.field_b[t, r])
                     a0 = float(p.avg_flen[t, r])
+                    ford = (
+                        int(p.range_field[t, r])
+                        if p.range_field is not None else 0
+                    )
+                    earlier = [
+                        (rs, rl) for (fo, rs, rl) in spans_t if fo < ford
+                    ]
+                    for (_rs, rl) in earlier:
+                        max_span = max(max_span, rl)
                     off = 0
                     while off < ln:
                         take = min(ln - off, lch)
                         wl.append((i, t, s0 + off, take, w0, b0, a0))
+                        wl_earlier.append(earlier)
                         off += take
         lp = round_up_pow2(lp, 8)
         # pow2-bucket W like every other static dim: the worklist length
@@ -464,6 +480,20 @@ class PrunedPlanMixin(StringSearchTopK):
         for j, (b, t, s0, ln, w0, b0, a0) in enumerate(wl):
             wl_i[:, j] = (b, t, s0, ln)
             wl_f[:, j] = (w0, b0, a0)
+        # multi-field union-df spans (ops/pruned.py _rescore_worklist)
+        nre = max((len(e) for e in wl_earlier), default=0)
+        nre = round_up_pow2(nre, 1) if nre else 0
+        wl_prev = None
+        bs_steps = 0
+        if nre:
+            wl_prev = np.zeros((2, W, nre), np.int32)
+            for j, earlier in enumerate(wl_earlier):
+                for e, (rs, rl) in enumerate(earlier):
+                    wl_prev[0, j, e] = rs
+                    wl_prev[1, j, e] = rl
+            bs_steps = 4
+            while (1 << bs_steps) < max_span + 1:
+                bs_steps += 4  # bucket compiles: steps in {4,8,...}
         d = np.maximum(dfs, 1.0)
         idf = np.where(
             dfs > 0,
@@ -477,7 +507,7 @@ class PrunedPlanMixin(StringSearchTopK):
         pre_idesc = np.stack([pre_st, pre_ln])
         pre_fdesc = np.stack([pre_w, pre_fb, pre_av])
         return (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs,
-                int(lp), int(Tb))
+                int(lp), int(Tb), wl_prev, int(nre), int(bs_steps))
 
     @staticmethod
     def _pruned_counts(cand_counts, dfs, nd, thresholds, B):
@@ -519,7 +549,8 @@ class PrunedPlanMixin(StringSearchTopK):
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
         B = len(plans)
         capb = round_up_pow2(cap, 128)
-        (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs, lp, Tb) = (
+        (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs, lp, Tb,
+         wl_prev, nre, bs_steps) = (
             self._pruned_host_inputs(plans, n_docs, thresholds)
         )
         has_omc = omc is not None
@@ -535,8 +566,9 @@ class PrunedPlanMixin(StringSearchTopK):
             jnp.asarray(wl_i), jnp.asarray(wl_f),
             jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
             omc_arr,
+            jnp.asarray(wl_prev) if wl_prev is not None else None,
             lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
-            exact=exact, has_omc=has_omc,
+            exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
         )
         counts = self._pruned_counts(cand_counts, dfs, nd, thresholds, B)
         return (
@@ -727,7 +759,8 @@ class HybridSearchTopK(PrunedPlanMixin):
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
         B = len(plans)
         capb = round_up_pow2(cap, 128)
-        (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs, lp, Tb) = (
+        (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs, lp, Tb,
+         wl_prev, nre, bs_steps) = (
             self._pruned_host_inputs(plans, n_docs, thresholds)
         )
         mat_i8, v_scales, row_doc, unit_cen, unit_starts, window, nprobe = (
@@ -758,8 +791,9 @@ class HybridSearchTopK(PrunedPlanMixin):
             jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
             mat_i8, v_scales, row_doc, unit_cen, unit_starts, doc2row,
             jnp.asarray(q), jnp.asarray(sims), omc_arr,
+            jnp.asarray(wl_prev) if wl_prev is not None else None,
             lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
-            exact=exact, has_omc=has_omc,
+            exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
             V=V, nprobe=nprobe, window=window,
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,

@@ -186,6 +186,13 @@ class QueryPlan:
     pre_weights: Optional[np.ndarray] = None
     pre_field_b: Optional[np.ndarray] = None
     pre_avg: Optional[np.ndarray] = None
+    # multi-field df support for the pruned rescore: per main range, the
+    # FIELD ordinal it belongs to (T, NR; -1 pad), plus per token the
+    # UNSPLIT doc-sorted spans [(ordinal, start, len), ...] — the device
+    # df counts postings minus docs already seen in an earlier field's
+    # span (exact union df, reference token_score.rs corpus_docs set)
+    range_field: Optional[np.ndarray] = None
+    spans: Optional[List[List[Tuple[int, int, int]]]] = None
 
 
 _INDEX_UIDS = __import__("itertools").count(1)
@@ -1131,14 +1138,18 @@ class StringIndex:
         from ..ops.bm25 import MAX_RANGE_LEN
 
         per_token: List[List[Tuple[int, int, float, float, float]]] = []
+        per_token_ford: List[List[int]] = []
         per_token_pre: List[List[Tuple[int, int, float, float, float]]] = []
+        per_token_spans: List[List[Tuple[int, int, int]]] = []
         per_token_champs: List[List[Tuple[int, float]]] = []
         for ti, token in enumerate(tokens):
             tw = token_weights[ti] if token_weights is not None else 1.0
             ranges: List[Tuple[int, int, float, float, float]] = []
+            fords: List[int] = []
             pre: List[Tuple[int, int, float, float, float]] = []
+            spans: List[Tuple[int, int, int]] = []
             champs: List[Tuple[int, float]] = []
-            for path in properties:
+            for ford, path in enumerate(properties):
                 stats = self._stats.get(path)
                 if stats is None or stats.doc_count == 0:
                     continue
@@ -1172,6 +1183,8 @@ class StringIndex:
                             pre.append(
                                 (rs, min(rl, PREFIX_LEN), w, fb, avg)
                             )
+                        for (rs, rl) in list(cr) + list(lr):
+                            spans.append((ford, rs, rl))
                     for (start, length) in list(cr) + list(lr):
                         if champ_skip is not None and \
                                 (start, length) in champ_skip:
@@ -1181,13 +1194,25 @@ class StringIndex:
                         # split over-long ranges: device slices stay bounded
                         while length > MAX_RANGE_LEN:
                             ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
+                            fords.append(ford)
                             start += MAX_RANGE_LEN
                             length -= MAX_RANGE_LEN
                         ranges.append((start, length, w, fb, avg))
-            per_token.append(_coalesce_and_cap(ranges, token))
+                        fords.append(ford)
+            if with_prefix:
+                # NO coalescing for pruned plans: merged cross-field
+                # ranges would break the per-range doc-sorted invariant
+                # the worklist rescore depends on (and the worklist has
+                # no NR-padding cost, so the cap is unnecessary)
+                per_token.append(ranges)
+                per_token_ford.append(fords)
+            else:
+                per_token.append(_coalesce_and_cap(ranges, token))
+                per_token_ford.append([])
             per_token_pre.append(
                 _coalesce_and_cap(pre, token) if with_prefix else []
             )
+            per_token_spans.append(spans)
             per_token_champs.append(champs)
 
         T = max(1, len(per_token))
@@ -1216,7 +1241,12 @@ class StringIndex:
                     champ_idx[ti, cj] = ci
                     champ_w[ti, cj] = w
         pre_starts = pre_lens = pre_w = pre_fb = pre_av = None
+        range_field = None
         if with_prefix:
+            range_field = np.full((T, NR), -1, np.int32)
+            for ti, fords in enumerate(per_token_ford):
+                for ri, fo in enumerate(fords):
+                    range_field[ti, ri] = fo
             NPR = max(1, max((len(r) for r in per_token_pre), default=1))
             pre_starts = np.zeros((T, NPR), np.int32)
             pre_lens = np.zeros((T, NPR), np.int32)
@@ -1245,6 +1275,8 @@ class StringIndex:
             pre_weights=pre_w,
             pre_field_b=pre_fb,
             pre_avg=pre_av,
+            range_field=range_field,
+            spans=per_token_spans if with_prefix else None,
         )
 
     # ------------------------------------------------------------------

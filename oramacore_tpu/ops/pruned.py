@@ -35,10 +35,10 @@ exactly for C >= corpus (tests) and as >=0.95 top-10 overlap at scale
 (benches/hybrid10m_bench.py --pruned).
 
 Known approximations (documented, all bounded):
-- the per-token IDF is computed on the HOST from posting-range lengths
-  (exact when each token's ranges are doc-disjoint — single-field plans
-  over committed segments; engine plans fall back to the dense path
-  otherwise);
+- phase-1 nomination ranks with a HOST idf from posting-range lengths
+  (nomination-only; the rescore recomputes idf on device). Multi-field
+  df is EXACT: duplicates across fields subtract via earlier-span
+  binary-search membership (_rescore_worklist nre/bs_steps);
 - total match `counts` over the corpus cannot be known without a full
   aggregation — the kernel returns the count of verified candidates (a
   lower bound); callers may substitute the union-probability estimate
@@ -187,8 +187,10 @@ def _rescore_worklist(
     wl_f,                      # f32[3, W]: weight, field_b, avg_flen
     n_docs,                    # f32[B] corpus size (for the IDF)
     cand,                      # int32[B, C] sorted ascending (cap = empty)
+    wl_prev=None,              # int32[2, W, NRE]: earlier-FIELD spans
     *,
     lch: int, C: int, T: int, wch: int = 128,
+    nre: int = 0, bs_steps: int = 0,
 ):
     """Phase 2: EXACT BM25F scores + matched-token counts for the
     candidate set, streaming a PACKED WORKLIST of (query, token, chunk)
@@ -205,9 +207,16 @@ def _rescore_worklist(
 
     Per-entry results reduce onto (B*T) rows with one small one-hot
     matmul; the per-token document frequency is counted in the same
-    stream (postings with tf_src > 0 — exact whenever a token's ranges
-    are doc-disjoint, which also makes exact-mode df over exact_tf
-    correct). Returns (scores f32[B, C], matched f32[B, C])."""
+    stream (postings with tf_src > 0 — exact within a field, whose
+    ranges are doc-disjoint; exact-mode df over exact_tf comes free).
+
+    MULTI-FIELD df (nre > 0): the reference's corpus_df is the UNION of
+    docs across fields (token_score.rs corpus_docs set), so a posting
+    whose doc already appeared in an EARLIER field's span of the same
+    token must not count again. wl_prev carries each entry's earlier
+    doc-sorted spans; membership is a bs_steps-round uniform binary
+    search with global slab gathers — duplicates subtract from df.
+    Returns (scores f32[B, C], matched f32[B, C])."""
     W = wl_i.shape[1]
     B = cand.shape[0]
     assert W % wch == 0
@@ -254,13 +263,44 @@ def _rescore_worklist(
             jnp.take_along_axis(pref, ub, axis=1)
             - jnp.take_along_axis(pref, lb, axis=1)
         )                                               # (wch, C)
+        df_inc = jnp.sum(keepm, axis=1).astype(jnp.float32)
+        if nre:
+            # subtract postings whose doc already appeared in an EARLIER
+            # field's span of the same token (union df)
+            seen = jnp.zeros((wch, lch), bool)
+            for e in range(nre):
+                st_e = jax.lax.dynamic_slice(
+                    wl_prev[0], (j * wch, e), (wch, 1)
+                )                                       # (wch, 1)
+                ln_e = jax.lax.dynamic_slice(
+                    wl_prev[1], (j * wch, e), (wch, 1)
+                )
+                pos = jnp.zeros((wch, lch), jnp.int32)
+                bstep = 1 << (bs_steps - 1)
+                while bstep >= 1:
+                    cpos = pos + bstep
+                    ok = cpos <= ln_e
+                    v = jnp.take(
+                        p_doc,
+                        jnp.clip(st_e + cpos - 1, 0, p_doc.shape[0] - 1),
+                    )
+                    pos = jnp.where(ok & (v < docs), cpos, pos)
+                    bstep >>= 1
+                at = jnp.clip(st_e + pos, 0, p_doc.shape[0] - 1)
+                hit = (pos < ln_e) & (jnp.take(p_doc, at) == docs) & (
+                    ln_e > 0
+                ) & (jnp.take(tf_src, at) > 0)  # exact-mode: a doc with
+                # exact_tf=0 in the earlier field never counted there
+                seen = seen | hit
+            df_inc = df_inc - jnp.sum(
+                (seen & keepm).astype(jnp.float32), axis=1
+            )
         g = jax.nn.one_hot(bw * T + tw, BT, dtype=jnp.float32)
         acc_bt = acc_bt + jnp.einsum(
             "wc,wg->gc", contrib, g, preferred_element_type=jnp.float32
         )
         df_bt = df_bt + jnp.dot(
-            jnp.sum(keepm, axis=1).astype(jnp.float32), g,
-            preferred_element_type=jnp.float32,
+            df_inc, g, preferred_element_type=jnp.float32,
         )
         return (acc_bt, df_bt), None
 
@@ -281,7 +321,8 @@ def _rescore_worklist(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lp", "lch", "cap", "C", "k", "T", "exact", "has_omc"),
+    static_argnames=("lp", "lch", "cap", "C", "k", "T", "exact", "has_omc",
+                     "nre", "bs_steps"),
 )
 def pruned_fulltext_topk(
     p_doc, p_tf, p_exact_tf, p_flen,
@@ -293,9 +334,10 @@ def pruned_fulltext_topk(
     n_docs,       # f32[B] corpus size (device-exact IDF in the rescore)
     thr_counts,   # f32[B] min distinct matched tokens
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
+    wl_prev=None, # int32[2, W, NRE] earlier-field spans (multi-field df)
     *,
     lp: int, lch: int, cap: int, C: int, k: int, T: int,
-    exact: bool, has_omc: bool,
+    exact: bool, has_omc: bool, nre: int = 0, bs_steps: int = 0,
 ):
     """Fused pruned full-text search: ONE dispatch, (B, k) results.
 
@@ -312,7 +354,8 @@ def pruned_fulltext_topk(
     )
     scores, matched = _rescore_worklist(
         p_doc, tf_src, p_flen, wl_i, wl_f,
-        n_docs, cand, lch=lch, C=C, T=T,
+        n_docs, cand, wl_prev, lch=lch, C=C, T=T,
+        nre=nre, bs_steps=bs_steps,
     )
     keep = (
         (matched >= thr_counts[:, None]) & (scores > 0.0) & (cand < cap)
@@ -334,6 +377,7 @@ def pruned_fulltext_topk(
     static_argnames=(
         "lp", "lch", "cap", "C", "k", "T", "exact", "has_omc",
         "V", "nprobe", "window", "has_rescale", "rescale_lo", "rescale_hi",
+        "nre", "bs_steps",
     ),
 )
 def pruned_hybrid_topk_int8(
@@ -349,11 +393,13 @@ def pruned_hybrid_topk_int8(
     queries,      # f32[B, dim] L2-normalized
     sim,          # f32[B] similarity threshold
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
+    wl_prev=None, # int32[2, W, NRE] earlier-field spans (multi-field df)
     *,
     lp: int, lch: int, cap: int, C: int, k: int, T: int,
     exact: bool, has_omc: bool,
     V: int, nprobe: int, window: int,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
+    nre: int = 0, bs_steps: int = 0,
 ):
     """Fused pruned hybrid over the int8/IVF vector layout.
 
@@ -400,7 +446,8 @@ def pruned_hybrid_topk_int8(
     # exact BM25F over the union
     scores, matched = _rescore_worklist(
         p_doc, tf_src, p_flen, wl_i, wl_f,
-        n_docs, cand, lch=lch, C=Ct, T=T,
+        n_docs, cand, wl_prev, lch=lch, C=Ct, T=T,
+        nre=nre, bs_steps=bs_steps,
     )
 
     # exact vector score per candidate: gather the doc's int8 row

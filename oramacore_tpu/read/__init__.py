@@ -801,10 +801,6 @@ class ReadSide:
         full scan), the sharded mesh (shard-local pruning is ROADMAP),
         impact_cap opt-ins, and deep pagination beyond the candidate
         budget. Additionally (the kernel's documented preconditions):
-        - single searchable string FIELD only — the device df counts
-          postings, which equals distinct docs only when a token's
-          ranges are doc-disjoint; a token matching in two fields would
-          double-count df and skew the IDF;
         - no tolerance — fuzzy matches can coalesce different terms'
           ranges into one (string_index._coalesce_and_cap), breaking
           the doc-sorted invariant the rescore's binary search needs;
@@ -823,23 +819,9 @@ class ReadSide:
                 return False
             if getattr(mode, "threshold", None) is not None:
                 return False
-        if params is not None and len(self._string_props(idx, params)) != 1:
-            return False
         if cfg.pruning == "on":
             return True
         return idx.cap() >= cfg.pruned_min_docs
-
-    @staticmethod
-    def _string_props(idx: ReadIndex, params: SearchParams):
-        def _searchable(t):
-            return t.startswith("string") or t == "date"
-
-        if params.properties is not None:
-            return [
-                p for p in params.properties
-                if _searchable(idx.field_types.get(p, ""))
-            ]
-        return [p for p, t in idx.field_types.items() if _searchable(t)]
 
     def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
                        use_champions: bool = False,

@@ -211,3 +211,38 @@ def test_pruned_with_engaged_prefix_blocks():
             assert len(ps) == 10 and pruned.count >= len(ps)
     finally:
         ctx.close()
+
+
+def test_pruned_multi_field_union_df_parity():
+    """Two string fields with overlapping vocabulary: the pruned path's
+    device df must equal the dense path's cross-field UNION df
+    (reference token_score.rs corpus_docs set) — a posting whose doc
+    already matched in an earlier field must not double-count."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(23)
+        docs = []
+        for i in range(400):
+            w1 = rng.choice(VOCAB, size=4, replace=False).tolist()
+            # heavy overlap: the SAME words often appear in both fields
+            w2 = rng.choice(w1 + VOCAB[:8], size=3, replace=False).tolist()
+            docs.append({
+                "id": str(i),
+                "title": " ".join(w1),
+                "body": " ".join(w2) + f" u{i}",
+            })
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        for params in (
+            {"term": "apple banana", "limit": 10},
+            {"term": "cherry", "limit": 10},
+            {"term": "grape kiwi mango", "limit": 10,
+             "boost": {"title": 2.0}},
+            {"term": "apple", "limit": 10, "exact": True},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            _assert_hits_equal(dense, pruned)
+    finally:
+        ctx.close()
