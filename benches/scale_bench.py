@@ -48,7 +48,6 @@ def bench_bm25_1m(n_docs=1_000_000, vocab=100_000, ppd=40, B=256, T=4):
     terms = [f"t{i}" for i in range(vocab)]
     idx._committed["body"] = [_CommittedField(
         terms=terms,
-        term_to_tid={t: i for i, t in enumerate(terms)},
         starts=starts, lens=lens,
         doc=docs, tf=tf, exact_tf=tf, flen=flen,
         stats=FieldStats(doc_count=n_docs, sum_len=float(flen.sum())),

@@ -21,6 +21,47 @@ from .string_index import QueryPlan, StringIndex
 # EmbeddingStorage.search semantics)
 HYBRID_INT8_CANDIDATES = 256
 
+_MISS = object()
+
+
+class DeviceLru:
+    """Bounded keyed LRU for device-resident arrays, safe under the
+    read-concurrent search path (searches share a read lock, so cache
+    mutations race without this lock). `group` maps a key to a
+    stale-group id: inserting a key purges other keys of the same group
+    first (stale generations of one index can never be queried again)."""
+
+    def __init__(self, maxsize: int, group=None):
+        import threading
+        from collections import OrderedDict
+
+        self._d: "OrderedDict" = OrderedDict()
+        self._lock = threading.Lock()
+        self.maxsize = maxsize
+        self._group = group
+
+    def get(self, key):
+        """Cached value, or the module-level _MISS sentinel."""
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            return _MISS
+
+    def put(self, key, value):
+        with self._lock:
+            if self._group is not None:
+                g = self._group(key)
+                for k in [
+                    k for k in self._d
+                    if k != key and self._group(k) == g
+                ]:
+                    del self._d[k]
+            self._d[key] = value
+            while len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+        return value
+
 
 class StringSearchExecutor:
     """Caches device slabs and executes batched BM25F scoring."""
@@ -32,14 +73,16 @@ class StringSearchExecutor:
     MAX_CACHED_SLABS = 4
 
     def __init__(self):
-        from collections import OrderedDict
-
-        self._slabs: "OrderedDict" = OrderedDict()   # gen -> device slab
+        self._slabs = DeviceLru(
+            self.MAX_CACHED_SLABS, group=lambda k: k[0]
+        )  # (uid, gen) -> device slab
         # committed-portion device cache: stable between commits, so a
         # live-layer generation bump uploads only the live rows and
         # device-concatenates (O(live) H2D instead of re-uploading the
         # whole slab through the tunnel — VERDICT r2 weak #5)
-        self._comms: "OrderedDict" = OrderedDict()   # ckey -> arrays
+        self._comms = DeviceLru(
+            self.MAX_CACHED_SLABS, group=lambda k: k[0]
+        )  # (uid, committed_key) -> arrays
 
     def _get_device_slab(self, index: StringIndex):
         # key the HBM cache on (index uid, slab generation) — generation
@@ -49,25 +92,18 @@ class StringSearchExecutor:
         comm, live, ck = index.slab_split()
         gen = (index.uid, index.generation)  # read AFTER slab build
         cached = self._slabs.get(gen)
-        if cached is not None:
-            self._slabs.move_to_end(gen)
+        if cached is not _MISS:
             return cached
         from ..ops.bm25 import MAX_RANGE_LEN
 
         ckey = (index.uid, ck)
         comm_dev = self._comms.get(ckey)
-        if comm_dev is None and comm is not None:
-            comm_dev = tuple(jnp.asarray(a) for a in comm)
-            self._comms[ckey] = comm_dev
-            # drop stale committed snapshots of the SAME index first
-            for k in [k for k in self._comms if k[0] == index.uid
-                      and k != ckey]:
-                del self._comms[k]
-            while len(self._comms) > self.MAX_CACHED_SLABS:
-                self._comms.popitem(last=False)
-        else:
-            self._comms.move_to_end(ckey, last=True) \
-                if comm_dev is not None else None
+        if comm_dev is _MISS:
+            comm_dev = (
+                tuple(jnp.asarray(a) for a in comm)
+                if comm is not None else None
+            )
+            self._comms.put(ckey, comm_dev)
         pads = (
             np.zeros(MAX_RANGE_LEN, np.int32),
             np.zeros(MAX_RANGE_LEN, np.float32),
@@ -85,14 +121,7 @@ class StringSearchExecutor:
             out.append(
                 parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             )
-        slab = tuple(out)
-        # stale generations of the same index can never be queried again
-        for k in [k for k in self._slabs if k[0] == index.uid]:
-            del self._slabs[k]
-        self._slabs[gen] = slab
-        while len(self._slabs) > self.MAX_CACHED_SLABS:
-            self._slabs.popitem(last=False)
-        return slab
+        return self._slabs.put(gen, tuple(out))
 
     def score(
         self,
@@ -268,59 +297,51 @@ class StringSearchTopK(StringSearchExecutor):
     """Fused path: scoring + threshold + OMC + top-k in ONE device call;
     only (B, k) values/ids transfer back."""
 
-    def __init__(self):
-        from collections import OrderedDict
+    @staticmethod
+    def _omc_group(key):
+        # omc_key is (index uid, omc version): stale versions of the
+        # same index can never be requested again
+        omc_key, _capb = key
+        if isinstance(omc_key, tuple) and len(omc_key) == 2:
+            return ("omc", omc_key[0])
+        return ("omc", omc_key)
 
+    def __init__(self):
         super().__init__()
         # device-resident OMC multipliers, keyed on (version, capb) so the
         # f32[cap] array doesn't cross the tunnel on every query; bounded
         # multi-slot (the shared batched executor serves many indexes)
-        self._omc_dev: "OrderedDict" = OrderedDict()
+        self._omc_dev = DeviceLru(
+            2 * self.MAX_CACHED_SLABS, group=self._omc_group
+        )
         # device-resident champion matrices, keyed on (uid, gen, capb)
-        self._champ_dev: "OrderedDict" = OrderedDict()
+        self._champ_dev = DeviceLru(
+            self.MAX_CACHED_SLABS, group=lambda k: k[0]
+        )
 
     def _get_device_champs(self, index: StringIndex, capb: int):
         key = (index.uid, index.generation, capb)
         cached = self._champ_dev.get(key)
-        if cached is not None:
-            self._champ_dev.move_to_end(key)
+        if cached is not _MISS:
             return cached
         mat = index._champ_matrix
         if mat is None:
             return None
         padded = np.zeros((mat.shape[0], capb), np.float32)
         padded[:, : min(mat.shape[1], capb)] = mat[:, :capb]
-        dev = jnp.asarray(padded)
-        for k in [k for k in self._champ_dev if k[0] == index.uid]:
-            del self._champ_dev[k]
-        self._champ_dev[key] = dev
-        while len(self._champ_dev) > self.MAX_CACHED_SLABS:
-            self._champ_dev.popitem(last=False)
-        return dev
+        return self._champ_dev.put(key, jnp.asarray(padded))
 
     def _get_device_omc(self, omc: np.ndarray, omc_key: Optional[int], capb: int):
         key = (omc_key, capb) if omc_key is not None else None
         if key is not None:
             cached = self._omc_dev.get(key)
-            if cached is not None:
-                self._omc_dev.move_to_end(key)
+            if cached is not _MISS:
                 return cached
         arr = np.ones((capb,), np.float32)
         arr[: min(len(omc), capb)] = omc[:capb]
         dev = jnp.asarray(arr)
         if key is not None:
-            # omc_key is (index uid, omc version): stale versions of the
-            # same index can never be requested again
-            if isinstance(omc_key, tuple) and len(omc_key) == 2:
-                for k in [
-                    k for k in self._omc_dev
-                    if isinstance(k[0], tuple) and k[0][0] == omc_key[0]
-                    and k != key
-                ]:
-                    del self._omc_dev[k]
-            self._omc_dev[key] = dev
-            while len(self._omc_dev) > 2 * self.MAX_CACHED_SLABS:
-                self._omc_dev.popitem(last=False)
+            self._omc_dev.put(key, dev)
         return dev
 
     def search_topk(

@@ -56,19 +56,24 @@ class ShardedStringExec:
     MAX_CACHED = 2
 
     def __init__(self, mesh: Mesh):
-        from collections import OrderedDict
+        from ..index.search_exec import DeviceLru
 
         self.mesh = mesh
         self.D = int(mesh.shape["d"])
-        # gen -> (dev slab 4-tuple, boundaries, bprefix). BOUNDARY-
-        # indexed shard prefix (VERDICT r2 weak #4: a dense (D, P+1)
-        # prefix matrix cost O(D*P) host RAM — ~4.3 GB at the
+        # (uid, gen) -> (dev slab 4-tuple, boundaries, bprefix).
+        # BOUNDARY-indexed shard prefix (VERDICT r2 weak #4: a dense
+        # (D, P+1) prefix matrix cost O(D*P) host RAM — ~4.3 GB at the
         # 134M-posting tier). Query plans only ever reference stored
         # range boundaries (+ their MAX_RANGE_LEN split grid), so the
         # prefix needs values at those ~#terms positions only:
         # bprefix[s, i] = # postings with shard==s before boundary i.
-        self._slabs: "OrderedDict" = OrderedDict()
-        self._active_gen = None
+        self._slabs = DeviceLru(self.MAX_CACHED, group=lambda k: k[0])
+        # vector layouts: flat (uid, gen) / int8 ("i8", uid, gen)
+        self._vecs = DeviceLru(
+            2 * self.MAX_CACHED,
+            group=lambda k: (k[0], k[1]) if isinstance(k[0], str)
+            else ("flat", k[0]),
+        )
         self._steps: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
         self._omc_dev: Optional[Tuple[int, int, object]] = None
@@ -80,17 +85,18 @@ class ShardedStringExec:
     def ensure_slab(self, index: StringIndex):
         """Partition + upload the index's slab (cached); returns
         (dev_slab_4tuple, boundaries, bprefix) for this index."""
+        from ..index.search_exec import _MISS
+
         slab = index.slab()
         # (uid, generation): generation alone collides across index
         # objects when an executor outlives/serves several indexes
         gen = (index.uid, index.generation)
         cached = self._slabs.get(gen)
-        if cached is not None:
-            self._slabs.move_to_end(gen)
+        if cached is not _MISS:
             return cached
-        with self._lock:
+        with self._lock:  # one thread partitions; others wait
             cached = self._slabs.get(gen)
-            if cached is not None:
+            if cached is not _MISS:
                 return cached
             p_doc, p_tf, p_etf, p_flen = slab
             D = self.D
@@ -142,14 +148,7 @@ class ShardedStringExec:
                 jax.device_put(a, sharding)
                 for a in (docs_l, tf_l, etf_l, flen_l)
             )
-            # stale generations of the same index can't be queried again
-            for k in [k for k in self._slabs if k[0] == index.uid]:
-                del self._slabs[k]
-            entry = (dev, boundaries, bprefix)
-            self._slabs[gen] = entry
-            while len(self._slabs) > self.MAX_CACHED:
-                self._slabs.popitem(last=False)
-            return entry
+            return self._slabs.put(gen, (dev, boundaries, bprefix))
 
     @staticmethod
     def _shard_ranges_on(boundaries, bprefix, D,
@@ -257,26 +256,6 @@ class ShardedStringExec:
     # the postings, so a doc's fused score is entirely shard-local
     # ------------------------------------------------------------------
 
-    def _vec_cache(self):
-        from collections import OrderedDict
-
-        if not hasattr(self, "_vecs"):
-            self._vecs = OrderedDict()
-        return self._vecs
-
-    def _vec_cache_put(self, gen, value):
-        cache = self._vec_cache()
-        uid = gen[0] if not isinstance(gen[0], str) else gen[1]
-        for k in [k for k in cache if k != gen and (
-            k[0] == gen[0] if not isinstance(gen[0], str)
-            else (isinstance(k[0], str) and len(k) > 1 and k[1] == uid)
-        )]:
-            del cache[k]
-        cache[gen] = value
-        while len(cache) > 2 * self.MAX_CACHED:
-            cache.popitem(last=False)
-        return value
-
     def ensure_vectors(self, vector_index):
         """Partition the flat vector rows across the mesh. Returns the
         device tuple, or None when the index is absent / in int8/IVF
@@ -286,15 +265,16 @@ class ShardedStringExec:
         # (uid, gen): bare generations collide across vector indexes
         # served by one shared executor (two indexes at gen 3 would
         # silently reuse each other's corpus)
+        from ..index.search_exec import _MISS
+
         gen = (getattr(vector_index, "uid", id(vector_index)),
                vector_index._gen)
-        cache = self._vec_cache()
-        if gen in cache:
-            cache.move_to_end(gen)
-            out = cache[gen]
+        out = self._vecs.get(gen)
+        if out is not _MISS:
             return out if out is not False else None
         if vector_index._ivf is not None and not vector_index._live_rows:
-            return self._vec_cache_put(gen, False) or None
+            self._vecs.put(gen, False)
+            return None
         parts_m = [vector_index._committed_matrix]
         parts_d = [vector_index._committed_docs]
         if vector_index._live_rows:
@@ -317,7 +297,7 @@ class ShardedStringExec:
             valid_l[s, :n] = True
         sh2 = NamedSharding(self.mesh, P("d", None))
         sh3 = NamedSharding(self.mesh, P("d", None, None))
-        return self._vec_cache_put(gen, (
+        return self._vecs.put(gen, (
             jax.device_put(mat_l.astype(np.float32), sh3),
             jax.device_put(doc_l, sh2),
             jax.device_put(valid_l, sh2),
@@ -508,12 +488,13 @@ class ShardedStringExec:
         if vector_index is None or vector_index._ivf is None \
                 or vector_index._live_rows:
             return None
+        from ..index.search_exec import _MISS
+
         gen = ("i8", getattr(vector_index, "uid", id(vector_index)),
                vector_index._gen)
-        cache = self._vec_cache()
-        if gen in cache:
-            cache.move_to_end(gen)
-            return cache[gen]
+        out = self._vecs.get(gen)
+        if out is not _MISS:
+            return out
         ivf = vector_index._ivf
         D = self.D
         q = ivf["q"]
@@ -541,7 +522,7 @@ class ShardedStringExec:
             doc_l[s, j * window: j * window + n] = docs[st:en]
         sh2 = NamedSharding(self.mesh, P("d", None))
         sh3 = NamedSharding(self.mesh, P("d", None, None))
-        return self._vec_cache_put(gen, (
+        return self._vecs.put(gen, (
             jax.device_put(mat_l, sh3),
             jax.device_put(sc_l, sh2),
             jax.device_put(doc_l, sh2),

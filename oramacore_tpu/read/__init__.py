@@ -465,6 +465,10 @@ class ReadSide:
                 )
 
     def _search_locked(self, coll, collection_id, read_key, params, t0):
+        # reset ONCE per search; per-index scoring ORs it (a multi-index
+        # collection where only one index pruned must still flag the
+        # response count as estimated)
+        self._last_count_estimated = False
         # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
         # per-collection secret is passed to hooks (read/mod.rs:656-660)
         if self.hooks_runtime is not None:
@@ -645,7 +649,8 @@ class ReadSide:
     ) -> Dict[int, float]:
         self._last_fused_count = None
         self._last_omc_applied = False
-        self._last_count_estimated = False
+        # NOTE: _last_count_estimated is reset once per search (and ORs
+        # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
                 coll, idx, mode, params, mask, fused_ok=fused_ok,
@@ -694,11 +699,15 @@ class ReadSide:
         no string fields) so the caller falls back."""
         if idx.vector is None:
             return None
-        cap0 = idx.cap()
-        k0 = min(max(2 * (params.limit + params.offset), 16), cap0)
+        cap = idx.cap()
+        k = min(max(2 * (params.limit + params.offset), 16), cap)
+        # ONE eligibility decision drives both the plan shape
+        # (with_prefix: uncoalesced ranges + field spans) and the
+        # dispatch below — recomputing it could route a coalesced
+        # no-prefix plan into the pruned kernel
+        use_pruned = self._pruned_eligible(idx, mask, k, mode, params)
         planned = self._plan_fulltext(
-            idx, mode, params,
-            with_prefix=self._pruned_eligible(idx, mask, k0, mode, params),
+            idx, mode, params, with_prefix=use_pruned,
         )
         if planned is None:
             return None
@@ -711,8 +720,6 @@ class ReadSide:
         from ..ops.vector import l2_normalize
 
         q = l2_normalize(np.asarray(targets[0], np.float32).reshape(1, -1))
-        cap = idx.cap()
-        k = min(max(2 * (params.limit + params.offset), 16), cap)
         thr = None
         if mode.threshold is not None:
             thr = float(math.floor(len(tokens) * mode.threshold))
@@ -752,7 +759,7 @@ class ReadSide:
                 vec_int8 = idx.vector.int8_device_rows()
                 if vec_int8 is None:
                     return None
-                if self._pruned_eligible(idx, mask, k, mode, params):
+                if use_pruned:
                     # pruned hybrid: candidate union + exact rescore, no
                     # dense doc-space accumulators (the 10M-tier path)
                     self._last_count_estimated = True

@@ -37,6 +37,9 @@ def wait_for(fn: Callable[[], Any], attempts: int = 2000, delay: float = 0.002):
 
 class TestContext:
     def __init__(self, data_dir: Optional[str] = None, llm_resolve_mode=None):
+        import threading
+
+        self._pump_lock = threading.Lock()
         self._own_dir = data_dir is None
         self.data_dir = data_dir or tempfile.mkdtemp(prefix="oramacore-test-")
         self.config = self._make_config(self.data_dir)
@@ -69,12 +72,7 @@ class TestContext:
         application is single-consumer in production (the start_consumer
         thread); tests calling pump from several threads (searchers +
         ingesters) must not interleave applies."""
-        import threading
-
-        lock = getattr(self, "_pump_lock", None)
-        if lock is None:
-            lock = self._pump_lock = threading.Lock()
-        with lock:
+        with self._pump_lock:
             self.orama.write_side.embedding_queue.flush_and_wait()
             return self.orama.read_side.pump()
 
@@ -98,6 +96,9 @@ class TestContext:
         self.commit_all()
         self.orama.stop()
         new = TestContext.__new__(TestContext)
+        import threading
+
+        new._pump_lock = threading.Lock()
         new._own_dir = self._own_dir
         new.data_dir = self.data_dir
         new.config = self._make_config(self.data_dir)
