@@ -25,7 +25,36 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oramacore_tpu_jax_cache
 import numpy as np
 
 
+def _probe_device(timeout_s: int = 150) -> bool:
+    """The tunneled TPU can wedge (any device op hangs forever — a 6h
+    outage was observed mid-round-3). Probe it in a SUBPROCESS with a
+    hard timeout so the bench fails fast and honestly instead of
+    hanging the round driver."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "games_json_bm25_batched_qps",
+            "value": 0,
+            "unit": "qps",
+            "vs_baseline": 0,
+            "error": "tpu tunnel unreachable (device op hung >150s); "
+                     "see benches/RESULTS.md round-3 outage note",
+        }))
+        sys.exit(3)
     import jax
 
     from oramacore_tpu.index.search_exec import SharedBatchExecutor

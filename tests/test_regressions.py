@@ -190,3 +190,37 @@ def test_hook_fetch_blocks_private_targets_by_default():
     # public hostnames stay reachable with no allowlist (resolution
     # failures deny, so use a numeric public address)
     assert rt.domain_allowed("http://93.184.216.34/")  # example.com's IP
+
+
+def test_device_lru_concurrent_mutation_safe():
+    """Round-3 review finding: executor device caches are mutated from
+    read-concurrent searches; DeviceLru must survive threaded
+    get/put/evict storms without KeyError and keep its bound."""
+    import threading
+
+    from oramacore_tpu.index.search_exec import _MISS, DeviceLru
+
+    lru = DeviceLru(4, group=lambda k: k[0])
+    errors = []
+
+    def worker(uid):
+        try:
+            for gen in range(300):
+                key = (uid, gen)
+                if lru.get(key) is _MISS:
+                    lru.put(key, ("slab", uid, gen))
+                for other in range(4):
+                    lru.get((other, gen))  # hit/miss churn
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(u,)) for u in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:1]
+    assert len(lru._d) <= 4
+    # stale-group purge: at most one generation survives per uid
+    uids = [k[0] for k in lru._d]
+    assert len(uids) == len(set(uids))
