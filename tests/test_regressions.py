@@ -224,3 +224,22 @@ def test_device_lru_concurrent_mutation_safe():
     # stale-group purge: at most one generation survives per uid
     uids = [k[0] for k in lru._d]
     assert len(uids) == len(set(uids))
+
+
+def test_impact_cap_logs_deprecation(caplog, tmp_path):
+    """v3 doc-sorted ranges make impact_cap a lowest-doc-id cap; boot
+    must warn loudly (config.ReaderSideConfig.impact_cap docs)."""
+    import logging
+
+    from oramacore_tpu.config import OramacoreConfig
+    from oramacore_tpu.runtime import build_orama
+
+    cfg = OramacoreConfig()
+    cfg.data_dir = str(tmp_path)
+    cfg.auth.master_api_key = "mk"
+    cfg.reader_side.impact_cap = 8192
+    with caplog.at_level(logging.WARNING, logger="oramacore_tpu.read"):
+        orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+        orama.stop()
+    assert any("impact_cap" in r.message and "DEPRECATED" in r.message
+               for r in caplog.records)
