@@ -16,7 +16,7 @@ SCRIPT = [
     ("grounded question-answering assistant", "The wireless headphones cost $299 and have noise cancelling."),
 ]
 
-def client_flow(base):
+def client_flow(base, orama):
     import urllib.request
     client = OramaCoreTPU(base, master_api_key="mk")
     assert client.health()
@@ -38,13 +38,35 @@ def client_flow(base):
     assert out["count"] == 1 and out["hits"][0]["document"]["hooked"] is True
     print("1. search + before-save hook:", out["hits"][0]["document"]["name"], "| hooked:", out["hits"][0]["document"]["hooked"])
 
-    # batched search endpoint
+    # batched search endpoint (incl. round-3 coverage: homogeneous
+    # tolerance batches ride the shared device path)
     req = urllib.request.Request(
         base + "/v1/collections/store/search/batch?api-key=" + coll.read_api_key,
         data=json.dumps({"searches": [{"term": "wireless"}, {"term": "earbuds"}, {"term": "zzz"}]}).encode(),
         headers={"Content-Type": "application/json"})
     batch = json.loads(urllib.request.urlopen(req).read())
     print("2. batch search counts:", [r["count"] for r in batch["results"]])
+    req = urllib.request.Request(
+        base + "/v1/collections/store/search/batch?api-key=" + coll.read_api_key,
+        data=json.dumps({"searches": [
+            {"term": "wireles", "tolerance": 1},
+            {"term": "earbuds", "tolerance": 1},
+        ]}).encode(),
+        headers={"Content-Type": "application/json"})
+    tol = json.loads(urllib.request.urlopen(req).read())
+    assert tol["results"][0]["count"] >= 1, tol
+    print("2b. tolerance batch counts:",
+          [r["count"] for r in tol["results"]])
+
+    # pruned scoring tier end-to-end (forced on; estimated counts are
+    # flagged in the payload)
+    orama.read_side.config.reader_side.pruning = "on"
+    try:
+        pr = coll.search({"term": "wireless headphones"})
+        assert pr["count"] >= 1 and pr.get("count_estimated") is True, pr
+        print("2c. pruned search:", pr["count"], "(estimated)")
+    finally:
+        orama.read_side.config.reader_side.pruning = "auto"
 
     # answer SSE end-to-end
     answer = coll.answer({"interactionID": "i1", "query": "how much are the headphones?", "searchMode": "fulltext"})
@@ -95,7 +117,7 @@ async def main():
     port = site._server.sockets[0].getsockname()[1]
     base = f"http://127.0.0.1:{port}"
     loop = asyncio.get_running_loop()
-    await loop.run_in_executor(None, client_flow, base)
+    await loop.run_in_executor(None, client_flow, base, orama)
     await runner.cleanup()
     await ai.llm.close()
     orama.stop()
