@@ -25,11 +25,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/oramacore_tpu_jax_cache
 import numpy as np
 
 
-def _probe_device(timeout_s: int = 150) -> bool:
+def _probe_device(timeout_s: int = 150):
     """The tunneled TPU can wedge (any device op hangs forever — a 6h
     outage was observed mid-round-3). Probe it in a SUBPROCESS with a
     hard timeout so the bench fails fast and honestly instead of
-    hanging the round driver."""
+    hanging the round driver. Returns None when healthy, else an error
+    string distinguishing a hang from a fast failure."""
     import subprocess
 
     try:
@@ -39,20 +40,24 @@ def _probe_device(timeout_s: int = 150) -> bool:
              "print(float((jnp.ones((64,64))@jnp.ones((64,64))).sum()))"],
             timeout=timeout_s, capture_output=True,
         )
-        return out.returncode == 0
+        if out.returncode == 0:
+            return None
+        tail = out.stderr.decode(errors="replace").strip()[-300:]
+        return f"device probe exited rc={out.returncode}: {tail}"
     except subprocess.TimeoutExpired:
-        return False
+        return (f"tpu tunnel unreachable (device op hung >{timeout_s}s); "
+                "see benches/RESULTS.md round-3 outage note")
 
 
 def main():
-    if not _probe_device():
+    probe_err = _probe_device()
+    if probe_err is not None:
         print(json.dumps({
             "metric": "games_json_bm25_batched_qps",
             "value": 0,
             "unit": "qps",
             "vs_baseline": 0,
-            "error": "tpu tunnel unreachable (device op hung >150s); "
-                     "see benches/RESULTS.md round-3 outage note",
+            "error": probe_err,
         }))
         sys.exit(3)
     import jax

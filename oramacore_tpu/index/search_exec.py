@@ -73,6 +73,12 @@ class StringSearchExecutor:
     MAX_CACHED_SLABS = 4
 
     def __init__(self):
+        import threading
+
+        # one thread uploads a missing slab; concurrent searches on the
+        # same fresh generation wait instead of duplicating full-corpus
+        # H2D through the tunnel
+        self._build_lock = threading.Lock()
         self._slabs = DeviceLru(
             self.MAX_CACHED_SLABS, group=lambda k: k[0]
         )  # (uid, gen) -> device slab
@@ -96,32 +102,39 @@ class StringSearchExecutor:
             return cached
         from ..ops.bm25 import MAX_RANGE_LEN
 
-        ckey = (index.uid, ck)
-        comm_dev = self._comms.get(ckey)
-        if comm_dev is _MISS:
-            comm_dev = (
-                tuple(jnp.asarray(a) for a in comm)
-                if comm is not None else None
+        self._build_lock.acquire()
+        try:
+            cached = self._slabs.get(gen)
+            if cached is not _MISS:
+                return cached
+            ckey = (index.uid, ck)
+            comm_dev = self._comms.get(ckey)
+            if comm_dev is _MISS:
+                comm_dev = (
+                    tuple(jnp.asarray(a) for a in comm)
+                    if comm is not None else None
+                )
+                self._comms.put(ckey, comm_dev)
+            pads = (
+                np.zeros(MAX_RANGE_LEN, np.int32),
+                np.zeros(MAX_RANGE_LEN, np.float32),
+                np.zeros(MAX_RANGE_LEN, np.float32),
+                np.zeros(MAX_RANGE_LEN, np.float32),
             )
-            self._comms.put(ckey, comm_dev)
-        pads = (
-            np.zeros(MAX_RANGE_LEN, np.int32),
-            np.zeros(MAX_RANGE_LEN, np.float32),
-            np.zeros(MAX_RANGE_LEN, np.float32),
-            np.zeros(MAX_RANGE_LEN, np.float32),
-        )
-        out = []
-        for i in range(4):
-            parts = []
-            if comm_dev is not None:
-                parts.append(comm_dev[i])
-            if live is not None:
-                parts.append(jnp.asarray(live[i]))
-            parts.append(jnp.asarray(pads[i]))
-            out.append(
-                parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-            )
-        return self._slabs.put(gen, tuple(out))
+            out = []
+            for i in range(4):
+                parts = []
+                if comm_dev is not None:
+                    parts.append(comm_dev[i])
+                if live is not None:
+                    parts.append(jnp.asarray(live[i]))
+                parts.append(jnp.asarray(pads[i]))
+                out.append(
+                    parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                )
+            return self._slabs.put(gen, tuple(out))
+        finally:
+            self._build_lock.release()
 
     def score(
         self,

@@ -272,6 +272,13 @@ class ShardedStringExec:
         out = self._vecs.get(gen)
         if out is not _MISS:
             return out if out is not False else None
+        with self._lock:  # one thread partitions; others wait
+            out = self._vecs.get(gen)
+            if out is not _MISS:
+                return out if out is not False else None
+            return self._ensure_vectors_locked(vector_index, gen)
+
+    def _ensure_vectors_locked(self, vector_index, gen):
         if vector_index._ivf is not None and not vector_index._live_rows:
             self._vecs.put(gen, False)
             return None
@@ -495,6 +502,13 @@ class ShardedStringExec:
         out = self._vecs.get(gen)
         if out is not _MISS:
             return out
+        with self._lock:  # one thread partitions; others wait
+            out = self._vecs.get(gen)
+            if out is not _MISS:
+                return out
+            return self._ensure_vectors_int8_locked(vector_index, gen)
+
+    def _ensure_vectors_int8_locked(self, vector_index, gen):
         ivf = vector_index._ivf
         D = self.D
         q = ivf["q"]

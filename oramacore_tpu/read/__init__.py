@@ -139,6 +139,11 @@ class ReadSide:
                 "recall on capped terms will collapse. Use "
                 "reader_side.pruning instead (exact candidate rescore)."
             )
+        # per-search scratch (fused counts / OMC-applied / estimated
+        # flags) is THREAD-LOCAL: searches run concurrently under the RW
+        # lock's read side, so shared instance attributes race across
+        # the whole search duration
+        self._tls = threading.local()
         self.embeddings = embeddings
         self.nlp = nlp
         self.llm_resolve_mode = llm_resolve_mode
@@ -468,7 +473,7 @@ class ReadSide:
         # reset ONCE per search; per-index scoring ORs it (a multi-index
         # collection where only one index pruned must still flag the
         # response count as estimated)
-        self._last_count_estimated = False
+        self._tls.count_estimated = False
         # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
         # per-collection secret is passed to hooks (read/mod.rs:656-660)
         if self.hooks_runtime is not None:
@@ -540,12 +545,12 @@ class ReadSide:
                 scores = self._token_scores(
                     coll, idx, mode, params, mask, fused_ok=fused_ok
                 )
-            if self._last_fused_count is not None:
-                fused_counts = fused_counts + self._last_fused_count                     if fused_counts is not None else self._last_fused_count
+            if self._tls.fused_count is not None:
+                fused_counts = fused_counts + self._tls.fused_count                     if fused_counts is not None else self._tls.fused_count
             # OMC multipliers (search.rs:342, apply_omc_multipliers :39).
             # The fused fulltext path applies them on-device BEFORE top-k
-            # (self._last_omc_applied); other paths apply here.
-            if idx.omc and not self._last_omc_applied:
+            # (self._tls.omc_applied); other paths apply here.
+            if idx.omc and not self._tls.omc_applied:
                 for d in list(scores.keys()):
                     m = idx.omc.get(d)
                     if m is not None:
@@ -633,7 +638,7 @@ class ReadSide:
             count=count,
             facets=facet_results if params.facets else None,
             groups=groups,
-            count_estimated=getattr(self, "_last_count_estimated", False),
+            count_estimated=getattr(self._tls, "count_estimated", False),
         )
 
     # -- scoring ---------------------------------------------------------
@@ -647,9 +652,9 @@ class ReadSide:
         mask: Optional[np.ndarray],
         fused_ok: bool = False,
     ) -> Dict[int, float]:
-        self._last_fused_count = None
-        self._last_omc_applied = False
-        # NOTE: _last_count_estimated is reset once per search (and ORs
+        self._tls.fused_count = None
+        self._tls.omc_applied = False
+        # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
@@ -676,11 +681,11 @@ class ReadSide:
                 FulltextMode(mode.term, mode.threshold, mode.exact, mode.tolerance),
                 params, mask, fused_ok=fused_ok, omc_in_kernel=False,
             )
-            ft_count = self._last_fused_count
+            ft_count = self._tls.fused_count
             out = _normalize_and_combine(vec, ft)
             if ft_count is not None:
                 # union estimate: exact ft count + vector-only candidates
-                self._last_fused_count = ft_count + sum(
+                self._tls.fused_count = ft_count + sum(
                     1 for d in vec if d not in ft
                 )
             return out
@@ -762,7 +767,7 @@ class ReadSide:
                 if use_pruned:
                     # pruned hybrid: candidate union + exact rescore, no
                     # dense doc-space accumulators (the 10M-tier path)
-                    self._last_count_estimated = True
+                    self._tls.count_estimated = True
                     from ..ops.bm25 import round_up_pow2
 
                     capb = round_up_pow2(cap, 128)
@@ -793,8 +798,8 @@ class ReadSide:
                         rescale=idx.vector.config.score_rescale,
                     )
         vals, ids, counts = out
-        self._last_fused_count = int(counts[0])
-        self._last_omc_applied = omc_arr is not None
+        self._tls.fused_count = int(counts[0])
+        self._tls.omc_applied = omc_arr is not None
         return {
             int(d): float(v)
             for v, d in zip(vals[0], ids[0])
@@ -915,16 +920,16 @@ class ReadSide:
     ) -> Dict[int, float]:
         """When fused_ok, returns only the top candidates (enough for the
         requested page) via one fused device call and stashes the exact
-        match count on self._last_fused_count — only (k,) results cross
+        match count on self._tls.fused_count — only (k,) results cross
         the tunnel instead of dense (cap,) score vectors. With
         omc_in_kernel, OMC multipliers apply on-device before top-k (sets
-        self._last_omc_applied so callers don't double-apply)."""
+        self._tls.omc_applied so callers don't double-apply)."""
         # empty term = match-all (reference fulltext_search.rs
         # test_fulltext_empty_term returns every doc; bugs.rs test_bug_1
         # relies on it for filter-only searches)
         if not mode.term.strip():
-            self._last_fused_count = None
-            self._last_omc_applied = False
+            self._tls.fused_count = None
+            self._tls.omc_applied = False
             alive = idx.alive_doc_ids()
             if mask is not None:
                 return {
@@ -954,7 +959,7 @@ class ReadSide:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
-                self._last_count_estimated = True
+                self._tls.count_estimated = True
                 vals, ids, counts = ex.search_topk_pruned(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,
@@ -969,8 +974,8 @@ class ReadSide:
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                 )
-            self._last_fused_count = int(counts[0])
-            self._last_omc_applied = omc_arr is not None
+            self._tls.fused_count = int(counts[0])
+            self._tls.omc_applied = omc_arr is not None
             return {
                 int(d): float(v)
                 for v, d in zip(vals[0], ids[0])

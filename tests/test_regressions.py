@@ -219,6 +219,7 @@ def test_device_lru_concurrent_mutation_safe():
         t.start()
     for t in threads:
         t.join(timeout=60)
+        assert not t.is_alive(), "DeviceLru worker deadlocked"
     assert not errors, errors[:1]
     assert len(lru._d) <= 4
     # stale-group purge: at most one generation survives per uid
