@@ -53,9 +53,13 @@ class ReaderSideConfig:
     #   "auto" engage on unfiltered searches once the corpus exceeds
     #          pruned_min_docs; "on" always (tests); "off" never.
     # Match counts on the pruned path are union-probability ESTIMATES
-    # (the exact count needs a full aggregation).
+    # (the exact count needs a full aggregation) unless
+    # pruned_exact_counts (or per-search "exactCount": true) opts into
+    # the exact counting dispatch — one extra device call that sorts the
+    # batch's postings (ops/pruned.py pruned_exact_counts).
     pruning: str = "auto"
     pruned_min_docs: int = 2_000_000
+    pruned_exact_counts: bool = False
     # doc-id-sharded search over a device mesh: number of shards
     # (devices) to spread each index over. 0/1 = single-device. Requires
     # that many JAX devices; the fused fulltext path dispatches to the

@@ -575,10 +575,17 @@ class PrunedPlanMixin(StringSearchTopK):
         thresholds: Optional[Sequence[float]] = None,
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
+        exact_counts: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Pruned fulltext search: unfiltered, single-device. Callers
-        gate eligibility (ReadSide._pruned_eligible)."""
-        from ..ops.pruned import pruned_fulltext_topk
+        gate eligibility (ReadSide._pruned_eligible).
+
+        exact_counts=True runs a SECOND dispatch over the same worklist
+        (ops/pruned.py pruned_exact_counts) so the returned counts are
+        the exact corpus-wide match counts instead of the estimate+
+        lower-bound blend — opt-in, costs a global sort of the batch's
+        postings."""
+        from ..ops.pruned import pruned_exact_counts, pruned_fulltext_topk
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
         B = len(plans)
@@ -604,7 +611,18 @@ class PrunedPlanMixin(StringSearchTopK):
             lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
             exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
         )
-        counts = self._pruned_counts(cand_counts, dfs, nd, thresholds, B)
+        if exact_counts:
+            counts = np.asarray(
+                pruned_exact_counts(
+                    p_doc, p_tf, p_etf,
+                    jnp.asarray(wl_i), jnp.asarray(thr),
+                    lch=self.PRUNED_LCH, cap=capb, T=Tb, exact=exact,
+                )
+            )[:B]
+        else:
+            counts = self._pruned_counts(
+                cand_counts, dfs, nd, thresholds, B
+            )
         return (
             np.asarray(vals[:B, :k]),
             np.asarray(ids[:B, :k]),

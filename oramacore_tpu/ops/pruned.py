@@ -502,6 +502,80 @@ def pruned_hybrid_topk_int8(
     return vals, ids, counts
 
 
+@functools.partial(
+    jax.jit, static_argnames=("lch", "cap", "T", "exact")
+)
+def pruned_exact_counts(
+    p_doc, p_tf, p_exact_tf,
+    wl_i,         # int32[4, W]: b, t, start, len<=lch (the rescore worklist)
+    thr_counts,   # f32[B] min distinct matched tokens
+    *,
+    lch: int, cap: int, T: int, exact: bool,
+):
+    """EXACT corpus-wide match counts for the pruned path — an OPT-IN
+    second dispatch (reader_side.pruned_exact_counts / "exactCount").
+
+    The pruned top-k kernel cannot know the total match count without a
+    full aggregation (its counts are a verified-candidate lower bound;
+    callers substitute the union-probability estimate). This kernel does
+    that aggregation scatter-free: gather every worklist posting, ONE
+    global 3-key sort by (query, doc, token), then count distinct docs
+    whose distinct-matched-token run length clears the query threshold —
+    run boundaries + cumsum/cummax tricks, matching the reference's
+    exact counting (uniq of token_score.rs score-map keys).
+
+    Dedup correctness leans on the same invariants as the rescore:
+    within one (field, term) range docs are unique and chunks of a range
+    are doc-disjoint; duplicates only arise ACROSS tokens and ACROSS
+    fields of the same token, which the (b, doc, t) / (b, doc) run
+    grouping collapses exactly.
+
+    Cost: a 1-D multi-operand sort over all of the batch's postings
+    (~20M elem/s on TPU v5e, benches/RESULTS.md "sort" note) — that is
+    why it is a second, opt-in dispatch rather than part of the hot
+    path. Returns counts int32[B]."""
+    tf_src = p_exact_tf if exact else p_tf
+    B = thr_counts.shape[0]
+    bw, tw, st, ln = wl_i[0], wl_i[1], wl_i[2], wl_i[3]
+    docs = jax.vmap(
+        lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
+    )(st)                                                   # (W, lch)
+    tf = jax.vmap(
+        lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
+    )(st)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+    valid = (iot < ln[:, None]) & (tf > 0)
+    bk = jnp.where(valid, bw[:, None], B).reshape(-1)
+    dk = jnp.where(valid, docs, cap).reshape(-1)
+    tk = jnp.where(valid, tw[:, None], T).reshape(-1)
+    bk, dk, tk = jax.lax.sort((bk, dk, tk), dimension=0, num_keys=3)
+
+    validk = bk < B
+    same_doc = (bk[1:] == bk[:-1]) & (dk[1:] == dk[:-1])
+    new_tok = jnp.concatenate(
+        [jnp.ones((1,), bool), ~(same_doc & (tk[1:] == tk[:-1]))]
+    ) & validk
+    is_end = jnp.concatenate(
+        [~same_doc, jnp.ones((1,), bool)]
+    ) & validk
+    # distinct tokens in a (b, doc) group = inclusive distinct-triple
+    # cumsum at the group end minus its value at the PREVIOUS group end
+    # (s is non-decreasing, so a shifted cummax over end-masked s
+    # recovers the previous end without any scatter)
+    s = jnp.cumsum(new_tok.astype(jnp.int32))
+    e = jnp.where(is_end, s, 0)
+    prev_end_s = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jax.lax.cummax(e)[:-1]]
+    )
+    tokcnt = (s - prev_end_s).astype(jnp.float32)
+    thr_b = jnp.take(thr_counts, jnp.minimum(bk, B - 1))
+    hit = is_end & (tokcnt >= jnp.maximum(thr_b, 1.0))
+    counts = jax.vmap(
+        lambda i: jnp.sum(jnp.where(bk == i, hit, False))
+    )(jnp.arange(B))
+    return counts.astype(jnp.int32)
+
+
 def estimate_match_count(n_docs: float, dfs) -> int:
     """Union-probability estimate of the corpus-wide match count for the
     pruned path (the dense path counts exactly; a pruned search would

@@ -807,7 +807,8 @@ class ReadSide:
         }
 
     def _pruned_eligible(self, idx: ReadIndex, mask, k: int,
-                         mode=None, params=None) -> bool:
+                         mode=None, params=None,
+                         exact_counts: bool = False) -> bool:
         """Pruned two-phase scoring (ops/pruned.py) eligibility: the
         dense path keeps filtered searches (filtered-df IDF needs the
         full scan), the sharded mesh (shard-local pruning is ROADMAP),
@@ -816,9 +817,10 @@ class ReadSide:
         - no tolerance — fuzzy matches can coalesce different terms'
           ranges into one (string_index._coalesce_and_cap), breaking
           the doc-sorted invariant the rescore's binary search needs;
-        - no match threshold — thresholded counts would be capped at
-          the candidate budget (the union estimate doesn't model the
-          min-matched-tokens constraint)."""
+        - no match threshold UNLESS the caller runs the exact counting
+          dispatch (the scoring kernel applies thresholds exactly; only
+          the count estimate fails to model the min-matched-tokens
+          constraint, and exact_counts removes the estimate)."""
         cfg = self.config.reader_side
         if cfg.pruning == "off" or mask is not None:
             return False
@@ -829,7 +831,8 @@ class ReadSide:
         if mode is not None:
             if getattr(mode, "tolerance", None):
                 return False
-            if getattr(mode, "threshold", None) is not None:
+            if (getattr(mode, "threshold", None) is not None
+                    and not exact_counts):
                 return False
         if cfg.pruning == "on":
             return True
@@ -938,7 +941,13 @@ class ReadSide:
             return {d: 0.0 for d in alive}
         cap = idx.cap()
         k = min(max(2 * (params.limit + params.offset), 16), cap)
-        use_pruned = fused_ok and self._pruned_eligible(idx, mask, k, mode, params)
+        want_exact_counts = bool(
+            getattr(params, "exact_count", False)
+            or self.config.reader_side.pruned_exact_counts
+        )
+        use_pruned = fused_ok and self._pruned_eligible(
+            idx, mask, k, mode, params, exact_counts=want_exact_counts
+        )
         # champion rows apply only on the single-device fused DENSE path
         # (the pruned/sharded/hybrid executors consume ranged plans)
         planned = self._plan_fulltext(
@@ -959,12 +968,14 @@ class ReadSide:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
-                self._tls.count_estimated = True
+                if not want_exact_counts:
+                    self._tls.count_estimated = True
                 vals, ids, counts = ex.search_topk_pruned(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                    exact_counts=want_exact_counts,
                 )
             else:
                 vals, ids, counts = ex.search_topk(

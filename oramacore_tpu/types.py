@@ -548,6 +548,11 @@ class SearchParams:
     # string_field.rs API): docs containing the query tokens CONSECUTIVELY
     # get their adjacency bigrams scored with this extra weight
     phrase_boost: Optional[float] = None
+    # force exact match counts on the pruned scoring tier (extension: the
+    # dense path always counts exactly; pruned searches estimate unless
+    # this or reader_side.pruned_exact_counts opts into the counting
+    # dispatch — ops/pruned.py pruned_exact_counts)
+    exact_count: bool = False
 
     @property
     def term(self) -> str:
@@ -590,6 +595,9 @@ class SearchParams:
                 float(raw["phraseBoost"]) if raw.get("phraseBoost") is not None
                 else float(raw["phrase_boost"]) if raw.get("phrase_boost") is not None
                 else None
+            ),
+            exact_count=bool(
+                raw.get("exactCount", raw.get("exact_count", False))
             ),
         )
 

@@ -65,6 +65,10 @@ def client_flow(base, orama):
         pr = coll.search({"term": "wireless headphones"})
         assert pr["count"] >= 1 and pr.get("count_estimated") is True, pr
         print("2c. pruned search:", pr["count"], "(estimated)")
+        prx = coll.search({"term": "wireless headphones",
+                           "exactCount": True})
+        assert prx["count"] >= 1 and not prx.get("count_estimated"), prx
+        print("2d. pruned exactCount:", prx["count"], "(exact)")
     finally:
         orama.read_side.config.reader_side.pruning = "auto"
 

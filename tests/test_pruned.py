@@ -382,3 +382,71 @@ def test_estimate_match_count():
     assert estimate_match_count(1000, []) == 0
     est = estimate_match_count(1000, [500, 500])
     assert est == 750
+
+
+def _naive_counts(corpus, queries_terms, thr, exact=False):
+    """Ground-truth counts: distinct docs whose distinct matched-token
+    count clears max(thr, 1) — tf (or exact tf) must be positive."""
+    tf_src = corpus["p_etf"] if exact else corpus["p_tf"]
+    out = []
+    for terms, t0 in zip(queries_terms, thr):
+        per_doc = {}
+        for ti, t in enumerate(terms):
+            s, n = int(corpus["tstart"][t]), int(corpus["df"][t])
+            for j in range(s, s + n):
+                if tf_src[j] > 0:
+                    per_doc.setdefault(int(corpus["p_doc"][j]), set()).add(ti)
+        need = max(float(t0), 1.0)
+        out.append(sum(1 for s_ in per_doc.values() if len(s_) >= need))
+    return np.asarray(out, np.int32)
+
+
+@pytest.mark.parametrize("exact", [False, True])
+def test_pruned_exact_counts_kernel(exact):
+    """The opt-in counting dispatch (ops/pruned.py pruned_exact_counts)
+    returns EXACT corpus-wide match counts: cross-token doc overlap
+    deduped, exact-mode zero-tf postings excluded, thresholds applied as
+    min distinct matched tokens."""
+    from oramacore_tpu.ops.pruned import pruned_exact_counts
+
+    corpus = build_corpus(n_docs=1200, n_terms=32, seed=5, prefix_len=10**9)
+    queries = [[0, 1, 2], [3, 4], [0], [5, 6, 7]]
+    thr = [0.0, 2.0, 0.0, 3.0]
+    plans = build_plans(corpus, queries)
+    _, _, _, _, idf, wl_i, wl_f = plans
+    B, T = idf.shape
+    counts = np.asarray(
+        pruned_exact_counts(
+            jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+            jnp.asarray(corpus["p_etf"]),
+            jnp.asarray(wl_i),
+            jnp.asarray(np.asarray(thr, np.float32)),
+            lch=LCH, cap=corpus["n_docs"], T=T, exact=exact,
+        )
+    )
+    want = _naive_counts(corpus, queries, thr, exact=exact)
+    assert np.array_equal(counts, want), (counts, want)
+
+
+def test_pruned_exact_counts_matches_dense_counts():
+    """Exact counts must equal the dense kernel's counts (same keep
+    semantics: score > 0 <=> at least one matched token)."""
+    from oramacore_tpu.ops.pruned import pruned_exact_counts
+
+    corpus = build_corpus(n_docs=900, n_terms=24, seed=9, prefix_len=10**9)
+    queries = [[0, 2, 4], [1, 3]]
+    thr = [0.0, 0.0]
+    plans = build_plans(corpus, queries)
+    full_idesc, full_fdesc, _, _, idf, wl_i, wl_f = plans
+    B, T = idf.shape
+    _, _, cd = dense_reference(corpus, full_idesc, full_fdesc, thr, None, 8)
+    counts = np.asarray(
+        pruned_exact_counts(
+            jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+            jnp.asarray(corpus["p_etf"]),
+            jnp.asarray(wl_i),
+            jnp.asarray(np.asarray(thr, np.float32)),
+            lch=LCH, cap=corpus["n_docs"], T=T, exact=False,
+        )
+    )
+    assert np.array_equal(counts, cd), (counts, cd)

@@ -246,3 +246,53 @@ def test_pruned_multi_field_union_df_parity():
             _assert_hits_equal(dense, pruned)
     finally:
         ctx.close()
+
+
+def test_pruned_exact_count_opt_in():
+    """"exactCount": true (or reader_side.pruned_exact_counts) runs the
+    counting dispatch: pruned counts EQUAL the dense counts exactly —
+    including multi-field doc dedup — and the result is no longer
+    flagged count_estimated. Thresholded queries become pruned-eligible
+    under exact counts (the estimate was the only blocker)."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(31)
+        docs = []
+        for i in range(400):
+            w1 = rng.choice(VOCAB, size=4, replace=False).tolist()
+            w2 = rng.choice(w1 + VOCAB[:8], size=3, replace=False).tolist()
+            docs.append({
+                "id": str(i),
+                "title": " ".join(w1),
+                "body": " ".join(w2) + f" u{i}",
+            })
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        for params in (
+            {"term": "apple banana", "limit": 10},
+            {"term": "cherry", "limit": 10},
+            {"term": "apple", "limit": 10, "exact": True},
+            {"term": "apple banana cherry", "limit": 10,
+             "threshold": 0.6},
+        ):
+            dense, pruned = _search_both(
+                ctx, coll, {**params, "exactCount": True}
+            )
+            _assert_hits_equal(dense, pruned)
+            assert pruned.count == dense.count, params
+            assert not pruned.count_estimated, params
+        # config-level default engages it too
+        ctx.reader.config.reader_side.pruning = "on"
+        ctx.reader.config.reader_side.pruned_exact_counts = True
+        try:
+            viacfg = coll.search({"term": "apple banana", "limit": 10})
+        finally:
+            ctx.reader.config.reader_side.pruning = "off"
+            ctx.reader.config.reader_side.pruned_exact_counts = False
+        dense = coll.search({"term": "apple banana", "limit": 10})
+        assert viacfg.count == dense.count
+        assert not viacfg.count_estimated
+    finally:
+        ctx.close()
