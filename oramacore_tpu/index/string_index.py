@@ -1072,10 +1072,13 @@ class StringIndex:
         return self._slab_arrays  # type: ignore[return-value]
 
     def all_range_lists(self):
-        """Iterate every (committed + live) slab range list — e.g. the
-        sharded executor's boundary-prefix build."""
+        """Iterate every (committed + live + impact-prefix block) slab
+        range list — e.g. the sharded executor's boundary-prefix build
+        (prefix blocks are referenced by with_prefix plans, so their
+        boundaries must be mappable onto per-shard sub-ranges too)."""
         yield from self._slab_ranges.values()
         yield from self._slab_live_ranges.values()
+        yield from self._slab_prefix_ranges.values()
 
     # ------------------------------------------------------------------
     # Query planning

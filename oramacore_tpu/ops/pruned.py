@@ -191,6 +191,7 @@ def _rescore_worklist(
     *,
     lch: int, C: int, T: int, wch: int = 128,
     nre: int = 0, bs_steps: int = 0,
+    axis_name=None,
 ):
     """Phase 2: EXACT BM25F scores + matched-token counts for the
     candidate set, streaming a PACKED WORKLIST of (query, token, chunk)
@@ -216,6 +217,12 @@ def _rescore_worklist(
     token must not count again. wl_prev carries each entry's earlier
     doc-sorted spans; membership is a bs_steps-round uniform binary
     search with global slab gathers — duplicates subtract from df.
+
+    Under a doc-sharded mesh (axis_name set, parallel/engine.py) the
+    slab, worklist and candidates are all SHARD-LOCAL (docs live in
+    exactly one shard), so only the document frequency needs a
+    collective: one psum over the mesh axis turns the per-shard df into
+    the global df before the IDF — scores stay shard-local and exact.
     Returns (scores f32[B, C], matched f32[B, C])."""
     W = wl_i.shape[1]
     B = cand.shape[0]
@@ -310,6 +317,8 @@ def _rescore_worklist(
         jnp.arange(W // wch),
     )
     acc = acc_bt.reshape(B, T, C)
+    if axis_name is not None:
+        df_bt = jax.lax.psum(df_bt, axis_name)
     df = jnp.maximum(df_bt.reshape(B, T), 1.0)  # corpus_df = max(1, ...)
     idf_dev = jnp.log1p((n_docs[:, None] - df + 0.5) / (df + 0.5))
     present = acc > 0.0
@@ -535,6 +544,20 @@ def pruned_exact_counts(
     why it is a second, opt-in dispatch rather than part of the hot
     path. Returns counts int32[B]."""
     tf_src = p_exact_tf if exact else p_tf
+    return _exact_counts_core(
+        p_doc, tf_src, wl_i, thr_counts, lch=lch, cap=cap, T=T
+    )
+
+
+def _exact_counts_core(
+    p_doc, tf_src, wl_i, thr_counts,
+    *,
+    lch: int, cap: int, T: int, axis_name=None,
+):
+    """The counting body of pruned_exact_counts, reusable inside a
+    shard_map step: docs live in exactly one shard of the doc-sharded
+    mesh, so per-shard counts are disjoint and one psum over the mesh
+    axis yields the exact global counts (parallel/engine.py)."""
     B = thr_counts.shape[0]
     bw, tw, st, ln = wl_i[0], wl_i[1], wl_i[2], wl_i[3]
     docs = jax.vmap(
@@ -572,8 +595,10 @@ def pruned_exact_counts(
     hit = is_end & (tokcnt >= jnp.maximum(thr_b, 1.0))
     counts = jax.vmap(
         lambda i: jnp.sum(jnp.where(bk == i, hit, False))
-    )(jnp.arange(B))
-    return counts.astype(jnp.int32)
+    )(jnp.arange(B)).astype(jnp.int32)
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+    return counts
 
 
 def estimate_match_count(n_docs: float, dfs) -> int:

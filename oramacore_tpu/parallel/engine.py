@@ -649,6 +649,369 @@ class ShardedStringExec:
             np.asarray(counts[:B]),
         )
 
+    # ------------------------------------------------------------------
+    # Sharded pruned scoring: the 10M-tier two-phase path (ops/pruned.py)
+    # on the mesh. Every phase is shard-local — a doc's postings,
+    # impact-prefix entries and candidate slot all live in its doc % D
+    # shard — so the only collectives are a df psum (global IDF inside
+    # the rescore), a counts psum and the final all_gather top-k merge.
+    # Each shard nominates its own top-C candidates, making the global
+    # candidate pool D*C deep (richer than the single-chip budget).
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _shard_pre_ranges(boundaries, bprefix, D,
+                          starts: np.ndarray, lens: np.ndarray, clip: int):
+        """Map nomination-prefix ranges onto per-shard sub-ranges.
+        Unlike _shard_ranges_on, ENDS need not land on stored
+        boundaries (plan_query clips oversize LIVE ranges at
+        PREFIX_LEN): ends align UP to the next boundary — a superset of
+        the same term's postings, which only enriches nomination — and
+        local lens clip to the per-shard prefix budget."""
+        shape = starts.shape
+        st = starts.reshape(-1).astype(np.int64)
+        en = st + lens.reshape(-1).astype(np.int64)
+        nb = len(boundaries)
+        bi = np.searchsorted(boundaries, st)
+        if not np.all(
+            np.take(boundaries, np.minimum(bi, nb - 1)) == st
+        ):
+            raise ValueError(
+                "prefix-range starts must align to stored boundaries"
+            )
+        be = np.searchsorted(boundaries, en)  # first boundary >= end
+        s_st = bprefix[:, bi]
+        s_ln = bprefix[:, np.minimum(be, nb - 1)] - s_st
+        s_ln = np.clip(s_ln, 0, clip)
+        return (
+            s_st.reshape((D,) + shape).astype(np.int32),
+            s_ln.reshape((D,) + shape).astype(np.int32),
+        )
+
+    def _get_pruned_step(self, *, lp, lch, cap_l, C, k, T, exact,
+                         has_omc, nre, bs_steps):
+        key = ("pruned", lp, lch, cap_l, C, k, T, exact, has_omc, nre,
+               bs_steps)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.pruned import _prefix_candidates, _rescore_worklist
+
+        mesh, D = self.mesh, self.D
+
+        def shard_fn(p_doc, p_tf, p_etf, p_flen,
+                     pre_st, pre_ln, pre_w, pre_fb, pre_av,
+                     wl_i, wl_f, wl_prev, idf, nd, thr, omc):
+            tf_src = p_etf[0] if exact else p_tf[0]
+            cand = _prefix_candidates(
+                p_doc[0], tf_src, p_flen[0],
+                pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
+                idf, lp=lp, cap=cap_l, C=C,
+            )
+            scores, matched = _rescore_worklist(
+                p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
+                nd, cand, wl_prev[0] if nre else None,
+                lch=lch, C=C, T=T, nre=nre, bs_steps=bs_steps,
+                axis_name="d",
+            )
+            keep = (
+                (matched >= thr[:, None]) & (scores > 0.0)
+                & (cand < cap_l)
+            )
+            if has_omc:
+                omc_c = jnp.take(omc[0], jnp.clip(cand, 0, cap_l - 1))
+                s = scores * omc_c
+            else:
+                s = scores
+            counts = jax.lax.psum(
+                jnp.sum(keep, axis=1).astype(jnp.int32), "d"
+            )
+            s = jnp.where(keep, s, -jnp.inf)
+            local_vals, ci = jax.lax.top_k(s, k)
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            local_ids = jnp.take_along_axis(cand, ci, axis=1) * D + sid
+            B = s.shape[0]
+            all_vals = jax.lax.all_gather(local_vals, "d", axis=1)
+            all_ids = jax.lax.all_gather(local_ids, "d", axis=1)
+            flat_vals = all_vals.reshape(B, D * k)
+            flat_ids = all_ids.reshape(B, D * k)
+            vals, sel = jax.lax.top_k(flat_vals, k)
+            ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+            return vals, ids, counts
+
+        in_specs = (
+            P("d", None), P("d", None), P("d", None), P("d", None),
+            P("d", None, None, None), P("d", None, None, None),
+            P(None, None, None), P(None, None, None),
+            P(None, None, None),
+            P("d", None, None), P("d", None, None),
+            P("d", None, None, None) if nre else P(None, None, None),
+            P(None, None), P(None), P(None),
+            P("d", None) if has_omc else P(None),
+        )
+        fn = shard_map(
+            shard_fn, mesh=mesh, in_specs=in_specs,
+            out_specs=(P(None, None), P(None, None), P(None)),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    def _get_pruned_counts_step(self, *, lch, cap_l, T, exact):
+        key = ("pruned_counts", lch, cap_l, T, exact)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.pruned import _exact_counts_core
+
+        def shard_fn(p_doc, p_tf, p_etf, wl_i, thr):
+            tf_src = p_etf[0] if exact else p_tf[0]
+            return _exact_counts_core(
+                p_doc[0], tf_src, wl_i[0], thr,
+                lch=lch, cap=cap_l, T=T, axis_name="d",
+            )
+
+        fn = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(
+                P("d", None), P("d", None), P("d", None),
+                P("d", None, None), P(None),
+            ),
+            out_specs=P(None),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    def search_topk_pruned(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        exact: bool = False,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key=None,
+        exact_counts: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pruned fulltext over the mesh — same contract as
+        search_exec.PrunedPlanMixin.search_topk_pruned (GLOBAL doc ids,
+        counts are estimate-floored lower bounds unless exact_counts).
+        Plans must be built with_prefix (ReadSide._plan_fulltext) and
+        without impact_cap (enforced by boundary alignment)."""
+        from ..index.search_exec import PrunedPlanMixin as PM
+
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
+        D = self.D
+        B = len(plans)
+        Bb = round_up_pow2(B, 1)
+        T = max(p.starts.shape[0] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        lch = PM.PRUNED_LCH
+        cap_l = round_up_pow2((cap + D - 1) // D, 128)
+        C = PM.PRUNED_CANDIDATES
+        kb = min(round_up_pow2(k, 8), C)
+
+        # ---- nomination prefixes: global descriptors -> per-shard ----
+        def pre_of(p):
+            if p.pre_starts is not None:
+                return (p.pre_starts, p.pre_lens, p.pre_weights,
+                        p.pre_field_b, p.pre_avg)
+            return (p.starts, np.minimum(p.lens, PM.PRUNED_PREFIX),
+                    p.weights, p.field_b, p.avg_flen)
+
+        NPR = max(1, max(pre_of(p)[0].shape[1] for p in plans))
+        NPRb = round_up_pow2(NPR, 1)
+        pre_st = np.zeros((Bb, Tb, NPRb), np.int32)
+        pre_ln = np.zeros((Bb, Tb, NPRb), np.int32)
+        pre_w = np.zeros((Bb, Tb, NPRb), np.float32)
+        pre_fb = np.full((Bb, Tb, NPRb), 0.75, np.float32)
+        pre_av = np.ones((Bb, Tb, NPRb), np.float32)
+        nd = np.ones((Bb,), np.float32)
+        thr = np.zeros((Bb,), np.float32)
+        dfs = np.zeros((Bb, Tb), np.float64)
+        for i, p in enumerate(plans):
+            nd[i] = max(float(n_docs[i]), 1.0)
+            if (thresholds is not None and i < len(thresholds)
+                    and thresholds[i]):
+                thr[i] = thresholds[i]
+            ps, pl, pw, pf, pa = pre_of(p)
+            t_, r_ = ps.shape
+            pre_st[i, :t_, :r_] = ps
+            pre_ln[i, :t_, :r_] = pl
+            pre_w[i, :t_, :r_] = pw
+            pre_fb[i, :t_, :r_] = pf
+            pre_av[i, :t_, :r_] = pa
+            dfs[i, :p.lens.shape[0]] = (
+                p.lens.astype(np.float64).sum(axis=1)
+            )
+        d_ = np.maximum(dfs, 1.0)
+        idf = np.where(
+            dfs > 0,
+            np.log1p((nd[:, None] - d_ + 0.5) / (d_ + 0.5)),
+            0.0,
+        ).astype(np.float32)
+        s_pre_st, s_pre_ln = self._shard_pre_ranges(
+            boundaries, bprefix, D, pre_st, pre_ln,
+            clip=PM.PRUNED_PREFIX,
+        )
+        lp = round_up_pow2(max(int(s_pre_ln.max()), 8), 8)
+
+        # ---- main ranges + earlier-field spans -> per-shard worklists
+        NRm = max(p.starts.shape[1] for p in plans)
+        NRmb = round_up_pow2(NRm, 1)
+        g_starts = np.zeros((Bb, Tb, NRmb), np.int32)
+        g_lens = np.zeros((Bb, Tb, NRmb), np.int32)
+        for i, p in enumerate(plans):
+            t_, r_ = p.starts.shape
+            g_starts[i, :t_, :r_] = p.starts
+            g_lens[i, :t_, :r_] = p.lens
+        s_starts, s_lens = self._shard_ranges_on(
+            boundaries, bprefix, D, g_starts, g_lens
+        )
+        # flat span table (multi-field union df): spans are unsplit
+        # stored ranges, so they map per shard like any other range
+        sp_st_l, sp_ln_l = [], []
+        span_base: Dict[Tuple[int, int], int] = {}
+        for i, p in enumerate(plans):
+            if p.spans is None:
+                continue
+            for t, spans_t in enumerate(p.spans):
+                span_base[(i, t)] = len(sp_st_l)
+                for (_fo, rs, rl) in spans_t:
+                    sp_st_l.append(rs)
+                    sp_ln_l.append(rl)
+        if sp_st_l:
+            s_sp_st, s_sp_ln = self._shard_ranges_on(
+                boundaries, bprefix, D,
+                np.asarray(sp_st_l, np.int32),
+                np.asarray(sp_ln_l, np.int32),
+            )
+        else:
+            s_sp_st = s_sp_ln = np.zeros((D, 0), np.int64)
+
+        per_shard = []  # [(wl rows, earlier flat-span ids per row)]
+        max_e = 0
+        nre = 0
+        max_span = 0
+        for s in range(D):
+            rows = []
+            for i, p in enumerate(plans):
+                t_n, r_n = p.starts.shape
+                for t in range(t_n):
+                    spans_t = (
+                        p.spans[t] if p.spans is not None
+                        and t < len(p.spans) else []
+                    )
+                    base = span_base.get((i, t), 0)
+                    for r in range(r_n):
+                        lln = int(s_lens[s, i, t, r])
+                        if lln <= 0:
+                            continue
+                        ford = (
+                            int(p.range_field[t, r])
+                            if p.range_field is not None else 0
+                        )
+                        earlier = [
+                            base + e for e in range(len(spans_t))
+                            if spans_t[e][0] < ford
+                        ]
+                        for eid in earlier:
+                            max_span = max(
+                                max_span, int(s_sp_ln[s, eid])
+                            )
+                        nre = max(nre, len(earlier))
+                        ls = int(s_starts[s, i, t, r])
+                        w0 = float(p.weights[t, r])
+                        b0 = float(p.field_b[t, r])
+                        a0 = float(p.avg_flen[t, r])
+                        off = 0
+                        while off < lln:
+                            take = min(lln - off, lch)
+                            rows.append(
+                                (i, t, ls + off, take, w0, b0, a0,
+                                 earlier)
+                            )
+                            off += take
+            per_shard.append(rows)
+            max_e = max(max_e, len(rows))
+        W = round_up_pow2(max(max_e, 1), PM.PRUNED_WCH)
+        nre = round_up_pow2(nre, 1) if nre else 0
+        wl_i = np.zeros((D, 4, W), np.int32)
+        wl_f = np.zeros((D, 3, W), np.float32)
+        wl_f[:, 2, :] = 1.0
+        wl_prev = (
+            np.zeros((D, 2, W, nre), np.int32) if nre
+            else np.zeros((1, 1, 1), np.int32)
+        )
+        for s, rows in enumerate(per_shard):
+            for j, (b, t, ls, ll, w0, b0, a0, earlier) in enumerate(rows):
+                wl_i[s, :, j] = (b, t, ls, ll)
+                wl_f[s, :, j] = (w0, b0, a0)
+                if nre:
+                    for e, eid in enumerate(earlier):
+                        wl_prev[s, 0, j, e] = int(s_sp_st[s, eid])
+                        wl_prev[s, 1, j, e] = int(s_sp_ln[s, eid])
+        bs_steps = 0
+        if nre:
+            bs_steps = 4
+            while (1 << bs_steps) < max_span + 1:
+                bs_steps += 4
+
+        has_omc = omc is not None
+        if has_omc:
+            go = np.ones((cap,), np.float32)
+            go[: min(len(omc), cap)] = omc[:cap]
+            omc_arr = self._partition_docs_axis(
+                go, cap_l, np.float32(1.0)
+            )
+        else:
+            omc_arr = np.zeros((1,), np.float32)
+
+        step = self._get_pruned_step(
+            lp=int(lp), lch=lch, cap_l=int(cap_l), C=C, k=int(kb),
+            T=int(Tb), exact=exact, has_omc=has_omc, nre=int(nre),
+            bs_steps=int(bs_steps),
+        )
+        p_doc, p_tf, p_etf, p_flen = dev_slab
+        sh4 = NamedSharding(self.mesh, P("d", None, None, None))
+        sh3 = NamedSharding(self.mesh, P("d", None, None))
+        vals, ids, cand_counts = step(
+            p_doc, p_tf, p_etf, p_flen,
+            jax.device_put(s_pre_st, sh4),
+            jax.device_put(s_pre_ln, sh4),
+            jnp.asarray(pre_w), jnp.asarray(pre_fb), jnp.asarray(pre_av),
+            jax.device_put(wl_i, sh3), jax.device_put(wl_f, sh3),
+            jax.device_put(wl_prev, sh4) if nre else jnp.asarray(wl_prev),
+            jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
+            jax.device_put(
+                omc_arr, NamedSharding(self.mesh, P("d", None))
+            ) if has_omc else jnp.asarray(omc_arr),
+        )
+        if exact_counts:
+            cstep = self._get_pruned_counts_step(
+                lch=lch, cap_l=int(cap_l), T=int(Tb), exact=exact,
+            )
+            counts = np.asarray(
+                cstep(
+                    p_doc, p_tf, p_etf,
+                    jax.device_put(wl_i, sh3), jnp.asarray(thr),
+                )
+            )[:B]
+        else:
+            counts = PM._pruned_counts(
+                cand_counts, dfs, nd, thresholds, B
+            )
+        return (
+            np.asarray(vals[:B, :k]),
+            np.asarray(ids[:B, :k]),
+            counts,
+        )
+
 
 class ShardedBatchExec(ShardedStringExec):
     """SharedBatchExecutor contract over the doc-sharded mesh (VERDICT r2

@@ -808,12 +808,16 @@ class ReadSide:
 
     def _pruned_eligible(self, idx: ReadIndex, mask, k: int,
                          mode=None, params=None,
-                         exact_counts: bool = False) -> bool:
+                         exact_counts: bool = False,
+                         mesh_ok: bool = False) -> bool:
         """Pruned two-phase scoring (ops/pruned.py) eligibility: the
         dense path keeps filtered searches (filtered-df IDF needs the
-        full scan), the sharded mesh (shard-local pruning is ROADMAP),
-        impact_cap opt-ins, and deep pagination beyond the candidate
-        budget. Additionally (the kernel's documented preconditions):
+        full scan), impact_cap opt-ins, and deep pagination beyond the
+        candidate budget. On the sharded mesh only the FULLTEXT path
+        implements pruning (parallel/engine.search_topk_pruned — each
+        shard nominates + rescores its own docs; callers pass mesh_ok);
+        the sharded hybrid keeps its dense tail.
+        Additionally (the kernel's documented preconditions):
         - no tolerance — fuzzy matches can coalesce different terms'
           ranges into one (string_index._coalesce_and_cap), breaking
           the doc-sorted invariant the rescore's binary search needs;
@@ -824,7 +828,9 @@ class ReadSide:
         cfg = self.config.reader_side
         if cfg.pruning == "off" or mask is not None:
             return False
-        if self.sharded_mesh is not None or cfg.impact_cap:
+        if cfg.impact_cap:
+            return False
+        if self.sharded_mesh is not None and not mesh_ok:
             return False
         if k > 512:
             return False
@@ -946,7 +952,8 @@ class ReadSide:
             or self.config.reader_side.pruned_exact_counts
         )
         use_pruned = fused_ok and self._pruned_eligible(
-            idx, mask, k, mode, params, exact_counts=want_exact_counts
+            idx, mask, k, mode, params, exact_counts=want_exact_counts,
+            mesh_ok=True,
         )
         # champion rows apply only on the single-device fused DENSE path
         # (the pruned/sharded/hybrid executors consume ranged plans)

@@ -1,0 +1,181 @@
+"""Sharded pruned scoring parity (parallel/engine.search_topk_pruned).
+
+The 10M-tier two-phase path (ops/pruned.py) on the 8-device CPU mesh
+must match the single-device DENSE path exactly on small corpora (the
+per-shard prefix + candidate budgets cover everything): per-shard
+nomination + shard-local exact rescore with a psum'd global df, final
+all_gather top-k merge. Counts are estimates unless the exact counting
+dispatch runs (psum of shard-disjoint exact counts).
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+from oramacore_tpu.config import OramacoreConfig
+from oramacore_tpu.runtime import build_orama
+from oramacore_tpu.types import SearchParams
+
+MASTER = "mk"
+
+_SYL = ["ba", "de", "fi", "go", "ku", "lo", "mi", "na", "po", "ra"]
+VOCAB = ["apple", "banana", "cherry", "fig", "grape", "kiwi", "lemon",
+         "mango"] + [a + b for a in _SYL for b in _SYL]
+
+DOCS = []
+_rng = np.random.default_rng(41)
+for i in range(400):
+    w1 = _rng.choice(VOCAB, size=4, replace=False).tolist()
+    # cross-field overlap: union df must dedup docs across fields
+    w2 = _rng.choice(w1 + VOCAB[:8], size=3, replace=False).tolist()
+    DOCS.append({
+        "id": str(i),
+        "title": " ".join(w1),
+        "body": " ".join(w2) + f" u{i}",
+        "_omc": 1.5 if i % 9 == 0 else None,
+    })
+for d in DOCS:
+    if d["_omc"] is None:
+        d.pop("_omc")
+
+QUERIES = [
+    {"term": "apple banana", "limit": 10},
+    {"term": "cherry", "limit": 10},
+    {"term": "grape kiwi mango", "limit": 10, "boost": {"title": 2.0}},
+    {"term": "apple", "limit": 10, "exact": True},
+    {"term": "fig lemon", "offset": 3, "limit": 4},
+    {"term": "zz nothing"},
+]
+
+
+def _build(tmp, shards, pruning):
+    cfg = OramacoreConfig()
+    cfg.data_dir = tmp
+    cfg.auth.master_api_key = MASTER
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.sharded_shards = shards
+    cfg.reader_side.pruning = pruning
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    coll = orama.write_side.create_collection(MASTER, "c")
+    orama.write_side.create_index("c", coll.write_api_key, "main")
+    orama.write_side.insert_documents("c", "main", coll.write_api_key, DOCS)
+    orama.write_side.embedding_queue.flush_and_wait()
+    orama.read_side.pump()
+    return orama, coll
+
+
+def test_sharded_pruned_matches_single_device_dense():
+    import jax
+
+    assert len(jax.devices()) >= 8, "conftest provides 8 virtual devices"
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0, "off")
+        sharded, coll_m = _build(t2, 8, "on")
+        try:
+            assert sharded.read_side.sharded_mesh is not None
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            engaged = 0
+            for q in QUERIES:
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key, SearchParams.from_json(dict(q))
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key, SearchParams.from_json(dict(q))
+                )
+                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
+                for ha, hb in zip(a.hits, b.hits):
+                    assert hb.score == pytest.approx(ha.score, rel=1e-4), q
+                if b.count_estimated:
+                    engaged += 1
+                    # the estimate is floored by verified candidates
+                    assert b.count >= len(b.hits), q
+                else:
+                    assert b.count == a.count, q
+            # the pruned path actually ran on the mesh (count_estimated
+            # is only ever set by the pruned tier)
+            assert engaged >= len(QUERIES) - 2
+        finally:
+            single.stop()
+            sharded.stop()
+
+
+def test_sharded_pruned_exact_counts():
+    """exactCount on the mesh: psum of shard-disjoint exact counts ==
+    the dense single-device count; thresholds become pruned-eligible."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0, "off")
+        sharded, coll_m = _build(t2, 8, "on")
+        try:
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            for q in (
+                {"term": "apple banana", "limit": 10},
+                {"term": "cherry", "limit": 10},
+                {"term": "apple", "limit": 10, "exact": True},
+                {"term": "apple banana cherry", "limit": 10,
+                 "threshold": 0.6},
+            ):
+                qa = dict(q)
+                qb = {**q, "exactCount": True}
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key, SearchParams.from_json(qa)
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key, SearchParams.from_json(qb)
+                )
+                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
+                assert b.count == a.count, q
+                assert not b.count_estimated, q
+        finally:
+            single.stop()
+            sharded.stop()
+
+
+def test_sharded_pruned_live_layer_mix():
+    """Pruned on the mesh across committed + live postings (live ranges
+    ride the clipped-prefix fallback; ends align up to boundaries)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0, "off")
+        sharded, coll_m = _build(t2, 8, "on")
+        try:
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            extra = [
+                {"id": f"x{i}", "title": "apple banana zulu",
+                 "body": "banana cherry"}
+                for i in range(20)
+            ]
+            for o, c in ((single, coll_s), (sharded, coll_m)):
+                o.write_side.insert_documents(
+                    "c", "main", c.write_api_key, extra
+                )
+                o.write_side.embedding_queue.flush_and_wait()
+                o.read_side.pump()
+            for q in (
+                {"term": "apple banana", "limit": 15},
+                {"term": "zulu", "limit": 10},
+            ):
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key, SearchParams.from_json(dict(q))
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key, SearchParams.from_json(dict(q))
+                )
+                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
+                for ha, hb in zip(a.hits, b.hits):
+                    assert hb.score == pytest.approx(ha.score, rel=1e-4), q
+        finally:
+            single.stop()
+            sharded.stop()
