@@ -1642,14 +1642,20 @@ def _search_batch_locked(
     for qi, p in enumerate(params_list):
         pairs: List[Tuple[int, float]] = []
         count = 0
-        for (idx_pairs, counts) in per_index:
+        estimated = False
+        for (idx_pairs, counts, est) in per_index:
             pairs.extend(idx_pairs[qi])
             count += int(counts[qi])
-        if len(per_index) > 1:
-            pairs.sort(key=lambda kv: (-kv[1], kv[0]))
+            estimated = estimated or est
+        # canonical (-score, doc) order — the per-query path's ranking
+        # (_search_locked), so ties break identically to sequential
+        # searches (on the mesh the raw device order is shard order)
+        pairs.sort(key=lambda kv: (-kv[1], kv[0]))
         page = pairs[p.offset: p.offset + p.limit]
         hits = self._hydrate(coll, indexes, page)
-        results.append(SearchResult(hits=hits, count=count))
+        results.append(SearchResult(
+            hits=hits, count=count, count_estimated=estimated,
+        ))
     return results
 
 
@@ -1759,6 +1765,68 @@ def _search_batch_index(
             rescale=idx.vector.config.score_rescale,
         )
 
+    # pruned batched fulltext: at the multi-million-doc tier the dense
+    # shared pass is scatter-bound (~43M postings/s), so eligible
+    # batches ride the two-phase candidate+rescore kernels instead —
+    # the SAME executor batch API the per-query path uses, B plans in
+    # one dispatch (single-device PrunedPlanMixin or the sharded
+    # engine's search_topk_pruned on a mesh)
+    want_exact_counts = bool(
+        self.config.reader_side.pruned_exact_counts
+        or any(getattr(p, "exact_count", False) for p in params_list)
+    )
+    if (
+        shared_kind == "fulltext"
+        and doc_masks is None
+        and tolerance is None
+        and max_k <= 512
+        and self._pruned_eligible(
+            idx, None, max_k, mode=first.mode, params=first,
+            exact_counts=want_exact_counts, mesh_ok=True,
+        )
+        and (want_exact_counts
+             or all(p.mode.threshold is None for p in params_list))
+    ):
+        plans = []
+        thr_list: List[Optional[float]] = []
+        for p in params_list:
+            planned = self._plan_fulltext(idx, p.mode, p, with_prefix=True)
+            if planned is None:
+                plans = None
+                break
+            p_tokens, plan = planned
+            plans.append(plan)
+            thr_list.append(
+                float(np.floor(len(p_tokens) * p.mode.threshold))
+                if p.mode.threshold is not None else None
+            )
+        if plans:
+            if self.sharded_mesh is not None:
+                pex = self._fused_executor(coll, idx)
+            else:
+                pex = coll.executor(idx.index_id)
+            out = pex.search_topk_pruned(
+                idx.string, plans,
+                [idx.document_count()] * len(plans),
+                cap, k=max(max_k, 1), exact=exact,
+                thresholds=(
+                    thr_list if any(t is not None for t in thr_list)
+                    else None
+                ),
+                omc=idx.omc_array(), omc_key=(idx.uid, idx.omc_version),
+                exact_counts=want_exact_counts,
+            )
+            vals, ids, counts = out
+            pairs_per_query = [
+                [
+                    (int(d), float(v))
+                    for v, d in zip(vals[qi], ids[qi])
+                    if v > 0 and int(d) in idx.doc_user_ids
+                ]
+                for qi in range(len(params_list))
+            ]
+            return pairs_per_query, counts, not want_exact_counts
+
     # OMC multipliers apply on-device before top-k (ADVICE r1: applying
     # them to the post-top-k candidate set can drop boosted docs)
     out = None
@@ -1815,7 +1883,7 @@ def _search_batch_index(
             if v > 0 and int(d) in idx.doc_user_ids
         ])
     # exact match counts from the device (not capped at top-k)
-    return pairs_per_query, counts
+    return pairs_per_query, counts, False
 
 
 ReadSide.search_batch = _search_batch

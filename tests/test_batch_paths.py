@@ -151,3 +151,77 @@ def test_batch_fallback_metric():
         assert BATCH_FALLBACKS._values.get(key, 0.0) == before + 1
     finally:
         ctx.close()
+
+
+def test_batch_pruned_routing():
+    """Batched fulltext rides the pruned two-phase kernels when
+    pruning engages (the dense shared pass is scatter-bound at the
+    multi-million-doc tier): hits/scores match the dense per-query
+    path, counts are flagged estimates, and exactCount (or the config
+    default) switches them to exact counts."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(120))
+        ctx.commit_all()
+        batch = [
+            {"term": "orange banana", "limit": 10},
+            {"term": "apple", "limit": 5},
+            {"term": "grape melon", "limit": 10},
+        ]
+        # dense per-query ground truth
+        ctx.reader.config.reader_side.pruning = "off"
+        seq = [
+            ctx.reader.search(
+                coll.collection_id, coll.read_key,
+                SearchParams.from_json(dict(q)),
+            )
+            for q in batch
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+            for s, g, q in zip(seq, got, batch):
+                assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+                for hs, hg in zip(s.hits, g.hits):
+                    assert hg.score == pytest.approx(hs.score, rel=1e-4), q
+                assert g.count_estimated, q
+                assert g.count >= len(g.hits), q
+            # exactCount per search -> exact counts batch-wide
+            exact_batch = [{**q, "exactCount": True} for q in batch]
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(exact_batch)
+            )
+            for s, g, q in zip(seq, got, batch):
+                assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+                assert g.count == s.count, q
+                assert not g.count_estimated, q
+            # thresholds are pruned-eligible only under exact counts
+            thr_batch = [
+                {"term": "orange banana kiwi", "limit": 10,
+                 "threshold": 0.6, "exactCount": True},
+                {"term": "apple grape", "limit": 10, "threshold": 0.5,
+                 "exactCount": True},
+            ]
+            ctx.reader.config.reader_side.pruning = "off"
+            thr_seq = [
+                ctx.reader.search(
+                    coll.collection_id, coll.read_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                for q in thr_batch
+            ]
+            ctx.reader.config.reader_side.pruning = "on"
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(thr_batch)
+            )
+            for s, g, q in zip(thr_seq, got, thr_batch):
+                assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+                assert g.count == s.count, q
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+    finally:
+        ctx.close()

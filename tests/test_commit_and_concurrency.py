@@ -455,10 +455,15 @@ def test_concurrent_pruned_search_during_commits():
         for t in threads:
             t.start()
         ch.start()
-        ch.join(timeout=120)
+        # generous join: on this 1-core host a concurrent pytest run can
+        # stretch the 6 commit rounds well past 2 minutes; closing the
+        # context while the churner still inserts shuts the writer's
+        # tokenize pool under it ("cannot schedule new futures")
+        ch.join(timeout=420)
+        assert not ch.is_alive(), "churner did not finish; host overloaded"
         stop.set()
         for t in threads:
-            t.join(timeout=30)
+            t.join(timeout=60)
         assert not errors, errors[:1]
         out = coll.search({"term": "alpha", "limit": 5})
         assert out.count == 300 + 6 * 40

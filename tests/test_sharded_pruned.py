@@ -49,6 +49,32 @@ QUERIES = [
 ]
 
 
+def _assert_hits_match(a, b, q=None, tol=1e-4):
+    """Ranked parity allowing id swaps among TIED scores: the corpus
+    produces many exact BM25 ties, and tied docs have no canonical
+    order across kernel shapes (a batch's padding changes the float
+    reduction order by an ulp, legally reordering ties)."""
+    sa = [h.score for h in a.hits]
+    sb = [h.score for h in b.hits]
+    assert len(sa) == len(sb), (q, sa, sb)
+    assert np.allclose(sa, sb, rtol=tol, atol=tol), (q, sa, sb)
+    i, K = 0, len(sa)
+    while i < K:
+        j = i
+        while j + 1 < K and abs(sa[j + 1] - sa[i]) <= tol * max(
+            abs(sa[i]), 1.0
+        ):
+            j += 1
+        # a tie run truncated by the page end may continue past k with
+        # more equal-score docs — any subset is a valid top-k there, so
+        # only interior runs demand identical id sets
+        if j < K - 1:
+            assert {h.id for h in a.hits[i:j + 1]} == {
+                h.id for h in b.hits[i:j + 1]
+            }, (q, i, j, [h.id for h in a.hits], [h.id for h in b.hits])
+        i = j + 1
+
+
 def _build(tmp, shards, pruning):
     cfg = OramacoreConfig()
     cfg.data_dir = tmp
@@ -86,9 +112,7 @@ def test_sharded_pruned_matches_single_device_dense():
                 b = sharded.read_side.search(
                     "c", coll_m.read_api_key, SearchParams.from_json(dict(q))
                 )
-                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
-                for ha, hb in zip(a.hits, b.hits):
-                    assert hb.score == pytest.approx(ha.score, rel=1e-4), q
+                _assert_hits_match(a, b, q)
                 if b.count_estimated:
                     engaged += 1
                     # the estimate is floored by verified candidates
@@ -131,7 +155,7 @@ def test_sharded_pruned_exact_counts():
                 b = sharded.read_side.search(
                     "c", coll_m.read_api_key, SearchParams.from_json(qb)
                 )
-                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
+                _assert_hits_match(a, b, q)
                 assert b.count == a.count, q
                 assert not b.count_estimated, q
         finally:
@@ -173,9 +197,51 @@ def test_sharded_pruned_live_layer_mix():
                 b = sharded.read_side.search(
                     "c", coll_m.read_api_key, SearchParams.from_json(dict(q))
                 )
-                assert [h.id for h in a.hits] == [h.id for h in b.hits], q
-                for ha, hb in zip(a.hits, b.hits):
-                    assert hb.score == pytest.approx(ha.score, rel=1e-4), q
+                _assert_hits_match(a, b, q)
+        finally:
+            single.stop()
+            sharded.stop()
+
+
+def test_sharded_pruned_batch():
+    """search_batch on the mesh rides the sharded pruned kernels when
+    pruning engages (read._search_batch_index routing)."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0, "off")
+        sharded, coll_m = _build(t2, 8, "on")
+        try:
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            batch = [
+                {"term": "apple banana", "limit": 10},
+                {"term": "cherry", "limit": 10},
+                {"term": "grape kiwi", "limit": 8},
+            ]
+            seq = [
+                single.read_side.search(
+                    "c", coll_s.read_api_key, SearchParams.from_json(dict(q))
+                )
+                for q in batch
+            ]
+            got = sharded.read_side.search_batch(
+                "c", coll_m.read_api_key,
+                [SearchParams.from_json(dict(q)) for q in batch],
+            )
+            for s, g, q in zip(seq, got, batch):
+                _assert_hits_match(s, g, q)
+                assert g.count_estimated, q
+            got = sharded.read_side.search_batch(
+                "c", coll_m.read_api_key,
+                [SearchParams.from_json({**q, "exactCount": True})
+                 for q in batch],
+            )
+            for s, g, q in zip(seq, got, batch):
+                assert g.count == s.count, q
+                assert not g.count_estimated, q
         finally:
             single.stop()
             sharded.stop()
