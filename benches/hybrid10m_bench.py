@@ -15,6 +15,9 @@ Modes (--mode):
   pruned    pruned hybrid (candidates + exact rescore) + top-16 overlap
             vs the ranged kernel on identical queries
   ft        dense fulltext vs pruned fulltext + overlap
+  counts    the opt-in exact counting dispatch (pruned_exact_counts):
+            one global (query, doc, token) sort over the batch's
+            postings -- measures the per-search cost of exactCount
   all       everything
 
 Memory budget (v5e, 16 GiB): int8 corpus 7.5 GiB + slab 1.5 GiB; the
@@ -73,13 +76,14 @@ def main():
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--mode", default="all",
-                    choices=["ranged", "champion", "pruned", "ft", "all"])
+                    choices=["ranged", "champion", "pruned", "ft",
+                             "counts", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
     modes = (
-        ["ranged", "champion", "pruned", "ft"]
+        ["ranged", "champion", "pruned", "ft", "counts"]
         if args.mode == "all" else [args.mode]
     )
 
@@ -623,6 +627,36 @@ def main():
             log(f"fulltext pruned B={B}: lat={dt * 1000:.1f}ms "
                 f"qps={B / dt:.0f}{note}")
             results.append((B, "ft-pruned" + note, B / dt, dt * 1000))
+
+    if "counts" in modes:
+        from oramacore_tpu.ops.pruned import pruned_exact_counts
+
+        for B in (8, 64):
+            variants = []
+            for s_ in range(3):
+                (_idesc, _fdesc, _scalars, _lr, _pi, _pf, idf,
+                 wl_i, _wl_f, _tids) = build_pruned_plans(B, seed=7 + s_)
+                variants.append((jnp.asarray(wl_i), idf.shape[1]))
+
+            def run_cnt(v):
+                wli, T_ = v
+                B_ = B
+                return pruned_exact_counts(
+                    p_doc, p_tf, p_tf, wli,
+                    jnp.zeros((B_,), jnp.float32),
+                    lch=LCH, cap=N, T=T_, exact=False,
+                )
+
+            try:
+                dt = timeit(run_cnt, variants)
+            except Exception as e:
+                log(f"exact counts B={B}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            cnts = np.asarray(run_cnt(variants[0]))
+            log(f"exact counts B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f} sample={cnts[:4].tolist()}")
+            results.append((B, "exact-counts", B / dt, dt * 1000))
 
     # ---------------- champion mode (round-2 record) ----------------
     if "champion" in modes:

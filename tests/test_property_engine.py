@@ -181,3 +181,70 @@ def test_random_filter_trees_match_naive():
             assert got.count == len(want), (trial, tree)
     finally:
         ctx.close()
+
+
+def test_random_op_sequences_pruned_exact_counts():
+    """The randomized op-sequence property holds on the PRUNED tier
+    with exact counts: searches forced through the two-phase
+    candidate+rescore path (+ the exact counting dispatch) must match
+    the naive model exactly — hits AND counts — across random
+    insert/update/delete/commit interleavings."""
+    rng = np.random.default_rng(7)
+    ctx = TestContext()
+    try:
+        ctx.reader.config.reader_side.pruning = "on"
+        ctx.reader.config.reader_side.pruned_exact_counts = True
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        model = {}
+        next_id = 0
+        for step in range(80):
+            op = rng.choice(
+                ["insert", "update", "delete", "commit", "check"],
+                p=[0.4, 0.15, 0.15, 0.1, 0.2],
+            )
+            if op == "insert":
+                docs = [_mk_doc(rng, next_id + i)
+                        for i in range(int(rng.integers(1, 6)))]
+                next_id += len(docs)
+                idx.insert_documents(docs)
+                for d in docs:
+                    model[d["id"]] = d
+            elif op == "update" and model:
+                did = str(rng.choice(sorted(model)))
+                d = _mk_doc(rng, did)
+                d["id"] = did
+                idx.insert_documents([d])
+                model[did] = d
+            elif op == "delete" and model:
+                dids = [
+                    str(x) for x in rng.choice(
+                        sorted(model),
+                        size=min(len(model), int(rng.integers(1, 3))),
+                        replace=False,
+                    )
+                ]
+                idx.delete_documents(dids)
+                for did in dids:
+                    model.pop(did)
+            elif op == "commit":
+                ctx.commit_all()
+            else:  # check (limit 200 keeps k <= 512: pruned-eligible)
+                term = " ".join(
+                    rng.choice(_WORDS, size=int(rng.integers(1, 3)),
+                               replace=False).tolist()
+                )
+                got = coll.search(
+                    {"term": term, "limit": 200, "exactCount": True}
+                )
+                want = _naive_matches(model, term)
+                assert got.count == len(want), (step, term)
+                assert not got.count_estimated, (step, term)
+                if len(want) <= 200:
+                    assert set(ids_of(got)) == want, (step, term)
+                else:
+                    assert set(ids_of(got)) <= want, (step, term)
+    finally:
+        ctx.reader.config.reader_side.pruning = "off"
+        ctx.reader.config.reader_side.pruned_exact_counts = False
+        ctx.close()
