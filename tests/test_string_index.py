@@ -575,7 +575,7 @@ def test_fuzzy_term_matrix_memory_bounded():
     idx.index_text(1, "t", parsed)
     idx.commit()
     buckets = idx._term_matrix("t")
-    total_cells = sum(mat.size for _t, mat, _l in buckets)
+    total_cells = sum(mat.size for _t, mat, *_rest in buckets)
     # bounded: ~4 bytes/char, not vocab x outlier-length
     assert total_cells < 5001 * 16 + 600, total_cells
     naive_cells = 5001 * 500
