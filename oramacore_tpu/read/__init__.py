@@ -709,8 +709,16 @@ class ReadSide:
         # ONE eligibility decision drives both the plan shape
         # (with_prefix: uncoalesced ranges + field spans) and the
         # dispatch below — recomputing it could route a coalesced
-        # no-prefix plan into the pruned kernel
-        use_pruned = self._pruned_eligible(idx, mask, k, mode, params)
+        # no-prefix plan into the pruned kernel. On the mesh, pruning
+        # applies exactly at the int8/IVF tier (the sharded pruned
+        # hybrid replaces the dense tail there; flat-mode sharded
+        # hybrid keeps the dense kernel + coalesced plan).
+        is_ivf = (
+            idx.vector._ivf is not None and not idx.vector._live_rows
+        )
+        use_pruned = self._pruned_eligible(
+            idx, mask, k, mode, params, mesh_ok=is_ivf,
+        )
         planned = self._plan_fulltext(
             idx, mode, params, with_prefix=use_pruned,
         )
@@ -733,15 +741,29 @@ class ReadSide:
         if self.sharded_mesh is not None:
             # doc-sharded fused hybrid over the mesh (SURVEY §5.8)
             sharded = self._fused_executor(coll, idx)
-            out = sharded.search_topk_hybrid(
-                idx.string, [plan], [idx.document_count()], cap, k,
-                idx.vector, q, [mode.similarity],
-                exact=mode.exact,
-                doc_masks=[mask] if mask is not None else None,
-                thresholds=[thr] if thr is not None else None,
-                omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
-                rescale=idx.vector.config.score_rescale,
-            )
+            if use_pruned and is_ivf:
+                # 10M tier on the mesh: sharded pruned hybrid (per-shard
+                # candidate union + exact rescore, no dense tail)
+                out = sharded.search_topk_hybrid_int8_pruned(
+                    idx.string, [plan], [idx.document_count()], cap, k,
+                    idx.vector, q, [mode.similarity],
+                    exact=mode.exact,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                    rescale=idx.vector.config.score_rescale,
+                )
+                if out is not None:
+                    self._tls.count_estimated = True
+            else:
+                out = sharded.search_topk_hybrid(
+                    idx.string, [plan], [idx.document_count()], cap, k,
+                    idx.vector, q, [mode.similarity],
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                    rescale=idx.vector.config.score_rescale,
+                )
         if out is None:
             vec_rows = idx.vector.flat_device_rows()
             ex = coll.executor(idx.index_id)

@@ -248,3 +248,87 @@ def test_random_op_sequences_pruned_exact_counts():
         ctx.reader.config.reader_side.pruning = "off"
         ctx.reader.config.reader_side.pruned_exact_counts = False
         ctx.close()
+
+
+def test_fuzzy_match_prefilters_never_drop_true_matches():
+    """The tolerance path prefilters candidates with two vectorized
+    edit-distance lower bounds (char-class signature popcount and hashed
+    bag distance) before the banded DP. Property: for ANY term in the
+    vocab and ANY sequence of <=k random edits applied to it, the edited
+    token must still surface the original term (the bounds are proved
+    lower bounds; this fuzzes the implementation of that proof).
+    Reference analog: the FST fuzzy walker is exhaustive by construction
+    (string_field.rs); our cascade must be too."""
+    from oramacore_tpu.index.string_index import StringIndex
+
+    rng = np.random.default_rng(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    vocab = sorted({
+        "".join(rng.choice(list(alphabet),
+                           size=int(rng.integers(3, 14))))
+        for _ in range(3000)
+    })
+    idx = StringIndex(index_bigrams=False)
+    parsed = [(w, []) for w in vocab]
+    idx.index_text(1, "t", parsed)
+    idx.commit()
+
+    def edit(tok: str) -> str:
+        kind = int(rng.integers(0, 3))
+        pos = int(rng.integers(0, max(len(tok), 1)))
+        c = alphabet[int(rng.integers(0, 26))]
+        if kind == 0 and len(tok) > 1:      # delete
+            return tok[:pos] + tok[pos + 1:]
+        if kind == 1:                        # insert
+            return tok[:pos] + c + tok[pos:]
+        return tok[:pos] + c + tok[pos + 1:] if tok else c  # substitute
+
+    for trial in range(300):
+        orig = vocab[int(rng.integers(0, len(vocab)))]
+        k = int(rng.integers(1, 3))
+        tok = orig
+        for _ in range(k):
+            tok = edit(tok)
+        hits = idx._fuzzy_match("t", tok, k)
+        found = {t for _d, t in hits}
+        assert orig in found, (
+            f"trial {trial}: {orig!r} not found for token {tok!r} "
+            f"(k={k}); cascade dropped a true match"
+        )
+        # and distances reported are real edit distances <= k
+        for d, t in hits:
+            assert d <= k
+
+
+def test_fuzzy_match_agrees_with_bruteforce_dp():
+    """Full-result equivalence: the cascaded matcher returns EXACTLY the
+    terms a brute-force Levenshtein scan returns, same distances."""
+    from oramacore_tpu.index.string_index import StringIndex
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = np.random.default_rng(77)
+    alphabet = "abcdef"  # tiny alphabet -> dense neighborhoods
+    vocab = sorted({
+        "".join(rng.choice(list(alphabet),
+                           size=int(rng.integers(2, 9))))
+        for _ in range(800)
+    })
+    idx = StringIndex(index_bigrams=False)
+    idx.index_text(1, "t", [(w, []) for w in vocab])
+    idx.commit()
+    for trial in range(60):
+        tok = "".join(rng.choice(list(alphabet),
+                                 size=int(rng.integers(2, 9))))
+        k = int(rng.integers(1, 3))
+        got = {(d, t) for d, t in idx._fuzzy_match("t", tok, k)}
+        want = {(lev(tok, w), w) for w in vocab if lev(tok, w) <= k}
+        assert got == want, f"trial {trial} tok={tok!r} k={k}"

@@ -1,0 +1,154 @@
+"""Sharded pruned HYBRID parity (parallel/engine.search_topk_hybrid_
+int8_pruned).
+
+The 10M-tier hybrid on the 8-device CPU mesh: fulltext candidates
+nominate per doc shard, the IVF probe scans units on their round-robin
+owners, the global top-V rows route to their doc % D owner, and BM25F +
+cosine are both exact on the per-shard candidate union (doc-aligned
+int8 copy), fused under a pmax'd global span. With exhaustive budgets
+(C >= corpus, nprobe >= units) this must match the single-device pruned
+hybrid exactly (same candidate set, same exact rescore — only float
+association order differs).
+
+Reference semantics: token_score.rs:357-422 min-max hybrid fusion.
+"""
+
+import tempfile
+
+import numpy as np
+import pytest
+
+import oramacore_tpu.index.vector_index as vi
+from oramacore_tpu.config import OramacoreConfig
+from oramacore_tpu.runtime import build_orama
+from oramacore_tpu.types import SearchParams
+
+from .test_sharded_pruned import _assert_hits_match
+
+MASTER = "mk"
+
+_SYL = ["ba", "de", "fi", "go", "ku", "lo", "mi", "na", "po", "ra",
+        "su", "ti"]
+VOCAB = ["apple", "banana", "cherry", "fig", "grape", "kiwi", "lemon",
+         "mango"] + [a + b for a in _SYL for b in _SYL]
+
+DOCS = []
+_rng = np.random.default_rng(43)
+for i in range(700):
+    words = _rng.choice(VOCAB, size=5, replace=False).tolist()
+    d = {"id": str(i), "t": " ".join(words), "n": i}
+    if i % 11 == 0:
+        d["_omc"] = 1.4
+    DOCS.append(d)
+
+QUERIES = [
+    {"mode": "hybrid", "term": "apple banana", "similarity": 0.3,
+     "limit": 10},
+    {"mode": "hybrid", "term": "mango kiwi lemon", "similarity": 0.45,
+     "limit": 10},
+    {"mode": "hybrid", "term": "fig grape", "similarity": 0.2,
+     "offset": 2, "limit": 5},
+    {"mode": "hybrid", "term": "cherry", "similarity": 0.9, "limit": 10},
+]
+
+
+def _build(tmp, shards):
+    cfg = OramacoreConfig()
+    cfg.data_dir = tmp
+    cfg.auth.master_api_key = MASTER
+    cfg.writer_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.insert_batch_commit_size = 10_000_000
+    cfg.reader_side.sharded_shards = shards
+    cfg.reader_side.pruning = "on"
+    orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
+    coll = orama.write_side.create_collection(MASTER, "c")
+    orama.write_side.create_index("c", coll.write_api_key, "main")
+    orama.write_side.insert_documents("c", "main", coll.write_api_key, DOCS)
+    orama.write_side.embedding_queue.flush_and_wait()
+    orama.read_side.pump()
+    return orama, coll
+
+
+@pytest.fixture()
+def ivf_mode(monkeypatch):
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 10_000)  # clamps to all units
+
+
+def test_sharded_pruned_hybrid_matches_single_device(ivf_mode):
+    import jax
+
+    assert len(jax.devices()) >= 8
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0)
+        sharded, coll_m = _build(t2, 8)
+        try:
+            assert sharded.read_side.sharded_mesh is not None
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            # both stacks must actually be in int8/IVF mode
+            for orama in (single, sharded):
+                c = orama.read_side.collections["c"]
+                ridx = next(iter(c.indexes.values()))
+                assert ridx.vector is not None
+                assert ridx.vector._ivf is not None
+            engaged = 0
+            for q in QUERIES:
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                # int8 quantization is identical on both sides; only
+                # float association order differs
+                _assert_hits_match(a, b, q, tol=2e-3)
+                if b.hits:
+                    engaged += 1
+                    # both rode the pruned kernels: counts are flagged
+                    assert a.count_estimated and b.count_estimated, q
+            assert engaged >= 3
+        finally:
+            single.stop()
+            sharded.stop()
+
+
+def test_sharded_hybrid_filter_falls_back_cleanly(ivf_mode):
+    """Filtered hybrid on the mesh at the IVF tier: pruning is
+    ineligible (filtered-df IDF needs the full scan) and the flat
+    sharded kernel can't take IVF — the single-device dense int8 path
+    answers, with correct filtered results."""
+    import jax
+
+    assert len(jax.devices()) >= 8
+    with tempfile.TemporaryDirectory() as t:
+        orama, coll = _build(t, 8)
+        try:
+            orama.read_side.commit(force=True)
+            res = orama.read_side.search(
+                "c", coll.read_api_key,
+                SearchParams.from_json({
+                    "mode": "hybrid", "term": "apple", "similarity": 0.3,
+                    "limit": 10, "where": {"n": {"lt": 350}},
+                }),
+            )
+            assert res.hits
+            assert all(
+                int(h.id.split(":")[-1]) < 350 for h in res.hits
+            )
+            # the filtered path is the dense exact one — no estimate
+            assert not res.count_estimated
+            # and the unfiltered twin rides the pruned mesh kernel
+            res2 = orama.read_side.search(
+                "c", coll.read_api_key,
+                SearchParams.from_json({
+                    "mode": "hybrid", "term": "apple", "similarity": 0.3,
+                    "limit": 10,
+                }),
+            )
+            assert res2.hits and res2.count_estimated
+        finally:
+            orama.stop()
