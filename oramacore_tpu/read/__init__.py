@@ -1797,16 +1797,27 @@ def _search_batch_index(
         self.config.reader_side.pruned_exact_counts
         or any(getattr(p, "exact_count", False) for p in params_list)
     )
+    # hybrid batches are pruned-eligible only at the int8/IVF tier (the
+    # flat dense tail is already fast there) and have no exact-count
+    # dispatch (the hybrid kernel's counts are estimate-floored)
+    hybrid_pruned = (
+        shared_kind == "hybrid"
+        and hybrid_args
+        and hybrid_args.get("vec_rows") is None
+        and hybrid_args.get("vec_rows_int8") is not None
+        and all(p.mode.threshold is None for p in params_list)
+    )
     if (
-        shared_kind == "fulltext"
+        (shared_kind == "fulltext" or hybrid_pruned)
         and doc_masks is None
         and tolerance is None
         and max_k <= 512
         and self._pruned_eligible(
             idx, None, max_k, mode=first.mode, params=first,
-            exact_counts=want_exact_counts, mesh_ok=True,
+            exact_counts=want_exact_counts and not hybrid_pruned,
+            mesh_ok=True,
         )
-        and (want_exact_counts
+        and (hybrid_pruned or want_exact_counts
              or all(p.mode.threshold is None for p in params_list))
     ):
         plans = []
@@ -1822,7 +1833,49 @@ def _search_batch_index(
                 float(np.floor(len(p_tokens) * p.mode.threshold))
                 if p.mode.threshold is not None else None
             )
-        if plans:
+        if plans and hybrid_pruned:
+            # batched pruned HYBRID: B with-prefix plans through the
+            # candidate-union kernel (ops/pruned.py
+            # pruned_hybrid_topk_int8), one dispatch on one chip or the
+            # mesh — the batch analog of the per-query int8 branch in
+            # _hybrid_fused
+            n_list = [idx.document_count()] * len(plans)
+            if self.sharded_mesh is not None:
+                pex = self._fused_executor(coll, idx)
+                out = pex.search_topk_hybrid_int8_pruned(
+                    idx.string, plans, n_list, cap, max(max_k, 1),
+                    idx.vector, hybrid_args["queries"],
+                    hybrid_args["similarities"], exact=exact,
+                    omc=idx.omc_array(),
+                    omc_key=(idx.uid, idx.omc_version),
+                    rescale=hybrid_args["rescale"],
+                )
+            else:
+                from ..ops.bm25 import round_up_pow2
+
+                pex = coll.executor(idx.index_id)
+                out = pex.search_topk_hybrid_int8_pruned(
+                    idx.string, plans, n_list, cap, max(max_k, 1),
+                    hybrid_args["vec_rows_int8"],
+                    idx.vector.int8_doc2row(round_up_pow2(cap, 128)),
+                    hybrid_args["queries"],
+                    hybrid_args["similarities"], exact=exact,
+                    omc=idx.omc_array(),
+                    omc_key=(idx.uid, idx.omc_version),
+                    rescale=hybrid_args["rescale"],
+                )
+            if out is not None:
+                vals, ids, counts = out
+                pairs_per_query = [
+                    [
+                        (int(d), float(v))
+                        for v, d in zip(vals[qi], ids[qi])
+                        if v > 0 and int(d) in idx.doc_user_ids
+                    ]
+                    for qi in range(len(params_list))
+                ]
+                return pairs_per_query, counts, True
+        elif plans:
             if self.sharded_mesh is not None:
                 pex = self._fused_executor(coll, idx)
             else:

@@ -152,3 +152,35 @@ def test_sharded_hybrid_filter_falls_back_cleanly(ivf_mode):
             assert res2.hits and res2.count_estimated
         finally:
             orama.stop()
+
+
+@pytest.mark.parametrize("shards", [0, 8])
+def test_batched_pruned_hybrid_matches_per_query(ivf_mode, shards):
+    """Hybrid batches at the int8/IVF tier ride the pruned candidate-
+    union kernel (read._search_batch_index hybrid_pruned branch): B
+    with-prefix plans in one dispatch, single-device or on the mesh.
+    Each batch result must equal its per-query twin (same kernel, B=1
+    vs B=N padding only changes float association order)."""
+    import jax
+
+    if shards:
+        assert len(jax.devices()) >= shards
+    with tempfile.TemporaryDirectory() as t:
+        orama, coll = _build(t, shards)
+        try:
+            orama.read_side.commit(force=True)
+            batch = [SearchParams.from_json(dict(q)) for q in QUERIES]
+            outs = orama.read_side.search_batch(
+                "c", coll.read_api_key, batch
+            )
+            assert len(outs) == len(QUERIES)
+            for q, b in zip(QUERIES, outs):
+                a = orama.read_side.search(
+                    "c", coll.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                _assert_hits_match(a, b, q, tol=2e-3)
+                if b.hits:
+                    assert b.count_estimated, q
+        finally:
+            orama.stop()
