@@ -54,14 +54,40 @@ class VectorIndex:
         self.config = config
         self._live_rows: List[np.ndarray] = []
         self._live_docs: List[int] = []
-        self._committed_matrix = np.zeros((0, config.dim), np.float32)
-        self._committed_docs = np.zeros(0, np.int32)
+        # committed rows live in a capacity-doubling backing buffer so
+        # thresholded commits during a long ingest append in amortized
+        # O(live) instead of reconcatenating O(corpus) per commit (the
+        # string index's segmented-commit principle applied here);
+        # _committed_matrix/_committed_docs below stay exact-length views
+        self._buf_matrix = np.zeros((0, config.dim), np.float32)
+        self._buf_docs = np.zeros(0, np.int32)
+        self._n_committed = 0
         # device slab cache
         self._dev: Optional[Tuple] = None
         self._dev_gen = -1
         self._gen = 0
         # IVF state (built at commit when large enough)
         self._ivf: Optional[dict] = None
+
+    # exact-length views over the backing buffer: every consumer
+    # (engine partitioners, snapshots, IVF build) sees precisely the
+    # committed rows; assignment replaces the buffer slack-free
+    @property
+    def _committed_matrix(self) -> np.ndarray:
+        return self._buf_matrix[: self._n_committed]
+
+    @_committed_matrix.setter
+    def _committed_matrix(self, arr: np.ndarray) -> None:
+        self._buf_matrix = np.ascontiguousarray(arr, np.float32)
+        self._n_committed = len(self._buf_matrix)
+
+    @property
+    def _committed_docs(self) -> np.ndarray:
+        return self._buf_docs[: self._n_committed]
+
+    @_committed_docs.setter
+    def _committed_docs(self, arr: np.ndarray) -> None:
+        self._buf_docs = np.ascontiguousarray(arr, np.int32)
 
     # ------------------------------------------------------------------
     # Write path
@@ -89,22 +115,60 @@ class VectorIndex:
         return len(self._committed_docs) + len(self._live_docs)
 
     def commit(self, deleted: Optional[set] = None) -> None:
-        parts_m = [self._committed_matrix]
-        parts_d = [self._committed_docs]
-        if self._live_rows:
-            parts_m.append(np.stack(self._live_rows))
-            parts_d.append(np.asarray(self._live_docs, np.int32))
-        matrix = np.concatenate(parts_m)
-        docs = np.concatenate(parts_d)
+        m = len(self._live_docs)
+        n = self._n_committed
+        # does any delete actually touch this field's rows?
+        drop_c = drop_l = None
+        live_docs = (
+            np.asarray(self._live_docs, np.int32) if m else None
+        )
         if deleted:
-            keep = ~np.isin(docs, np.fromiter(deleted, np.int32, len(deleted)))
-            matrix, docs = matrix[keep], docs[keep]
-        self._committed_matrix = np.ascontiguousarray(matrix)
-        self._committed_docs = np.ascontiguousarray(docs)
+            dd = np.fromiter(deleted, np.int32, len(deleted))
+            if n:
+                drop_c = np.isin(self._buf_docs[:n], dd)
+                if not drop_c.any():
+                    drop_c = None
+            if m:
+                drop_l = np.isin(live_docs, dd)
+                if not drop_l.any():
+                    drop_l = None
+        if not m and drop_c is None:
+            return  # nothing to fold in: committed state + IVF stand
+        if drop_c is not None or drop_l is not None:
+            # rebuild without the deleted rows (delete/merge path)
+            parts_m = [
+                self._buf_matrix[:n][~drop_c] if drop_c is not None
+                else self._buf_matrix[:n]
+            ]
+            parts_d = [
+                self._buf_docs[:n][~drop_c] if drop_c is not None
+                else self._buf_docs[:n]
+            ]
+            if m:
+                lm = np.stack(self._live_rows)
+                if drop_l is not None:
+                    lm, live_docs = lm[~drop_l], live_docs[~drop_l]
+                parts_m.append(lm)
+                parts_d.append(live_docs)
+            self._committed_matrix = np.concatenate(parts_m)
+            self._committed_docs = np.concatenate(parts_d)
+        else:
+            # append-only fast path: amortized O(live) per commit
+            need = n + m
+            if need > len(self._buf_docs):
+                cap = max(need, 2 * len(self._buf_docs), 1024)
+                nm = np.zeros((cap, self.config.dim), np.float32)
+                nm[:n] = self._buf_matrix[:n]
+                nd = np.zeros(cap, np.int32)
+                nd[:n] = self._buf_docs[:n]
+                self._buf_matrix, self._buf_docs = nm, nd
+            self._buf_matrix[n:need] = np.stack(self._live_rows)
+            self._buf_docs[n:need] = live_docs
+            self._n_committed = need
         self._live_rows, self._live_docs = [], []
         self._gen += 1
         self._ivf = None
-        if len(docs) >= IVF_MIN_ROWS:
+        if self._n_committed >= IVF_MIN_ROWS:
             self._build_ivf()
 
     # ------------------------------------------------------------------
