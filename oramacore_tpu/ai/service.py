@@ -327,6 +327,20 @@ class AIService:
             "total_tokens": prompt + comp,
         }
 
+    def _parse_provider_model(self, model_str) -> Optional[Dict[str, str]]:
+        """OpenAI 'provider/model' routing (conversions.rs:260-273): a
+        bare model string (no provider prefix) or an unknown provider
+        means NO override — the default provider answers."""
+        if not model_str or "/" not in model_str:
+            return None
+        prov, _, name = model_str.partition("/")
+        known = {
+            p.name for p in [self.llm.local, *self.llm.remotes] if p
+        }
+        if prov not in known:
+            return None
+        return {"provider": prov, "model": name}
+
     async def openai_chat(
         self, request, collection_id: str, key: Optional[str],
         body: Dict[str, Any],
@@ -334,7 +348,17 @@ class AIService:
         self._check_read(collection_id, key)
         messages = body.get("messages", [])
         user_msgs = [m for m in messages if m.get("role") == "user"]
-        query = user_msgs[-1]["content"] if user_msgs else ""
+        if not user_msgs:
+            # conversions.rs:144 — the conversion is an error, not an
+            # empty query
+            return web.json_response(
+                {"error": {
+                    "message": "No user message found in messages array",
+                    "type": "invalid_request_error",
+                }},
+                status=400,
+            )
+        query = user_msgs[-1]["content"]
         interaction = Interaction(
             interaction_id=str(uuid.uuid4()),
             query=query,
@@ -347,7 +371,7 @@ class AIService:
                 )
                 for m in messages[:-1]
             ],
-            llm_config={"model": body["model"]} if body.get("model") else None,
+            llm_config=self._parse_provider_model(body.get("model")),
         )
         sm = self._answer_machine(collection_id, key)
         completion_id = f"chatcmpl-{uuid.uuid4().hex[:24]}"
@@ -359,10 +383,13 @@ class AIService:
         # RAG flow (the caller executes tools and calls back)
         if body.get("tools"):
             llm_config = None
-            if body.get("model"):
+            pm = self._parse_provider_model(body.get("model"))
+            if pm:
                 from .llms import LLMConfig
 
-                llm_config = LLMConfig(model=body["model"])
+                llm_config = LLMConfig(
+                    provider=pm["provider"], model=pm["model"]
+                )
             try:
                 msg = await self.llm.chat(
                     messages, llm_config, tools=body["tools"]

@@ -365,3 +365,58 @@ async def test_training_sets_generate_samples_documents(client, rk, wk):
     ]
     assert gen_reqs, "generator prompt never reached the LLM"
     assert "mechanical keyboard" in _json.dumps(gen_reqs[-1]["messages"])
+
+
+@ai_http_test
+async def test_openai_chat_error_no_user_message(client, rk, wk):
+    """conversions.rs:144 parity: a request with no user-role message is
+    an invalid_request_error, not an empty-query answer."""
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m",
+              "messages": [{"role": "system",
+                            "content": "You are a helpful assistant."}]},
+        headers=auth(rk),
+    )
+    assert resp.status == 400
+    body = await resp.json()
+    assert "No user message found" in body["error"]["message"]
+
+
+@ai_http_test
+async def test_openai_model_requires_provider_prefix(client, rk, wk):
+    """conversions.rs:260-273 parity: a bare model string ('gpt-4') or
+    an unknown provider prefix means NO llm override — the default
+    provider still answers; a known 'provider/model' routes to it."""
+    for model in ("gpt-4", "unknownprov/gpt-4", "mock/m"):
+        resp = await client.post(
+            "/v1/c/openai/chat/completions",
+            json={"model": model,
+                  "messages": [{"role": "user",
+                                "content": "keyboard price?"}]},
+            headers=auth(rk),
+        )
+        assert resp.status == 200, model
+        body = await resp.json()
+        assert "80" in body["choices"][0]["message"]["content"], model
+
+
+@ai_http_test
+async def test_openai_multiple_message_types(client, rk, wk):
+    """openai_chat.rs test_openai_chat_with_multiple_message_types:
+    system + prior assistant + tool messages all fold into the
+    conversation; the LAST user message is the query."""
+    resp = await client.post(
+        "/v1/c/openai/chat/completions",
+        json={"model": "m", "messages": [
+            {"role": "system", "content": "Be terse."},
+            {"role": "user", "content": "hello"},
+            {"role": "assistant", "content": "hi"},
+            {"role": "tool", "content": "{\"result\": 42}"},
+            {"role": "user", "content": "keyboard price?"},
+        ]},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    body = await resp.json()
+    assert "80" in body["choices"][0]["message"]["content"]
