@@ -716,9 +716,11 @@ class ReadSide:
         is_ivf = (
             idx.vector._ivf is not None and not idx.vector._live_rows
         )
+        # the hybrid kernels have no exact-count dispatch — an
+        # exactCount request keeps the dense exact path
         use_pruned = self._pruned_eligible(
             idx, mask, k, mode, params, mesh_ok=is_ivf,
-        )
+        ) and not params.exact_count
         planned = self._plan_fulltext(
             idx, mode, params, with_prefix=use_pruned,
         )
@@ -1806,6 +1808,9 @@ def _search_batch_index(
         and hybrid_args.get("vec_rows") is None
         and hybrid_args.get("vec_rows_int8") is not None
         and all(p.mode.threshold is None for p in params_list)
+        # the hybrid kernel has no exact-count dispatch: honor an
+        # exactCount request with the dense tail instead
+        and not want_exact_counts
     )
     if (
         (shared_kind == "fulltext" or hybrid_pruned)

@@ -184,3 +184,38 @@ def test_batched_pruned_hybrid_matches_per_query(ivf_mode, shards):
                     assert b.count_estimated, q
         finally:
             orama.stop()
+
+
+def test_hybrid_exact_count_takes_dense_path(ivf_mode):
+    """The hybrid kernels have no exact-count dispatch: an exactCount
+    request must route to the dense exact path (per-query AND batch)
+    and return unflagged counts."""
+    with tempfile.TemporaryDirectory() as t:
+        orama, coll = _build(t, 0)
+        try:
+            orama.read_side.commit(force=True)
+            q = {"mode": "hybrid", "term": "apple", "similarity": 0.3,
+                 "limit": 10, "exactCount": True}
+            res = orama.read_side.search(
+                "c", coll.read_api_key, SearchParams.from_json(dict(q)),
+            )
+            assert res.hits and not res.count_estimated
+            outs = orama.read_side.search_batch(
+                "c", coll.read_api_key,
+                [SearchParams.from_json(dict(q)),
+                 SearchParams.from_json(dict(q, term="fig grape"))],
+            )
+            assert all(
+                not r.count_estimated for r in outs if r.hits
+            )
+            # and the pruned twin (no exactCount) is flagged
+            res2 = orama.read_side.search(
+                "c", coll.read_api_key,
+                SearchParams.from_json({
+                    "mode": "hybrid", "term": "apple",
+                    "similarity": 0.3, "limit": 10,
+                }),
+            )
+            assert res2.count_estimated
+        finally:
+            orama.stop()
