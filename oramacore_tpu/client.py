@@ -156,6 +156,16 @@ class CollectionClient:
             api_key=self.read_api_key,
         )
 
+    def list_documents(self, index_ids: Optional[List[str]] = None):
+        """Every document of the collection (write-key auth; reference
+        POST /v1/collections/list)."""
+        body: Dict[str, Any] = {"id": self.id}
+        if index_ids is not None:
+            body["index_ids"] = index_ids
+        return self._http.post(
+            "/v1/collections/list", body, api_key=self.write_api_key,
+        )
+
     # -- AI -----------------------------------------------------------------
 
     def answer_stream(self, interaction: Dict[str, Any]) -> Iterator[Dict[str, Any]]:

@@ -64,7 +64,12 @@ class ApiServer:
         # admin (writer) — admin.rs:23-58
         r.add_get("/v1/collections", self.h_list_collections)
         r.add_post("/v1/collections/create", self.h_create_collection)
-        r.add_post("/v1/collections/list", self.h_list_collections)
+        # reference semantics: POST /v1/collections/list lists the
+        # DOCUMENTS of a collection (write-key auth, body {id,
+        # index_ids}) — admin.rs:27 list_document_in_collection
+        r.add_post("/v1/collections/list", self.h_list_documents)
+        # reference shape: the collection id rides the body
+        r.add_post("/v1/collections/delete", self.h_delete_collection_body)
         r.add_get("/v1/collections/{c}", self.h_get_collection)
         r.add_post("/v1/collections/{c}/delete", self.h_delete_collection)
         r.add_post("/v1/collections/{c}/indexes/create", self.h_create_index)
@@ -140,6 +145,8 @@ class ApiServer:
 
         # actions — actions.rs:20
         r.add_post("/v1/collections/{c}/actions/execute", self.h_action_execute)
+        # reference path shape (actions.rs:20 — no /collections prefix)
+        r.add_post("/v1/{c}/actions/execute", self.h_action_execute)
 
         # analytics — analytics.rs:9
         r.add_get("/v1/analytics", self.h_analytics)
@@ -306,6 +313,33 @@ class ApiServer:
             self._writer().delete_collection, key, request.match_info["c"]
         )
         return web.json_response({"deleted": bool(ok)})
+
+    @_wrap
+    async def h_delete_collection_body(self, request):
+        """Reference shape (admin.rs:93): the collection id rides the
+        body as {\"id\": ...}."""
+        body = await self._json(request)
+        key = extract_api_key(request)
+        cid = body.get("id")
+        if not cid:
+            return _error(400, "missing collection id")
+        ok = await self._run(self._writer().delete_collection, key, cid)
+        return web.json_response({"deleted": bool(ok)})
+
+    @_wrap
+    async def h_list_documents(self, request):
+        """Reference admin.rs:105 list_document_in_collection: write-key
+        auth, body {id, index_ids?} -> every document."""
+        body = await self._json(request)
+        key = extract_api_key(request)
+        cid = body.get("id")
+        if not cid:
+            return _error(400, "missing collection id")
+        docs = await self._run(
+            self._writer().list_documents, cid, key,
+            body.get("index_ids"),
+        )
+        return web.json_response(docs)
 
     @_wrap
     async def h_create_index(self, request):

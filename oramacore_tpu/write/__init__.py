@@ -836,6 +836,29 @@ class WriteSide:
         """Upsert semantics == insert (replacement detected by doc-id map)."""
         return self.insert_documents(collection_id, index_id, write_key, docs)
 
+    def list_documents(
+        self,
+        collection_id: str,
+        write_key: Optional[str],
+        index_ids: Optional[Sequence[str]] = None,
+    ) -> List[Dict[str, Any]]:
+        """Every document of the collection (optionally restricted to
+        index_ids), hydrated from the write-side doc storage — the
+        reference's list_document facade (write/mod.rs:1256-1286,
+        POST /v1/collections/list)."""
+        coll = self.check_write_key(collection_id, write_key)
+        want = set(index_ids) if index_ids is not None else None
+        ids: List[int] = []
+        for iid, idx in coll.indexes.items():
+            if idx.is_temp:
+                continue
+            if want is not None and iid not in want:
+                continue
+            ids.extend(idx.doc_id_map.values())
+        ids.sort()
+        blobs = self.doc_storage.get_documents_by_ids(ids)
+        return [json.loads(blobs[d]) for d in ids if d in blobs]
+
     # ------------------------------------------------------------------
     # Reindex & index replacement (SURVEY §3.6)
     # ------------------------------------------------------------------

@@ -405,3 +405,71 @@ def test_writer_only_node_serves_503_on_read_paths():
                 orama.stop()
 
     _a.run(run())
+
+
+@http_test
+async def test_list_documents_endpoint(client):
+    """POST /v1/collections/list (reference admin.rs:105): write-key
+    auth, body {id, index_ids?} -> every document of the collection."""
+    keys = await create_coll(client, "ld")
+    wk = keys["write_api_key"]
+    docs = [{"id": str(i), "t": f"doc number {i}"} for i in range(5)]
+    resp = await client.post(
+        "/v1/collections/ld/indexes/main/insert", json=docs,
+        headers=auth(wk),
+    )
+    assert resp.status == 200
+    resp = await client.post(
+        "/v1/collections/list", json={"id": "ld"}, headers=auth(wk),
+    )
+    assert resp.status == 200
+    out = await resp.json()
+    assert sorted(d["id"] for d in out) == [str(i) for i in range(5)]
+    # index_ids restriction: unknown index -> empty
+    resp = await client.post(
+        "/v1/collections/list",
+        json={"id": "ld", "index_ids": ["nope"]}, headers=auth(wk),
+    )
+    assert await resp.json() == []
+    # wrong key -> auth error
+    resp = await client.post(
+        "/v1/collections/list", json={"id": "ld"}, headers=auth("bad"),
+    )
+    assert resp.status in (401, 403)
+
+
+@http_test
+async def test_delete_collection_body_shape(client):
+    """POST /v1/collections/delete with {id} in the body (admin.rs:93)."""
+    await create_coll(client, "dc")
+    resp = await client.post(
+        "/v1/collections/delete", json={"id": "dc"}, headers=auth(MASTER),
+    )
+    assert resp.status == 200
+    assert (await resp.json())["deleted"] is True
+    resp = await client.get("/v1/collections/dc", headers=auth(MASTER))
+    assert resp.status == 404
+
+
+@http_test
+async def test_actions_execute_reference_path(client):
+    """POST /v1/{c}/actions/execute (actions.rs:20 path shape, no
+    /collections prefix) behaves like the prefixed route."""
+    keys = await create_coll(client, "ax")
+    wk, rk = keys["write_api_key"], keys["read_api_key"]
+    docs = [{"id": "1", "t": "wireless headphones"}]
+    resp = await client.post(
+        "/v1/collections/ax/indexes/main/insert", json=docs,
+        headers=auth(wk),
+    )
+    assert resp.status == 200
+    await wait_search(client, "ax", rk, {"term": "wireless"})
+    resp = await client.post(
+        "/v1/ax/actions/execute",
+        json={"name": "Search",
+              "context": json.dumps({"term": "wireless"})},
+        headers=auth(rk),
+    )
+    assert resp.status == 200
+    out = await resp.json()
+    assert out["count"] >= 1
