@@ -78,6 +78,11 @@ class CollectionReader:
         self.data_dir = data_dir
         self.indexes: Dict[str, ReadIndex] = {}
         self.aliases: Dict[str, str] = {}  # temp id -> runtime id after replace
+        # ids of deleted indexes: a search naming one skips it instead of
+        # 404ing (reference read/collection.rs calculate_index_to_search_on
+        # validates against ALL indexes incl. deleted, then the search loop
+        # skips them — tests/multi_index.rs:278)
+        self.deleted_indexes: Set[str] = set()
         self.doc_storage = DocumentStore(os.path.join(data_dir, "docstore"))
         self.hooks: Dict[str, str] = {}
         self.pin_rules: Dict[str, Dict[str, Any]] = {}
@@ -316,6 +321,7 @@ class ReadSide:
             return
         if kind == "delete_index":
             dropped = coll.indexes.pop(b["index"], None)
+            coll.deleted_indexes.add(b["index"])
             if dropped is not None:
                 for d in dropped.doc_user_ids:
                     coll.doc_index.pop(d, None)
@@ -502,6 +508,11 @@ class ReadSide:
             for iid in params.indexes:
                 idx = coll.resolve_index(iid.value)
                 if idx is None:
+                    # a deleted index named in the request is skipped, not an
+                    # error (reference search loop excludes deleted indexes
+                    # after validation passes — tests/multi_index.rs:278)
+                    if iid.value in coll.deleted_indexes:
+                        continue
                     raise ReadError(f"index {iid.value!r} not found", 404)
                 indexes.append(idx)
         else:
@@ -1340,6 +1351,7 @@ class ReadSide:
             "description": coll.description,
             "mcp_description": coll.mcp_description,
             "aliases": dict(coll.aliases),
+            "deleted_indexes": sorted(coll.deleted_indexes),
             "hooks": dict(coll.hooks),
             "pin_rules": dict(coll.pin_rules),
             "shelves": dict(coll.shelves),
@@ -1448,6 +1460,7 @@ class ReadSide:
                 mcp_description=meta.get("mcp_description"),
             )
             coll.aliases = dict(meta.get("aliases", {}))
+            coll.deleted_indexes = set(meta.get("deleted_indexes", []))
             coll.hooks = dict(meta.get("hooks", {}))
             coll.pin_rules = dict(meta.get("pin_rules", {}))
             coll.shelves = dict(meta.get("shelves", {}))
