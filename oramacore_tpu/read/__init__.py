@@ -1314,16 +1314,25 @@ class ReadSide:
 
     def batch_get_documents(
         self, collection_id: str, read_key: Optional[str], user_ids: Sequence[str]
-    ) -> List[Dict[str, Any]]:
+    ) -> Dict[str, Dict[str, Any]]:
+        """Documents keyed by user doc id; missing/deleted ids are simply
+        absent and duplicate request ids collapse to one entry (reference
+        read/mod.rs batch_get_documents -> HashMap<String, Document>,
+        tests/batch_get_documents.rs:144)."""
         coll = self.check_read_key(collection_id, read_key)
-        internal = []
+        internal: Dict[str, int] = {}
         for idx in coll.indexes.values():
             for uid in user_ids:
                 d = idx.user_to_internal.get(uid)
                 if d is not None:
-                    internal.append(d)
-        blobs = coll.doc_storage.get_documents_by_ids(internal)
-        return [json.loads(v) for v in blobs.values()]
+                    internal[uid] = d
+        blobs = coll.doc_storage.get_documents_by_ids(list(internal.values()))
+        out: Dict[str, Dict[str, Any]] = {}
+        for uid, d in internal.items():
+            v = blobs.get(d)
+            if v is not None:
+                out[uid] = json.loads(v)
+        return out
 
     # ------------------------------------------------------------------
     # Commit / load (SURVEY §5.4)

@@ -30,11 +30,26 @@ def _error(status: int, message: str) -> web.Response:
 
 
 def extract_api_key(request: web.Request) -> Optional[str]:
-    """Bearer header or ?api-key= (reference api/util.rs:51-246)."""
-    auth = request.headers.get("Authorization", "")
-    if auth.startswith("Bearer "):
-        return auth[len("Bearer "):].strip()
-    return request.query.get("api-key")
+    """`?api-key=` (takes precedence) or Bearer header (reference
+    api/util.rs:180-220). Plain (non-JWT) keys are capped at 64 chars
+    (types.rs:549 ApiKey = StackString<64>); JWTs are exempt — they are
+    validated by the JWT manager downstream."""
+    key = request.query.get("api-key")
+    if key is None:
+        auth = request.headers.get("Authorization", "")
+        if auth.startswith("Bearer "):
+            key = auth[len("Bearer "):].strip()
+    if key is not None and len(key) > 64:
+        from ..auth import JwtManager
+
+        if not JwtManager.looks_like_jwt(key):
+            raise web.HTTPUnauthorized(
+                text=json.dumps(
+                    {"message": "Invalid API key: too long. Max 64 char"}
+                ),
+                content_type="application/json",
+            )
+    return key
 
 
 class ApiServer:
@@ -504,11 +519,19 @@ class ApiServer:
     async def h_batch_get(self, request):
         body = await self._json(request)
         ids = body if isinstance(body, list) else body.get("ids", [])
+        # reference types.rs:707 BatchGetDocumentsRequest::validate
+        if len(ids) > 1000:
+            return web.json_response(
+                {"error": f"Too many document IDs. Maximum is 1000, got {len(ids)}"},
+                status=400,
+            )
         key = extract_api_key(request)
         out = await self._run(
             self._reader().batch_get_documents, request.match_info["c"], key, ids
         )
-        return web.json_response({"documents": out})
+        # flattened map keyed by user doc id (reference types.rs:721
+        # BatchGetDocumentsResponse serde(flatten))
+        return web.json_response(out)
 
     # -- hooks --------------------------------------------------------------
 

@@ -132,8 +132,9 @@ async def test_full_crud_and_search_flow(client):
         json={"ids": ["1"]},
         headers=auth(rk),
     )
-    docs = (await resp.json())["documents"]
-    assert docs[0]["title"] == "TPU accelerated search"
+    # flattened map keyed by user doc id (reference types.rs:721)
+    docs = await resp.json()
+    assert docs["1"]["title"] == "TPU accelerated search"
 
     # delete documents
     resp = await client.post(
@@ -473,3 +474,66 @@ async def test_actions_execute_reference_path(client):
     assert resp.status == 200
     out = await resp.json()
     assert out["count"] >= 1
+
+
+@http_test
+async def test_api_key_extraction_rules(client):
+    """Reference api/util.rs:180-220 + tests/api_key_extraction.rs:
+    query param takes precedence over the header; plain keys longer
+    than 64 chars are rejected (401); empty keys don't authenticate;
+    long JWT-shaped tokens are NOT length-capped."""
+    keys = await create_coll(client, "ak")
+    rk = keys["read_api_key"]
+    docs = [{"id": "1", "t": "hello world"}]
+    resp = await client.post(
+        "/v1/collections/ak/indexes/main/insert", json=docs,
+        headers=auth(keys["write_api_key"]),
+    )
+    assert resp.status == 200
+    await wait_search(client, "ak", rk, {"term": "hello"})
+
+    # header valid
+    resp = await client.post(
+        "/v1/collections/ak/search", json={"term": "hello"}, headers=auth(rk)
+    )
+    assert resp.status == 200
+
+    # query valid
+    resp = await client.post(
+        f"/v1/collections/ak/search?api-key={rk}", json={"term": "hello"}
+    )
+    assert resp.status == 200
+
+    # query takes precedence: bad query + good header -> 401
+    resp = await client.post(
+        "/v1/collections/ak/search?api-key=wrong", json={"term": "hello"},
+        headers=auth(rk),
+    )
+    assert resp.status == 401
+
+    # too-long plain query key -> 401 with the length message
+    resp = await client.post(
+        f"/v1/collections/ak/search?api-key={'x' * 65}", json={"term": "hello"}
+    )
+    assert resp.status == 401
+    assert "64" in (await resp.text())
+
+    # empty string does not authenticate
+    resp = await client.post(
+        "/v1/collections/ak/search?api-key=", json={"term": "hello"}
+    )
+    assert resp.status == 401
+
+    # a long JWT-shaped token passes the length gate (then fails auth,
+    # not the length check)
+    fake_jwt = "eyJhbGciOiJIUzI1NiJ9." + "a" * 80 + ".sig"
+    resp = await client.post(
+        "/v1/collections/ak/search", json={"term": "hello"},
+        headers=auth(fake_jwt),
+    )
+    assert resp.status == 401
+    assert "64" not in (await resp.text())
+
+    # missing key entirely
+    resp = await client.post("/v1/collections/ak/search", json={"term": "hello"})
+    assert resp.status == 401
