@@ -264,3 +264,76 @@ def test_update_changes_vector_ranking():
         assert ids_of(r3)[0] == "b"
     finally:
         ctx.close()
+
+
+def test_delete_missing_field_no_underflow():
+    """Docs lacking a field interleaved with deletes + commits must not
+    underflow per-field doc counts (reference delete_doc.rs:175
+    test_delete_document_missing_field_underflow — the sequence below
+    panicked the reference's field bookkeeping)."""
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(
+            [
+                {"id": "song_1", "title": "First Song", "artist": "Artist A"},
+                {"id": "song_2", "title": "Second Song", "artist": "Artist B"},
+            ]
+        )
+        ctx.commit_all()
+        # drop the "artist" field's doc count to 0
+        idx.delete_documents(["song_1", "song_2"])
+        idx.insert_documents(
+            [
+                {"id": "song_3", "title": "Third Song"},  # no artist
+                {"id": "song_4", "title": "Fourth Song", "artist": "Artist D"},
+            ]
+        )
+        ctx.commit_all()
+        idx.delete_documents(["song_3"])
+        # this insert + commit triggered the reference panic
+        idx.insert_documents(
+            [{"id": "song_5", "title": "Fifth", "artist": "Artist E"}]
+        )
+        ctx.commit_all()
+        out = coll.search({"term": "song"})
+        assert out.count == 1  # only song_4's title contains "song"
+        out = coll.search({"term": "artist"})
+        assert out.count == 2  # song_4 + song_5
+    finally:
+        ctx.close()
+
+
+def test_writer_stats_decrement_after_delete():
+    """Writer-side document counts decrement on delete (reference
+    delete_doc.rs test_writeside_stats_decrements_after_delete)."""
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(
+            [
+                {"id": "1", "text": "First document"},
+                {"id": "2", "text": "Second document"},
+                {"id": "3", "text": "Third document"},
+            ]
+        )
+        wcoll = ctx.writer.collections[coll.collection_id]
+        wi = wcoll.indexes[idx.index_id]
+        assert len(wi.doc_id_map) == 3
+        st = ctx.writer.collection_stats(wcoll)
+        assert st["document_count"] == 3
+        assert st["indexes"][0]["document_count"] == 3
+        idx.delete_documents(["2"])
+        assert len(wi.doc_id_map) == 2
+        assert ctx.writer.collection_stats(wcoll)["document_count"] == 2
+        # deleting an unknown id is a no-op
+        idx.delete_documents(["nope"])
+        assert len(wi.doc_id_map) == 2
+    finally:
+        ctx.close()
