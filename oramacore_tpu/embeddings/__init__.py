@@ -105,9 +105,31 @@ def chunk_text(text: str, seq_len: int, overlap: float) -> List[str]:
 _WORD_RE = re.compile(r"[a-z0-9]+")
 
 
+def _hash64(data: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(data.encode(), digest_size=8).digest(), "little"
+    )
+
+
 def _hash_sign_idx(data: str, dim: int) -> Tuple[int, float]:
-    h = int.from_bytes(hashlib.blake2b(data.encode(), digest_size=8).digest(), "little")
+    h = _hash64(data)
     return h % dim, 1.0 if (h >> 63) & 1 else -1.0
+
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (vectorized bigram
+    hashing: word bigrams are too diverse to cache, and per-bigram
+    blake2b was the single hottest line of writer-side ingest)."""
+    h = h ^ (h >> np.uint64(30))
+    h = h * _MIX1
+    h = h ^ (h >> np.uint64(27))
+    h = h * _MIX2
+    return h ^ (h >> np.uint64(31))
 
 
 class _HashEncoderCache:
@@ -129,18 +151,24 @@ class _HashEncoderCache:
                 self._cache[key] = v
         return v
 
-    def word_feats(self, w: str, dim: int) -> Tuple[np.ndarray, np.ndarray]:
+    def word_feats(
+        self, w: str, dim: int
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """(bucket idxs, weighted signs, word h64) — the h64 seeds the
+        vectorized bigram mix in hash_encode."""
         key = (w, dim)
         v = self._word_cache.get(key)
         if v is None:
             idx = [0] * (1 + max(len(w) - 2, 0))
             val = [0.0] * len(idx)
-            idx[0], val[0] = _hash_sign_idx("w:" + w, dim)
+            h = _hash64("w:" + w)
+            idx[0] = h % dim
+            val[0] = 1.0 if (h >> 63) & 1 else -1.0
             for j in range(len(w) - 2):
                 i2, s2 = _hash_sign_idx("c:" + w[j : j + 3], dim)
                 idx[j + 1] = i2
                 val[j + 1] = 0.35 * s2
-            v = (np.asarray(idx, np.int64), np.asarray(val, np.float32))
+            v = (np.asarray(idx, np.int64), np.asarray(val, np.float32), h)
             if len(self._word_cache) < 1_000_000:
                 self._word_cache[key] = v
         return v
@@ -158,13 +186,24 @@ def hash_encode(text: str, dim: int) -> np.ndarray:
         return vec
     parts_i = []
     parts_v = []
-    for w in words:
-        i, v = _HASH_CACHE.word_feats(w, dim)
+    hs = np.empty(len(words), np.uint64)
+    for k, w in enumerate(words):
+        i, v, h = _HASH_CACHE.word_feats(w, dim)
         parts_i.append(i)
         parts_v.append(v)
-    for a, b in zip(words, words[1:]):
-        i, s = _HASH_CACHE.feat(f"b:{a}|{b}", dim)
-        vec[i] += 0.5 * s
+        hs[k] = h
+    if len(words) > 1:
+        # word-bigram features: one vectorized splitmix64 over the cached
+        # word hashes (asymmetric combine so "a b" != "b a")
+        hb = _mix64(hs[:-1] * _GOLDEN + hs[1:])
+        parts_i.append((hb % np.uint64(dim)).astype(np.int64))
+        parts_v.append(
+            np.where(
+                (hb >> np.uint64(63)).astype(bool),
+                np.float32(0.5),
+                np.float32(-0.5),
+            )
+        )
     np.add.at(vec, np.concatenate(parts_i), np.concatenate(parts_v))
     n = float(np.linalg.norm(vec))
     if n > 0:

@@ -193,12 +193,15 @@ class NativeLiveAccum:
 
     def index_parsed(self, path: str, doc_id: int, parsed,
                      index_bigrams: bool) -> int:
-        payload = _TOKEN_SEP.join(
-            _VARIANT_SEP.join(
-                [tok.encode()] + [v.encode() for v in variants]
-            )
-            for tok, variants in parsed
-        )
+        # One str join + ONE utf-8 encode of the whole payload: per-token
+        # bytes joins/encodes measured ~40% of read-side apply time.
+        parts = []
+        for tok, variants in parsed:
+            if variants:
+                parts.append(tok + "\x01" + "\x01".join(variants))
+            else:
+                parts.append(tok)
+        payload = "\x02".join(parts).encode()
         return self._lib.la_index_field(
             self._h, self.path_id(path), doc_id, payload, len(payload),
             1 if index_bigrams else 0,

@@ -217,6 +217,21 @@ class EmbeddingQueue:
             self._queue.append((collection, index, doc_id, model, text))
         self._wake.set()
 
+    def submit_many(self, jobs: Sequence[Tuple[str, str, int, str, str]]):
+        """Enqueue a whole insert batch at once: in synchronous mode the
+        backend sees ONE batched calculate_embeddings call (the batch is
+        how both the hash encoder and the flax encoder amortize), matching
+        the async loop's recv_many batching (reference embedding.rs:126)."""
+        if not jobs:
+            return
+        if self._synchronous:
+            for i in range(0, len(jobs), self._batch_limit):
+                self._process(list(jobs[i: i + self._batch_limit]))
+            return
+        with self._lock:
+            self._queue.extend(jobs)
+        self._wake.set()
+
     def _loop(self):
         while not self._stop:
             self._wake.wait(timeout=0.05)
@@ -683,8 +698,7 @@ class WriteSide:
                     (collection_id, index_id, internal, idx.embedding_model, text)
                 )
         self.op_sender.send_batch(ops)
-        for job in embed_jobs:
-            self.embedding_queue.submit(*job)
+        self.embedding_queue.submit_many(embed_jobs)
         self._count_op(len(ops))
         return stats
 
