@@ -179,12 +179,27 @@ def build_orama(
             llm_resolve_mode=llm_resolve_mode,
         )
 
+    # the sandboxed hook runtime needs no LLM — attach it unconditionally
+    # (the reference builds its JS pool per collection regardless of AI
+    # config, read/collection.rs:180-185; AIService re-attaches the same
+    # kind of runtime when it boots)
+    from .ai.hooks import HooksRuntime
+
+    hooks_runtime = HooksRuntime(
+        execution_timeout_s=config.hooks.execution_timeout_ms / 1000.0,
+        allowed_domains=config.hooks.allowed_domains,
+        deny_domains=config.hooks.deny_domains,
+        allow_js=config.hooks.allow_js,
+    )
+
     if write_side is not None:
         write_side.jwt_manager = jwt_manager
         write_side.secrets_service = secrets_service
+        write_side.hooks_runtime = hooks_runtime
     if read_side is not None:
         read_side.jwt_manager = jwt_manager
         read_side.secrets_service = secrets_service
+        read_side.hooks_runtime = hooks_runtime
     if read_side is not None and start_consumer:
         read_side.start()
     return Orama(config, write_side, read_side)

@@ -174,3 +174,32 @@ def test_js_gate_config_plumbs_through():
 
     rt = HooksRuntime(allow_js=cfg.hooks.allow_js)
     assert rt.allow_js is True
+
+
+def test_hooks_isolated_between_collections():
+    """A TransformDocumentBeforeSave hook on collection A must not fire
+    for collection B (reference hooks.rs
+    test_hooks_isolated_between_collections)."""
+    from .utils import TestContext
+
+    ctx = TestContext()
+    try:
+        a = ctx.create_collection()
+        b = ctx.create_collection()
+        ia = a.create_index()
+        ib = b.create_index()
+        ctx.writer.set_hook(
+            a.collection_id, a.write_key, "TransformDocumentBeforeSave",
+            "def TransformDocumentBeforeSave(doc):\n"
+            "    doc['tagged'] = True\n"
+            "    return doc\n",
+        )
+        ctx.pump()
+        ia.insert_documents([{"id": "1", "t": "alpha"}])
+        ib.insert_documents([{"id": "1", "t": "alpha"}])
+        da = ctx.reader.batch_get_documents(a.collection_id, a.read_key, ["1"])
+        db = ctx.reader.batch_get_documents(b.collection_id, b.read_key, ["1"])
+        assert da["1"].get("tagged") is True
+        assert "tagged" not in db["1"]
+    finally:
+        ctx.close()

@@ -356,3 +356,55 @@ def test_deep_pagination_is_stable_across_commit(ctx):
     ctx.commit_all()
     after = pages()
     assert len(after) == 25 and len(set(after)) == 25
+
+
+def test_facets_counted_on_term_matched_set(ctx):
+    """Facets count only docs matching the term (reference facets.rs
+    test_facets_should_based_on_term — doc 3 doesn't match and must not
+    be counted)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "text": "text", "flag": True, "number": 1},
+            {"id": "2", "text": "text text", "flag": False, "number": 2},
+            {"id": "3", "text": "another", "flag": True, "number": 1},
+        ]
+    )
+    out = coll.search(
+        {
+            "term": "text",
+            "facets": {
+                "flag": {"true": True, "false": True},
+                "number": {"ranges": [{"from": 0, "to": 10}]},
+            },
+        }
+    )
+    assert out.count == 2
+    assert out.facets["flag"].values == {"true": 1, "false": 1}
+    assert list(out.facets["number"].values.values()) == [2]
+
+
+def test_empty_term_sort_with_filter_same_key_value(ctx):
+    """Empty term + sortBy on a column where every hit shares the key +
+    filter (reference sort.rs test_sort_with_filter_same_key_value:
+    the filtered-out doc must not leak into the sorted hits)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(
+        [
+            {"id": "1", "name": "Document One", "number": 2, "is_active": True},
+            {"id": "2", "name": "Document Two", "number": 2, "is_active": False},
+            {"id": "3", "name": "Document Three", "number": 2, "is_active": True},
+        ]
+    )
+    out = coll.search(
+        {
+            "term": "",
+            "sortBy": {"property": "number", "order": "ASC"},
+            "where": {"is_active": True},
+        }
+    )
+    assert out.count == 2
+    got = set(ids_of(out))
+    assert got == {"1", "3"}
