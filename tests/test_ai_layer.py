@@ -649,3 +649,83 @@ async def test_multi_turn_conversation_aware_answer_flow():
         finally:
             orama.stop()
     await mock.stop()
+
+
+@async_test
+async def test_answer_before_retrieval_and_before_answer_hooks():
+    """Answer-flow hooks (reference tests/answer.rs
+    test_answer_before_retrieval / test_answer_before_answer): a
+    BeforeRetrieval hook rewrites the query BEFORE optimize_query and
+    the rewritten query drives the search; a BeforeAnswer hook can
+    replace the retrieved results before answer generation."""
+    mock = MockLLMServer(
+        [
+            ("route a user message", '{"strategy": "simple"}'),
+            # echo-style: the optimize prompt carries the hook-rewritten
+            # query; respond with the matching search term
+            ("rewrite a conversational message", "wireless mouse"),
+            ("grounded question-answering assistant", "It costs $30."),
+            ("suggested queries", '["any other mice"]'),
+        ]
+    )
+    await mock.start()
+    with tempfile.TemporaryDirectory() as tmp:
+        cfg, orama, coll = make_engine(tmp)
+        try:
+            from oramacore_tpu.ai.answer import AnswerStateMachine
+            from oramacore_tpu.ai.hooks import HooksRuntime
+
+            # BeforeRetrieval rewrites any keyboard question to the mouse
+            orama.write_side.set_hook(
+                "c", coll.write_api_key, "BeforeRetrieval",
+                "def BeforeRetrieval(payload):\n"
+                "    if 'keyboard' in payload.get('query', ''):\n"
+                "        return {'query': 'wireless mouse'}\n",
+            )
+            orama.read_side.pump()
+
+            llm = LLMService(LLMProviderConfig("local", mock.url, "m"))
+            sm = AnswerStateMachine(
+                llm, orama.read_side, "c", coll.read_api_key,
+                hooks_runtime=HooksRuntime(),
+            )
+            interaction = Interaction(
+                interaction_id="h1",
+                query="how much is the mechanical keyboard?",
+                search_mode="fulltext",
+            )
+            events = [ev async for ev in sm.run_stream(interaction)]
+            results = next(e for e in events if e["type"] == "search_results")
+            names = [h["document"]["name"] for h in results["results"]]
+            assert "wireless mouse" in names
+            # the optimize_query request saw the REWRITTEN query
+            optimize_reqs = [
+                r for r in mock.requests
+                if "rewrite a conversational message"
+                in json.dumps(r.get("messages", []))
+            ]
+            assert optimize_reqs
+            assert "wireless mouse" in json.dumps(optimize_reqs[-1]["messages"])
+
+            # BeforeAnswer replaces the results fed to the answer prompt
+            orama.write_side.set_hook(
+                "c", coll.write_api_key, "BeforeAnswer",
+                "def BeforeAnswer(payload):\n"
+                "    return {'results': ["
+                "{'document': {'name': 'injected context doc'}}]}\n",
+            )
+            orama.read_side.pump()
+            events = [ev async for ev in sm.run_stream(interaction)]
+            answer_reqs = [
+                r for r in mock.requests
+                if "grounded question-answering assistant"
+                in json.dumps(r.get("messages", []))
+            ]
+            assert answer_reqs
+            assert "injected context doc" in json.dumps(
+                answer_reqs[-1]["messages"]
+            )
+            await llm.close()
+        finally:
+            orama.stop()
+    await mock.stop()
