@@ -50,7 +50,14 @@ def _probe_device(timeout_s: int = 150):
 
 
 def main():
-    probe_err = _probe_device()
+    cpu_smoke = "--cpu-smoke" in sys.argv
+    if cpu_smoke:
+        # correctness/plumbing check without hardware: forces the CPU
+        # backend, tiny batch count (numbers are NOT comparable)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    probe_err = None if cpu_smoke else _probe_device()
     if probe_err is not None:
         print(json.dumps({
             "metric": "games_json_bm25_batched_qps",
@@ -91,41 +98,55 @@ def main():
          if len(w) > 3}
     )[:2000]
     B = 16384
-    queries = []
+    WARMUP = 2
+    iters = 20
+    if cpu_smoke:
+        B, WARMUP, iters = 512, 1, 3
+    # ONE DISTINCT batch per run (warmup + timed): the axon terminal
+    # MEMOIZES executions with identical input buffers
+    # (benches/RESULTS.md round-3 note) — re-running any batch would
+    # time cache hits, not searches. Shapes are identical across
+    # batches, so everything shares one compilation.
+    batches = []
     seen = set()
-    while len(queries) < B:
-        nwords = int(rng.integers(2, 4))
-        q = " ".join(rng.choice(vocab, nwords, replace=False))
-        if q not in seen:
+    stem_cache = {}
+    for _ in range(WARMUP + iters):
+        token_lists = []
+        while len(token_lists) < B:
+            nwords = int(rng.integers(2, 4))
+            q = " ".join(rng.choice(vocab, nwords, replace=False))
+            if q in seen:
+                continue
             seen.add(q)
-            queries.append(q)
+            toks = []
+            for w in q.split(" "):
+                parsed = stem_cache.get(w)
+                if parsed is None:
+                    parsed = parser.tokenize_and_stem(w)
+                    stem_cache[w] = parsed
+                for t, v in parsed:
+                    toks.append(t)
+                    toks.extend(v)
+            token_lists.append(toks)
+        batches.append(token_lists)
+    n_unique = len({t for toks in batches[0] for t in toks})
+    print(f"[bench] {len(batches)}x{B} distinct queries, "
+          f"{n_unique} unique tokens in batch 0", file=sys.stderr)
 
-    token_lists = []
-    for q in queries:
-        toks = []
-        for t, v in parser.tokenize_and_stem(q):
-            toks.append(t)
-            toks.extend(v)
-        token_lists.append(toks)
-    n_unique = len({t for toks in token_lists for t in toks})
-    print(f"[bench] {B} distinct queries, {n_unique} unique tokens",
-          file=sys.stderr)
-
-    def run_batch():
+    def run_batch(i):
         return ex.search_topk_shared(
-            sidx, token_lists, ["title", "description"], {}, n, cap, k=10
+            sidx, batches[i], ["title", "description"], {}, n, cap, k=10
         )
 
     # warmup (compile)
-    for _ in range(3):
-        run_batch()
+    for i in range(WARMUP):
+        run_batch(i)
 
-    iters = 20
     lat = []
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for i in range(iters):
         t1 = time.perf_counter()
-        run_batch()
+        run_batch(WARMUP + i)
         lat.append(time.perf_counter() - t1)
     total = time.perf_counter() - t0
     qps = iters * B / total

@@ -883,75 +883,82 @@ def analyze_shared_batch(
     from .string_index import DEFAULT_B
 
     B = len(tokens_per_query)
-    T = max(1, max(len(t) for t in tokens_per_query))
-    unique: Dict[str, int] = {}
+    # vectorized dedup + (B, T) token-map fill: at B=16k the per-(query,
+    # token) Python loops were ~half the host cost of a batch
+    flat: List[str] = []
+    q_lens = np.empty(B, np.int32)
+    for b, toks in enumerate(tokens_per_query):
+        q_lens[b] = len(toks)
+        flat.extend(toks)
+    T = max(1, int(q_lens.max()) if B else 1)
+    uniq_arr, inverse = np.unique(np.asarray(flat, dtype=str), return_inverse=True)
+    token_map_global = np.full((B, T), -1, np.int32)
+    rows = np.repeat(np.arange(B, dtype=np.int32), q_lens)
+    q_starts = (np.cumsum(q_lens, dtype=np.int64) - q_lens).astype(np.int32)
+    cols = (
+        np.arange(int(q_lens.sum()), dtype=np.int32)
+        - np.repeat(q_starts, q_lens)
+    )
+    token_map_global[rows, cols] = inverse.astype(np.int32)
+
     u_ranges: List[List[Tuple[int, int, float, float, float]]] = []
     u_champs: List[Optional[List[Tuple[int, float]]]] = []
     tol = 0 if exact else tolerance
-    for toks in tokens_per_query:
-        for tok in toks:
-            if tok in unique:
+    for tok in uniq_arr.tolist():
+        ranges: List[Tuple[int, int, float, float, float]] = []
+        champ_slots: List[Tuple[int, float]] = []
+        champ_covers: List[frozenset] = []
+        for path in properties:
+            stats = index._stats.get(path)
+            if stats is None or stats.doc_count == 0:
                 continue
-            ranges: List[Tuple[int, int, float, float, float]] = []
-            champ_slots: List[Tuple[int, float]] = []
-            champ_covers: List[frozenset] = []
-            for path in properties:
-                stats = index._stats.get(path)
-                if stats is None or stats.doc_count == 0:
+            fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
+            w = boost.get(path, 1.0) * fw
+            if token_weight_of:
+                w *= token_weight_of.get(tok, 1.0)
+            avg = stats.avg_len or 1.0
+            champ_skip = None
+            if use_champions and not exact and not tol:
+                ci = index._champ_map.get((path, tok))
+                if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
+                    c_avg, covered = index._champ_meta[ci]
+                    if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
+                        champ_slots.append((ci, w))
+                        champ_skip = covered
+                        champ_covers.append(covered)
+            for (start, length) in index._match_terms(path, tok, tol):
+                if champ_skip is not None and \
+                        (start, length) in champ_skip:
                     continue
-                fw, fb = (field_params or {}).get(path, (1.0, DEFAULT_B))
-                w = boost.get(path, 1.0) * fw
-                if token_weight_of:
-                    w *= token_weight_of.get(tok, 1.0)
-                avg = stats.avg_len or 1.0
-                champ_skip = None
-                if use_champions and not exact and not tol:
-                    ci = index._champ_map.get((path, tok))
-                    if ci is not None and abs(fb - DEFAULT_B) < 1e-9:
-                        c_avg, covered = index._champ_meta[ci]
-                        if abs(c_avg - avg) < 1e-6 * max(avg, 1.0):
-                            champ_slots.append((ci, w))
-                            champ_skip = covered
-                            champ_covers.append(covered)
-                for (start, length) in index._match_terms(path, tok, tol):
-                    if champ_skip is not None and \
-                            (start, length) in champ_skip:
-                        continue
-                    if impact_cap is not None and length > impact_cap:
-                        length = impact_cap
-                    from ..ops.bm25 import MAX_RANGE_LEN
-
-                    while length > MAX_RANGE_LEN:
-                        ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
-                        start += MAX_RANGE_LEN
-                        length -= MAX_RANGE_LEN
-                    ranges.append((start, length, w, fb, avg))
-            if champ_slots and ranges:
-                # partial coverage: revert champions to their ranges
+                if impact_cap is not None and length > impact_cap:
+                    length = impact_cap
                 from ..ops.bm25 import MAX_RANGE_LEN
 
-                for covered, (ci, w) in zip(champ_covers, champ_slots):
-                    avg_c = index._champ_meta[ci][0]
-                    for (c_start, c_len) in covered:
-                        start, length = c_start, c_len
-                        if impact_cap is not None and length > impact_cap:
-                            length = impact_cap
-                        while length > MAX_RANGE_LEN:
-                            ranges.append(
-                                (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
-                            )
-                            start += MAX_RANGE_LEN
-                            length -= MAX_RANGE_LEN
-                        ranges.append((start, length, w, DEFAULT_B, avg_c))
-                champ_slots = []
-            unique[tok] = len(u_ranges)
-            u_ranges.append(ranges)
-            u_champs.append(champ_slots or None)
+                while length > MAX_RANGE_LEN:
+                    ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
+                    start += MAX_RANGE_LEN
+                    length -= MAX_RANGE_LEN
+                ranges.append((start, length, w, fb, avg))
+        if champ_slots and ranges:
+            # partial coverage: revert champions to their ranges
+            from ..ops.bm25 import MAX_RANGE_LEN
 
-    token_map_global = np.full((B, T), -1, np.int32)
-    for b, toks in enumerate(tokens_per_query):
-        for t, tok in enumerate(toks[:T]):
-            token_map_global[b, t] = unique[tok]
+            for covered, (ci, w) in zip(champ_covers, champ_slots):
+                avg_c = index._champ_meta[ci][0]
+                for (c_start, c_len) in covered:
+                    start, length = c_start, c_len
+                    if impact_cap is not None and length > impact_cap:
+                        length = impact_cap
+                    while length > MAX_RANGE_LEN:
+                        ranges.append(
+                            (start, MAX_RANGE_LEN, w, DEFAULT_B, avg_c)
+                        )
+                        start += MAX_RANGE_LEN
+                        length -= MAX_RANGE_LEN
+                    ranges.append((start, length, w, DEFAULT_B, avg_c))
+            champ_slots = []
+        u_ranges.append(ranges)
+        u_champs.append(champ_slots or None)
 
     classes: Dict[int, List[int]] = {c: [] for c in SHARED_LENGTH_CLASSES}
     for ui, ranges in enumerate(u_ranges):
@@ -985,12 +992,14 @@ def pack_shared_class(u_ranges, uids, token_map_global, B, T, cu):
             wt[li, ri] = w0
             fb[li, ri] = b0
             av[li, ri] = a0
-    tmap = np.full((B, T), Up, np.int32)
-    for b in range(B):
-        for t in range(T):
-            g = token_map_global[b, t]
-            if g >= 0 and g in local_of:
-                tmap[b, t] = local_of[g]
+    # vectorized global→local uid gather (the (B, T) Python loop was a
+    # top host cost at B=16k)
+    n_glob = int(token_map_global.max()) + 1 if token_map_global.size else 0
+    lut = np.full(max(n_glob, 1) + 1, Up, np.int32)  # last slot: g == -1
+    for ui, li in local_of.items():
+        if ui < n_glob:
+            lut[ui] = li
+    tmap = lut[token_map_global]  # -1 indexes the sentinel last slot
     lrb = round_up_pow2(max(1, int(ln.max())), 8)
     return st, ln, wt, fb, av, tmap, int(lrb)
 
