@@ -10,6 +10,13 @@
 //
 // The reference runs this loop in Rust (read/index/mod.rs update_data).
 //
+// Data-structure note: both hot maps are open-addressing flat tables
+// over plain vectors, and term bytes live in ONE arena string — no
+// per-node allocations. std::unordered_map<std::string, ...> here
+// measured 288 ms just to DESTROY at commit-time clear() with a
+// bigram-heavy 3k-doc live layer (node frees), and its per-bump probe
+// cost sits on the read-side apply hot loop.
+//
 // C ABI (ctypes): all strings are UTF-8. A "field payload" encodes the
 // tokenize_and_stem output for one index_text call:
 //   token := surface [ 0x01 variant ]*
@@ -22,6 +29,7 @@
 #include <cstring>
 #include <string>
 #include <unordered_map>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -30,31 +38,167 @@ constexpr char kVariantSep = '\x01';
 constexpr char kTokenSep = '\x02';
 constexpr char kBigramSep = '\x1f';
 
+inline uint64_t mix64(uint64_t h) {
+  h ^= h >> 33;
+  h *= 0xff51afd7ed558ccdULL;
+  h ^= h >> 33;
+  h *= 0xc4ceb9fe1a85ec53ULL;
+  h ^= h >> 33;
+  return h;
+}
+
+inline uint64_t fnv1a(const char* s, size_t n) {
+  uint64_t h = 1469598103934665603ULL;
+  for (size_t i = 0; i < n; ++i) {
+    h ^= static_cast<unsigned char>(s[i]);
+    h *= 1099511628211ULL;
+  }
+  return h;
+}
+
+// Open-addressing uint64 -> row-index map. erase() marks the value -1;
+// the slot is reused when the same key is inserted again (a tombstoned
+// (term, doc) cell re-bumped later must start a FRESH row).
+struct CellMap {
+  static constexpr uint64_t kEmpty = ~0ULL;
+  std::vector<uint64_t> keys;
+  std::vector<int64_t> vals;
+  uint64_t mask = 0;
+  size_t used = 0;  // occupied slots (incl. erased-marked)
+
+  void insert_raw(uint64_t k, int64_t v) {
+    size_t i = mix64(k) & mask;
+    while (keys[i] != kEmpty) i = (i + 1) & mask;
+    keys[i] = k;
+    vals[i] = v;
+    ++used;
+  }
+
+  void maybe_grow() {
+    if (keys.empty()) {
+      keys.assign(64, kEmpty);
+      vals.assign(64, 0);
+      mask = 63;
+      used = 0;
+      return;
+    }
+    if (used * 10 < keys.size() * 7) return;
+    std::vector<uint64_t> ok;
+    std::vector<int64_t> ov;
+    ok.swap(keys);
+    ov.swap(vals);
+    keys.assign(ok.size() * 2, kEmpty);
+    vals.assign(ok.size() * 2, 0);
+    mask = keys.size() - 1;
+    used = 0;
+    for (size_t i = 0; i < ok.size(); ++i)
+      if (ok[i] != kEmpty && ov[i] >= 0) insert_raw(ok[i], ov[i]);
+  }
+
+  // Pointer to the value slot; *inserted true when the key was absent
+  // (or previously erased — caller must assign a fresh row).
+  int64_t* find_or_insert(uint64_t k, bool* inserted) {
+    maybe_grow();
+    size_t i = mix64(k) & mask;
+    while (true) {
+      if (keys[i] == kEmpty) {
+        keys[i] = k;
+        vals[i] = -1;
+        ++used;
+        *inserted = true;
+        return &vals[i];
+      }
+      if (keys[i] == k) {
+        *inserted = (vals[i] < 0);
+        return &vals[i];
+      }
+      i = (i + 1) & mask;
+    }
+  }
+
+  void erase(uint64_t k) {
+    if (keys.empty()) return;
+    size_t i = mix64(k) & mask;
+    while (keys[i] != kEmpty) {
+      if (keys[i] == k) {
+        vals[i] = -1;
+        return;
+      }
+      i = (i + 1) & mask;
+    }
+  }
+};
+
+// Term interner: bytes in one arena, open-addressing (hash, lid) table.
+struct Interner {
+  std::string arena;
+  std::vector<uint32_t> offs, lens;  // per lid
+  std::vector<int32_t> slot_lid;     // -1 = empty
+  std::vector<uint64_t> slot_hash;
+  uint64_t mask = 0;
+
+  void maybe_grow() {
+    if (slot_lid.empty()) {
+      slot_lid.assign(64, -1);
+      slot_hash.assign(64, 0);
+      mask = 63;
+      return;
+    }
+    if (offs.size() * 10 < slot_lid.size() * 7) return;
+    std::vector<int32_t> ol;
+    std::vector<uint64_t> oh;
+    ol.swap(slot_lid);
+    oh.swap(slot_hash);
+    slot_lid.assign(ol.size() * 2, -1);
+    slot_hash.assign(ol.size() * 2, 0);
+    mask = slot_lid.size() - 1;
+    for (size_t i = 0; i < ol.size(); ++i) {
+      if (ol[i] < 0) continue;
+      size_t j = oh[i] & mask;
+      while (slot_lid[j] >= 0) j = (j + 1) & mask;
+      slot_lid[j] = ol[i];
+      slot_hash[j] = oh[i];
+    }
+  }
+
+  int32_t intern(const char* s, size_t n) {
+    maybe_grow();
+    uint64_t h = fnv1a(s, n);
+    size_t i = h & mask;
+    while (slot_lid[i] >= 0) {
+      if (slot_hash[i] == h) {
+        int32_t lid = slot_lid[i];
+        if (lens[lid] == n &&
+            memcmp(arena.data() + offs[lid], s, n) == 0)
+          return lid;
+      }
+      i = (i + 1) & mask;
+    }
+    int32_t lid = static_cast<int32_t>(offs.size());
+    offs.push_back(static_cast<uint32_t>(arena.size()));
+    lens.push_back(static_cast<uint32_t>(n));
+    arena.append(s, n);
+    slot_lid[i] = lid;
+    slot_hash[i] = h;
+    return lid;
+  }
+};
+
 struct PathAccum {
   // (lid << 40 | doc) -> row index.  lids < 2^23, docs < 2^40.
-  std::unordered_map<uint64_t, int64_t> cell;
-  std::unordered_map<std::string, int32_t> intern;
-  std::vector<std::string> names;
+  CellMap cell;
+  Interner intern;
   std::vector<int64_t> doc;
   std::vector<int32_t> tid;
   std::vector<float> tf;
   std::vector<float> etf;
-
-  int32_t intern_term(const char* s, size_t n) {
-    auto it = intern.find(std::string(s, n));
-    if (it != intern.end()) return it->second;
-    int32_t lid = static_cast<int32_t>(names.size());
-    names.emplace_back(s, n);
-    intern.emplace(names.back(), lid);
-    return lid;
-  }
 
   static bool packable(int32_t lid, int64_t d) {
     return lid < (1 << 23) && d >= 0 && d < (1LL << 40);
   }
 
   void bump(const char* s, size_t n, int64_t d, bool exact) {
-    int32_t lid = intern_term(s, n);
+    int32_t lid = intern.intern(s, n);
     // (lid, doc) outside the packed-key range: append WITHOUT live
     // dedup — commit's (term, doc) lexsort merges duplicate pairs by
     // summing, so correctness holds; only live-layer compactness drops
@@ -65,22 +209,19 @@ struct PathAccum {
       etf.push_back(exact ? 1.0f : 0.0f);
       return;
     }
-    uint64_t key = (static_cast<uint64_t>(lid) << 40) |
-                   static_cast<uint64_t>(d);
-    auto it = cell.find(key);
-    int64_t row;
-    if (it == cell.end()) {
-      row = static_cast<int64_t>(doc.size());
-      cell.emplace(key, row);
+    uint64_t key =
+        (static_cast<uint64_t>(lid) << 40) | static_cast<uint64_t>(d);
+    bool inserted = false;
+    int64_t* row = cell.find_or_insert(key, &inserted);
+    if (inserted) {
+      *row = static_cast<int64_t>(doc.size());
       doc.push_back(d);
       tid.push_back(lid);
       tf.push_back(0.0f);
       etf.push_back(0.0f);
-    } else {
-      row = it->second;
     }
-    tf[row] += 1.0f;
-    if (exact) etf[row] += 1.0f;
+    tf[*row] += 1.0f;
+    if (exact) etf[*row] += 1.0f;
   }
 };
 
@@ -191,7 +332,7 @@ int64_t la_n_rows(void* h, int32_t path_id) {
 int64_t la_n_terms(void* h, int32_t path_id) {
   LiveAccum* la = static_cast<LiveAccum*>(h);
   if (static_cast<size_t>(path_id) >= la->paths.size()) return 0;
-  return static_cast<int64_t>(la->paths[path_id].names.size());
+  return static_cast<int64_t>(la->paths[path_id].intern.offs.size());
 }
 
 int32_t la_n_paths(void* h) {
@@ -215,13 +356,13 @@ void la_export_rows(void* h, int32_t path_id, int64_t* doc_out,
 char* la_term_names(void* h, int32_t path_id, int64_t* out_len) {
   LiveAccum* la = static_cast<LiveAccum*>(h);
   PathAccum& pa = la->paths[path_id];
-  size_t total = 0;
-  for (auto& s : pa.names) total += s.size() + 1;
+  const Interner& in = pa.intern;
+  size_t total = in.arena.size() + in.offs.size();
   char* buf = static_cast<char*>(malloc(total > 0 ? total : 1));
   char* w = buf;
-  for (auto& s : pa.names) {
-    memcpy(w, s.data(), s.size());
-    w += s.size();
+  for (size_t lid = 0; lid < in.offs.size(); ++lid) {
+    memcpy(w, in.arena.data() + in.offs[lid], in.lens[lid]);
+    w += in.lens[lid];
     *w++ = '\n';
   }
   *out_len = static_cast<int64_t>(total);
