@@ -204,7 +204,13 @@ def hash_encode(text: str, dim: int) -> np.ndarray:
                 np.float32(-0.5),
             )
         )
-    np.add.at(vec, np.concatenate(parts_i), np.concatenate(parts_v))
+    # bincount is the fast dense scatter-add here (np.add.at's buffered
+    # fancy indexing measured ~3x slower at these sizes)
+    vec = np.bincount(
+        np.concatenate(parts_i),
+        weights=np.concatenate(parts_v),
+        minlength=dim,
+    ).astype(np.float32)
     n = float(np.linalg.norm(vec))
     if n > 0:
         vec /= n
@@ -225,7 +231,27 @@ def register_backend(name: str, fn: Backend) -> None:
 
 
 def _hash_backend(texts: Sequence[str], info: ModelInfo) -> List[np.ndarray]:
-    return [hash_encode(t, info.dim) for t in texts]
+    """Native C++ batch encode for ASCII texts (GIL-released, one call);
+    the Python hash_encode oracle covers non-ASCII and no-toolchain."""
+    from ..native import load_hash_encoder, native_hash_encode_batch
+
+    lib = load_hash_encoder()
+    if lib is None:
+        return [hash_encode(t, info.dim) for t in texts]
+    out: List[Optional[np.ndarray]] = [None] * len(texts)
+    ascii_idx = []
+    ascii_texts = []
+    for i, t in enumerate(texts):
+        if t.isascii():
+            ascii_idx.append(i)
+            ascii_texts.append(t)
+        else:
+            out[i] = hash_encode(t, info.dim)
+    if ascii_texts:
+        mat = native_hash_encode_batch(lib, ascii_texts, info.dim)
+        for k, i in enumerate(ascii_idx):
+            out[i] = mat[k]
+    return out  # type: ignore[return-value]
 
 
 register_backend("hash", _hash_backend)

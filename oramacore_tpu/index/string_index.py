@@ -340,6 +340,47 @@ class StringIndex:
             self._dirty = True
             return
 
+        self._index_parsed_python(doc_id, path, parsed)
+
+    def index_text_packed(
+        self, doc_id: int, path: str, n_tokens: int, payload: str
+    ) -> None:
+        """Index one field value from the PACKED wire payload
+        (token := surface [\\x01 variant]*, payload := token (\\x02
+        token)*) — the format the writer builds once at tokenize time
+        and the native accumulator consumes directly, so the read-side
+        apply avoids re-marshalling per token."""
+        flens = self._live_flens.setdefault(path, {})
+        stats = self.field_stats(path)
+        prev = flens.get(doc_id, 0)
+        flens[doc_id] = prev + n_tokens
+        if prev == 0:
+            stats.doc_count += 1
+        stats.sum_len += n_tokens
+
+        if self._native_live is not None:
+            if payload:
+                self._native_live.index_packed(
+                    path, doc_id, payload, self.index_bigrams
+                )
+            self._dirty = True
+            return
+
+        parsed: List[Tuple[str, List[str]]] = []
+        if payload:
+            for part in payload.split("\x02"):
+                ps = part.split("\x01")
+                parsed.append((ps[0], ps[1:]))
+        self._index_parsed_python(doc_id, path, parsed)
+
+    def _index_parsed_python(
+        self,
+        doc_id: int,
+        path: str,
+        parsed: Sequence[Tuple[str, List[str]]],
+    ) -> None:
+        """Pure-Python live-layer accumulate (the semantic oracle the
+        native accumulator is tested against; ORAMACORE_NATIVE_LIVE=0)."""
         field_live = self._live.setdefault(path, {})
         doc_terms = self._live_doc_terms.setdefault(doc_id, [])
         rows = self._live_rows.get(path)

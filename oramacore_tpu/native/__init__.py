@@ -61,8 +61,12 @@ def load_tokenizer():
             lib.stem_word.argtypes = [ctypes.c_char_p]
             lib.stem_word.restype = ctypes.c_void_p
             lib.free_result.argtypes = [ctypes.c_void_p]
+            lib.tokenize_and_stem_wire.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.tokenize_and_stem_wire.restype = ctypes.c_void_p
             _lib = lib
-        except OSError as e:
+        except (OSError, AttributeError) as e:
             logger.warning("native tokenizer load failed: %s", e)
             _lib = None
         return _lib
@@ -84,12 +88,97 @@ def native_tokenize_and_stem(lib, text: str) -> List[Tuple[str, List[str]]]:
     return out
 
 
+def native_tokenize_wire(lib, text: str) -> Tuple[int, str]:
+    """(n_surface_tokens, packed op-body payload) — the writer's wire
+    format produced in one native pass (no per-token Python objects)."""
+    n = ctypes.c_int64(0)
+    ptr = lib.tokenize_and_stem_wire(text.encode("utf-8"), ctypes.byref(n))
+    try:
+        raw = ctypes.string_at(ptr).decode("utf-8", errors="replace")
+    finally:
+        lib.free_result(ptr)
+    return int(n.value), raw
+
+
 def native_stem(lib, word: str) -> str:
     ptr = lib.stem_word(word.encode("utf-8"))
     try:
         return ctypes.string_at(ptr).decode("utf-8", errors="replace")
     finally:
         lib.free_result(ptr)
+
+
+# ---------------------------------------------------------------------------
+# Hash embedding encoder (hash_encode.cpp): the writer-side embedding hot
+# loop when no trained model is configured. blake2b-8 + splitmix64 in
+# C++, GIL-released for the whole batch; embeddings.hash_encode is the
+# oracle (parity-tested to 1e-6 after L2 normalize).
+# ---------------------------------------------------------------------------
+
+_HE_SRC = os.path.join(_DIR, "hash_encode.cpp")
+_HE_LIB = os.path.join(_DIR, "libhash_encode.so")
+_he_lock = threading.Lock()
+_he_lib = None
+_he_tried = False
+
+
+def load_hash_encoder():
+    """ctypes lib for the native hash encoder, or None."""
+    global _he_lib, _he_tried
+    with _he_lock:
+        if _he_lib is not None or _he_tried:
+            return _he_lib
+        _he_tried = True
+        if not os.path.exists(_HE_LIB) or (
+            os.path.exists(_HE_SRC)
+            and os.path.getmtime(_HE_SRC) > os.path.getmtime(_HE_LIB)
+        ):
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-o", _HE_LIB,
+                     _HE_SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except (subprocess.CalledProcessError, FileNotFoundError,
+                    subprocess.TimeoutExpired) as e:
+                logger.warning("native hash encoder build failed: %s", e)
+                return None
+        try:
+            lib = ctypes.CDLL(_HE_LIB)
+            lib.he_encode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.he_encode.restype = ctypes.c_int32
+            lib.he_encode_batch.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.he_encode_batch.restype = ctypes.c_int32
+            _he_lib = lib
+        except (OSError, AttributeError) as e:
+            logger.warning("native hash encoder load failed: %s", e)
+            _he_lib = None
+        return _he_lib
+
+
+def native_hash_encode_batch(lib, texts, dim: int):
+    """float32[n, dim] L2-normalized hash embeddings for ASCII texts
+    (callers gate non-ASCII to the Python oracle)."""
+    import numpy as np
+
+    blobs = [t.encode() for t in texts]
+    offs = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offs[1:])
+    concat = b"".join(blobs)
+    out = np.empty((len(blobs), dim), np.float32)
+    lib.he_encode_batch(
+        concat, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(blobs), dim,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -201,9 +290,17 @@ class NativeLiveAccum:
                 parts.append(tok + "\x01" + "\x01".join(variants))
             else:
                 parts.append(tok)
-        payload = "\x02".join(parts).encode()
+        return self.index_packed(path, doc_id, "\x02".join(parts),
+                                 index_bigrams)
+
+    def index_packed(self, path: str, doc_id: int, payload: str,
+                     index_bigrams: bool) -> int:
+        """Payload is already in the wire format (token := surface
+        [\\x01 variant]*, joined by \\x02) — built once by the writer at
+        tokenize time and passed straight through the op body."""
+        data = payload.encode()
         return self._lib.la_index_field(
-            self._h, self.path_id(path), doc_id, payload, len(payload),
+            self._h, self.path_id(path), doc_id, data, len(data),
             1 if index_bigrams else 0,
         )
 

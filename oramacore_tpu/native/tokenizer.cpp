@@ -350,6 +350,57 @@ char* tokenize_and_stem(const char* text) {
     return buf;
 }
 
+// Wire-format variant: returns the packed op-body payload directly
+// (token := surface [\x01 stem], payload := token (\x02 token)*) and
+// writes the surface-token count to *n_tokens. This is what the writer
+// puts on the op log and what live_accum.cpp consumes — producing it
+// here skips the per-token Python tuple round-trip entirely.
+char* tokenize_and_stem_wire(const char* text, int64_t* n_tokens) {
+    std::string out;
+    int64_t count = 0;
+    const unsigned char* p = (const unsigned char*)text;
+    size_t len = std::strlen(text);
+    size_t i = 0;
+    std::string token;
+    bool token_ascii = true;
+    auto flush = [&]() {
+        if (token.empty()) return;
+        if (count > 0) out += '\x02';
+        out += token;
+        if (token_ascii) {
+            std::string stem = porter2(token);
+            if (stem != token) {
+                out += '\x01';
+                out += stem;
+            }
+        }
+        count++;
+        token.clear();
+        token_ascii = true;
+    };
+    while (i < len) {
+        unsigned char c = p[i];
+        if (c < 0x80) {
+            if (ascii_word(c)) {
+                token += (char)(c >= 'A' && c <= 'Z' ? c + 32 : c);
+            } else {
+                flush();
+            }
+            i++;
+        } else {
+            size_t n = (c >= 0xF0) ? 4 : (c >= 0xE0) ? 3 : 2;
+            for (size_t k = 0; k < n && i < len; k++, i++)
+                token += (char)p[i];
+            token_ascii = false;
+        }
+    }
+    flush();
+    *n_tokens = count;
+    char* buf = (char*)std::malloc(out.size() + 1);
+    std::memcpy(buf, out.c_str(), out.size() + 1);
+    return buf;
+}
+
 char* stem_word(const char* word) {
     std::string s = porter2(word);
     char* buf = (char*)std::malloc(s.size() + 1);

@@ -116,7 +116,13 @@ class ReadIndex:
         self.doc_user_ids[doc_id] = user_id
         self.user_to_internal[user_id] = doc_id
         self.deleted.discard(doc_id)
+        for path, packed in (body.get("strings_packed") or {}).items():
+            self.string.index_text_packed(
+                doc_id, path, int(packed[0]), packed[1]
+            )
         for path, parsed in (body.get("strings") or {}).items():
+            # legacy (pre-packed) op format: durable logs written by
+            # older builds carry per-token [surface, variants] lists
             self.string.index_text(
                 doc_id, path, [(t, list(v)) for t, v in parsed]
             )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from typing import Dict, List, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from ..types import Locale
 
@@ -353,6 +353,31 @@ class TextParser:
             stem = self.stem(tok)
             out.append((tok, [stem] if stem != tok else []))
         return out
+
+    def tokenize_and_stem_packed(self, text: str) -> Tuple[int, str]:
+        """(n_surface_tokens, packed op-body payload): the wire format
+        the writer ships and the native live accumulator consumes
+        (token := surface [\\x01 stem], joined by \\x02). The native
+        tokenizer emits it in one pass — no per-token Python objects."""
+        if (
+            self._use_native
+            and TextParser._native_lib is not None
+            and text.isascii()
+        ):
+            from ..native import native_tokenize_wire
+
+            return native_tokenize_wire(TextParser._native_lib, text)
+        return pack_parsed(self.tokenize_and_stem(text))
+
+
+def pack_parsed(parsed: Sequence[Tuple[str, List[str]]]) -> Tuple[int, str]:
+    """(n_surface_tokens, wire payload) for tokenize_and_stem output —
+    the pure-Python packer (oracle for the native wire tokenizer)."""
+    parts = []
+    for tok, variants in parsed:
+        parts.append(tok + "\x01" + "\x01".join(variants) if variants
+                     else tok)
+    return len(parsed), "\x02".join(parts)
 
 
 class NLPService:

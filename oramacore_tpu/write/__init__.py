@@ -52,6 +52,12 @@ def generate_doc_id() -> str:
     return "d" + secrets.token_hex(12)
 
 
+# wire-format packer (shared with native/live_accum.cpp): token :=
+# surface [\x01 variant]*, payload := token (\x02 token)*. Built ONCE at
+# tokenize time; the reader hands it straight to the C++ accumulator.
+from ..utils.tokenizer import pack_parsed as _pack_parsed  # noqa: E402
+
+
 class WriteError(Exception):
     def __init__(self, message: str, status: int = 400):
         super().__init__(message)
@@ -613,10 +619,12 @@ class WriteSide:
                         seen_texts.add(text)
                         unique_texts.append(text)
         if len(unique_texts) > 8:
-            parsed_list = list(
-                self._tokenize_pool.map(parser.tokenize_and_stem, unique_texts)
+            packed_list = list(
+                self._tokenize_pool.map(
+                    parser.tokenize_and_stem_packed, unique_texts
+                )
             )
-            token_cache = dict(zip(unique_texts, parsed_list))
+            token_cache = dict(zip(unique_texts, packed_list))
         else:
             token_cache = {}
 
@@ -741,7 +749,7 @@ class WriteSide:
         """Tokenize + type per-field values → op payload. The write side
         does the tokenization (reference fields.rs:715); the read side
         applies pre-parsed values."""
-        strings: Dict[str, List[List[Any]]] = {}
+        strings: Dict[str, List[Any]] = {}  # path -> [n_tokens, payload]
         numbers: Dict[str, List[float]] = {}
         bools: Dict[str, bool] = {}
         string_filters: Dict[str, List[str]] = {}
@@ -753,14 +761,16 @@ class WriteSide:
             t = idx.field_types.get(path) or infer_field_type(value)
             if t in (T_STRING, T_STRING_ARRAY, T_DATE):
                 texts = string_values(value)
-                parsed: List[Tuple[str, List[str]]] = []
+                n_total = 0
+                payloads: List[str] = []
                 for s in texts:
                     cached = token_cache.get(s) if token_cache else None
-                    parsed.extend(
-                        cached if cached is not None
-                        else parser.tokenize_and_stem(s)
-                    )
-                strings[path] = [[tok, variants] for tok, variants in parsed]
+                    if cached is None:
+                        cached = parser.tokenize_and_stem_packed(s)
+                    n_total += cached[0]
+                    if cached[1]:
+                        payloads.append(cached[1])
+                strings[path] = [n_total, "\x02".join(payloads)]
                 if t == T_DATE:
                     # date-shaped string: ALSO a date filter column
                     # (reference write/index/mod.rs:812 — the string
@@ -784,7 +794,7 @@ class WriteSide:
         return {
             "doc_id": internal,
             "user_id": user_id,
-            "strings": strings,
+            "strings_packed": strings,
             "numbers": numbers,
             "bools": bools,
             "string_filters": string_filters,

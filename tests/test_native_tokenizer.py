@@ -73,3 +73,35 @@ def test_native_throughput_exceeds_python():
     python_time = time.perf_counter() - t0
     # native should be decisively faster on the ingest hot loop
     assert native_time < python_time, (native_time, python_time)
+
+
+def test_wire_format_parity():
+    """tokenize_and_stem_wire must equal pack_parsed(tokenize_and_stem)
+    — count and payload — on corpus text + edge cases."""
+    from oramacore_tpu.native import native_tokenize_wire
+    from oramacore_tpu.utils.tokenizer import pack_parsed
+
+    docs = json.load(open("/root/reference/benches/games.json"))
+    texts = [
+        "The quick brown fox JUMPS over the lazy dog!",
+        "it's the user's choice... really?",
+        "", "   ", "x" * 500, "a",
+        "running foxes are RUNNING",
+    ] + [d["description"] for d in docs[:150]]
+    for text in texts:
+        if not text.isascii():
+            continue
+        want = pack_parsed(python_reference(text))
+        got = native_tokenize_wire(lib, text)
+        assert got == want, text[:80]
+
+
+def test_parser_packed_path_matches_oracle():
+    p_native = TextParser(Locale.EN)
+    p_python = TextParser(Locale.EN, use_native=False)
+    from oramacore_tpu.utils.tokenizer import pack_parsed
+
+    for text in ["Mario Kart 8 Deluxe racing", "", "Don't stop"]:
+        assert p_native.tokenize_and_stem_packed(text) == pack_parsed(
+            p_python.tokenize_and_stem(text)
+        )

@@ -674,3 +674,52 @@ def test_legacy_v2_snapshot_migrates_to_doc_sorted(tmp_path):
     assert set(got) == set(want)
     for d in got:
         assert abs(got[d] - want[d]) < 1e-6
+
+
+def test_packed_wire_format_equivalence():
+    """index_text_packed (the writer's one-shot wire payload) must be
+    indistinguishable from per-token index_text — same stats, same
+    scores — on whichever live layer is active."""
+    from oramacore_tpu.write import _pack_parsed
+
+    idx_a = StringIndex()
+    idx_b = StringIndex()
+    for doc_id, doc in enumerate(DOCS):
+        for path, text in doc.items():
+            parsed = PARSER.tokenize_and_stem(text)
+            idx_a.index_text(doc_id, path, parsed)
+            n, payload = _pack_parsed(parsed)
+            idx_b.index_text_packed(doc_id, path, n, payload)
+    props = ["title", "body"]
+    for term in ["quick fox", "dog", "cunning animal"]:
+        tokens = flatten_tokens(term)
+        a = host_bm25_reference(idx_a, tokens, props, {}, len(DOCS))
+        b = host_bm25_reference(idx_b, tokens, props, {}, len(DOCS))
+        assert a.keys() == b.keys()
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-9
+    for path in props:
+        sa, sb = idx_a.field_stats(path), idx_b.field_stats(path)
+        assert (sa.doc_count, sa.sum_len) == (sb.doc_count, sb.sum_len)
+
+
+def test_legacy_strings_op_body_still_applies():
+    """Durable logs written before the packed format carry per-token
+    [surface, variants] lists under 'strings'; the reader must still
+    apply them (read_index.apply_index_document legacy branch)."""
+    from oramacore_tpu.read.read_index import ReadIndex
+    from oramacore_tpu.utils.tokenizer import NLPService
+
+    ri = ReadIndex("legacy", "en", "", NLPService())
+    ri.apply_create_field({"path": "t", "type": "string"})
+    ri.apply_index_document({
+        "doc_id": 0, "user_id": "a",
+        "strings": {"t": [["quick", ["quick"]], ["foxes", ["fox"]]]},
+    })
+    ri.apply_index_document({
+        "doc_id": 1, "user_id": "b",
+        "strings_packed": {"t": [2, "quick\x01quick\x02foxes\x01fox"]},
+    })
+    got = host_bm25_reference(ri.string, ["fox"], ["t"], {}, 2)
+    assert set(got) == {0, 1}
+    assert abs(got[0] - got[1]) < 1e-9
