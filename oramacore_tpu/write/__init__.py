@@ -619,11 +619,19 @@ class WriteSide:
                         seen_texts.add(text)
                         unique_texts.append(text)
         if len(unique_texts) > 8:
-            packed_list = list(
-                self._tokenize_pool.map(
-                    parser.tokenize_and_stem_packed, unique_texts
+            if (os.cpu_count() or 1) > 1:
+                packed_list = list(
+                    self._tokenize_pool.map(
+                        parser.tokenize_and_stem_packed, unique_texts
+                    )
                 )
-            )
+            else:
+                # single-core host: the pool is pure futures/lock
+                # overhead (the GIL-releasing native tokenizer can't
+                # overlap with anything)
+                packed_list = [
+                    parser.tokenize_and_stem_packed(t) for t in unique_texts
+                ]
             token_cache = dict(zip(unique_texts, packed_list))
         else:
             token_cache = {}
