@@ -244,3 +244,47 @@ def test_impact_cap_logs_deprecation(caplog, tmp_path):
         orama.stop()
     assert any("impact_cap" in r.message and "DEPRECATED" in r.message
                for r in caplog.records)
+
+
+def test_numeric_string_field_fulltext_and_filter_after_reload(tmp_path):
+    """Reference bugs.rs test_bug_1: a digit-only string value (e.g. an
+    order id) must stay a STRING field — term-searchable on its property
+    AND usable as a string filter — including after commit + reload."""
+    from tests.utils import TestContext
+
+    ctx = TestContext(data_dir=str(tmp_path))
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(
+            [{"id": "4084278", "ec_order_id": "3235693"}]
+        )
+        ctx.commit_all()
+        ctx = ctx.reload()
+        coll.ctx = ctx  # re-bind the fluent client to the reloaded pair
+        out = coll.search(
+            {"term": "3235693", "properties": ["ec_order_id"]}
+        )
+        assert out.count == 1
+        out = coll.search({"term": "", "where": {"ec_order_id": "3235693"}})
+        assert out.count == 1
+    finally:
+        ctx.close()
+
+
+def test_commit_threshold_one_does_not_wedge(tmp_path):
+    """Reference bugs.rs test_bug_2: insert_batch_commit_size=1 commits
+    on every applied op without deadlocking or losing docs."""
+    from tests.utils import TestContext
+
+    ctx = TestContext(data_dir=str(tmp_path))
+    try:
+        ctx.config.reader_side.insert_batch_commit_size = 1
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([{"number": 55}, {"number": 42}])
+        ctx.pump()
+        out = coll.search({"term": "", "where": {"number": {"eq": 42}}})
+        assert out.count == 1
+    finally:
+        ctx.close()
