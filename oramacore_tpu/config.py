@@ -50,10 +50,15 @@ class ReaderSideConfig:
     impact_cap: Optional[int] = None
     # pruned two-phase scoring (ops/pruned.py: impact-prefix candidates +
     # exact candidate rescore — no dense doc-space accumulators):
-    #   "auto" engage on unfiltered searches once the corpus exceeds
-    #          pruned_min_docs; "on" always (tests); "off" never.
-    # Match counts on the pruned path are union-probability ESTIMATES
-    # (the exact count needs a full aggregation) unless
+    #   "auto" engage once the corpus exceeds pruned_min_docs;
+    #   "on" always (tests); "off" never.
+    # Filtered searches (where-filters and tombstone alive-masks) ride
+    # the pruned kernels too (single-device): the mask gathers into
+    # nomination + rescore with exact filtered-df IDF, and a filter
+    # selecting <= PRUNED_CANDIDATES docs becomes the candidate set
+    # itself (results AND counts exact).
+    # Otherwise match counts on the pruned path are union-probability
+    # ESTIMATES (the exact count needs a full aggregation) unless
     # pruned_exact_counts (or per-search "exactCount": true) opts into
     # the exact counting dispatch — one extra device call that sorts the
     # batch's postings (ops/pruned.py pruned_exact_counts).

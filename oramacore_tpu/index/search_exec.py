@@ -331,6 +331,14 @@ class StringSearchTopK(StringSearchExecutor):
         self._champ_dev = DeviceLru(
             self.MAX_CACHED_SLABS, group=lambda k: k[0]
         )
+        # device-resident filter masks, keyed by the caller (tombstone
+        # alive-masks are stable between deletes — the common filtered
+        # case at scale — so they shouldn't cross the tunnel per query;
+        # ad-hoc where-filters pass mask_key=None and upload each time,
+        # like the dense path's doc_masks)
+        self._fmask_dev = DeviceLru(
+            2 * self.MAX_CACHED_SLABS, group=lambda k: k[0]
+        )
 
     def _get_device_champs(self, index: StringIndex, capb: int):
         key = (index.uid, index.generation, capb)
@@ -355,6 +363,22 @@ class StringSearchTopK(StringSearchExecutor):
         dev = jnp.asarray(arr)
         if key is not None:
             self._omc_dev.put(key, dev)
+        return dev
+
+    def _get_device_fmask(self, mask: np.ndarray, mask_key, capb: int):
+        """Filter mask as f32[capb] on device (1.0 = doc allowed; the
+        padding beyond cap stays 0 so padded doc ids never match)."""
+        key = (mask_key, capb) if mask_key is not None else None
+        if key is not None:
+            cached = self._fmask_dev.get(key)
+            if cached is not _MISS:
+                return cached
+        arr = np.zeros((capb,), np.float32)
+        n = min(len(mask), capb)
+        arr[:n] = mask[:n]
+        dev = jnp.asarray(arr)
+        if key is not None:
+            self._fmask_dev.put(key, dev)
         return dev
 
     def search_topk(
@@ -544,12 +568,15 @@ class PrunedPlanMixin(StringSearchTopK):
                 int(lp), int(Tb), wl_prev, int(nre), int(bs_steps))
 
     @staticmethod
-    def _pruned_counts(cand_counts, dfs, nd, thresholds, B):
+    def _pruned_counts(cand_counts, dfs, nd, thresholds, B,
+                       sel_frac: float = 1.0):
         """Corpus-wide match counts for the pruned path: the union-
         probability estimate (ops/pruned.py estimate_match_count),
         floored by the verified-candidate lower bound. Thresholded
         queries keep the lower bound (the union estimate ignores the
-        min-matched-tokens constraint)."""
+        min-matched-tokens constraint). Filtered searches scale the
+        estimate by the filter's selectivity (independence assumption —
+        the host dfs are unfiltered range lengths)."""
         from ..ops.pruned import estimate_match_count
 
         out = np.asarray(cand_counts[:B]).copy()
@@ -561,8 +588,26 @@ class PrunedPlanMixin(StringSearchTopK):
                 est = estimate_match_count(
                     float(nd[i]), [d for d in dfs[i] if d > 0]
                 )
-                out[i] = max(int(out[i]), est)
+                out[i] = max(int(out[i]), int(round(est * sel_frac)))
         return out
+
+    def _pruned_mask_inputs(self, mask, mask_key, cap, capb, Bb, C):
+        """Device inputs for a FILTERED pruned search: the f32 mask (and
+        when the filter selects <= C docs, the filtered doc ids AS the
+        candidate set — phase 1 skipped, results and counts exact).
+        Returns (fmask_arr, cand_in, cand_given, sel)."""
+        fmask_arr = self._get_device_fmask(mask, mask_key, capb)
+        sel = int(np.count_nonzero(mask[:cap]))
+        cand_in = None
+        cand_given = False
+        if sel <= C:
+            ids = np.nonzero(mask[:cap])[0].astype(np.int32)
+            cand_np = np.full((Bb, C), capb, np.int32)
+            if len(ids):
+                cand_np[:, : len(ids)] = ids[None, :]
+            cand_in = jnp.asarray(cand_np)
+            cand_given = True
+        return fmask_arr, cand_in, cand_given, sel
 
     def search_topk_pruned(
         self,
@@ -576,15 +621,24 @@ class PrunedPlanMixin(StringSearchTopK):
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
         exact_counts: bool = False,
+        mask: Optional[np.ndarray] = None,
+        mask_key=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Pruned fulltext search: unfiltered, single-device. Callers
-        gate eligibility (ReadSide._pruned_eligible).
+        """Pruned fulltext search, single-device. Callers gate
+        eligibility (ReadSide._pruned_eligible).
 
         exact_counts=True runs a SECOND dispatch over the same worklist
         (ops/pruned.py pruned_exact_counts) so the returned counts are
         the exact corpus-wide match counts instead of the estimate+
         lower-bound blend — opt-in, costs a global sort of the batch's
-        postings."""
+        postings.
+
+        mask (bool[cap], True = allowed) applies one filter to ALL plans
+        — the per-query path's combined tombstone+where mask (the dense
+        path's filtered-df IDF semantics hold exactly). When the mask
+        selects <= PRUNED_CANDIDATES docs the filtered set itself is the
+        candidate list and results AND counts are exact
+        (counts_exact() tells callers which searches qualify)."""
         from ..ops.pruned import pruned_exact_counts, pruned_fulltext_topk
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
@@ -600,6 +654,15 @@ class PrunedPlanMixin(StringSearchTopK):
         else:
             omc_arr = jnp.ones((1,), jnp.float32)
         C = self.PRUNED_CANDIDATES
+        has_filter = mask is not None
+        fmask_arr = jnp.ones((1,), jnp.float32)
+        cand_in = None
+        cand_given = False
+        sel = None
+        if has_filter:
+            fmask_arr, cand_in, cand_given, sel = self._pruned_mask_inputs(
+                mask, mask_key, cap, capb, idf.shape[0], C
+            )
         kb = min(round_up_pow2(k, 8), C)
         vals, ids, cand_counts = pruned_fulltext_topk(
             p_doc, p_tf, p_etf, p_flen,
@@ -608,26 +671,44 @@ class PrunedPlanMixin(StringSearchTopK):
             jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
             omc_arr,
             jnp.asarray(wl_prev) if wl_prev is not None else None,
+            fmask_arr, cand_in,
             lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
             exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
+            has_filter=has_filter, cand_given=cand_given,
         )
-        if exact_counts:
+        if cand_given:
+            # every in-filter doc was verified: counts are exact
+            counts = np.asarray(cand_counts[:B])
+        elif exact_counts:
             counts = np.asarray(
                 pruned_exact_counts(
                     p_doc, p_tf, p_etf,
-                    jnp.asarray(wl_i), jnp.asarray(thr),
+                    jnp.asarray(wl_i), jnp.asarray(thr), fmask_arr,
                     lch=self.PRUNED_LCH, cap=capb, T=Tb, exact=exact,
+                    has_filter=has_filter,
                 )
             )[:B]
         else:
+            sel_frac = 1.0
+            if sel is not None:
+                sel_frac = sel / max(float(nd[0]), 1.0)
             counts = self._pruned_counts(
-                cand_counts, dfs, nd, thresholds, B
+                cand_counts, dfs, nd, thresholds, B, sel_frac=sel_frac
             )
         return (
             np.asarray(vals[:B, :k]),
             np.asarray(ids[:B, :k]),
             counts,
         )
+
+    def pruned_counts_exact(self, mask: Optional[np.ndarray],
+                            cap: int) -> bool:
+        """True when a filtered pruned search will take the cand-given
+        path (filter selects <= PRUNED_CANDIDATES docs): results and
+        counts are exact, not estimates."""
+        if mask is None:
+            return False
+        return int(np.count_nonzero(mask[:cap])) <= self.PRUNED_CANDIDATES
 
 
 class HybridSearchTopK(PrunedPlanMixin):
@@ -800,12 +881,18 @@ class HybridSearchTopK(PrunedPlanMixin):
         omc_key: Optional[int] = None,
         rescale: Optional[Tuple[float, float]] = None,
         candidates: Optional[int] = None,
+        mask: Optional[np.ndarray] = None,
+        mask_key=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Pruned fused hybrid over the int8/IVF layout: fulltext prefix
         candidates UNION the IVF probe's top-V rows, both sides scored
         exactly on that set (ops/pruned.py pruned_hybrid_topk_int8) —
         no dense (B, cap) accumulators, so batches scale past the dense
-        tier's HBM ceiling."""
+        tier's HBM ceiling.
+
+        mask: one bool[cap] filter for ALL plans (per-query path). Small
+        filters (<= PRUNED_CANDIDATES docs) become the candidate set —
+        both sides exact over the whole filtered set."""
         from ..ops.pruned import pruned_hybrid_topk_int8
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
@@ -823,13 +910,22 @@ class HybridSearchTopK(PrunedPlanMixin):
             8,
         )
         C = self.PRUNED_CANDIDATES
-        Ct = C + V
         has_omc = omc is not None
         if has_omc:
             omc_arr = self._get_device_omc(omc, omc_key, capb)
         else:
             omc_arr = jnp.ones((1,), jnp.float32)
         Bb = idf.shape[0]
+        has_filter = mask is not None
+        fmask_arr = jnp.ones((1,), jnp.float32)
+        cand_in = None
+        cand_given = False
+        sel = None
+        if has_filter:
+            fmask_arr, cand_in, cand_given, sel = self._pruned_mask_inputs(
+                mask, mask_key, cap, capb, Bb, C
+            )
+        Ct = C if cand_given else C + V
         q = np.zeros((Bb, queries.shape[1]), np.float32)
         q[: len(queries)] = queries
         sims = np.zeros((Bb,), np.float32)
@@ -844,14 +940,24 @@ class HybridSearchTopK(PrunedPlanMixin):
             mat_i8, v_scales, row_doc, unit_cen, unit_starts, doc2row,
             jnp.asarray(q), jnp.asarray(sims), omc_arr,
             jnp.asarray(wl_prev) if wl_prev is not None else None,
+            fmask_arr, cand_in,
             lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
             exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
             V=V, nprobe=nprobe, window=window,
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
+            has_filter=has_filter, cand_given=cand_given,
         )
-        counts = self._pruned_counts(cand_counts, dfs, nd, thresholds, B)
+        if cand_given:
+            counts = np.asarray(cand_counts[:B])
+        else:
+            sel_frac = 1.0
+            if sel is not None:
+                sel_frac = sel / max(float(nd[0]), 1.0)
+            counts = self._pruned_counts(
+                cand_counts, dfs, nd, thresholds, B, sel_frac=sel_frac
+            )
         return (
             np.asarray(vals[:B, :k]),
             np.asarray(ids[:B, :k]),

@@ -43,9 +43,12 @@ Known approximations (documented, all bounded):
   aggregation — the kernel returns the count of verified candidates (a
   lower bound); callers may substitute the union-probability estimate
   (search_exec.estimate_match_count);
-- per-query filters change the filtered-df IDF semantics
-  (collect_contributions_with_filter, token_score.rs:229-251) which
-  requires the full scan — filtered searches keep the dense path.
+- per-query filters (where-filters and tombstone alive-masks) gather
+  the mask per posting in BOTH phases, so contributions and df exclude
+  out-of-filter docs — the same filtered-df IDF the dense path computes
+  (collect_contributions_with_filter, token_score.rs:229-251). A filter
+  selecting <= C docs skips phase 1 entirely: the filtered doc set IS
+  the candidate list, making results and counts exact.
 """
 
 from __future__ import annotations
@@ -112,6 +115,7 @@ def _prefix_candidates(
     pre_starts, pre_lens,      # int32[B, T, NPR] (lens <= lp)
     pre_w, pre_fb, pre_av,     # f32[B, T, NPR]
     idf,                       # f32[B, T]
+    fmask=None,                # f32[cap(+pad)] filter (1 = doc allowed)
     *,
     lp: int, cap: int, C: int,
 ):
@@ -142,6 +146,12 @@ def _prefix_candidates(
     denom = (1.0 - fb) + fb * fl / jnp.maximum(pre_av[:, :, :, None], 1e-9)
     ntf = pre_w[:, :, :, None] * tf / jnp.maximum(denom, 1e-9)
     keep = valid & (tf > 0)
+    if fmask is not None:
+        # filtered searches nominate only in-filter docs (out-of-filter
+        # prefix entries must not burn candidate slots)
+        keep = keep & (
+            jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1)) > 0.0
+        )
     ntf = jnp.where(keep, ntf, 0.0)
     docs = jnp.where(keep, docs, cap)
     tok = jax.lax.broadcasted_iota(jnp.int32, (1, T, 1, 1), 1)
@@ -188,6 +198,7 @@ def _rescore_worklist(
     n_docs,                    # f32[B] corpus size (for the IDF)
     cand,                      # int32[B, C] sorted ascending (cap = empty)
     wl_prev=None,              # int32[2, W, NRE]: earlier-FIELD spans
+    fmask=None,                # f32[cap(+pad)] filter (1 = doc allowed)
     *,
     lch: int, C: int, T: int, wch: int = 128,
     nre: int = 0, bs_steps: int = 0,
@@ -256,6 +267,15 @@ def _rescore_worklist(
         )
         ntf = ww[:, None] * tf / jnp.maximum(denom, 1e-9)
         keepm = validm & (tf > 0)
+        if fmask is not None:
+            # filtered-IDF semantics (ops/bm25.py:22, token_score.rs
+            # collect_contributions_with_filter): out-of-filter postings
+            # contribute nothing AND do not count toward df, so the IDF
+            # below is the exact filtered-df IDF
+            keepm = keepm & (
+                jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1))
+                > 0.0
+            )
         ntf = jnp.where(keepm, ntf, 0.0)
         dkey = jnp.where(validm, docs, sentinel)  # suffix stays sorted
         pref = jnp.concatenate(
@@ -331,7 +351,7 @@ def _rescore_worklist(
 @functools.partial(
     jax.jit,
     static_argnames=("lp", "lch", "cap", "C", "k", "T", "exact", "has_omc",
-                     "nre", "bs_steps"),
+                     "nre", "bs_steps", "has_filter", "cand_given"),
 )
 def pruned_fulltext_topk(
     p_doc, p_tf, p_exact_tf, p_flen,
@@ -344,26 +364,41 @@ def pruned_fulltext_topk(
     thr_counts,   # f32[B] min distinct matched tokens
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
     wl_prev=None, # int32[2, W, NRE] earlier-field spans (multi-field df)
+    fmask=None,   # f32[cap] filter mask (dummy (1,) when has_filter=False)
+    cand_in=None, # int32[B, C] caller-supplied candidates (small filters)
     *,
     lp: int, lch: int, cap: int, C: int, k: int, T: int,
     exact: bool, has_omc: bool, nre: int = 0, bs_steps: int = 0,
+    has_filter: bool = False, cand_given: bool = False,
 ):
     """Fused pruned full-text search: ONE dispatch, (B, k) results.
 
     Returns (vals f32[B, k], ids int32[B, k], cand_counts int32[B]) —
     cand_counts is the number of verified candidates passing threshold,
     a LOWER bound on the corpus-wide match count.
+
+    Filtered searches (has_filter): nomination and rescore gather the
+    mask per posting, so contributions AND df exclude out-of-filter docs
+    — the exact filtered-df IDF of the dense path (ops/bm25.py:186).
+    When the filter selects <= C docs the caller passes them AS the
+    candidate set (cand_given; sorted ascending, cap-padded) and phase 1
+    is skipped entirely: every in-filter doc is verified, so the result
+    AND the count are exact.
     """
     tf_src = p_exact_tf if exact else p_tf
-    cand = _prefix_candidates(
-        p_doc, tf_src, p_flen,
-        pre_idesc[0], pre_idesc[1],
-        pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
-        idf, lp=lp, cap=cap, C=C,
-    )
+    fm = fmask if has_filter else None
+    if cand_given:
+        cand = cand_in
+    else:
+        cand = _prefix_candidates(
+            p_doc, tf_src, p_flen,
+            pre_idesc[0], pre_idesc[1],
+            pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+            idf, fm, lp=lp, cap=cap, C=C,
+        )
     scores, matched = _rescore_worklist(
         p_doc, tf_src, p_flen, wl_i, wl_f,
-        n_docs, cand, wl_prev, lch=lch, C=C, T=T,
+        n_docs, cand, wl_prev, fm, lch=lch, C=C, T=T,
         nre=nre, bs_steps=bs_steps,
     )
     keep = (
@@ -386,7 +421,7 @@ def pruned_fulltext_topk(
     static_argnames=(
         "lp", "lch", "cap", "C", "k", "T", "exact", "has_omc",
         "V", "nprobe", "window", "has_rescale", "rescale_lo", "rescale_hi",
-        "nre", "bs_steps",
+        "nre", "bs_steps", "has_filter", "cand_given",
     ),
 )
 def pruned_hybrid_topk_int8(
@@ -403,12 +438,15 @@ def pruned_hybrid_topk_int8(
     sim,          # f32[B] similarity threshold
     omc,          # f32[cap] (dummy (1,) when has_omc=False)
     wl_prev=None, # int32[2, W, NRE] earlier-field spans (multi-field df)
+    fmask=None,   # f32[cap] filter mask (dummy (1,) when has_filter=False)
+    cand_in=None, # int32[B, Ct] caller-supplied candidates (small filters)
     *,
     lp: int, lch: int, cap: int, C: int, k: int, T: int,
     exact: bool, has_omc: bool,
     V: int, nprobe: int, window: int,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
     nre: int = 0, bs_steps: int = 0,
+    has_filter: bool = False, cand_given: bool = False,
 ):
     """Fused pruned hybrid over the int8/IVF vector layout.
 
@@ -418,19 +456,20 @@ def pruned_hybrid_topk_int8(
     the reference's min-max-over-span semantics (token_score.rs:357-422)
     — the span is the candidate max, which equals the global max
     whenever each side's argmax is a candidate (it nominated them).
+
+    Filtered searches (has_filter): the fulltext side nominates and
+    rescores under the mask (exact filtered-df IDF); IVF probe hits
+    outside the filter are dropped before the union. With cand_given the
+    caller supplies the (small) filtered doc set as the candidate list —
+    every in-filter doc is scored exactly on both sides (the probe still
+    runs, only to fold better rows of multi-vector docs).
     """
     from .vector import ivf_int8_topk
 
     B = queries.shape[0]
     tf_src = p_exact_tf if exact else p_tf
+    fm = fmask if has_filter else None
 
-    # fulltext candidate nomination
-    ft_cand = _prefix_candidates(
-        p_doc, tf_src, p_flen,
-        pre_idesc[0], pre_idesc[1],
-        pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
-        idf, lp=lp, cap=cap, C=C,
-    )
     # vector candidate nomination (IVF probe)
     v_vals, v_rows = ivf_int8_topk(
         queries, mat_i8, scales, unit_cen, unit_starts,
@@ -441,21 +480,40 @@ def pruned_hybrid_topk_int8(
         jnp.take(row_doc, jnp.clip(v_rows, 0, row_doc.shape[0] - 1)),
         cap,
     )
+    if fm is not None:
+        # out-of-filter probe hits must not become candidates (cap means
+        # empty; a cap id clipped onto a real doc's mask slot is harmless
+        # because every consumer below also requires v_docs < cap)
+        v_docs = jnp.where(
+            jnp.take(fm, jnp.clip(v_docs, 0, fm.shape[0] - 1)) > 0.0,
+            v_docs, cap,
+        )
 
-    # union: sort, mask duplicates to cap, sort again (Ct is small)
-    Ct = C + V
-    cand = jnp.concatenate([ft_cand, v_docs], axis=1)
-    cand = jax.lax.sort(cand, dimension=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
-    )
-    cand = jnp.where(dup, cap, cand)
-    cand = jax.lax.sort(cand, dimension=1)
+    if cand_given:
+        cand = cand_in
+        Ct = cand_in.shape[1]
+    else:
+        # fulltext candidate nomination
+        ft_cand = _prefix_candidates(
+            p_doc, tf_src, p_flen,
+            pre_idesc[0], pre_idesc[1],
+            pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+            idf, fm, lp=lp, cap=cap, C=C,
+        )
+        # union: sort, mask duplicates to cap, sort again (Ct is small)
+        Ct = C + V
+        cand = jnp.concatenate([ft_cand, v_docs], axis=1)
+        cand = jax.lax.sort(cand, dimension=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cand = jnp.where(dup, cap, cand)
+        cand = jax.lax.sort(cand, dimension=1)
 
     # exact BM25F over the union
     scores, matched = _rescore_worklist(
         p_doc, tf_src, p_flen, wl_i, wl_f,
-        n_docs, cand, wl_prev, lch=lch, C=Ct, T=T,
+        n_docs, cand, wl_prev, fm, lch=lch, C=Ct, T=T,
         nre=nre, bs_steps=bs_steps,
     )
 
@@ -512,14 +570,15 @@ def pruned_hybrid_topk_int8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lch", "cap", "T", "exact")
+    jax.jit, static_argnames=("lch", "cap", "T", "exact", "has_filter")
 )
 def pruned_exact_counts(
     p_doc, p_tf, p_exact_tf,
     wl_i,         # int32[4, W]: b, t, start, len<=lch (the rescore worklist)
     thr_counts,   # f32[B] min distinct matched tokens
+    fmask=None,   # f32[cap] filter mask (dummy (1,) when has_filter=False)
     *,
-    lch: int, cap: int, T: int, exact: bool,
+    lch: int, cap: int, T: int, exact: bool, has_filter: bool = False,
 ):
     """EXACT corpus-wide match counts for the pruned path — an OPT-IN
     second dispatch (reader_side.pruned_exact_counts / "exactCount").
@@ -545,12 +604,13 @@ def pruned_exact_counts(
     path. Returns counts int32[B]."""
     tf_src = p_exact_tf if exact else p_tf
     return _exact_counts_core(
-        p_doc, tf_src, wl_i, thr_counts, lch=lch, cap=cap, T=T
+        p_doc, tf_src, wl_i, thr_counts,
+        fmask if has_filter else None, lch=lch, cap=cap, T=T,
     )
 
 
 def _exact_counts_core(
-    p_doc, tf_src, wl_i, thr_counts,
+    p_doc, tf_src, wl_i, thr_counts, fmask=None,
     *,
     lch: int, cap: int, T: int, axis_name=None,
 ):
@@ -568,6 +628,11 @@ def _exact_counts_core(
     )(st)
     iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
     valid = (iot < ln[:, None]) & (tf > 0)
+    if fmask is not None:
+        # filtered searches count matches WITHIN the filter only
+        valid = valid & (
+            jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1)) > 0.0
+        )
     bk = jnp.where(valid, bw[:, None], B).reshape(-1)
     dk = jnp.where(valid, docs, cap).reshape(-1)
     tk = jnp.where(valid, tw[:, None], T).reshape(-1)

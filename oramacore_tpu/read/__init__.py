@@ -22,7 +22,7 @@ import numpy as np
 
 from ..config import OramacoreConfig
 from ..embeddings import EmbeddingsService, Intent
-from ..index.search_exec import StringSearchExecutor
+from ..index.search_exec import PrunedPlanMixin, StringSearchExecutor
 from ..oplog import Operation, OperationReceiver
 from ..storage.docstore import DocumentStore
 from ..storage.files import atomic_write_json, read_json
@@ -728,10 +728,18 @@ class ReadSide:
             idx.vector._ivf is not None and not idx.vector._live_rows
         )
         # the hybrid kernels have no exact-count dispatch — an
-        # exactCount request keeps the dense exact path
+        # exactCount request keeps the dense exact path UNLESS the
+        # small-filter cand-given path applies (its counts are exact)
+        mask_sel = (
+            int(np.count_nonzero(mask)) if mask is not None else None
+        )
+        small_filter = (
+            mask_sel is not None
+            and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES
+        )
         use_pruned = self._pruned_eligible(
-            idx, mask, k, mode, params, mesh_ok=is_ivf,
-        ) and not params.exact_count
+            idx, mask, k, mode, params, mesh_ok=is_ivf, mask_sel=mask_sel,
+        ) and (not params.exact_count or small_filter)
         planned = self._plan_fulltext(
             idx, mode, params, with_prefix=use_pruned,
         )
@@ -802,7 +810,14 @@ class ReadSide:
                 if use_pruned:
                     # pruned hybrid: candidate union + exact rescore, no
                     # dense doc-space accumulators (the 10M-tier path)
-                    self._tls.count_estimated = True
+                    if not small_filter:
+                        self._tls.count_estimated = True
+                    mask_kw = {}
+                    if mask is not None:
+                        mask_kw = dict(
+                            mask=mask,
+                            mask_key=self._mask_cache_key(idx, params),
+                        )
                     from ..ops.bm25 import round_up_pow2
 
                     capb = round_up_pow2(cap, 128)
@@ -814,6 +829,7 @@ class ReadSide:
                         thresholds=[thr] if thr is not None else None,
                         omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                         rescale=idx.vector.config.score_rescale,
+                        **mask_kw,
                     )
                 else:
                     # champion rows bake non-exact tf — skip for exact
@@ -844,40 +860,65 @@ class ReadSide:
     def _pruned_eligible(self, idx: ReadIndex, mask, k: int,
                          mode=None, params=None,
                          exact_counts: bool = False,
-                         mesh_ok: bool = False) -> bool:
+                         mesh_ok: bool = False,
+                         mask_sel: Optional[int] = None) -> bool:
         """Pruned two-phase scoring (ops/pruned.py) eligibility: the
-        dense path keeps filtered searches (filtered-df IDF needs the
-        full scan), impact_cap opt-ins, and deep pagination beyond the
-        candidate budget. On the sharded mesh only the FULLTEXT path
-        implements pruning (parallel/engine.search_topk_pruned — each
-        shard nominates + rescores its own docs; callers pass mesh_ok);
-        the sharded hybrid keeps its dense tail.
+        dense path keeps impact_cap opt-ins and deep pagination beyond
+        the candidate budget. FILTERED searches (where-filters AND
+        tombstone alive-masks) ride the pruned kernels single-device:
+        the mask gathers into nomination + rescore (exact filtered-df
+        IDF, ops/bm25.py:22 semantics), and a filter selecting <=
+        PRUNED_CANDIDATES docs becomes the candidate set itself (exact
+        results AND counts). On the sharded mesh only the UNfiltered
+        FULLTEXT/hybrid paths implement pruning (parallel/engine);
+        filtered searches there keep the dense kernels' doc_masks.
         Additionally (the kernel's documented preconditions):
         - no tolerance — fuzzy matches can coalesce different terms'
           ranges into one (string_index._coalesce_and_cap), breaking
           the doc-sorted invariant the rescore's binary search needs;
         - no match threshold UNLESS the caller runs the exact counting
-          dispatch (the scoring kernel applies thresholds exactly; only
-          the count estimate fails to model the min-matched-tokens
-          constraint, and exact_counts removes the estimate)."""
+          dispatch or the small-filter cand-given path applies (the
+          scoring kernel applies thresholds exactly; only the count
+          estimate fails to model the min-matched-tokens constraint,
+          and both of those make the count exact)."""
         cfg = self.config.reader_side
-        if cfg.pruning == "off" or mask is not None:
+        if cfg.pruning == "off":
             return False
         if cfg.impact_cap:
             return False
-        if self.sharded_mesh is not None and not mesh_ok:
+        if self.sharded_mesh is not None and (
+                not mesh_ok or mask is not None):
             return False
         if k > 512:
             return False
+        small_filter = (
+            mask_sel is not None
+            and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES
+        )
         if mode is not None:
             if getattr(mode, "tolerance", None):
                 return False
             if (getattr(mode, "threshold", None) is not None
-                    and not exact_counts):
+                    and not exact_counts and not small_filter):
                 return False
         if cfg.pruning == "on":
             return True
         return idx.cap() >= cfg.pruned_min_docs
+
+    @staticmethod
+    def _mask_cache_key(idx: ReadIndex, params: SearchParams):
+        """Stable device-cache key for a combined mask that is PURELY the
+        tombstone alive-mask (no where-filter): deletes only grow a
+        generation's tombstone set, and commits bump the string index's
+        generation, so (uid, generation, cap, n_deleted) never aliases
+        two different masks. Ad-hoc where-filters return None (uploaded
+        per query, like the dense path's doc_masks)."""
+        if params is not None and not params.where.is_empty():
+            return None
+        if not idx.deleted:
+            return None
+        return ("alive", idx.uid, idx.string.generation, idx.cap(),
+                len(idx.deleted))
 
     def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
                        use_champions: bool = False,
@@ -986,9 +1027,12 @@ class ReadSide:
             getattr(params, "exact_count", False)
             or self.config.reader_side.pruned_exact_counts
         )
+        mask_sel = (
+            int(np.count_nonzero(mask)) if mask is not None else None
+        )
         use_pruned = fused_ok and self._pruned_eligible(
             idx, mask, k, mode, params, exact_counts=want_exact_counts,
-            mesh_ok=True,
+            mesh_ok=True, mask_sel=mask_sel,
         )
         # champion rows apply only on the single-device fused DENSE path
         # (the pruned/sharded/hybrid executors consume ranged plans)
@@ -1010,14 +1054,25 @@ class ReadSide:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
-                if not want_exact_counts:
+                small_filter = (
+                    mask_sel is not None
+                    and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES
+                )
+                if not want_exact_counts and not small_filter:
                     self._tls.count_estimated = True
+                mask_kw = {}
+                if mask is not None:
+                    mask_kw = dict(
+                        mask=mask,
+                        mask_key=self._mask_cache_key(idx, params),
+                    )
                 vals, ids, counts = ex.search_topk_pruned(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     exact_counts=want_exact_counts,
+                    **mask_kw,
                 )
             else:
                 vals, ids, counts = ex.search_topk(

@@ -145,7 +145,8 @@ def build_plans(corpus, queries_terms, avg_flen=30.0, b=0.75):
     return full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, wl_i, wl_f
 
 
-def dense_reference(corpus, full_idesc, full_fdesc, thr, omc, k, exact=False):
+def dense_reference(corpus, full_idesc, full_fdesc, thr, omc, k, exact=False,
+                    mask=None):
     """The dense fused kernel as ground truth."""
     B = full_idesc.shape[1]
     lr = 8
@@ -163,19 +164,26 @@ def dense_reference(corpus, full_idesc, full_fdesc, thr, omc, k, exact=False):
     omc_arr = np.ones((capb,), np.float32)
     if has_omc:
         omc_arr[: len(omc)] = omc
+    has_mask = mask is not None
+    if has_mask:
+        mask_arr = np.zeros((B, capb), bool)
+        mask_arr[:, : len(mask)] = mask[None, :]
+    else:
+        mask_arr = np.zeros((1, 1), bool)
     vals, ids, counts = bm25_search_topk_packed(
         jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
         jnp.asarray(corpus["p_etf"]), jnp.asarray(corpus["p_flen"]),
         jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
         jnp.asarray(scalars),
-        jnp.zeros((1, 1), bool), jnp.asarray(omc_arr),
+        jnp.asarray(mask_arr), jnp.asarray(omc_arr),
         lr=lr, exact=exact, cap=capb, k=k,
-        has_mask=False, has_omc=True,
+        has_mask=has_mask, has_omc=True,
     )
     return np.asarray(vals), np.asarray(ids), np.asarray(counts)
 
 
-def run_pruned(corpus, plans, thr, omc, k, C, lp=1024, exact=False):
+def run_pruned(corpus, plans, thr, omc, k, C, lp=1024, exact=False,
+               mask=None, cand_given=False):
     full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, wl_i, wl_f = plans
     B, T = idf.shape
     cap = corpus["n_docs"]
@@ -188,6 +196,18 @@ def run_pruned(corpus, plans, thr, omc, k, C, lp=1024, exact=False):
     lp_b = 8
     while lp_b < max(int(pre_idesc[1].max()), 8):
         lp_b *= 2
+    has_filter = mask is not None
+    fmask_arr = np.ones((1,), np.float32)
+    cand_in = None
+    if has_filter:
+        fmask_arr = np.zeros((cap,), np.float32)
+        fmask_arr[: len(mask)] = mask
+        if cand_given:
+            sel = np.nonzero(mask)[0].astype(np.int32)
+            assert len(sel) <= C
+            cand_np = np.full((B, C), cap, np.int32)
+            cand_np[:, : len(sel)] = sel[None, :]
+            cand_in = jnp.asarray(cand_np)
     vals, ids, counts = pruned_fulltext_topk(
         jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
         jnp.asarray(corpus["p_etf"]), jnp.asarray(corpus["p_flen"]),
@@ -197,8 +217,11 @@ def run_pruned(corpus, plans, thr, omc, k, C, lp=1024, exact=False):
         jnp.full((B,), float(cap), jnp.float32),
         jnp.asarray(np.asarray(thr, np.float32)),
         jnp.asarray(omc_arr),
+        None,
+        jnp.asarray(fmask_arr), cand_in,
         lp=lp_b, lch=LCH, cap=cap, C=C, k=k, T=T,
         exact=exact, has_omc=has_omc,
+        has_filter=has_filter, cand_given=cand_given,
     )
     return np.asarray(vals), np.asarray(ids), np.asarray(counts)
 
@@ -450,3 +473,128 @@ def test_pruned_exact_counts_matches_dense_counts():
         )
     )
     assert np.array_equal(counts, cd), (counts, cd)
+
+
+# ---------------------------------------------------------------------------
+# Filtered pruning (round 3): masked nomination/rescore + cand-given mode
+# ---------------------------------------------------------------------------
+
+
+def test_pruned_filtered_masked_parity():
+    """Masked mode (filter larger than the candidate budget would be in
+    production; here C covers the corpus so parity is EXACT): scores use
+    the filtered-df IDF and counts equal the dense filtered counts."""
+    corpus = build_corpus(n_docs=1500, n_terms=64, seed=5, prefix_len=10**9)
+    rng = np.random.default_rng(17)
+    mask = rng.random(1500) < 0.55
+    queries = [[0, 3, 10], [1, 2], [5, 20, 40], [7]]
+    plans = build_plans(corpus, queries)
+    thr = [0.0, 2.0, 0.0, 0.0]
+    omc = np.ones(1500, np.float32)
+    omc[::5] = 1.4
+    vd, idd, cd = dense_reference(
+        corpus, plans[0], plans[1], thr, omc, 10, mask=mask
+    )
+    vp, idp, cp = run_pruned(
+        corpus, plans, thr, omc, 10, C=2048, mask=mask
+    )
+    assert_topk_equal(vd, idd, vp, idp)
+    assert np.array_equal(cd, cp)
+    # every returned hit is inside the filter
+    for b in range(idp.shape[0]):
+        for v, d in zip(vp[b], idp[b]):
+            if np.isfinite(v) and v > 0:
+                assert mask[d], (b, d)
+
+
+def test_pruned_filtered_cand_given_parity():
+    """Small filters become the candidate set (phase 1 skipped): exact
+    results and exact counts at ANY candidate budget >= |filter|."""
+    corpus = build_corpus(n_docs=1500, n_terms=64, seed=6, prefix_len=10**9)
+    rng = np.random.default_rng(23)
+    sel = rng.choice(1500, size=90, replace=False)
+    mask = np.zeros(1500, bool)
+    mask[sel] = True
+    queries = [[0, 3, 10], [1, 2], [4, 9]]
+    plans = build_plans(corpus, queries)
+    thr = [0.0, 2.0, 0.0]
+    vd, idd, cd = dense_reference(
+        corpus, plans[0], plans[1], thr, None, 8, mask=mask
+    )
+    vp, idp, cp = run_pruned(
+        corpus, plans, thr, None, 8, C=128, mask=mask, cand_given=True
+    )
+    assert_topk_equal(vd, idd, vp, idp)
+    assert np.array_equal(cd, cp)
+
+
+def test_pruned_filtered_exact_mode():
+    """exact=True + filter: exact-tf postings only, within the mask."""
+    corpus = build_corpus(n_docs=800, n_terms=32, seed=8, prefix_len=10**9)
+    rng = np.random.default_rng(29)
+    mask = rng.random(800) < 0.4
+    queries = [[0, 1], [4, 9]]
+    plans = build_plans(corpus, queries)
+    vd, idd, cd = dense_reference(
+        corpus, plans[0], plans[1], [0.0, 0.0], None, 8, exact=True,
+        mask=mask,
+    )
+    vp, idp, cp = run_pruned(
+        corpus, plans, [0.0, 0.0], None, 8, C=1024, exact=True, mask=mask
+    )
+    assert_topk_equal(vd, idd, vp, idp)
+    assert np.array_equal(cd, cp)
+
+
+def _naive_counts_filtered(corpus, queries_terms, thr, mask, exact=False):
+    tf_src = corpus["p_etf"] if exact else corpus["p_tf"]
+    out = []
+    for terms, t0 in zip(queries_terms, thr):
+        per_doc = {}
+        for ti, t in enumerate(terms):
+            s, n = int(corpus["tstart"][t]), int(corpus["df"][t])
+            for j in range(s, s + n):
+                d = int(corpus["p_doc"][j])
+                if tf_src[j] > 0 and mask[d]:
+                    per_doc.setdefault(d, set()).add(ti)
+        need = max(float(t0), 1.0)
+        out.append(sum(1 for s_ in per_doc.values() if len(s_) >= need))
+    return np.asarray(out, np.int32)
+
+
+def test_pruned_exact_counts_kernel_filtered():
+    """The counting dispatch under a filter counts matches WITHIN the
+    filter only (dense filtered-count semantics)."""
+    from oramacore_tpu.ops.pruned import pruned_exact_counts
+
+    corpus = build_corpus(n_docs=900, n_terms=40, seed=9, prefix_len=10**9)
+    rng = np.random.default_rng(31)
+    mask = rng.random(900) < 0.5
+    queries = [[0, 2, 5], [1, 3], [7]]
+    thr = [0.0, 2.0, 0.0]
+    plans = build_plans(corpus, queries)
+    _, _, _, _, _, wl_i, wl_f = plans
+    fmask = np.zeros(900, np.float32)
+    fmask[mask] = 1.0
+    got = np.asarray(pruned_exact_counts(
+        jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+        jnp.asarray(corpus["p_etf"]),
+        jnp.asarray(wl_i), jnp.asarray(np.asarray(thr, np.float32)),
+        jnp.asarray(fmask),
+        lch=LCH, cap=900, T=3, exact=False, has_filter=True,
+    ))
+    want = _naive_counts_filtered(corpus, queries, thr, mask)
+    assert np.array_equal(got, want), (got, want)
+
+
+def test_pruned_filtered_empty_filter():
+    """An all-False filter returns no hits and zero counts."""
+    corpus = build_corpus(n_docs=500, n_terms=16, seed=10, prefix_len=10**9)
+    mask = np.zeros(500, bool)
+    queries = [[0, 1]]
+    plans = build_plans(corpus, queries)
+    vp, idp, cp = run_pruned(
+        corpus, plans, [0.0], None, 8, C=64, mask=mask, cand_given=True
+    )
+    assert not np.any(np.isfinite(vp) & (vp > 0))
+    assert cp[0] == 0

@@ -83,9 +83,30 @@ def test_pruned_fulltext_engine_parity():
         ctx.close()
 
 
-def test_pruned_skips_filtered_searches():
-    """Filters fall back to the dense path (filtered-df IDF semantics)
-    — results must match regardless of the pruning flag."""
+def _spy_pruned(monkeypatch):
+    """Record search_topk_pruned calls (the single-device pruned
+    dispatch) so tests can prove the pruned path actually engaged."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.PrunedPlanMixin.search_topk_pruned
+
+    def spy(self, *a, **kw):
+        calls.append({"mask": kw.get("mask")})
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "search_topk_pruned", spy
+    )
+    return calls
+
+
+def test_pruned_filtered_small_filter_exact(monkeypatch):
+    """A where-filter selecting <= PRUNED_CANDIDATES docs rides the
+    pruned path in cand-given mode: the filtered doc set IS the
+    candidate list, so hits AND counts are exact (not estimate-flagged)
+    — filtered-df IDF semantics match the dense path bit-for-bit."""
+    calls = _spy_pruned(monkeypatch)
     ctx = TestContext()
     try:
         coll = ctx.create_collection()
@@ -102,7 +123,130 @@ def test_pruned_skips_filtered_searches():
         }
         dense, pruned = _search_both(ctx, coll, params)
         _assert_hits_equal(dense, pruned)
-        assert dense.count == pruned.count  # same (dense) path
+        assert dense.count == pruned.count
+        assert not pruned.count_estimated  # cand-given counts are exact
+        assert len(calls) == 1 and calls[0]["mask"] is not None
+    finally:
+        ctx.close()
+
+
+def test_pruned_filtered_large_filter(monkeypatch):
+    """A filter wider than the candidate budget uses masked nomination:
+    hits match dense (budget covers this corpus), counts are flagged
+    estimates."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "PRUNED_CANDIDATES", 128
+    )
+    calls = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(400, seed=5)
+        for i, d in enumerate(docs):
+            d["n"] = i % 7
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        params = {
+            "term": "apple banana",
+            "limit": 10,
+            "where": {"n": {"lt": 5}},  # ~285 in-filter docs > C=128
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert pruned.count_estimated
+        assert pruned.count >= len(pruned.hits)
+        assert len(calls) == 1 and calls[0]["mask"] is not None
+    finally:
+        ctx.close()
+
+
+def test_pruned_tombstones_stay_pruned(monkeypatch):
+    """Deletes must NOT silently demote the index to the dense path:
+    the tombstone alive-mask rides the pruned kernels as a filter, and
+    deleted docs never surface."""
+    calls = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(300, seed=9)
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        # delete a third of the docs AFTER the commit -> tombstones
+        gone = [str(i) for i in range(0, 300, 3)]
+        idx.delete_documents(gone)
+        params = {"term": "apple banana", "limit": 20}
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert not set(ids_of(pruned)) & set(gone)
+        assert len(calls) == 1 and calls[0]["mask"] is not None
+    finally:
+        ctx.close()
+
+
+def test_pruned_filtered_threshold_small_filter(monkeypatch):
+    """Thresholded queries are pruned-eligible when the small-filter
+    cand-given path applies (thresholds are applied exactly there and
+    the count is exact, so no estimate caveat)."""
+    calls = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(300, seed=13)
+        for i, d in enumerate(docs):
+            d["n"] = i % 3
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        params = {
+            "term": "apple banana cherry",
+            "limit": 10,
+            "threshold": 0.6,
+            "where": {"n": {"eq": 1}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert dense.count == pruned.count
+        assert not pruned.count_estimated
+        assert len(calls) == 1 and calls[0]["mask"] is not None
+    finally:
+        ctx.close()
+
+
+def test_pruned_filtered_hybrid_int8(monkeypatch):
+    """Filtered hybrid at the int8/IVF tier rides the pruned kernels:
+    the filter masks the fulltext side (filtered-df IDF) and drops
+    out-of-filter probe hits; with a small filter both sides are exact
+    over the filtered set."""
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(900, seed=3)
+        for i, d in enumerate(docs):
+            d["n"] = i % 5
+        for s in range(0, 900, 300):
+            idx.insert_documents(docs[s:s + 300])
+        ctx.commit_all()
+        params = {
+            "term": "apple banana",
+            "mode": "hybrid",
+            "limit": 10,
+            "similarity": 0.05,
+            "where": {"n": {"lt": 3}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        assert ids_of(dense)[:5] == ids_of(pruned)[:5]
+        ds = [h.score for h in dense.hits]
+        ps = [h.score for h in pruned.hits]
+        assert np.allclose(ds, ps, rtol=1e-3, atol=1e-4), (ds, ps)
+        for h in pruned.hits:
+            assert int(str(h.id).rsplit(":", 1)[-1]) % 5 < 3
     finally:
         ctx.close()
 
