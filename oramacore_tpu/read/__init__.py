@@ -908,17 +908,16 @@ class ReadSide:
     @staticmethod
     def _mask_cache_key(idx: ReadIndex, params: SearchParams):
         """Stable device-cache key for a combined mask that is PURELY the
-        tombstone alive-mask (no where-filter): deletes only grow a
-        generation's tombstone set, and commits bump the string index's
-        generation, so (uid, generation, cap, n_deleted) never aliases
+        tombstone alive-mask (no where-filter): tombstone_version bumps
+        on every deleted-set mutation (incl. resurrection discards and
+        commit clears), so (uid, cap, tombstone_version) never aliases
         two different masks. Ad-hoc where-filters return None (uploaded
         per query, like the dense path's doc_masks)."""
         if params is not None and not params.where.is_empty():
             return None
         if not idx.deleted:
             return None
-        return ("alive", idx.uid, idx.string.generation, idx.cap(),
-                len(idx.deleted))
+        return ("alive", idx.uid, idx.cap(), idx.tombstone_version)
 
     def _plan_fulltext(self, idx: ReadIndex, mode, params: SearchParams,
                        use_champions: bool = False,
@@ -1889,19 +1888,40 @@ def _search_batch_index(
         # exactCount request with the dense tail instead
         and not want_exact_counts
     )
+    # one mask shared by EVERY query in the batch (identity check — the
+    # cached tombstone alive-mask is the common case at scale: deletes
+    # without where-filters) still rides the pruned kernels
+    # single-device; per-query where-masks keep the dense path
+    shared_mask = None
+    if doc_masks is not None:
+        m0 = doc_masks[0]
+        if m0 is not None and all(m is m0 for m in doc_masks):
+            shared_mask = m0
+    shared_mask_key = (
+        self._mask_cache_key(idx, first) if shared_mask is not None
+        else None
+    )
     if (
         (shared_kind == "fulltext" or hybrid_pruned)
-        and doc_masks is None
+        and (doc_masks is None or shared_mask is not None)
         and tolerance is None
         and max_k <= 512
         and self._pruned_eligible(
-            idx, None, max_k, mode=first.mode, params=first,
+            idx, shared_mask, max_k, mode=first.mode, params=first,
             exact_counts=want_exact_counts and not hybrid_pruned,
             mesh_ok=True,
         )
         and (hybrid_pruned or want_exact_counts
              or all(p.mode.threshold is None for p in params_list))
     ):
+        small_shared = (
+            shared_mask is not None
+            and int(np.count_nonzero(shared_mask))
+            <= PrunedPlanMixin.PRUNED_CANDIDATES
+        )
+        mask_kw = {}
+        if shared_mask is not None:
+            mask_kw = dict(mask=shared_mask, mask_key=shared_mask_key)
         plans = []
         thr_list: List[Optional[float]] = []
         for p in params_list:
@@ -1945,6 +1965,7 @@ def _search_batch_index(
                     omc=idx.omc_array(),
                     omc_key=(idx.uid, idx.omc_version),
                     rescale=hybrid_args["rescale"],
+                    **mask_kw,
                 )
             if out is not None:
                 vals, ids, counts = out
@@ -1956,7 +1977,7 @@ def _search_batch_index(
                     ]
                     for qi in range(len(params_list))
                 ]
-                return pairs_per_query, counts, True
+                return pairs_per_query, counts, not small_shared
         elif plans:
             if self.sharded_mesh is not None:
                 pex = self._fused_executor(coll, idx)
@@ -1972,6 +1993,7 @@ def _search_batch_index(
                 ),
                 omc=idx.omc_array(), omc_key=(idx.uid, idx.omc_version),
                 exact_counts=want_exact_counts,
+                **mask_kw,
             )
             vals, ids, counts = out
             pairs_per_query = [
@@ -1982,7 +2004,9 @@ def _search_batch_index(
                 ]
                 for qi in range(len(params_list))
             ]
-            return pairs_per_query, counts, not want_exact_counts
+            return pairs_per_query, counts, (
+                not want_exact_counts and not small_shared
+            )
 
     # OMC multipliers apply on-device before top-k (ADVICE r1: applying
     # them to the post-top-k candidate set can drop boosted docs)

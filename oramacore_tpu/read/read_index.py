@@ -68,6 +68,11 @@ class ReadIndex:
         # OMC must apply BEFORE device top-k, not to the candidate set)
         self.omc_version = 0
         self._omc_arr: Optional[np.ndarray] = None
+        # tombstone-mask cache + monotonic version (bumped on EVERY
+        # deleted-set mutation incl. resurrection discards, so the key
+        # never aliases two different masks)
+        self.tombstone_version = 0
+        self._alive_mask_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------------
 
@@ -115,7 +120,9 @@ class ReadIndex:
         self.max_doc_id = max(self.max_doc_id, doc_id)
         self.doc_user_ids[doc_id] = user_id
         self.user_to_internal[user_id] = doc_id
-        self.deleted.discard(doc_id)
+        if doc_id in self.deleted:
+            self.deleted.discard(doc_id)
+            self.tombstone_version += 1
         for path, packed in (body.get("strings_packed") or {}).items():
             self.string.index_text_packed(
                 doc_id, path, int(packed[0]), packed[1]
@@ -162,7 +169,9 @@ class ReadIndex:
             user = self.doc_user_ids.pop(d, None)
             if user is not None:
                 self.user_to_internal.pop(user, None)
-            self.deleted.add(d)
+            if d not in self.deleted:
+                self.deleted.add(d)
+                self.tombstone_version += 1
             self.string.delete_doc_live(d)
             self.filters.delete_doc_live(d)
             if self.vector is not None:
@@ -176,13 +185,25 @@ class ReadIndex:
     # ------------------------------------------------------------------
 
     def alive_mask(self) -> Optional[np.ndarray]:
-        """None when no tombstones (all committed docs alive)."""
+        """None when no tombstones (all committed docs alive).
+
+        Cached by (cap, tombstone_version); the version bumps on every
+        deleted-set mutation (delete, resurrection discard, commit
+        clear), so the key never aliases two different masks. Callers
+        treat the array as read-only; the identity stability also lets
+        batch paths detect a shared tombstone-only mask across queries
+        by `is`."""
         if not self.deleted:
             return None
+        key = (self.cap(), self.tombstone_version)
+        cached = self._alive_mask_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
         mask = np.ones(self.cap(), bool)
         for d in self.deleted:
             if d < len(mask):
                 mask[d] = False
+        self._alive_mask_cache = (key, mask)
         return mask
 
     def omc_array(self) -> Optional[np.ndarray]:
@@ -222,6 +243,7 @@ class ReadIndex:
         if self.vector is not None:
             self.vector.commit(self.deleted)
         self.deleted.clear()
+        self.tombstone_version += 1
         self.committed_offset = offset
         self.dirty = False
         self._meta_snapshot = {

@@ -225,3 +225,111 @@ def test_batch_pruned_routing():
             ctx.reader.config.reader_side.pruning = "auto"
     finally:
         ctx.close()
+
+
+def test_batch_pruned_with_tombstones():
+    """Deletes must not demote BATCHED search to the dense path: the
+    cached tombstone alive-mask is shared by every query in the batch
+    (identity), rides the pruned kernels as a filter, and deleted docs
+    never surface. Small alive sets take the cand-given path (exact
+    counts, no estimate flag)."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.PrunedPlanMixin.search_topk_pruned
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("mask"))
+        return orig(self, *a, **kw)
+
+    search_exec.PrunedPlanMixin.search_topk_pruned = spy
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(120))
+        ctx.commit_all()
+        gone = [str(i) for i in range(0, 120, 3)]
+        idx.delete_documents(gone)
+        batch = [
+            {"term": "orange banana", "limit": 10},
+            {"term": "apple", "limit": 8},
+            {"term": "grape melon", "limit": 10},
+        ]
+        ctx.reader.config.reader_side.pruning = "off"
+        seq = [
+            ctx.reader.search(
+                coll.collection_id, coll.read_key,
+                SearchParams.from_json(dict(q)),
+            )
+            for q in batch
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+        assert len(calls) == 1 and calls[0] is not None
+        for s, g, q in zip(seq, got, batch):
+            assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+            for hs, hg in zip(s.hits, g.hits):
+                assert hg.score == pytest.approx(hs.score, rel=1e-4), q
+            # 80 alive docs <= PRUNED_CANDIDATES -> cand-given: exact
+            assert g.count == s.count, q
+            assert not g.count_estimated, q
+            assert not set(h.id for h in g.hits) & set(gone), q
+    finally:
+        search_exec.PrunedPlanMixin.search_topk_pruned = orig
+        ctx.close()
+
+
+def test_batch_pruned_per_query_filters_keep_dense():
+    """Distinct per-query where-filters cannot share one mask: the batch
+    keeps the dense shared path and results still match sequential."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(100))
+        ctx.commit_all()
+        batch = [
+            {"term": "orange", "limit": 10, "where": {"n": {"eq": 1}}},
+            {"term": "orange", "limit": 10, "where": {"n": {"lt": 3}}},
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            _assert_matches_sequential(ctx, coll, batch)
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+    finally:
+        ctx.close()
+
+
+def test_alive_mask_cache_identity_and_invalidation():
+    """ReadIndex.alive_mask is cached by (cap, tombstone_version):
+    stable identity between mutations (the batch shared-mask check
+    relies on it), fresh array after a delete AND after a resurrection
+    discard that changes membership but not size."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(20))
+        ctx.commit_all()
+        ridx = next(iter(
+            ctx.reader.collections[coll.collection_id].indexes.values()
+        ))
+        assert ridx.alive_mask() is None
+        idx.delete_documents(["3"])
+        m1 = ridx.alive_mask()
+        assert m1 is ridx.alive_mask()  # cached identity
+        deleted_internal = next(iter(ridx.deleted))
+        assert not m1[deleted_internal]
+        idx.delete_documents(["7"])
+        m2 = ridx.alive_mask()
+        assert m2 is not m1
+        assert m2.sum() == m1.sum() - 1
+    finally:
+        ctx.close()
