@@ -77,6 +77,10 @@ class ShardedStringExec:
         self._steps: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
         self._omc_dev: Optional[Tuple[int, int, object]] = None
+        # device-resident doc-sharded filter masks keyed by the caller
+        # (tombstone alive-masks are stable between deletes); ad-hoc
+        # where-masks pass mask_key=None and re-partition per query
+        self._fmask_dev = DeviceLru(8, group=lambda k: k[0])
 
     # ------------------------------------------------------------------
     # Sharded slab build (at commit / generation change)
@@ -741,9 +745,10 @@ class ShardedStringExec:
         )
 
     def _get_pruned_step(self, *, lp, lch, cap_l, C, k, T, exact,
-                         has_omc, nre, bs_steps):
+                         has_omc, nre, bs_steps,
+                         has_filter=False, cand_given=False):
         key = ("pruned", lp, lch, cap_l, C, k, T, exact, has_omc, nre,
-               bs_steps)
+               bs_steps, has_filter, cand_given)
         step = self._steps.get(key)
         if step is not None:
             return step
@@ -753,16 +758,26 @@ class ShardedStringExec:
 
         def shard_fn(p_doc, p_tf, p_etf, p_flen,
                      pre_st, pre_ln, pre_w, pre_fb, pre_av,
-                     wl_i, wl_f, wl_prev, idf, nd, thr, omc):
+                     wl_i, wl_f, wl_prev, idf, nd, thr, omc,
+                     fmask, cand_in):
             tf_src = p_etf[0] if exact else p_tf[0]
-            cand = _prefix_candidates(
-                p_doc[0], tf_src, p_flen[0],
-                pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
-                idf, lp=lp, cap=cap_l, C=C,
-            )
+            # the filter mask is doc-sharded like the slab: shard-local
+            # gathers give the exact filtered-df IDF after the df psum
+            fm = fmask[0] if has_filter else None
+            if cand_given:
+                # small filters: each shard's slice of the filtered doc
+                # set IS its candidate list (docs live in one shard, so
+                # per-shard verified counts psum to the exact count)
+                cand = cand_in[0]
+            else:
+                cand = _prefix_candidates(
+                    p_doc[0], tf_src, p_flen[0],
+                    pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
+                    idf, fm, lp=lp, cap=cap_l, C=C,
+                )
             scores, matched = _rescore_worklist(
                 p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
-                nd, cand, wl_prev[0] if nre else None,
+                nd, cand, wl_prev[0] if nre else None, fm,
                 lch=lch, C=C, T=T, nre=nre, bs_steps=bs_steps,
                 axis_name="d",
             )
@@ -800,6 +815,8 @@ class ShardedStringExec:
             P("d", None, None, None) if nre else P(None, None, None),
             P(None, None), P(None), P(None),
             P("d", None) if has_omc else P(None),
+            P("d", None) if has_filter else P(None),
+            P("d", None, None) if cand_given else P(None, None),
         )
         fn = shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs,
@@ -810,17 +827,19 @@ class ShardedStringExec:
         self._steps[key] = step
         return step
 
-    def _get_pruned_counts_step(self, *, lch, cap_l, T, exact):
-        key = ("pruned_counts", lch, cap_l, T, exact)
+    def _get_pruned_counts_step(self, *, lch, cap_l, T, exact,
+                                has_filter=False):
+        key = ("pruned_counts", lch, cap_l, T, exact, has_filter)
         step = self._steps.get(key)
         if step is not None:
             return step
         from ..ops.pruned import _exact_counts_core
 
-        def shard_fn(p_doc, p_tf, p_etf, wl_i, thr):
+        def shard_fn(p_doc, p_tf, p_etf, wl_i, thr, fmask):
             tf_src = p_etf[0] if exact else p_tf[0]
             return _exact_counts_core(
                 p_doc[0], tf_src, wl_i[0], thr,
+                fmask[0] if has_filter else None,
                 lch=lch, cap=cap_l, T=T, axis_name="d",
             )
 
@@ -829,6 +848,7 @@ class ShardedStringExec:
             in_specs=(
                 P("d", None), P("d", None), P("d", None),
                 P("d", None, None), P(None),
+                P("d", None) if has_filter else P(None),
             ),
             out_specs=P(None),
             check_vma=False,
@@ -1027,6 +1047,43 @@ class ShardedStringExec:
             has_omc=has_omc, omc_arr=omc_arr,
         )
 
+    def _pruned_mask_shard_inputs(self, mask, mask_key, cap, cap_l,
+                                  Bb, C):
+        """Doc-sharded device inputs for a FILTERED pruned search: the
+        (D, cap_l) f32 mask (doc d at [d % D, d // D], cached on device
+        when mask_key is stable), and for filters selecting <= C docs
+        the per-shard slices of the filtered doc set as cand lists
+        (sorted local ids, cap_l-padded). Returns
+        (fmask_dev, cand_in_dev, cand_given, sel)."""
+        from ..index.search_exec import _MISS
+
+        sh1 = NamedSharding(self.mesh, P("d", None))
+        key = (mask_key, cap_l) if mask_key is not None else None
+        fm = _MISS
+        if key is not None:
+            fm = self._fmask_dev.get(key)
+        if fm is _MISS:
+            part = self._partition_docs_axis(
+                mask[:cap].astype(np.float32), cap_l, 0.0
+            )
+            fm = jax.device_put(part, sh1)
+            if key is not None:
+                fm = self._fmask_dev.put(key, fm)
+        sel = int(np.count_nonzero(mask[:cap]))
+        cand_in = None
+        cand_given = False
+        if sel <= C:
+            ids = np.nonzero(mask[:cap])[0].astype(np.int32)
+            cand_np = np.full((self.D, Bb, C), cap_l, np.int32)
+            for sh in range(self.D):
+                loc = ids[ids % self.D == sh] // self.D
+                cand_np[sh, :, : len(loc)] = loc[None, :]
+            cand_in = jax.device_put(
+                cand_np, NamedSharding(self.mesh, P("d", None, None))
+            )
+            cand_given = True
+        return fm, cand_in, cand_given, sel
+
     def search_topk_pruned(
         self,
         index: StringIndex,
@@ -1039,12 +1096,18 @@ class ShardedStringExec:
         omc: Optional[np.ndarray] = None,
         omc_key=None,
         exact_counts: bool = False,
+        mask: Optional[np.ndarray] = None,
+        mask_key=None,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Pruned fulltext over the mesh — same contract as
         search_exec.PrunedPlanMixin.search_topk_pruned (GLOBAL doc ids,
-        counts are estimate-floored lower bounds unless exact_counts).
-        Plans must be built with_prefix (ReadSide._plan_fulltext) and
-        without impact_cap (enforced by boundary alignment)."""
+        counts are estimate-floored lower bounds unless exact_counts;
+        mask is one bool[cap] filter shared by every plan, doc-sharded
+        like the slab so the filtered-df psum stays exact; a small
+        filter becomes the per-shard candidate lists — results AND
+        counts exact). Plans must be built with_prefix
+        (ReadSide._plan_fulltext) and without impact_cap (enforced by
+        boundary alignment)."""
         from ..index.search_exec import PrunedPlanMixin as PM
 
         dev_slab, boundaries, bprefix = self.ensure_slab(index)
@@ -1057,15 +1120,28 @@ class ShardedStringExec:
             h["wl_i"], h["wl_f"], h["wl_prev"], h["thr"]
         )
         kb = min(round_up_pow2(k, 8), C)
+        has_filter = mask is not None
+        fmask_dev = None
+        cand_in = None
+        cand_given = False
+        sel = None
+        if has_filter:
+            fmask_dev, cand_in, cand_given, sel = (
+                self._pruned_mask_shard_inputs(
+                    mask, mask_key, cap, cap_l, h["idf"].shape[0], C
+                )
+            )
 
         step = self._get_pruned_step(
             lp=h["lp"], lch=lch, cap_l=cap_l, C=C, k=int(kb),
             T=int(Tb), exact=exact, has_omc=has_omc, nre=nre,
             bs_steps=h["bs_steps"],
+            has_filter=has_filter, cand_given=cand_given,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
         sh3 = NamedSharding(self.mesh, P("d", None, None))
+        dummy_f = jnp.ones((1,), jnp.float32)
         vals, ids, cand_counts = step(
             p_doc, p_tf, p_etf, p_flen,
             jax.device_put(h["s_pre_st"], sh4),
@@ -1079,20 +1155,30 @@ class ShardedStringExec:
             jax.device_put(
                 h["omc_arr"], NamedSharding(self.mesh, P("d", None))
             ) if has_omc else jnp.asarray(h["omc_arr"]),
+            fmask_dev if has_filter else dummy_f,
+            cand_in if cand_given else jnp.zeros((1, 1), jnp.int32),
         )
-        if exact_counts:
+        if cand_given:
+            counts = np.asarray(cand_counts[:B])
+        elif exact_counts:
             cstep = self._get_pruned_counts_step(
                 lch=lch, cap_l=int(cap_l), T=int(Tb), exact=exact,
+                has_filter=has_filter,
             )
             counts = np.asarray(
                 cstep(
                     p_doc, p_tf, p_etf,
                     jax.device_put(wl_i, sh3), jnp.asarray(thr),
+                    fmask_dev if has_filter else dummy_f,
                 )
             )[:B]
         else:
+            sel_frac = 1.0
+            if sel is not None:
+                sel_frac = sel / max(float(h["nd"][0]), 1.0)
             counts = PM._pruned_counts(
-                cand_counts, h["dfs"], h["nd"], thresholds, B
+                cand_counts, h["dfs"], h["nd"], thresholds, B,
+                sel_frac=sel_frac,
             )
         return (
             np.asarray(vals[:B, :k]),
@@ -1116,10 +1202,11 @@ class ShardedStringExec:
     def _get_pruned_hybrid_step(self, *, lp, lch, cap_l, C, k, T, exact,
                                 has_omc, nre, bs_steps, V, nprobe,
                                 window, has_rescale, rescale_lo,
-                                rescale_hi):
+                                rescale_hi,
+                                has_filter=False, cand_given=False):
         key = ("pruned_hy8", lp, lch, cap_l, C, k, T, exact, has_omc,
                nre, bs_steps, V, nprobe, window, has_rescale,
-               rescale_lo, rescale_hi)
+               rescale_lo, rescale_hi, has_filter, cand_given)
         step = self._steps.get(key)
         if step is not None:
             return step
@@ -1129,24 +1216,28 @@ class ShardedStringExec:
 
         mesh, D = self.mesh, self.D
         NEG_INF = -1e30
-        Ct = C + V
+        Ct = C if cand_given else C + V
 
         def shard_fn(p_doc, p_tf, p_etf, p_flen,
                      pre_st, pre_ln, pre_w, pre_fb, pre_av,
                      wl_i, wl_f, wl_prev, idf, nd, thr,
                      mat8, sc8, doc8, unit_cen, owner, unit_local,
                      my_mat, my_sc, d2r,
-                     queries, sim, omc):
+                     queries, sim, omc, fmask, cand_in):
             sid = jax.lax.axis_index("d").astype(jnp.int32)
             tf_src = p_etf[0] if exact else p_tf[0]
             B = queries.shape[0]
+            fm = fmask[0] if has_filter else None
 
-            # fulltext nomination: shard-local top-C (local doc ids)
-            ft_cand = _prefix_candidates(
-                p_doc[0], tf_src, p_flen[0],
-                pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
-                idf, lp=lp, cap=cap_l, C=C,
-            )
+            if cand_given:
+                ft_cand = None  # small filter: cand_in IS the full set
+            else:
+                # fulltext nomination: shard-local top-C (local doc ids)
+                ft_cand = _prefix_candidates(
+                    p_doc[0], tf_src, p_flen[0],
+                    pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
+                    idf, fm, lp=lp, cap=cap_l, C=C,
+                )
 
             # IVF probe: global unit selection (centroids replicate),
             # each unit scanned by its owner, global top-V via
@@ -1202,21 +1293,34 @@ class ShardedStringExec:
             keep_p = (gd >= 0) & (gv > NEG_INF / 2)
             own_doc = keep_p & ((gd % D) == sid)
             my_vdocs = jnp.where(own_doc, gd // D, cap_l)  # (B, V) local
+            if fm is not None:
+                # out-of-filter probe hits never become candidates (and
+                # in cand-given mode never fold onto filter docs)
+                my_vdocs = jnp.where(
+                    jnp.take(
+                        fm, jnp.clip(my_vdocs, 0, cap_l - 1)
+                    ) > 0.0,
+                    my_vdocs, cap_l,
+                )
 
-            # candidate union (sorted; cap_l marks empty + duplicates)
-            cand = jnp.concatenate([ft_cand, my_vdocs], axis=1)
-            cand = jax.lax.sort(cand, dimension=1)
-            dup = jnp.concatenate(
-                [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]],
-                axis=1,
-            )
-            cand = jnp.where(dup, cap_l, cand)
-            cand = jax.lax.sort(cand, dimension=1)
+            if cand_given:
+                cand = cand_in[0]
+            else:
+                # candidate union (sorted; cap_l marks empty + dups)
+                cand = jnp.concatenate([ft_cand, my_vdocs], axis=1)
+                cand = jax.lax.sort(cand, dimension=1)
+                dup = jnp.concatenate(
+                    [jnp.zeros((B, 1), bool),
+                     cand[:, 1:] == cand[:, :-1]],
+                    axis=1,
+                )
+                cand = jnp.where(dup, cap_l, cand)
+                cand = jax.lax.sort(cand, dimension=1)
 
             # exact BM25F over the union (global df via psum)
             scores, matched = _rescore_worklist(
                 p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
-                nd, cand, wl_prev[0] if nre else None,
+                nd, cand, wl_prev[0] if nre else None, fm,
                 lch=lch, C=Ct, T=T, nre=nre, bs_steps=bs_steps,
                 axis_name="d",
             )
@@ -1300,6 +1404,8 @@ class ShardedStringExec:
             P("d", None, None), P("d", None), P("d", None),
             P(None, None), P(None),
             P("d", None) if has_omc else P(None),
+            P("d", None) if has_filter else P(None),
+            P("d", None, None) if cand_given else P(None, None),
         )
         fn = shard_map(
             shard_fn, mesh=mesh, in_specs=in_specs,
@@ -1326,10 +1432,14 @@ class ShardedStringExec:
         omc_key=None,
         rescale: Optional[Tuple[float, float]] = None,
         candidates: Optional[int] = None,
+        mask: Optional[np.ndarray] = None,
+        mask_key=None,
     ):
         """Pruned fused hybrid over the mesh — the contract of
         search_exec.HybridSearchTopK.search_topk_hybrid_int8_pruned
-        (GLOBAL doc ids; counts are estimate-floored lower bounds).
+        (GLOBAL doc ids; counts are estimate-floored lower bounds;
+        mask is one bool[cap] filter shared by every plan — small
+        filters become the per-shard candidate lists with exact counts).
         Returns None when the vector index is not in int8/IVF mode."""
         from ..index.search_exec import (
             HYBRID_INT8_CANDIDATES, PrunedPlanMixin as PM,
@@ -1364,7 +1474,18 @@ class ShardedStringExec:
                 int(mat8.shape[0] * mat8.shape[1])),
             8,
         )
-        Ct = C + V
+        has_filter = mask is not None
+        fmask_dev = None
+        cand_in = None
+        cand_given = False
+        sel = None
+        if has_filter:
+            fmask_dev, cand_in, cand_given, sel = (
+                self._pruned_mask_shard_inputs(
+                    mask, mask_key, cap, cap_l, Bb, C
+                )
+            )
+        Ct = C if cand_given else C + V
         kb = min(round_up_pow2(k, 8), Ct)
         q = np.zeros((Bb, queries.shape[1]), np.float32)
         q[: len(queries)] = queries
@@ -1380,6 +1501,7 @@ class ShardedStringExec:
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
+            has_filter=has_filter, cand_given=cand_given,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
@@ -1400,10 +1522,19 @@ class ShardedStringExec:
             jax.device_put(
                 h["omc_arr"], NamedSharding(self.mesh, P("d", None))
             ) if has_omc else jnp.asarray(h["omc_arr"]),
+            fmask_dev if has_filter else jnp.ones((1,), jnp.float32),
+            cand_in if cand_given else jnp.zeros((1, 1), jnp.int32),
         )
-        counts = PM._pruned_counts(
-            cand_counts, h["dfs"], h["nd"], thresholds, B
-        )
+        if cand_given:
+            counts = np.asarray(cand_counts[:B])
+        else:
+            sel_frac = 1.0
+            if sel is not None:
+                sel_frac = sel / max(float(h["nd"][0]), 1.0)
+            counts = PM._pruned_counts(
+                cand_counts, h["dfs"], h["nd"], thresholds, B,
+                sel_frac=sel_frac,
+            )
         return (
             np.asarray(vals[:B, :k]),
             np.asarray(ids[:B, :k]),

@@ -765,6 +765,12 @@ class ReadSide:
             if use_pruned and is_ivf:
                 # 10M tier on the mesh: sharded pruned hybrid (per-shard
                 # candidate union + exact rescore, no dense tail)
+                mask_kw = {}
+                if mask is not None:
+                    mask_kw = dict(
+                        mask=mask,
+                        mask_key=self._mask_cache_key(idx, params),
+                    )
                 out = sharded.search_topk_hybrid_int8_pruned(
                     idx.string, [plan], [idx.document_count()], cap, k,
                     idx.vector, q, [mode.similarity],
@@ -772,8 +778,9 @@ class ReadSide:
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     rescale=idx.vector.config.score_rescale,
+                    **mask_kw,
                 )
-                if out is not None:
+                if out is not None and not small_filter:
                     self._tls.count_estimated = True
             else:
                 out = sharded.search_topk_hybrid(
@@ -886,8 +893,7 @@ class ReadSide:
             return False
         if cfg.impact_cap:
             return False
-        if self.sharded_mesh is not None and (
-                not mesh_ok or mask is not None):
+        if self.sharded_mesh is not None and not mesh_ok:
             return False
         if k > 512:
             return False
@@ -1951,6 +1957,7 @@ def _search_batch_index(
                     omc=idx.omc_array(),
                     omc_key=(idx.uid, idx.omc_version),
                     rescale=hybrid_args["rescale"],
+                    **mask_kw,
                 )
             else:
                 from ..ops.bm25 import round_up_pow2

@@ -75,7 +75,7 @@ def _assert_hits_match(a, b, q=None, tol=1e-4):
         i = j + 1
 
 
-def _build(tmp, shards, pruning):
+def _build(tmp, shards, pruning, docs=None):
     cfg = OramacoreConfig()
     cfg.data_dir = tmp
     cfg.auth.master_api_key = MASTER
@@ -86,7 +86,10 @@ def _build(tmp, shards, pruning):
     orama = build_orama(cfg, sync_embeddings=True, start_consumer=False)
     coll = orama.write_side.create_collection(MASTER, "c")
     orama.write_side.create_index("c", coll.write_api_key, "main")
-    orama.write_side.insert_documents("c", "main", coll.write_api_key, DOCS)
+    orama.write_side.insert_documents(
+        "c", "main", coll.write_api_key,
+        DOCS if docs is None else docs,
+    )
     orama.write_side.embedding_queue.flush_and_wait()
     orama.read_side.pump()
     return orama, coll
@@ -245,3 +248,83 @@ def test_sharded_pruned_batch():
         finally:
             single.stop()
             sharded.stop()
+
+
+def test_sharded_pruned_filtered_matches_single_device():
+    """Filtered fulltext on the mesh rides the sharded pruned kernel
+    with a doc-sharded mask (round-3 session 4): parity vs the
+    single-device DENSE filtered path, exact counts via the small-filter
+    cand-given mode, and tombstones (deletes, no where-filter) keep the
+    mesh on the pruned tier too."""
+    import jax
+
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+    fdocs = []
+    for i, d in enumerate(DOCS):
+        d = dict(d)
+        d["n"] = i % 7
+        fdocs.append(d)
+    calls = []
+    orig = eng.ShardedStringExec.search_topk_pruned
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("mask"))
+        return orig(self, *a, **kw)
+
+    eng.ShardedStringExec.search_topk_pruned = spy
+    try:
+        with tempfile.TemporaryDirectory() as t1, \
+                tempfile.TemporaryDirectory() as t2:
+            single, coll_s = _build(t1, 0, "off", docs=fdocs)
+            sharded, coll_m = _build(t2, 8, "on", docs=fdocs)
+            try:
+                single.read_side.commit(force=True)
+                sharded.read_side.commit(force=True)
+                for q in (
+                    {"term": "apple banana", "limit": 10,
+                     "where": {"n": {"lt": 4}}},
+                    {"term": "cherry grape", "limit": 10,
+                     "where": {"n": {"eq": 2}}},
+                    {"term": "apple banana fig", "limit": 10,
+                     "threshold": 0.6, "where": {"n": {"lt": 5}}},
+                ):
+                    a = single.read_side.search(
+                        "c", coll_s.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    b = sharded.read_side.search(
+                        "c", coll_m.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    _assert_hits_match(a, b, q)
+                    # small filters -> cand-given -> exact counts
+                    assert b.count == a.count, q
+                    assert not b.count_estimated, q
+                assert all(m is not None for m in calls)
+                assert len(calls) == 3
+
+                # tombstones: delete docs, no where-filter — the mesh
+                # must stay pruned with the alive-mask as the filter
+                gone = [str(i) for i in range(0, 400, 4)]
+                for orama, coll in ((single, coll_s), (sharded, coll_m)):
+                    orama.write_side.delete_documents(
+                        "c", "main", coll.write_api_key, gone
+                    )
+                    orama.read_side.pump()
+                q = {"term": "apple banana", "limit": 20}
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key, SearchParams.from_json(dict(q))
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key, SearchParams.from_json(dict(q))
+                )
+                _assert_hits_match(a, b, q)
+                assert not {h.id for h in b.hits} & set(gone)
+                assert len(calls) == 4 and calls[-1] is not None
+            finally:
+                single.stop()
+                sharded.stop()
+    finally:
+        eng.ShardedStringExec.search_topk_pruned = orig

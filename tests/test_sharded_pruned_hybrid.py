@@ -116,42 +116,59 @@ def test_sharded_pruned_hybrid_matches_single_device(ivf_mode):
             sharded.stop()
 
 
-def test_sharded_hybrid_filter_falls_back_cleanly(ivf_mode):
-    """Filtered hybrid on the mesh at the IVF tier: pruning is
-    ineligible (filtered-df IDF needs the full scan) and the flat
-    sharded kernel can't take IVF — the single-device dense int8 path
-    answers, with correct filtered results."""
+def test_sharded_hybrid_filtered_rides_pruned_mesh(ivf_mode):
+    """Filtered hybrid on the mesh at the IVF tier rides the SHARDED
+    pruned kernel with a doc-sharded mask (round-3 session 4): the small
+    filter becomes the per-shard candidate lists, so results AND counts
+    are exact (no estimate flag), and out-of-filter docs never
+    surface."""
     import jax
 
+    from oramacore_tpu.parallel import engine as eng
+
     assert len(jax.devices()) >= 8
-    with tempfile.TemporaryDirectory() as t:
-        orama, coll = _build(t, 8)
-        try:
-            orama.read_side.commit(force=True)
-            res = orama.read_side.search(
-                "c", coll.read_api_key,
-                SearchParams.from_json({
-                    "mode": "hybrid", "term": "apple", "similarity": 0.3,
-                    "limit": 10, "where": {"n": {"lt": 350}},
-                }),
-            )
-            assert res.hits
-            assert all(
-                int(h.id.split(":")[-1]) < 350 for h in res.hits
-            )
-            # the filtered path is the dense exact one — no estimate
-            assert not res.count_estimated
-            # and the unfiltered twin rides the pruned mesh kernel
-            res2 = orama.read_side.search(
-                "c", coll.read_api_key,
-                SearchParams.from_json({
-                    "mode": "hybrid", "term": "apple", "similarity": 0.3,
-                    "limit": 10,
-                }),
-            )
-            assert res2.hits and res2.count_estimated
-        finally:
-            orama.stop()
+    calls = []
+    orig = eng.ShardedStringExec.search_topk_hybrid_int8_pruned
+
+    def spy(self, *a, **kw):
+        calls.append(kw.get("mask"))
+        return orig(self, *a, **kw)
+
+    eng.ShardedStringExec.search_topk_hybrid_int8_pruned = spy
+    try:
+        with tempfile.TemporaryDirectory() as t:
+            orama, coll = _build(t, 8)
+            try:
+                orama.read_side.commit(force=True)
+                res = orama.read_side.search(
+                    "c", coll.read_api_key,
+                    SearchParams.from_json({
+                        "mode": "hybrid", "term": "apple",
+                        "similarity": 0.3,
+                        "limit": 10, "where": {"n": {"lt": 350}},
+                    }),
+                )
+                assert res.hits
+                assert all(
+                    int(h.id.split(":")[-1]) < 350 for h in res.hits
+                )
+                # small filter -> cand-given -> exact counts, no flag
+                assert not res.count_estimated
+                assert any(m is not None for m in calls)
+                # and the unfiltered twin stays a flagged estimate
+                res2 = orama.read_side.search(
+                    "c", coll.read_api_key,
+                    SearchParams.from_json({
+                        "mode": "hybrid", "term": "apple",
+                        "similarity": 0.3,
+                        "limit": 10,
+                    }),
+                )
+                assert res2.hits and res2.count_estimated
+            finally:
+                orama.stop()
+    finally:
+        eng.ShardedStringExec.search_topk_hybrid_int8_pruned = orig
 
 
 @pytest.mark.parametrize("shards", [0, 8])
