@@ -18,6 +18,10 @@ Modes (--mode):
   counts    the opt-in exact counting dispatch (pruned_exact_counts):
             one global (query, doc, token) sort over the batch's
             postings -- measures the per-search cost of exactCount
+  filtered  filtered pruned scoring (round-3 session 4): a ~50%% random
+            mask through masked nomination+rescore (exact filtered-df
+            IDF), and a 1k-doc small filter through the cand-given path
+            (the filtered set IS the candidate list -- exact results)
   all       everything
 
 Memory budget (v5e, 16 GiB): int8 corpus 7.5 GiB + slab 1.5 GiB; the
@@ -77,13 +81,13 @@ def main():
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--mode", default="all",
                     choices=["ranged", "champion", "pruned", "ft",
-                             "counts", "all"])
+                             "counts", "filtered", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
     modes = (
-        ["ranged", "champion", "pruned", "ft", "counts"]
+        ["ranged", "champion", "pruned", "ft", "counts", "filtered"]
         if args.mode == "all" else [args.mode]
     )
 
@@ -657,6 +661,144 @@ def main():
             log(f"exact counts B={B}: lat={dt * 1000:.1f}ms "
                 f"qps={B / dt:.0f} sample={cnts[:4].tolist()}")
             results.append((B, "exact-counts", B / dt, dt * 1000))
+
+    # ---------------- filtered pruned (masked + cand-given) ----------
+    if "filtered" in modes:
+        k_mask = jax.random.fold_in(root, 777)
+        fmask = (
+            jax.random.uniform(k_mask, (N,)) < 0.5
+        ).astype(jnp.float32)
+        fmask.block_until_ready()
+        log("50% random filter mask resident on device")
+
+        for B in (8, 64, 256):
+            variants = []
+            for s_ in range(3):
+                (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                 wl_i, wl_f, tids) = build_pruned_plans(B, seed=7 + s_)
+                variants.append((
+                    jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                    jnp.asarray(wl_i), jnp.asarray(wl_f),
+                    jnp.asarray(idf),
+                ))
+
+            def run_fm(v):
+                pre_i, pre_f, wli, wlf, idf_a = v
+                B_ = idf_a.shape[0]
+                return pruned_fulltext_topk(
+                    p_doc, p_tf, p_tf, p_flen,
+                    pre_i, pre_f, wli, wlf,
+                    idf_a,
+                    jnp.full((B_,), float(N), jnp.float32),
+                    jnp.zeros((B_,), jnp.float32),
+                    dummy_omc, None, fmask, None,
+                    lp=LP, lch=LCH, cap=N,
+                    C=C_FT, k=16, T=idf_a.shape[1],
+                    exact=False, has_omc=False, has_filter=True,
+                )
+
+            try:
+                dt = timeit(run_fm, variants)
+            except Exception as e:
+                log(f"ft filtered-50% B={B}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"ft filtered-50% B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}")
+            results.append((B, "ft-filtered-50%", B / dt, dt * 1000))
+
+        # small filter: 1k docs -> cand-given (EXACT filtered search)
+        rng_f = np.random.default_rng(55)
+        small_ids = np.sort(
+            rng_f.choice(N, size=1024, replace=False)
+        ).astype(np.int32)
+        small_mask_np = np.zeros((N,), np.float32)
+        small_mask_np[small_ids] = 1.0
+        small_mask = jnp.asarray(small_mask_np)
+        del small_mask_np
+        small_mask.block_until_ready()
+        for B in (8, 64, 256):
+            variants = []
+            for s_ in range(3):
+                (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                 wl_i, wl_f, tids) = build_pruned_plans(B, seed=7 + s_)
+                cand_np = np.broadcast_to(
+                    small_ids[None, :], (idf.shape[0], 1024)
+                ).copy()
+                variants.append((
+                    jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                    jnp.asarray(wl_i), jnp.asarray(wl_f),
+                    jnp.asarray(idf), jnp.asarray(cand_np),
+                ))
+
+            def run_cg(v):
+                pre_i, pre_f, wli, wlf, idf_a, cand_a = v
+                B_ = idf_a.shape[0]
+                return pruned_fulltext_topk(
+                    p_doc, p_tf, p_tf, p_flen,
+                    pre_i, pre_f, wli, wlf,
+                    idf_a,
+                    jnp.full((B_,), float(N), jnp.float32),
+                    jnp.zeros((B_,), jnp.float32),
+                    dummy_omc, None, small_mask, cand_a,
+                    lp=LP, lch=LCH, cap=N,
+                    C=1024, k=16, T=idf_a.shape[1],
+                    exact=False, has_omc=False,
+                    has_filter=True, cand_given=True,
+                )
+
+            try:
+                dt = timeit(run_cg, variants)
+            except Exception as e:
+                log(f"ft small-filter-exact B={B}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"ft small-filter-exact B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}")
+            results.append(
+                (B, "ft-small-filter-exact", B / dt, dt * 1000)
+            )
+
+        # filtered pruned hybrid at the int8 tier (50% mask)
+        for B in (8, 64):
+            variants = []
+            for s_ in range(3):
+                (idesc, fdesc, scalars, lr, pre_idesc, pre_fdesc, idf,
+                 wl_i, wl_f, tids) = build_pruned_plans(B, seed=7 + s_)
+                variants.append((
+                    jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                    jnp.asarray(wl_i), jnp.asarray(wl_f),
+                    jnp.asarray(idf), qvecs[:B],
+                    jnp.asarray(scalars[2][:B]),
+                ))
+
+            def run_hf(v):
+                pre_i, pre_f, wli, wlf, idf_a, qb, sims = v
+                return pruned_hybrid_topk_int8(
+                    p_doc, p_tf, p_tf, p_flen,
+                    pre_i, pre_f, wli, wlf,
+                    idf_a,
+                    jnp.full((qb.shape[0],), float(N), jnp.float32),
+                    jnp.zeros((qb.shape[0],), jnp.float32),
+                    buf, scales, row_doc, unit_cen, unit_st, doc2row,
+                    qb, sims, dummy_omc, None, fmask, None,
+                    lp=LP, lch=LCH, cap=N,
+                    C=C_HY, k=16, T=idf_a.shape[1],
+                    exact=False, has_omc=False,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                    has_filter=True,
+                )
+
+            try:
+                dt = timeit(run_hf, variants)
+            except Exception as e:
+                log(f"hybrid filtered-50% B={B}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"hybrid filtered-50% B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}")
+            results.append((B, "hybrid-filtered-50%", B / dt, dt * 1000))
 
     # ---------------- champion mode (round-2 record) ----------------
     if "champion" in modes:

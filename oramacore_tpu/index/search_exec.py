@@ -393,7 +393,8 @@ class StringSearchTopK(StringSearchExecutor):
         thresholds: Optional[Sequence[float]] = None,  # distinct-token counts
         omc: Optional[np.ndarray] = None,              # f32[<=cap]
         omc_key: Optional[int] = None,                 # cache key (version)
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        with_bitmap: bool = False,                     # + packed match bits
+    ) -> Tuple[np.ndarray, ...]:
         from ..ops.bm25 import bm25_search_topk_packed, round_up_pow2
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
@@ -420,7 +421,7 @@ class StringSearchTopK(StringSearchExecutor):
             self._get_device_champs(index, pb.capb) if pb.has_champ else None
         )
         has_champ = champs_dev is not None
-        vals, idx, counts = bm25_search_topk_packed(
+        out = bm25_search_topk_packed(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             jnp.asarray(mask_arr), omc_arr,
@@ -429,12 +430,20 @@ class StringSearchTopK(StringSearchExecutor):
             jnp.asarray(pb.ch_w) if has_champ else None,
             lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
             has_mask=has_mask, has_omc=has_omc, has_champ=has_champ,
+            with_bitmap=with_bitmap,
         )
-        return (
+        vals, idx, counts = out[:3]
+        res = (
             np.asarray(vals[: pb.B, :k]),
             np.asarray(idx[: pb.B, :k]),
             np.asarray(counts[: pb.B]),
         )
+        if with_bitmap:
+            # packed match set: unpack host-side to bool[cap] per query
+            bits = np.asarray(out[3][: pb.B])
+            masks = np.unpackbits(bits, axis=1)[:, :cap].astype(bool)
+            return res + (masks,)
+        return res
 
 
 class PrunedPlanMixin(StringSearchTopK):

@@ -261,7 +261,8 @@ def bm25_search_topk(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "exact", "cap", "lr", "k", "has_mask", "has_omc", "has_champ"
+        "exact", "cap", "lr", "k", "has_mask", "has_omc", "has_champ",
+        "with_bitmap",
     ),
 )
 def bm25_search_topk_packed(
@@ -277,9 +278,17 @@ def bm25_search_topk_packed(
     *,
     lr: int, exact: bool, cap: int, k: int,
     has_mask: bool, has_omc: bool, has_champ: bool = False,
+    with_bitmap: bool = False,
 ):
     """Transfer-minimized fused search: 3 small H2D arrays per call (plus
-    mask/omc only when actually used)."""
+    mask/omc only when actually used).
+
+    with_bitmap additionally returns the full match set as PACKED BITS
+    (uint8[B, cap/8], np.packbits bit order) — 32x smaller than the
+    dense f32 score vector the non-fused path ships to the host, and no
+    per-doc Python dict on arrival. Facet counting consumes it directly
+    (ReadSide._compute_facets doc-mask path; reference facets iterate
+    the score map, facet.rs)."""
     starts, lens = idesc[0], idesc[1]
     weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
     n_docs, thr_counts = scalars[0], scalars[1]
@@ -297,6 +306,9 @@ def bm25_search_topk_packed(
     from .vector import topk_2level
 
     vals, idx = topk_2level(s, k)
+    if with_bitmap:
+        bits = jnp.packbits(keep, axis=1)
+        return vals, idx, counts, bits
     return vals, idx, counts
 
 

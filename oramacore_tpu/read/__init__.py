@@ -545,17 +545,29 @@ class ReadSide:
                 mask = idx.combined_mask(filter_mask)
             # fused low-latency path: only top candidates + exact counts
             # cross the device boundary when nothing downstream needs the
-            # dense score set
+            # dense score set. Fulltext FACET searches stay fused too:
+            # the kernel ships the match set as packed bits (uint8
+            # [cap/8], ops/bm25.py with_bitmap) instead of a dense f32
+            # score vector + host dict — facet counting consumes the
+            # unpacked mask directly (single-device; the sharded
+            # executor keeps the dense path).
+            fulltext_facets = (
+                bool(params.facets)
+                and isinstance(mode, FulltextMode)
+                and self.sharded_mesh is None
+            )
             fused_ok = (
-                not params.facets
+                (not params.facets or fulltext_facets)
                 and params.group_by is None
                 and params.sort_by is None
             )
             with span("token_scores", index=idx.index_id,
                       fused=fused_ok):
                 scores = self._token_scores(
-                    coll, idx, mode, params, mask, fused_ok=fused_ok
+                    coll, idx, mode, params, mask, fused_ok=fused_ok,
+                    want_bitmap=fulltext_facets,
                 )
+            match_mask = self._tls.match_mask
             if self._tls.fused_count is not None:
                 fused_counts = fused_counts + self._tls.fused_count                     if fused_counts is not None else self._tls.fused_count
             # OMC multipliers (search.rs:342, apply_omc_multipliers :39).
@@ -571,7 +583,17 @@ class ReadSide:
             if params.facets:
                 # facet quirk (search.rs:345-396): with filters present,
                 # facets are computed over the UNFILTERED scored doc set
-                if has_filter:
+                if match_mask is not None:
+                    if has_filter:
+                        # second bitmap dispatch over the alive set
+                        self._token_scores(
+                            coll, idx, mode, params, idx.alive_mask(),
+                            fused_ok=True, want_bitmap=True,
+                        )
+                        facet_scores = self._tls.match_mask
+                    else:
+                        facet_scores = match_mask
+                elif has_filter:
                     facet_scores = self._token_scores(
                         coll, idx, mode, params, idx.alive_mask()
                     )
@@ -662,15 +684,17 @@ class ReadSide:
         params: SearchParams,
         mask: Optional[np.ndarray],
         fused_ok: bool = False,
+        want_bitmap: bool = False,
     ) -> Dict[int, float]:
         self._tls.fused_count = None
         self._tls.omc_applied = False
+        self._tls.match_mask = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
                 coll, idx, mode, params, mask, fused_ok=fused_ok,
-                omc_in_kernel=True,
+                omc_in_kernel=True, want_bitmap=want_bitmap,
             )
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
@@ -1007,13 +1031,20 @@ class ReadSide:
         mask: Optional[np.ndarray],
         fused_ok: bool = False,
         omc_in_kernel: bool = False,
+        want_bitmap: bool = False,
     ) -> Dict[int, float]:
         """When fused_ok, returns only the top candidates (enough for the
         requested page) via one fused device call and stashes the exact
         match count on self._tls.fused_count — only (k,) results cross
         the tunnel instead of dense (cap,) score vectors. With
         omc_in_kernel, OMC multipliers apply on-device before top-k (sets
-        self._tls.omc_applied so callers don't double-apply)."""
+        self._tls.omc_applied so callers don't double-apply).
+
+        want_bitmap (facet searches): the fused dispatch also returns
+        the FULL match set as packed bits, stashed on
+        self._tls.match_mask as bool[cap] — pruning and champion rows
+        are disabled for it (the pruned kernel has no dense match set;
+        champion membership could drift from the plain scorer)."""
         # empty term = match-all (reference fulltext_search.rs
         # test_fulltext_empty_term returns every doc; bugs.rs test_bug_1
         # relies on it for filter-only searches)
@@ -1035,15 +1066,18 @@ class ReadSide:
         mask_sel = (
             int(np.count_nonzero(mask)) if mask is not None else None
         )
-        use_pruned = fused_ok and self._pruned_eligible(
-            idx, mask, k, mode, params, exact_counts=want_exact_counts,
-            mesh_ok=True, mask_sel=mask_sel,
+        use_pruned = (
+            fused_ok and not want_bitmap and self._pruned_eligible(
+                idx, mask, k, mode, params,
+                exact_counts=want_exact_counts,
+                mesh_ok=True, mask_sel=mask_sel,
+            )
         )
         # champion rows apply only on the single-device fused DENSE path
         # (the pruned/sharded/hybrid executors consume ranged plans)
         planned = self._plan_fulltext(
             idx, mode, params,
-            use_champions=fused_ok and not use_pruned
+            use_champions=fused_ok and not use_pruned and not want_bitmap
             and self.sharded_mesh is None and not mode.exact,
             with_prefix=use_pruned,
         )
@@ -1080,13 +1114,17 @@ class ReadSide:
                     **mask_kw,
                 )
             else:
-                vals, ids, counts = ex.search_topk(
+                out = ex.search_topk(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,
                     doc_masks=[mask] if mask is not None else None,
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                    with_bitmap=want_bitmap,
                 )
+                vals, ids, counts = out[:3]
+                if want_bitmap:
+                    self._tls.match_mask = out[3][0]
             self._tls.fused_count = int(counts[0])
             self._tls.omc_applied = omc_arr is not None
             return {
@@ -1148,14 +1186,21 @@ class ReadSide:
         self,
         idx: ReadIndex,
         params: SearchParams,
-        scores: Dict[int, float],
+        scores,  # Dict[int, float] | bool[cap] match mask (fused bitmap)
         out: Dict[str, FacetResult],
     ):
         cap = idx.cap()
-        doc_mask = np.zeros(cap, bool)
-        if scores:
-            dd = np.fromiter(scores.keys(), np.int64, len(scores))
-            doc_mask[dd[dd < cap]] = True
+        if isinstance(scores, np.ndarray):
+            # fused-bitmap path: the device already computed the match
+            # set (ops/bm25.py with_bitmap) — no host dict round-trip
+            doc_mask = np.zeros(cap, bool)
+            n = min(len(scores), cap)
+            doc_mask[:n] = scores[:n]
+        else:
+            doc_mask = np.zeros(cap, bool)
+            if scores:
+                dd = np.fromiter(scores.keys(), np.int64, len(scores))
+                doc_mask[dd[dd < cap]] = True
         for name, facet in params.facets.items():
             if facet.kind == "number" and name in idx.filters.numbers:
                 ranges = [(r.from_, r.to) for r in facet.ranges]

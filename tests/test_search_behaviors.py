@@ -408,3 +408,92 @@ def test_empty_term_sort_with_filter_same_key_value(ctx):
     assert out.count == 2
     got = set(ids_of(out))
     assert got == {"1", "3"}
+
+
+def test_facets_ride_the_fused_bitmap_path(ctx):
+    """Fulltext facet searches stay on the fused dispatch (round-3
+    session 4): the kernel returns the match set as packed bits
+    (ops/bm25.py with_bitmap) and facet counting consumes the unpacked
+    mask — no dense score vector crosses the device boundary. With
+    filters, the unfiltered-rescore quirk runs a SECOND bitmap
+    dispatch over the alive set. Tombstoned docs never count."""
+    from oramacore_tpu.index import search_exec
+
+    bitmap_calls = []
+    orig = search_exec.StringSearchTopK.search_topk
+
+    def spy(self, *a, **kw):
+        if kw.get("with_bitmap"):
+            bitmap_calls.append(True)
+        return orig(self, *a, **kw)
+
+    search_exec.StringSearchTopK.search_topk = spy
+    try:
+        coll, _ = catalog(ctx)
+        # unfiltered facet search: ONE bitmap dispatch
+        out = coll.search({
+            "term": "shirt",
+            "limit": 10,
+            "facets": {"color": {}},
+        })
+        assert len(bitmap_calls) == 1
+        reds = out.facets["color"].values.get("red", 0)
+        assert reds == 2  # docs 1 and 2 match "shirt" and are red
+        # filtered facet search: facets count the UNFILTERED match set
+        # (reference search.rs:345-396 quirk) -> second bitmap dispatch
+        bitmap_calls.clear()
+        out = coll.search({
+            "term": "shirt",
+            "limit": 10,
+            "where": {"size": "m"},
+            "facets": {"color": {}},
+        })
+        assert len(bitmap_calls) == 2
+        assert out.facets["color"].values.get("red", 0) == 2  # unfiltered
+        assert all(h.document["size"] == "m" for h in out.hits)
+        # group_by disables the fused path (needs the dense score set);
+        # facet results must still be identical
+        bitmap_calls.clear()
+        out2 = coll.search({
+            "term": "shirt",
+            "limit": 10,
+            "facets": {"color": {}},
+            "group_by": {"properties": ["size"]},
+        })
+        assert not bitmap_calls
+        assert out2.facets["color"].values == out.facets["color"].values \
+            or out2.facets["color"].values.get("red") == 2
+    finally:
+        search_exec.StringSearchTopK.search_topk = orig
+
+
+def test_facets_bitmap_excludes_tombstones(ctx):
+    from oramacore_tpu.index import search_exec
+
+    bitmap_calls = []
+    orig = search_exec.StringSearchTopK.search_topk
+
+    def spy(self, *a, **kw):
+        if kw.get("with_bitmap"):
+            bitmap_calls.append(True)
+        return orig(self, *a, **kw)
+
+    search_exec.StringSearchTopK.search_topk = spy
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": "widget common", "c": "a" if i % 2 else "b"}
+            for i in range(20)
+        ])
+        ctx.commit_all()
+        idx.delete_documents([str(i) for i in range(0, 20, 4)])  # 5 gone
+        out = coll.search({
+            "term": "widget", "limit": 5, "facets": {"c": {}},
+        })
+        assert bitmap_calls  # fused bitmap engaged despite tombstones
+        vals = out.facets["c"].values
+        assert sum(vals.values()) == 15
+        assert out.count == 15
+    finally:
+        search_exec.StringSearchTopK.search_topk = orig
