@@ -646,8 +646,8 @@ class PrunedPlanMixin(StringSearchTopK):
         — the per-query path's combined tombstone+where mask (the dense
         path's filtered-df IDF semantics hold exactly). When the mask
         selects <= PRUNED_CANDIDATES docs the filtered set itself is the
-        candidate list and results AND counts are exact
-        (counts_exact() tells callers which searches qualify)."""
+        candidate list and results AND counts are exact (callers detect
+        that case from the mask popcount, ReadSide._fulltext_scores)."""
         from ..ops.pruned import pruned_exact_counts, pruned_fulltext_topk
 
         p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
@@ -710,14 +710,6 @@ class PrunedPlanMixin(StringSearchTopK):
             counts,
         )
 
-    def pruned_counts_exact(self, mask: Optional[np.ndarray],
-                            cap: int) -> bool:
-        """True when a filtered pruned search will take the cand-given
-        path (filter selects <= PRUNED_CANDIDATES docs): results and
-        counts are exact, not estimates."""
-        if mask is None:
-            return False
-        return int(np.count_nonzero(mask[:cap])) <= self.PRUNED_CANDIDATES
 
 
 class HybridSearchTopK(PrunedPlanMixin):
