@@ -44,12 +44,17 @@ class _ColumnBase:
         # dense doc -> value cache for sort-by (built lazily, invalidated
         # with the slab); avoids O(corpus) host scans per query
         self._dense: Optional[Tuple[int, np.ndarray, np.ndarray]] = None
+        # monotonic mutation counter: device-resident sort columns key on
+        # (uid, prop, version) so fused sort-by reuses the upload until
+        # the column actually changes (search_exec.search_topk_sorted)
+        self.version = 0
 
     def append(self, doc_id: int, value) -> None:
         self._live_docs.append(doc_id)
         self._live_vals.append(value)
         self._slab = None
         self._dense = None
+        self.version += 1
 
     def slab(self) -> Tuple[np.ndarray, np.ndarray]:
         if self._slab is None:
@@ -79,6 +84,7 @@ class _ColumnBase:
         self._live_docs, self._live_vals = [], []
         self._slab = None
         self._dense = None
+        self.version += 1
 
     def delete_doc_live(self, doc_id: int) -> None:
         if doc_id in self._live_docs:
@@ -87,6 +93,7 @@ class _ColumnBase:
             self._live_vals = [self._live_vals[i] for i in keep]
             self._slab = None
             self._dense = None
+            self.version += 1
 
     def dense_values(self, cap: int) -> Tuple[np.ndarray, np.ndarray]:
         """(values f64[cap], present bool[cap]) — first value per doc wins
@@ -300,6 +307,7 @@ class GeoField:
             col._live_docs, col._live_vals = [], []
             col._slab = None
             col._dense = None
+            col.version += 1
 
     def delete_doc_live(self, doc_id: int) -> None:
         for col in (self._docs, self._lat, self._lon):

@@ -445,6 +445,104 @@ class StringSearchTopK(StringSearchExecutor):
             return res + (masks,)
         return res
 
+    def _get_device_svals(self, vals: np.ndarray, present: np.ndarray,
+                          svals_key, capb: int):
+        """Sort column as f32[capb] on device, NaN where the doc lacks
+        the field (and in the padding). Cached by the caller's version
+        key so the column crosses the tunnel once per mutation."""
+        key = (svals_key, capb) if svals_key is not None else None
+        if key is not None:
+            cached = self._fmask_dev.get(key)
+            if cached is not _MISS:
+                return cached
+        arr = np.full((capb,), np.nan, np.float32)
+        n = min(len(vals), capb)
+        arr[:n] = vals[:n].astype(np.float32)
+        arr[:n][~present[:n]] = np.nan
+        dev = jnp.asarray(arr)
+        if key is not None:
+            dev = self._fmask_dev.put(key, dev)
+        return dev
+
+    def search_topk_sorted(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        sort_vals: np.ndarray,      # f64[cap] column values
+        sort_present: np.ndarray,   # bool[cap]
+        svals_key,                  # device-cache key (None = no cache)
+        desc: bool,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ) -> Tuple[List[List[Tuple[int, float]]], np.ndarray]:
+        """Fused sort-by search (ops/bm25.py bm25_search_sorted_packed):
+        per query, a ranked [(doc, score)] list in sort-field order —
+        with-field matches by (value, doc) then fieldless matches by
+        doc — plus exact match counts. Only 2*(B, k) pages cross the
+        device boundary instead of a dense score vector."""
+        from ..ops.bm25 import (
+            NEG_F32,
+            bm25_search_sorted_packed,
+            round_up_pow2,
+        )
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap, doc_masks)
+        idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        scalars = np.stack([pb.nd, np.zeros((pb.starts.shape[0],),
+                                            np.float32)])
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                scalars[1, i] = t or 0.0
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        has_omc = omc is not None
+        mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
+        omc_arr = (
+            self._get_device_omc(omc, omc_key, pb.capb)
+            if has_omc else jnp.ones((1,), jnp.float32)
+        )
+        svals_dev = self._get_device_svals(
+            sort_vals, sort_present, svals_key, pb.capb
+        )
+        kb = min(round_up_pow2(k, 8), pb.capb)
+        docs1, vals1, sc1, docs2, ok2, sc2, counts = (
+            bm25_search_sorted_packed(
+                p_doc, p_tf, p_etf, p_flen,
+                jnp.asarray(idesc), jnp.asarray(fdesc),
+                jnp.asarray(scalars),
+                jnp.asarray(mask_arr), omc_arr, svals_dev,
+                lr=pb.LRb, exact=exact, cap=pb.capb, k=kb,
+                has_mask=has_mask, has_omc=has_omc, desc=desc,
+            )
+        )
+        docs1 = np.asarray(docs1[: pb.B])
+        ok1 = np.asarray(vals1[: pb.B]) > NEG_F32 / 2
+        sc1 = np.asarray(sc1[: pb.B])
+        docs2 = np.asarray(docs2[: pb.B])
+        ok2 = np.asarray(ok2[: pb.B])
+        sc2 = np.asarray(sc2[: pb.B])
+        ranked: List[List[Tuple[int, float]]] = []
+        for b in range(pb.B):
+            row = [
+                (int(d), float(v))
+                for d, v in zip(docs1[b][ok1[b]], sc1[b][ok1[b]])
+            ]
+            row += [
+                (int(d), float(v))
+                for d, v in zip(docs2[b][ok2[b]], sc2[b][ok2[b]])
+            ]
+            ranked.append(row[:k])
+        return ranked, np.asarray(counts[: pb.B])
+
 
 class PrunedPlanMixin(StringSearchTopK):
     """Shared helpers for the pruned (candidate + exact rescore) path:

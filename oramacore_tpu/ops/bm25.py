@@ -312,6 +312,69 @@ def bm25_search_topk_packed(
     return vals, idx, counts
 
 
+NEG_F32 = -3.0e38  # sentinel below any real f32 sort value
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "exact", "cap", "lr", "k", "has_mask", "has_omc", "desc",
+    ),
+)
+def bm25_search_sorted_packed(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    idesc, fdesc, scalars,
+    doc_mask,            # bool[B, cap] (dummy (1,1) when has_mask=False)
+    omc,                 # float32[cap] (dummy (1,) when has_omc=False)
+    svals,               # float32[cap] sort column (NaN = doc lacks it)
+    *,
+    lr: int, exact: bool, cap: int, k: int,
+    has_mask: bool, has_omc: bool, desc: bool,
+):
+    """Fused SORT-BY search: score + threshold + sort-field top-k in one
+    dispatch. The non-fused path ships a dense (cap,) score vector to
+    the host and lexsorts the whole hit set (O(hits log hits) — seconds
+    at 10M matches); here only two (k,) pages cross the boundary.
+
+    Order semantics (shared with ReadSide._sort_by_field): matched docs
+    WITH the sort field ordered by (value asc|desc, doc id asc — XLA
+    top_k is stable, picking the lower index on ties), then matched docs
+    WITHOUT the field in doc-id order. Returns
+    (docs1, vals1, scores1, docs2, valid2, scores2, counts): the
+    with-field page (vals1 > NEG_F32/2 marks real entries), the
+    missing-field page, and exact match counts.
+    """
+    starts, lens = idesc[0], idesc[1]
+    weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
+    n_docs, thr_counts = scalars[0], scalars[1]
+    B = starts.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
+    scores, matched = bm25_score_batch(
+        p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
+        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+    )
+    s = scores * omc[None, :] if has_omc else scores
+    keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    have = ~jnp.isnan(svals)
+    present = keep & have[None, :]
+    key1 = jnp.where(
+        present, svals[None, :] if desc else -svals[None, :], NEG_F32
+    )
+    vals1, docs1 = jax.lax.top_k(key1, k)
+    sc1 = jnp.take_along_axis(s, docs1, axis=1)
+    # matched docs WITHOUT the field: doc-id ascending
+    iota = jax.lax.broadcasted_iota(jnp.float32, (1, cap), 1)
+    key2 = jnp.where(keep & ~have[None, :], -iota, NEG_F32)
+    vals2, docs2 = jax.lax.top_k(key2, k)
+    sc2 = jnp.take_along_axis(s, docs2, axis=1)
+    return (
+        docs1, vals1, sc1,
+        docs2, vals2 > NEG_F32 / 2, sc2,
+        counts,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Shared (term-deduplicated) batched scoring.
 #

@@ -556,16 +556,39 @@ class ReadSide:
                 and isinstance(mode, FulltextMode)
                 and self.sharded_mesh is None
             )
+            # fused SORT-BY (ops/bm25.py bm25_search_sorted_packed):
+            # the non-fused sort path ships a dense score vector and
+            # lexsorts the whole hit set on the host — fused, the sort
+            # column lives on device and only two (k,) pages return.
+            # Single index + fulltext + a number/date/bool column;
+            # pin rules keep the host path (promoted docs may need
+            # scores outside the returned page).
+            fused_sort = (
+                params.sort_by is not None
+                and len(indexes) == 1
+                and isinstance(mode, FulltextMode)
+                and not params.facets
+                and params.group_by is None
+                and not consequences
+                and self.sharded_mesh is None
+                and params.limit + params.offset <= 512
+                and any(
+                    params.sort_by.property in group
+                    for group in (idx.filters.numbers, idx.filters.dates,
+                                  idx.filters.bools)
+                )
+            )
             fused_ok = (
                 (not params.facets or fulltext_facets)
                 and params.group_by is None
-                and params.sort_by is None
+                and (params.sort_by is None or fused_sort)
             )
             with span("token_scores", index=idx.index_id,
                       fused=fused_ok):
                 scores = self._token_scores(
                     coll, idx, mode, params, mask, fused_ok=fused_ok,
                     want_bitmap=fulltext_facets,
+                    sort_spec=params.sort_by if fused_sort else None,
                 )
             match_mask = self._tls.match_mask
             if self._tls.fused_count is not None:
@@ -685,16 +708,19 @@ class ReadSide:
         mask: Optional[np.ndarray],
         fused_ok: bool = False,
         want_bitmap: bool = False,
+        sort_spec=None,
     ) -> Dict[int, float]:
         self._tls.fused_count = None
         self._tls.omc_applied = False
         self._tls.match_mask = None
+        self._tls.sorted_ranked = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
                 coll, idx, mode, params, mask, fused_ok=fused_ok,
                 omc_in_kernel=True, want_bitmap=want_bitmap,
+                sort_spec=sort_spec,
             )
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
@@ -1032,6 +1058,7 @@ class ReadSide:
         fused_ok: bool = False,
         omc_in_kernel: bool = False,
         want_bitmap: bool = False,
+        sort_spec=None,
     ) -> Dict[int, float]:
         """When fused_ok, returns only the top candidates (enough for the
         requested page) via one fused device call and stashes the exact
@@ -1067,7 +1094,8 @@ class ReadSide:
             int(np.count_nonzero(mask)) if mask is not None else None
         )
         use_pruned = (
-            fused_ok and not want_bitmap and self._pruned_eligible(
+            fused_ok and not want_bitmap and sort_spec is None
+            and self._pruned_eligible(
                 idx, mask, k, mode, params,
                 exact_counts=want_exact_counts,
                 mesh_ok=True, mask_sel=mask_sel,
@@ -1078,6 +1106,7 @@ class ReadSide:
         planned = self._plan_fulltext(
             idx, mode, params,
             use_champions=fused_ok and not use_pruned and not want_bitmap
+            and sort_spec is None
             and self.sharded_mesh is None and not mode.exact,
             with_prefix=use_pruned,
         )
@@ -1113,6 +1142,31 @@ class ReadSide:
                     exact_counts=want_exact_counts,
                     **mask_kw,
                 )
+            elif sort_spec is not None:
+                # fused sort-by: the sort column rides the device; the
+                # returned page is already in field order
+                prop = sort_spec.property
+                col = None
+                for group in (idx.filters.numbers, idx.filters.dates,
+                              idx.filters.bools):
+                    col = group.get(prop)
+                    if col is not None:
+                        break
+                vals_h, present_h = col.dense_values(cap)
+                ranked, counts = ex.search_topk_sorted(
+                    idx.string, [plan], [idx.document_count()], cap, k=k,
+                    sort_vals=vals_h, sort_present=present_h,
+                    svals_key=("svals", idx.uid, prop, col.version),
+                    desc=sort_spec.order == "desc",
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                )
+                self._tls.sorted_ranked = ranked[0]
+                self._tls.fused_count = int(counts[0])
+                self._tls.omc_applied = omc_arr is not None
+                return {int(d): float(v) for d, v in ranked[0]}
             else:
                 out = ex.search_topk(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
@@ -1328,7 +1382,14 @@ class ReadSide:
         if consequences:
             top_count *= 2  # pin rules can push items past the page (sort.rs:25-46)
         if params.sort_by is not None:
-            ranked = self._sort_by_field(indexes, scores, params.sort_by)
+            pre = getattr(self._tls, "sorted_ranked", None)
+            # fused sort-by already ranked the page on device (field
+            # order incl. the fieldless tail); consequences are empty by
+            # the fused_sort eligibility rule
+            ranked = (
+                pre if pre is not None
+                else self._sort_by_field(indexes, scores, params.sort_by)
+            )
             ranked = ranked[:top_count] if top_count < len(ranked) else ranked
         else:
             ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_count]
@@ -1362,10 +1423,13 @@ class ReadSide:
                 have |= hit
         present_docs = docs[have]
         present_keys = key_vals[have]
-        idx_order = np.lexsort((present_docs, present_keys))
-        if order == "desc":
-            # same semantics as sorted(key=(key, doc), reverse=True)
-            idx_order = idx_order[::-1]
+        # ties within a sort value break by doc id ASCENDING in both
+        # directions — the same order the fused device path produces
+        # (XLA top_k is stable: lower index first on equal keys)
+        idx_order = np.lexsort((
+            present_docs,
+            -present_keys if order == "desc" else present_keys,
+        ))
         ordered = present_docs[idx_order].tolist()
         missing = np.sort(docs[~have]).tolist()
         # docs without the sort field rank after sorted ones

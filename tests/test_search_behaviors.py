@@ -497,3 +497,126 @@ def test_facets_bitmap_excludes_tombstones(ctx):
         assert out.count == 15
     finally:
         search_exec.StringSearchTopK.search_topk = orig
+
+
+def test_fused_sort_by_field_parity(ctx):
+    """Sorted fulltext searches ride ONE fused dispatch (ops/bm25.py
+    bm25_search_sorted_packed): the sort column lives on device and only
+    two (k,) pages return — order must equal the host path exactly:
+    (value, doc-id asc) per direction, fieldless matches after in doc
+    order, filters/thresholds respected, scores = BM25 (omc-multiplied)."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.StringSearchTopK.search_topk_sorted
+
+    def spy(self, *a, **kw):
+        calls.append(True)
+        return orig(self, *a, **kw)
+
+    search_exec.StringSearchTopK.search_topk_sorted = spy
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        for i in range(60):
+            d = {"id": str(i), "t": "widget common stuff"}
+            if i % 5 != 0:           # every 5th doc lacks the field
+                d["price"] = float(i % 7)  # many ties
+            if i % 3 == 0:
+                d["_omc"] = 1.5
+            docs.append(d)
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        idx.delete_documents(["7", "14"])  # tombstones
+
+        def expected(order, where=None, limit=20, offset=0):
+            alive = [d for d in docs if d["id"] not in ("7", "14")]
+            if where:
+                alive = [d for d in alive if where(d)]
+            withf = [d for d in alive if "price" in d]
+            withf.sort(key=lambda d: (
+                -d["price"] if order == "desc" else d["price"],
+                int(d["id"]),
+            ))
+            without = sorted(
+                (d for d in alive if "price" not in d),
+                key=lambda d: int(d["id"]),
+            )
+            return [d["id"] for d in withf + without][offset:offset + limit]
+
+        for order in ("asc", "desc"):
+            for where, pred in (
+                (None, None),
+                ({"price": {"lt": 4}},
+                 lambda d: "price" in d and d["price"] < 4),
+            ):
+                for offset in (0, 5):
+                    q = {
+                        "term": "widget",
+                        "limit": 20,
+                        "offset": offset,
+                        "sort_by": {"property": "price", "order": order},
+                    }
+                    if where:
+                        q["where"] = where
+                    out = coll.search(q)
+                    got = [h.id.split(":", 1)[1] for h in out.hits]
+                    want = expected(order, pred, 20, offset)
+                    assert got == want, (order, where, offset, got, want)
+                    assert out.count == len(
+                        [d for d in docs
+                         if d["id"] not in ("7", "14")
+                         and (pred is None or pred(d))]
+                    )
+        # unfiltered searches took the fused sorted dispatch
+        assert calls
+        # omc multiplies the reported score, not the order
+        out = coll.search({
+            "term": "widget", "limit": 3,
+            "sort_by": {"property": "price", "order": "asc"},
+        })
+        assert all(h.score > 0 for h in out.hits)
+    finally:
+        search_exec.StringSearchTopK.search_topk_sorted = orig
+
+
+def test_fused_sort_fallbacks(ctx):
+    """Group-by, facets, pin rules and missing columns keep the host
+    sort path — results stay correct (no fused dispatch)."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.StringSearchTopK.search_topk_sorted
+
+    def spy(self, *a, **kw):
+        calls.append(True)
+        return orig(self, *a, **kw)
+
+    search_exec.StringSearchTopK.search_topk_sorted = spy
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": "widget", "price": float(i),
+             "cat": "a" if i % 2 else "b"}
+            for i in range(10)
+        ])
+        ctx.commit_all()
+        out = coll.search({
+            "term": "widget", "limit": 5,
+            "sort_by": {"property": "price", "order": "desc"},
+            "facets": {"cat": {}},
+        })
+        assert [h.id.split(":", 1)[1] for h in out.hits] == [
+            "9", "8", "7", "6", "5"
+        ]
+        assert sum(out.facets["cat"].values.values()) == 10
+        out = coll.search({
+            "term": "widget", "limit": 5,
+            "sort_by": {"property": "nosuchfield", "order": "asc"},
+        })
+        assert len(out.hits) == 5  # doc order (all lack the column)
+        assert not calls
+    finally:
+        search_exec.StringSearchTopK.search_topk_sorted = orig
