@@ -831,7 +831,8 @@ class HybridSearchTopK(PrunedPlanMixin):
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
         rescale: Optional[Tuple[float, float]] = None,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        with_bitmap: bool = False,
+    ) -> Tuple[np.ndarray, ...]:
         from ..ops.hybrid import hybrid_search_topk_packed
         from ..ops.bm25 import round_up_pow2
 
@@ -861,7 +862,7 @@ class HybridSearchTopK(PrunedPlanMixin):
         q[: len(queries)] = queries
         matrix, row_doc, row_valid = vec_rows
         kb = min(round_up_pow2(k, 8), pb.capb)
-        vals, idx, counts = hybrid_search_topk_packed(
+        out = hybrid_search_topk_packed(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             matrix, row_doc, row_valid, jnp.asarray(q),
@@ -871,12 +872,19 @@ class HybridSearchTopK(PrunedPlanMixin):
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
+            with_bitmap=with_bitmap,
         )
-        return (
+        vals, idx, counts = out[:3]
+        res = (
             np.asarray(vals[: pb.B, :k]),
             np.asarray(idx[: pb.B, :k]),
             np.asarray(counts[: pb.B]),
         )
+        if with_bitmap:
+            bits = np.asarray(out[3][: pb.B])
+            masks = np.unpackbits(bits, axis=1)[:, :cap].astype(bool)
+            return res + (masks,)
+        return res
 
 
     def search_topk_hybrid_int8(
@@ -896,6 +904,7 @@ class HybridSearchTopK(PrunedPlanMixin):
         omc_key: Optional[int] = None,
         rescale: Optional[Tuple[float, float]] = None,
         candidates: Optional[int] = None,  # V rows per query (default 4k)
+        with_bitmap: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fused hybrid over the int8/IVF vector layout (>=2M rows): the
         vector side probes top-nprobe cluster units for top-V candidate
@@ -939,7 +948,7 @@ class HybridSearchTopK(PrunedPlanMixin):
             self._get_device_champs(index, pb.capb) if pb.has_champ else None
         )
         has_champ = champs_dev is not None
-        vals, idx, counts = hybrid_search_topk_packed_int8(
+        out = hybrid_search_topk_packed_int8(
             p_doc, p_tf, p_etf, p_flen,
             jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
             mat_i8, scales, row_doc, unit_cen, unit_starts,
@@ -955,12 +964,19 @@ class HybridSearchTopK(PrunedPlanMixin):
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
             has_champ=has_champ,
+            with_bitmap=with_bitmap,
         )
-        return (
+        vals, idx, counts = out[:3]
+        res = (
             np.asarray(vals[: pb.B, :k]),
             np.asarray(idx[: pb.B, :k]),
             np.asarray(counts[: pb.B]),
         )
+        if with_bitmap:
+            bits = np.asarray(out[3][: pb.B])
+            masks = np.unpackbits(bits, axis=1)[:, :cap].astype(bool)
+            return res + (masks,)
+        return res
 
 
     def search_topk_hybrid_int8_pruned(

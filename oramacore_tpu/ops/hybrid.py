@@ -81,7 +81,7 @@ def _fuse(bm25, matched, vec, thr_counts, doc_mask, omc, *, has_omc: bool):
     jax.jit,
     static_argnames=(
         "lr", "exact", "cap", "k", "has_mask", "has_omc",
-        "has_rescale", "rescale_lo", "rescale_hi",
+        "has_rescale", "rescale_lo", "rescale_hi", "with_bitmap",
     ),
 )
 def hybrid_search_topk_packed(
@@ -99,8 +99,11 @@ def hybrid_search_topk_packed(
     lr: int, exact: bool, cap: int, k: int,
     has_mask: bool, has_omc: bool,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
+    with_bitmap: bool = False,
 ):
-    """Returns (vals f32[B, k], ids int32[B, k], counts int32[B])."""
+    """Returns (vals f32[B, k], ids int32[B, k], counts int32[B]);
+    with_bitmap appends the match set as packed bits (uint8[B, cap/8],
+    ops/bm25.py semantics) for fused facet counting."""
     starts, lens = idesc[0], idesc[1]
     weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
     n_docs, thr_counts, sim = scalars[0], scalars[1], scalars[2]
@@ -123,6 +126,8 @@ def hybrid_search_topk_packed(
     from .vector import topk_2level
 
     vals, idx = topk_2level(fused, k)
+    if with_bitmap:
+        return vals, idx, counts, jnp.packbits(present, axis=1)
     return vals, idx, counts
 
 
@@ -183,7 +188,7 @@ def _vector_dense_scores_int8(
     static_argnames=(
         "lr", "exact", "cap", "k", "V", "nprobe", "window",
         "has_mask", "has_omc", "has_rescale", "rescale_lo", "rescale_hi",
-        "has_champ",
+        "has_champ", "with_bitmap",
     ),
 )
 def hybrid_search_topk_packed_int8(
@@ -200,6 +205,7 @@ def hybrid_search_topk_packed_int8(
     has_mask: bool, has_omc: bool,
     has_rescale: bool, rescale_lo: float, rescale_hi: float,
     has_champ: bool = False,
+    with_bitmap: bool = False,
 ):
     """Fused hybrid for int8/IVF-tier vector indexes (the >=2M-row
     layout): BM25 ranged scoring + IVF candidate probe + fusion + OMC +
@@ -232,6 +238,8 @@ def hybrid_search_topk_packed_int8(
     from .vector import topk_2level
 
     vals, idx = topk_2level(fused, k)
+    if with_bitmap:
+        return vals, idx, counts, jnp.packbits(present, axis=1)
     return vals, idx, counts
 
 

@@ -553,7 +553,7 @@ class ReadSide:
             # executor keeps the dense path).
             fulltext_facets = (
                 bool(params.facets)
-                and isinstance(mode, FulltextMode)
+                and isinstance(mode, (FulltextMode, HybridMode))
                 and self.sharded_mesh is None
             )
             # fused SORT-BY (ops/bm25.py bm25_search_sorted_packed):
@@ -609,11 +609,15 @@ class ReadSide:
                 if match_mask is not None:
                     if has_filter:
                         # second bitmap dispatch over the alive set
-                        self._token_scores(
+                        unfiltered = self._token_scores(
                             coll, idx, mode, params, idx.alive_mask(),
                             fused_ok=True, want_bitmap=True,
                         )
-                        facet_scores = self._tls.match_mask
+                        facet_scores = (
+                            self._tls.match_mask
+                            if self._tls.match_mask is not None
+                            else unfiltered
+                        )
                     else:
                         facet_scores = match_mask
                 elif has_filter:
@@ -728,7 +732,10 @@ class ReadSide:
             # Fully-fused hybrid (token_score.rs:357-422 semantics): BM25 +
             # vector matmul + min-max fusion + OMC + top-k in ONE dispatch.
             if fused_ok:
-                out = self._hybrid_fused(coll, idx, mode, params, mask)
+                out = self._hybrid_fused(
+                    coll, idx, mode, params, mask,
+                    want_bitmap=want_bitmap,
+                )
                 if out is not None:
                     return out
             # fallback: separate vector + fulltext passes, host fusion
@@ -740,7 +747,11 @@ class ReadSide:
             ft = self._fulltext_scores(
                 coll, idx,
                 FulltextMode(mode.term, mode.threshold, mode.exact, mode.tolerance),
-                params, mask, fused_ok=fused_ok, omc_in_kernel=False,
+                params, mask,
+                # a facet search promised a bitmap: the fused hybrid
+                # declined, so facets fall back to the FULL score dicts
+                fused_ok=fused_ok and not want_bitmap,
+                omc_in_kernel=False,
             )
             ft_count = self._tls.fused_count
             out = _normalize_and_combine(vec, ft)
@@ -759,10 +770,13 @@ class ReadSide:
         mode: HybridMode,
         params: SearchParams,
         mask: Optional[np.ndarray],
+        want_bitmap: bool = False,
     ) -> Optional[Dict[int, float]]:
         """One-dispatch hybrid; returns None when the fused path doesn't
         apply (no vector index, IVF mode, multi-chunk query embedding, or
-        no string fields) so the caller falls back."""
+        no string fields) so the caller falls back. want_bitmap (facet
+        searches) additionally stashes the match set on
+        self._tls.match_mask (pruning + champions disabled for it)."""
         if idx.vector is None:
             return None
         cap = idx.cap()
@@ -787,9 +801,14 @@ class ReadSide:
             mask_sel is not None
             and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES
         )
-        use_pruned = self._pruned_eligible(
-            idx, mask, k, mode, params, mesh_ok=is_ivf, mask_sel=mask_sel,
-        ) and (not params.exact_count or small_filter)
+        use_pruned = (
+            not want_bitmap
+            and self._pruned_eligible(
+                idx, mask, k, mode, params, mesh_ok=is_ivf,
+                mask_sel=mask_sel,
+            )
+            and (not params.exact_count or small_filter)
+        )
         planned = self._plan_fulltext(
             idx, mode, params, with_prefix=use_pruned,
         )
@@ -854,7 +873,11 @@ class ReadSide:
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     rescale=idx.vector.config.score_rescale,
+                    with_bitmap=want_bitmap,
                 )
+                if want_bitmap and out is not None:
+                    self._tls.match_mask = out[3][0]
+                    out = out[:3]
             else:
                 # IVF-sized vector index: fused hybrid over the int8
                 # packed layout (candidate probe inside the dispatch);
@@ -890,7 +913,9 @@ class ReadSide:
                     )
                 else:
                     # champion rows bake non-exact tf — skip for exact
-                    if not mode.exact:
+                    # and for facet bitmaps (membership must match the
+                    # plain scorer exactly)
+                    if not mode.exact and not want_bitmap:
                         champ_planned = self._plan_fulltext(
                             idx, mode, params, use_champions=True
                         )
@@ -904,7 +929,11 @@ class ReadSide:
                         thresholds=[thr] if thr is not None else None,
                         omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                         rescale=idx.vector.config.score_rescale,
+                        with_bitmap=want_bitmap,
                     )
+                    if want_bitmap and out is not None:
+                        self._tls.match_mask = out[3][0]
+                        out = out[:3]
         vals, ids, counts = out
         self._tls.fused_count = int(counts[0])
         self._tls.omc_applied = omc_arr is not None

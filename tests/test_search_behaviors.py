@@ -620,3 +620,50 @@ def test_fused_sort_fallbacks(ctx):
         assert not calls
     finally:
         search_exec.StringSearchTopK.search_topk_sorted = orig
+
+
+def test_hybrid_facets_ride_the_fused_bitmap_path(ctx):
+    """Hybrid facet searches stay fused too (ops/hybrid.py with_bitmap):
+    facet counts must equal the dense path's (same query with group_by
+    added forces the dense dict flow — its facets are the oracle)."""
+    from oramacore_tpu.index import search_exec
+
+    bitmap_calls = []
+    orig = search_exec.HybridSearchTopK.search_topk_hybrid
+
+    def spy(self, *a, **kw):
+        if kw.get("with_bitmap"):
+            bitmap_calls.append(True)
+        return orig(self, *a, **kw)
+
+    search_exec.HybridSearchTopK.search_topk_hybrid = spy
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": f"gadget {'red' if i % 3 else 'blue'}",
+             "color": "red" if i % 3 else "blue"}
+            for i in range(40)
+        ])
+        ctx.commit_all()
+        q = {
+            "term": "gadget red", "mode": "hybrid", "limit": 10,
+            "similarity": 0.1, "facets": {"color": {}},
+        }
+        fused = coll.search(dict(q))
+        assert bitmap_calls, "hybrid facet search did not use the bitmap"
+        dense = coll.search({**q, "group_by": {"properties": ["color"]}})
+        assert fused.facets["color"].values == dense.facets["color"].values
+        assert fused.count == dense.count
+        # filtered: the quirk counts facets over the UNFILTERED matches
+        bitmap_calls.clear()
+        q2 = {**q, "where": {"color": "red"}}
+        fused_f = coll.search(dict(q2))
+        dense_f = coll.search(
+            {**q2, "group_by": {"properties": ["color"]}}
+        )
+        assert (fused_f.facets["color"].values
+                == dense_f.facets["color"].values)
+        assert len(bitmap_calls) == 2  # main + unfiltered quirk pass
+    finally:
+        search_exec.HybridSearchTopK.search_topk_hybrid = orig
