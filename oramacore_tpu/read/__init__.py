@@ -1753,8 +1753,14 @@ def _can_use_shared(params_list: List[SearchParams]):
             kinds.add("vector")
         else:
             return None, "mode"
-        if p.facets or p.group_by or p.sort_by:
-            return None, "facets_groups_sort"
+        if p.facets or p.group_by:
+            return None, "facets_groups"
+        if (p.sort_by is None) != (first.sort_by is None) or (
+            p.sort_by is not None
+            and (p.sort_by.property != first.sort_by.property
+                 or p.sort_by.order != first.sort_by.order)
+        ):
+            return None, "mixed_sort"
         if getattr(p.mode, "exact", False) != getattr(
             first.mode, "exact", False
         ):
@@ -1773,7 +1779,14 @@ def _can_use_shared(params_list: List[SearchParams]):
             return None, "vector_filter"
     if len(kinds) != 1:
         return None, "mixed_modes"
-    return kinds.pop(), None
+    kind = kinds.pop()
+    if first.sort_by is not None:
+        # homogeneous sorted batches ride the fused sort kernel in one
+        # dispatch (B plans; _search_batch_sorted); only fulltext sorts
+        if kind != "fulltext":
+            return None, "sorted_non_fulltext"
+        return "sorted", None
+    return kind, None
 
 
 def _search_batch(
@@ -1871,6 +1884,8 @@ def _search_batch_locked(
 ) -> Optional[List[SearchResult]]:
     if shared_kind == "vector":
         return _search_batch_vector(self, coll, indexes, params_list)
+    if shared_kind == "sorted":
+        return _search_batch_sorted(self, coll, indexes, params_list)
     # multi-index batches run the shared executor per index and merge
     # the per-query top-k by score (the single-query path's cross-index
     # merge, search.rs:283-501 semantics) — previously a silent
@@ -1899,6 +1914,88 @@ def _search_batch_locked(
         hits = self._hydrate(coll, indexes, page)
         results.append(SearchResult(
             hits=hits, count=count, count_estimated=estimated,
+        ))
+    return results
+
+
+def _search_batch_sorted(
+    self: "ReadSide",
+    coll: CollectionReader,
+    indexes,
+    params_list: List[SearchParams],
+) -> Optional[List[SearchResult]]:
+    """Homogeneous SORTED fulltext batch: B ranged plans through the
+    fused sort kernel (search_exec.search_topk_sorted) — one dispatch,
+    pages already in field order (the per-query fused-sort semantics:
+    value + doc-asc, fieldless tail, exact counts). Single index,
+    number/date/bool column, shallow pages; anything else returns None
+    for the per-query fallback."""
+    if len(indexes) != 1 or self.sharded_mesh is not None:
+        return None
+    idx = indexes[0]
+    first = params_list[0]
+    sb = first.sort_by
+    col = None
+    for group in (idx.filters.numbers, idx.filters.dates,
+                  idx.filters.bools):
+        col = group.get(sb.property)
+        if col is not None:
+            break
+    if col is None:
+        return None
+    if any(p.limit + p.offset > 512 for p in params_list):
+        return None
+    cap = idx.cap()
+    plans = []
+    thr_list: List[Optional[float]] = []
+    for p in params_list:
+        planned = self._plan_fulltext(idx, p.mode, p)
+        if planned is None:
+            return None
+        p_tokens, plan = planned
+        plans.append(plan)
+        thr_list.append(
+            float(np.floor(len(p_tokens) * p.mode.threshold))
+            if p.mode.threshold is not None else None
+        )
+    doc_masks = None
+    if any(not p.where.is_empty() for p in params_list) or idx.deleted:
+        doc_masks = []
+        for p in params_list:
+            fm = (
+                idx.filters.eval_where(p.where, cap)
+                if not p.where.is_empty() else None
+            )
+            doc_masks.append(idx.combined_mask(fm))
+    ex = getattr(self, "_shared_executor", None)
+    if ex is None:
+        from ..index.search_exec import SharedBatchExecutor
+
+        ex = self._shared_executor = SharedBatchExecutor()
+    vals_h, present_h = col.dense_values(cap)
+    max_k = max(p.limit + p.offset for p in params_list)
+    ranked, counts = ex.search_topk_sorted(
+        idx.string, plans, [idx.document_count()] * len(plans),
+        cap, k=max(max_k, 1),
+        sort_vals=vals_h, sort_present=present_h,
+        svals_key=("svals", idx.uid, sb.property, col.version),
+        desc=sb.order == "desc",
+        exact=bool(getattr(first.mode, "exact", False)),
+        doc_masks=doc_masks,
+        thresholds=(
+            thr_list if any(t is not None for t in thr_list) else None
+        ),
+        omc=idx.omc_array(), omc_key=(idx.uid, idx.omc_version),
+    )
+    results: List[SearchResult] = []
+    for qi, p in enumerate(params_list):
+        page = [
+            (d, v) for d, v in ranked[qi]
+            if d in idx.doc_user_ids
+        ][p.offset: p.offset + p.limit]
+        hits = self._hydrate(coll, indexes, page)
+        results.append(SearchResult(
+            hits=hits, count=int(counts[qi]), count_estimated=False,
         ))
     return results
 

@@ -138,7 +138,7 @@ def test_batch_fallback_metric():
         idx = coll.create_index()
         idx.insert_documents(_docs(20))
         ctx.commit_all()
-        key = (("reason", "facets_groups_sort"),)
+        key = (("reason", "facets_groups"),)
         before = BATCH_FALLBACKS._values.get(key, 0.0)
         ctx.reader.search_batch(
             coll.collection_id, coll.read_key,
@@ -332,4 +332,56 @@ def test_alive_mask_cache_identity_and_invalidation():
         assert m2 is not m1
         assert m2.sum() == m1.sum() - 1
     finally:
+        ctx.close()
+
+
+def test_batch_sorted_matches_sequential():
+    """Homogeneous sorted batches ride the fused sort kernel in ONE
+    dispatch — order, counts and scores must equal the sequential
+    per-query path (same kernel) including filters, thresholds,
+    tombstones, offsets and fieldless docs."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.StringSearchTopK.search_topk_sorted
+
+    def spy(self, *a, **kw):
+        calls.append(len(a[1]) if len(a) > 1 else None)
+        return orig(self, *a, **kw)
+
+    search_exec.StringSearchTopK.search_topk_sorted = spy
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(80)
+        for i, d in enumerate(docs):
+            if i % 4 != 0:
+                d["price"] = float(i % 9)
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        idx.delete_documents(["5", "11"])
+        batch = [
+            {"term": "orange", "limit": 10,
+             "sort_by": {"property": "price", "order": "asc"}},
+            {"term": "banana", "limit": 10, "offset": 3,
+             "sort_by": {"property": "price", "order": "asc"}},
+            {"term": "apple grape", "limit": 10,
+             "where": {"n": {"lt": 3}},
+             "sort_by": {"property": "price", "order": "asc"}},
+        ]
+        calls.clear()
+        _assert_matches_sequential(ctx, coll, batch)
+        # sequential = 3 single-plan calls; the batch = ONE 3-plan call
+        assert sorted(calls) == [1, 1, 1, 3], calls
+        # mixed sort directions fall back per-query (still correct)
+        mixed = [
+            {"term": "orange", "limit": 5,
+             "sort_by": {"property": "price", "order": "asc"}},
+            {"term": "orange", "limit": 5,
+             "sort_by": {"property": "price", "order": "desc"}},
+        ]
+        _assert_matches_sequential(ctx, coll, mixed)
+    finally:
+        search_exec.StringSearchTopK.search_topk_sorted = orig
         ctx.close()
