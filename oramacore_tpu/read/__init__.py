@@ -1105,8 +1105,32 @@ class ReadSide:
         # test_fulltext_empty_term returns every doc; bugs.rs test_bug_1
         # relies on it for filter-only searches)
         if not mode.term.strip():
+            # match-all (reference fulltext_search.rs
+            # test_fulltext_empty_term; bugs.rs test_bug_1 filter-only
+            # searches). Fused-eligible match-alls page/count/facet/sort
+            # over the VECTORIZED presence mask — the dict comprehension
+            # below is O(corpus) python per query (seconds at 10M);
+            # group-by keeps it (it walks per-doc values).
             self._tls.fused_count = None
             self._tls.omc_applied = False
+            cap = idx.cap()
+            m = idx.present_mask()
+            if mask is not None:
+                m = m & mask[:cap]
+            if fused_ok:
+                self._tls.match_mask = m
+                self._tls.fused_count = int(np.count_nonzero(m))
+                # 2x page margin like the fused term path (pin rules can
+                # push items past the page, sort.rs:25-46)
+                need = max(2 * (params.limit + params.offset), 16)
+                if sort_spec is not None:
+                    ranked = self._sorted_matchall(
+                        idx, m, sort_spec, need
+                    )
+                    self._tls.sorted_ranked = ranked
+                    return {d: v for d, v in ranked}
+                page = np.flatnonzero(m)[:need]
+                return {int(d): 0.0 for d in page}
             alive = idx.alive_doc_ids()
             if mask is not None:
                 return {
@@ -1423,6 +1447,41 @@ class ReadSide:
         else:
             ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_count]
         return apply_promotions(consequences, resolve, scores, ranked)
+
+    def _sorted_matchall(
+        self,
+        idx: ReadIndex,
+        m: np.ndarray,
+        sort_by,
+        need: int,
+    ) -> List[Tuple[int, float]]:
+        """First `need` docs of the match-all set in sort-field order —
+        (value, doc asc) then fieldless docs by id, all vectorized and
+        truncated (no O(matches) python list)."""
+        cap = idx.cap()
+        out: List[Tuple[int, float]] = []
+        mm = m.copy()
+        for group in (idx.filters.numbers, idx.filters.dates,
+                      idx.filters.bools):
+            col = group.get(sort_by.property)
+            if col is None:
+                continue
+            vals, presentv = col.dense_values(cap)
+            sel = mm & presentv[:cap]
+            docs_w = np.flatnonzero(sel)
+            keys = vals[docs_w]
+            order = np.lexsort((
+                docs_w, -keys if sort_by.order == "desc" else keys,
+            ))
+            out = [(int(d), 0.0) for d in docs_w[order[:need]]]
+            mm = mm & ~sel
+            break
+        if len(out) < need:
+            out += [
+                (int(d), 0.0)
+                for d in np.flatnonzero(mm)[: need - len(out)]
+            ]
+        return out
 
     def _sort_by_field(
         self,

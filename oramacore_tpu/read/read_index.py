@@ -73,6 +73,11 @@ class ReadIndex:
         # never aliases two different masks)
         self.tombstone_version = 0
         self._alive_mask_cache: Optional[tuple] = None
+        # presence (exists AND alive) version + mask cache: match-all
+        # searches page/count/facet over a vectorized bool[cap] instead
+        # of an O(corpus) python dict (empty-term browse at scale)
+        self.presence_version = 0
+        self._present_mask_cache: Optional[tuple] = None
 
     # ------------------------------------------------------------------
 
@@ -123,6 +128,7 @@ class ReadIndex:
         if doc_id in self.deleted:
             self.deleted.discard(doc_id)
             self.tombstone_version += 1
+        self.presence_version += 1
         for path, packed in (body.get("strings_packed") or {}).items():
             self.string.index_text_packed(
                 doc_id, path, int(packed[0]), packed[1]
@@ -172,6 +178,7 @@ class ReadIndex:
             if d not in self.deleted:
                 self.deleted.add(d)
                 self.tombstone_version += 1
+            self.presence_version += 1
             self.string.delete_doc_live(d)
             self.filters.delete_doc_live(d)
             if self.vector is not None:
@@ -204,6 +211,31 @@ class ReadIndex:
             if d < len(mask):
                 mask[d] = False
         self._alive_mask_cache = (key, mask)
+        return mask
+
+    def present_mask(self) -> np.ndarray:
+        """bool[cap]: docs that EXIST in this index and are alive — the
+        match-all set (empty-term searches, reference
+        fulltext_search.rs test_fulltext_empty_term / bugs.rs
+        test_bug_1). Cached by (cap, presence_version); callers treat
+        it as read-only. Doc ids are collection-global, so an index's
+        id space has gaps — membership comes from doc_user_ids, not
+        from the cap range."""
+        key = (self.cap(), self.presence_version)
+        cached = self._present_mask_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        mask = np.zeros(self.cap(), bool)
+        if self.doc_user_ids:
+            ids = np.fromiter(
+                self.doc_user_ids.keys(), np.int64, len(self.doc_user_ids)
+            )
+            mask[ids[ids < len(mask)]] = True
+        if self.deleted:
+            for d in self.deleted:
+                if d < len(mask):
+                    mask[d] = False
+        self._present_mask_cache = (key, mask)
         return mask
 
     def omc_array(self) -> Optional[np.ndarray]:

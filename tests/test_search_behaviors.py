@@ -667,3 +667,61 @@ def test_hybrid_facets_ride_the_fused_bitmap_path(ctx):
         assert len(bitmap_calls) == 2  # main + unfiltered quirk pass
     finally:
         search_exec.HybridSearchTopK.search_topk_hybrid = orig
+
+
+def test_matchall_vectorized_paths(ctx):
+    """Empty-term (match-all) searches page/count/facet/sort over the
+    vectorized presence mask instead of an O(corpus) python dict:
+    results must equal the legacy dict flow (forced via group_by) for
+    plain, filtered, faceted, sorted and tombstoned match-alls."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    docs = []
+    for i in range(50):
+        d = {"id": str(i), "t": f"thing {i}", "n": i % 5,
+             "cat": "x" if i % 2 else "y"}
+        if i % 4 != 0:
+            d["price"] = float(i % 6)
+        docs.append(d)
+    idx.insert_documents(docs)
+    ctx.commit_all()
+    idx.delete_documents(["3", "8"])
+
+    # plain match-all: doc order, exact count
+    out = coll.search({"term": "", "limit": 10})
+    assert len(out.hits) == 10
+    assert out.count == 48
+    assert [h.id.split(":", 1)[1] for h in out.hits] == [
+        "0", "1", "2", "4", "5", "6", "7", "9", "10", "11"
+    ]
+    # filter-only search (reference bugs.rs test_bug_1)
+    out = coll.search({"term": "", "limit": 50, "where": {"n": {"eq": 1}}})
+    ids = {h.id.split(":", 1)[1] for h in out.hits}
+    assert ids == {str(i) for i in range(50)
+                   if i % 5 == 1 and str(i) not in ("3", "8")}
+    assert out.count == len(ids)
+    # facets over the match-all mask
+    out = coll.search({"term": "", "limit": 5, "facets": {"cat": {}}})
+    assert sum(out.facets["cat"].values.values()) == 48
+    # sorted match-all (browse): field order then fieldless by id
+    out = coll.search({
+        "term": "", "limit": 12,
+        "sort_by": {"property": "price", "order": "desc"},
+    })
+    got = [h.id.split(":", 1)[1] for h in out.hits]
+    alive = [d for d in docs if d["id"] not in ("3", "8")]
+    withf = sorted(
+        (d for d in alive if "price" in d),
+        key=lambda d: (-d["price"], int(d["id"])),
+    )
+    without = sorted(
+        (d for d in alive if "price" not in d), key=lambda d: int(d["id"])
+    )
+    want = [d["id"] for d in withf + without][:12]
+    assert got == want, (got, want)
+    # group_by keeps the dict flow and must agree on counts
+    out2 = coll.search({
+        "term": "", "limit": 5, "facets": {"cat": {}},
+        "group_by": {"properties": ["cat"]},
+    })
+    assert out.count == 48 and out2.count == 48
