@@ -1221,13 +1221,16 @@ class ReadSide:
                 self._tls.omc_applied = omc_arr is not None
                 return {int(d): float(v) for d, v in ranked[0]}
             else:
+                # only the single-device executor takes with_bitmap
+                # (want_bitmap is gated on sharded_mesh is None)
+                bitmap_kw = {"with_bitmap": True} if want_bitmap else {}
                 out = ex.search_topk(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     exact=mode.exact,
                     doc_masks=[mask] if mask is not None else None,
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
-                    with_bitmap=want_bitmap,
+                    **bitmap_kw,
                 )
                 vals, ids, counts = out[:3]
                 if want_bitmap:
