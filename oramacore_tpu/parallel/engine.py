@@ -188,8 +188,9 @@ class ShardedStringExec:
     # Compiled sharded step (cached per static-shape bucket)
     # ------------------------------------------------------------------
 
-    def _get_step(self, *, lr, cap_l, k, exact, has_mask, has_omc):
-        key = (lr, cap_l, k, exact, has_mask, has_omc)
+    def _get_step(self, *, lr, cap_l, k, exact, has_mask, has_omc,
+                  with_bitmap=False):
+        key = (lr, cap_l, k, exact, has_mask, has_omc, with_bitmap)
         step = self._steps.get(key)
         if step is not None:
             return step
@@ -219,8 +220,16 @@ class ShardedStringExec:
             flat_ids = all_ids.reshape(B, D * k)
             vals, sel = jax.lax.top_k(flat_vals, k)
             ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+            if with_bitmap:
+                # per-shard packed match bits, stacked on the lead axis;
+                # the host reinterleaves doc d = slot * D + shard
+                bits = jnp.packbits(keep, axis=1)[None]  # (1, B, cap_l/8)
+                return vals, ids, counts, bits
             return vals, ids, counts
 
+        out_specs = (P(None, None), P(None, None), P(None))
+        if with_bitmap:
+            out_specs = out_specs + (P("d", None, None),)
         fn = shard_map(
             shard_fn,
             mesh=mesh,
@@ -232,12 +241,217 @@ class ShardedStringExec:
                 P("d", None, None) if has_mask else P(None, None),
                 P("d", None) if has_omc else P(None),
             ),
-            out_specs=(P(None, None), P(None, None), P(None)),
+            out_specs=out_specs,
             check_vma=False,
         )
         step = jax.jit(fn)
         self._steps[key] = step
         return step
+
+    def _get_sorted_step(self, *, lr, cap_l, k, exact, has_mask,
+                         has_omc, desc):
+        key = ("sorted", lr, cap_l, k, exact, has_mask, has_omc, desc)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.bm25 import NEG_F32
+
+        mesh, D = self.mesh, self.D
+
+        def shard_fn(p_doc, p_tf, p_etf, p_flen, starts, lens,
+                     weights, field_b, avg, n_docs, thr, mask, omc,
+                     svals):
+            B = weights.shape[0]
+            m = mask[0] if has_mask else jnp.ones((B, cap_l), bool)
+            scores, matched = bm25_score_batch(
+                p_doc[0], p_tf[0], p_etf[0], p_flen[0],
+                starts[0], lens[0], weights, field_b, avg, n_docs, m,
+                lr=lr, exact=exact, cap=cap_l, axis_name="d",
+            )
+            s = scores * omc[0][None, :] if has_omc else scores
+            keep = (matched >= thr[:, None]) & (scores > 0.0)
+            counts = jax.lax.psum(
+                jnp.sum(keep, axis=1).astype(jnp.int32), "d"
+            )
+            sv = svals[0]
+            have = ~jnp.isnan(sv)
+            present = keep & have[None, :]
+            key1 = jnp.where(
+                present, sv[None, :] if desc else -sv[None, :], NEG_F32
+            )
+            v1, i1 = jax.lax.top_k(key1, k)
+            sc1 = jnp.take_along_axis(s, i1, axis=1)
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            g1 = i1 * D + sid
+            # fieldless matched tail, ordered by GLOBAL doc id
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap_l), 1)
+            gdoc = (iota * D + sid).astype(jnp.float32)
+            key2 = jnp.where(keep & ~have[None, :], -gdoc, NEG_F32)
+            v2, i2 = jax.lax.top_k(key2, k)
+            sc2 = jnp.take_along_axis(s, i2, axis=1)
+            g2 = i2 * D + sid
+            gather = lambda a: jax.lax.all_gather(  # noqa: E731
+                a, "d", axis=1
+            ).reshape(B, D * k)
+            return (gather(v1), gather(g1), gather(sc1),
+                    gather(v2), gather(g2), gather(sc2), counts)
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("d", None), P("d", None), P("d", None), P("d", None),
+                P("d", None, None, None), P("d", None, None, None),
+                P(None, None, None), P(None, None, None),
+                P(None, None, None), P(None), P(None),
+                P("d", None, None) if has_mask else P(None, None),
+                P("d", None) if has_omc else P(None),
+                P("d", None),
+            ),
+            out_specs=(
+                P(None, None), P(None, None), P(None, None),
+                P(None, None), P(None, None), P(None, None), P(None),
+            ),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    def search_topk_sorted(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        sort_vals: np.ndarray,
+        sort_present: np.ndarray,
+        svals_key,
+        desc: bool,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ):
+        """Fused sort-by over the mesh — the single-device
+        search_topk_sorted contract (ranked [(doc, score)] rows in
+        (value, doc-asc) order with the fieldless tail, exact counts):
+        each shard takes its stable top-k per ordering, the host merges
+        the D sorted pages by (value, global doc id)."""
+        from ..index.search_exec import _MISS
+        from ..ops.bm25 import NEG_F32
+
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
+        D = self.D
+        B = len(plans)
+        T = max(p.starts.shape[0] for p in plans)
+        NR = max(p.starts.shape[1] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NRb = round_up_pow2(NR, 1)
+        g_starts = np.zeros((B, Tb, NRb), np.int32)
+        g_lens = np.zeros((B, Tb, NRb), np.int32)
+        weights = np.zeros((B, Tb, NRb), np.float32)
+        field_b = np.full((B, Tb, NRb), 0.75, np.float32)
+        avg = np.ones((B, Tb, NRb), np.float32)
+        nd = np.ones((B,), np.float32)
+        thr = np.zeros((B,), np.float32)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            g_starts[i, :t, :r] = p.starts
+            g_lens[i, :t, :r] = p.lens
+            weights[i, :t, :r] = p.weights
+            field_b[i, :t, :r] = p.field_b
+            avg[i, :t, :r] = p.avg_flen
+            nd[i] = max(float(n_docs[i]), 1.0)
+            if thresholds is not None and thresholds[i]:
+                thr[i] = thresholds[i]
+        s_starts, s_lens = self._shard_ranges_on(
+            boundaries, bprefix, D, g_starts, g_lens
+        )
+        lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
+        cap_l = round_up_pow2((cap + D - 1) // D, 128)
+        kb = min(round_up_pow2(k, 8), cap_l)
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        if has_mask:
+            gm = np.ones((B, cap), bool)
+            for i, m in enumerate(doc_masks):
+                if m is not None:
+                    gm[i, : len(m)] = m
+                    gm[i, len(m):] = False
+            mask_arr = self._partition_docs_axis(gm, cap_l, False)
+        else:
+            mask_arr = np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            go = np.ones((cap,), np.float32)
+            go[: min(len(omc), cap)] = omc[:cap]
+            omc_arr = self._partition_docs_axis(go, cap_l, np.float32(1.0))
+        else:
+            omc_arr = np.zeros((1,), np.float32)
+        # sharded sort column (NaN = missing/padding), device-cached
+        ckey = (svals_key, cap_l) if svals_key is not None else None
+        sv_dev = _MISS
+        if ckey is not None:
+            sv_dev = self._fmask_dev.get(ckey)
+        if sv_dev is _MISS:
+            sv = np.full((cap,), np.nan, np.float32)
+            n = min(len(sort_vals), cap)
+            sv[:n] = sort_vals[:n].astype(np.float32)
+            sv[:n][~sort_present[:n]] = np.nan
+            part = self._partition_docs_axis(sv, cap_l, np.float32(np.nan))
+            sv_dev = jax.device_put(
+                part, NamedSharding(self.mesh, P("d", None))
+            )
+            if ckey is not None:
+                sv_dev = self._fmask_dev.put(ckey, sv_dev)
+
+        step = self._get_sorted_step(
+            lr=int(lr), cap_l=int(cap_l), k=int(kb), exact=exact,
+            has_mask=has_mask, has_omc=has_omc, desc=desc,
+        )
+        p_doc, p_tf, p_etf, p_flen = dev_slab
+        sh = NamedSharding(self.mesh, P("d", None, None, None))
+        v1, g1, sc1, v2, g2, sc2, counts = step(
+            p_doc, p_tf, p_etf, p_flen,
+            jax.device_put(s_starts, sh), jax.device_put(s_lens, sh),
+            jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
+            jnp.asarray(nd), jnp.asarray(thr),
+            jax.device_put(
+                mask_arr, NamedSharding(self.mesh, P("d", None, None))
+            ) if has_mask else jnp.asarray(mask_arr),
+            jax.device_put(
+                omc_arr, NamedSharding(self.mesh, P("d", None))
+            ) if has_omc else jnp.asarray(omc_arr),
+            sv_dev,
+        )
+        v1 = np.asarray(v1); g1 = np.asarray(g1); sc1 = np.asarray(sc1)
+        v2 = np.asarray(v2); g2 = np.asarray(g2); sc2 = np.asarray(sc2)
+        ranked = []
+        for b in range(B):
+            ok1 = v1[b] > NEG_F32 / 2
+            # both directions merge by (-key, doc) ascending: key encodes
+            # the direction on device, so -key restores value order
+            o = np.lexsort((g1[b][ok1], -v1[b][ok1]))
+            row = [
+                (int(d), float(v))
+                for d, v in zip(g1[b][ok1][o][:k], sc1[b][ok1][o][:k])
+            ]
+            if len(row) < k:
+                ok2 = v2[b] > NEG_F32 / 2
+                o2 = np.argsort(g2[b][ok2], kind="stable")
+                row += [
+                    (int(d), float(v))
+                    for d, v in zip(
+                        g2[b][ok2][o2][: k - len(row)],
+                        sc2[b][ok2][o2][: k - len(row)],
+                    )
+                ]
+            ranked.append(row)
+        return ranked, np.asarray(counts[:B])
 
     # ------------------------------------------------------------------
     # Host-side partitioning of per-doc arrays (masks / OMC)
@@ -405,7 +619,8 @@ class ShardedStringExec:
         thresholds: Optional[Sequence[float]] = None,
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
-    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        with_bitmap: bool = False,
+    ) -> Tuple[np.ndarray, ...]:
         dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         B = len(plans)
@@ -461,11 +676,11 @@ class ShardedStringExec:
 
         step = self._get_step(
             lr=int(lr), cap_l=int(cap_l), k=int(kb), exact=exact,
-            has_mask=has_mask, has_omc=has_omc,
+            has_mask=has_mask, has_omc=has_omc, with_bitmap=with_bitmap,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         sh = NamedSharding(self.mesh, P("d", None, None, None))
-        vals, ids, counts = step(
+        out = step(
             p_doc, p_tf, p_etf, p_flen,
             jax.device_put(s_starts, sh), jax.device_put(s_lens, sh),
             jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
@@ -477,10 +692,23 @@ class ShardedStringExec:
                 omc_arr, NamedSharding(self.mesh, P("d", None))
             ) if has_omc else jnp.asarray(omc_arr),
         )
+        vals, ids, counts = out[:3]
+        bitmaps = None
+        if with_bitmap:
+            # (D, B, cap_l/8) per-shard bits -> bool[B, cap] with global
+            # doc d at shard d % D, slot d // D
+            bits = np.asarray(out[3])
+            shard_bools = np.unpackbits(bits, axis=2)[:, :, :cap_l]
+            inter = np.ascontiguousarray(
+                shard_bools.transpose(1, 2, 0)
+            ).reshape(B, cap_l * D)
+            bitmaps = inter[:, :cap].astype(bool)
         vals = np.asarray(vals[:, :k])
         ids = np.asarray(ids[:, :k])
         # padding slots score -inf; global ids beyond cap can only appear
         # with -inf values, which callers drop (v > 0)
+        if with_bitmap:
+            return vals, ids, np.asarray(counts[:B]), bitmaps
         return vals, ids, np.asarray(counts[:B])
 
     # ------------------------------------------------------------------

@@ -553,8 +553,11 @@ class ReadSide:
             # executor keeps the dense path).
             fulltext_facets = (
                 bool(params.facets)
-                and isinstance(mode, (FulltextMode, HybridMode))
-                and self.sharded_mesh is None
+                and (
+                    isinstance(mode, FulltextMode)
+                    or (isinstance(mode, HybridMode)
+                        and self.sharded_mesh is None)
+                )
             )
             # fused SORT-BY (ops/bm25.py bm25_search_sorted_packed):
             # the non-fused sort path ships a dense score vector and
@@ -570,7 +573,6 @@ class ReadSide:
                 and not params.facets
                 and params.group_by is None
                 and not consequences
-                and self.sharded_mesh is None
                 and params.limit + params.offset <= 512
                 and any(
                     params.sort_by.property in group
@@ -1992,7 +1994,7 @@ def _search_batch_sorted(
     value + doc-asc, fieldless tail, exact counts). Single index,
     number/date/bool column, shallow pages; anything else returns None
     for the per-query fallback."""
-    if len(indexes) != 1 or self.sharded_mesh is not None:
+    if len(indexes) != 1:
         return None
     idx = indexes[0]
     first = params_list[0]
@@ -2029,11 +2031,14 @@ def _search_batch_sorted(
                 if not p.where.is_empty() else None
             )
             doc_masks.append(idx.combined_mask(fm))
-    ex = getattr(self, "_shared_executor", None)
-    if ex is None:
-        from ..index.search_exec import SharedBatchExecutor
+    if self.sharded_mesh is not None:
+        ex = self._fused_executor(coll, idx)
+    else:
+        ex = getattr(self, "_shared_executor", None)
+        if ex is None:
+            from ..index.search_exec import SharedBatchExecutor
 
-        ex = self._shared_executor = SharedBatchExecutor()
+            ex = self._shared_executor = SharedBatchExecutor()
     vals_h, present_h = col.dense_values(cap)
     max_k = max(p.limit + p.offset for p in params_list)
     ranked, counts = ex.search_topk_sorted(

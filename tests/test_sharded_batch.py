@@ -217,3 +217,33 @@ def test_sharded_batch_hybrid_int8_parity(monkeypatch):
         finally:
             single.stop()
             sharded.stop()
+
+
+def test_sharded_batch_sorted_parity():
+    """Homogeneous sorted batches ride the MESH fused sort (one
+    dispatch, per-shard stable top-k + host merge) and match the
+    single-device stack."""
+    batch = [
+        {"term": "orange banana", "limit": 8,
+         "sort_by": {"property": "n", "order": "asc"}},
+        {"term": "apple", "limit": 8, "offset": 2,
+         "sort_by": {"property": "n", "order": "asc"}},
+        {"term": "cherry grape", "limit": 8,
+         "where": {"n": {"lt": 5}},
+         "sort_by": {"property": "n", "order": "asc"}},
+    ]
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, cs = _build(t1, 0)
+        sharded, cm = _build(t2, 8)
+        try:
+            a = single.read_side.search_batch(
+                "c", cs.read_api_key, _params(batch)
+            )
+            b = sharded.read_side.search_batch(
+                "c", cm.read_api_key, _params(batch)
+            )
+            _assert_batches_equal(a, b, batch)
+        finally:
+            single.stop()
+            sharded.stop()

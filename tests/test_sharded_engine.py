@@ -47,6 +47,24 @@ QUERIES = [
      "limit": 6},
     {"mode": "hybrid", "term": "melon", "similarity": 0.1,
      "where": {"n": {"lte": 3}}},
+    # fused facets on the mesh (packed per-shard bitmaps)
+    {"term": "orange",
+     "facets": {"flag": {"true": True, "false": True}}},
+    {"term": "apple banana", "where": {"n": {"lt": 5}},
+     "facets": {"n": {"ranges": [{"from": 0, "to": 3},
+                                 {"from": 3, "to": 7}]}}},
+    # fused sort-by on the mesh (per-shard stable top-k + host merge)
+    {"term": "orange banana", "limit": 12,
+     "sort_by": {"property": "n", "order": "asc"}},
+    {"term": "apple", "limit": 12, "where": {"flag": True},
+     "sort_by": {"property": "n", "order": "desc"}},
+    # vectorized match-all (presence mask) incl. sorted browse
+    {"term": "", "limit": 15},
+    {"term": "", "limit": 15, "where": {"n": {"gt": 2}}},
+    {"term": "", "limit": 15,
+     "facets": {"flag": {"true": True, "false": True}}},
+    {"term": "", "limit": 15,
+     "sort_by": {"property": "n", "order": "desc"}},
 ]
 
 
@@ -85,6 +103,8 @@ def test_sharded_engine_matches_single_device():
                 assert [h.id for h in a.hits] == [h.id for h in b.hits], q
                 for ha, hb in zip(a.hits, b.hits):
                     assert hb.score == pytest.approx(ha.score, rel=1e-4), q
+                for f in (q.get("facets") or {}):
+                    assert a.facets[f].values == b.facets[f].values, q
             # committed state too (searches span committed + live layers)
             single.read_side.commit(force=True)
             sharded.read_side.commit(force=True)
