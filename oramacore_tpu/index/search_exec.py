@@ -331,13 +331,19 @@ class StringSearchTopK(StringSearchExecutor):
         self._champ_dev = DeviceLru(
             self.MAX_CACHED_SLABS, group=lambda k: k[0]
         )
-        # device-resident filter masks, keyed by the caller (tombstone
-        # alive-masks are stable between deletes — the common filtered
-        # case at scale — so they shouldn't cross the tunnel per query;
-        # ad-hoc where-filters pass mask_key=None and upload each time,
-        # like the dense path's doc_masks)
+        # device-resident filter masks AND sort columns, keyed by the
+        # caller (tombstone alive-masks are stable between deletes, sort
+        # columns between column mutations — neither should cross the
+        # tunnel per query; ad-hoc where-filters pass mask_key=None and
+        # upload each time, like the dense path's doc_masks). Keys are
+        # (caller_key_tuple, capb); the GROUP strips the trailing
+        # version component so a put purges the stale version instead of
+        # letting 40MB-at-10M arrays linger until LRU eviction.
         self._fmask_dev = DeviceLru(
-            2 * self.MAX_CACHED_SLABS, group=lambda k: k[0]
+            2 * self.MAX_CACHED_SLABS,
+            group=lambda k: (
+                k[0][:-1] if isinstance(k[0], tuple) else k[0]
+            ),
         )
 
     def _get_device_champs(self, index: StringIndex, capb: int):

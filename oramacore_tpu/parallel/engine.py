@@ -77,10 +77,17 @@ class ShardedStringExec:
         self._steps: Dict[Tuple, object] = {}
         self._lock = threading.Lock()
         self._omc_dev: Optional[Tuple[int, int, object]] = None
-        # device-resident doc-sharded filter masks keyed by the caller
-        # (tombstone alive-masks are stable between deletes); ad-hoc
-        # where-masks pass mask_key=None and re-partition per query
-        self._fmask_dev = DeviceLru(8, group=lambda k: k[0])
+        # device-resident doc-sharded filter masks + sort columns keyed
+        # by the caller (tombstone alive-masks are stable between
+        # deletes, sort columns between mutations); ad-hoc where-masks
+        # pass mask_key=None and re-partition per query. Group strips
+        # the trailing version so stale versions purge on put.
+        self._fmask_dev = DeviceLru(
+            8,
+            group=lambda k: (
+                k[0][:-1] if isinstance(k[0], tuple) else k[0]
+            ),
+        )
 
     # ------------------------------------------------------------------
     # Sharded slab build (at commit / generation change)
