@@ -1207,11 +1207,16 @@ class ReadSide:
                     col = group.get(prop)
                     if col is not None:
                         break
+                # version BEFORE the snapshot: a concurrent column
+                # mutation then caches under an already-stale key
+                # (harmless) instead of stale values under the current
+                # key
+                col_ver = col.version
                 vals_h, present_h = col.dense_values(cap)
                 ranked, counts = ex.search_topk_sorted(
                     idx.string, [plan], [idx.document_count()], cap, k=k,
                     sort_vals=vals_h, sort_present=present_h,
-                    svals_key=("svals", idx.uid, prop, col.version),
+                    svals_key=("svals", idx.uid, prop, col_ver),
                     desc=sort_spec.order == "desc",
                     exact=mode.exact,
                     doc_masks=[mask] if mask is not None else None,
@@ -2039,13 +2044,14 @@ def _search_batch_sorted(
             from ..index.search_exec import SharedBatchExecutor
 
             ex = self._shared_executor = SharedBatchExecutor()
+    col_ver = col.version  # read BEFORE the snapshot (stale-key safety)
     vals_h, present_h = col.dense_values(cap)
     max_k = max(p.limit + p.offset for p in params_list)
     ranked, counts = ex.search_topk_sorted(
         idx.string, plans, [idx.document_count()] * len(plans),
         cap, k=max(max_k, 1),
         sort_vals=vals_h, sort_present=present_h,
-        svals_key=("svals", idx.uid, sb.property, col.version),
+        svals_key=("svals", idx.uid, sb.property, col_ver),
         desc=sb.order == "desc",
         exact=bool(getattr(first.mode, "exact", False)),
         doc_masks=doc_masks,
