@@ -613,7 +613,11 @@ class PrunedPlanMixin(StringSearchTopK):
                 lp = max(lp, int(pl.max()))
             t_n, r_n = p.starts.shape
             for t in range(t_n):
-                # earlier-field spans by ordinal, cumulative
+                # earlier spans of the SAME TOKEN (any field or
+                # tolerance-variant term) except the range's own
+                # (field, term) — doc-disjoint by construction — so the
+                # device df subtraction dedups across fields AND fuzzy
+                # variants (exact union df)
                 spans_t = (p.spans[t] if p.spans is not None
                            and t < len(p.spans) else [])
                 for r in range(r_n):
@@ -625,13 +629,19 @@ class PrunedPlanMixin(StringSearchTopK):
                     w0 = float(p.weights[t, r])
                     b0 = float(p.field_b[t, r])
                     a0 = float(p.avg_flen[t, r])
-                    ford = (
-                        int(p.range_field[t, r])
-                        if p.range_field is not None else 0
+                    so = (
+                        int(p.range_span[t, r])
+                        if p.range_span is not None else -1
                     )
-                    earlier = [
-                        (rs, rl) for (fo, rs, rl) in spans_t if fo < ford
-                    ]
+                    if so >= 0:
+                        me = spans_t[so][:2]
+                        earlier = [
+                            (rs, rl)
+                            for (fo, to, rs, rl) in spans_t[:so]
+                            if (fo, to) != me
+                        ]
+                    else:
+                        earlier = []
                     for (_rs, rl) in earlier:
                         max_span = max(max_span, rl)
                     off = 0
@@ -665,7 +675,12 @@ class PrunedPlanMixin(StringSearchTopK):
             bs_steps = 4
             while (1 << bs_steps) < max_span + 1:
                 bs_steps += 4  # bucket compiles: steps in {4,8,...}
-        d = np.maximum(dfs, 1.0)
+        # clamp to the corpus size: tolerance sums VARIANT ranges, so the
+        # raw host df can exceed nd (duplicate docs across variants) and
+        # a negative nomination idf would filter out every candidate —
+        # nomination-only; the rescore recomputes the deduped df on
+        # device
+        d = np.minimum(np.maximum(dfs, 1.0), nd[:, None])
         idf = np.where(
             dfs > 0,
             np.log1p((nd[:, None] - d + 0.5) / (d + 0.5)),

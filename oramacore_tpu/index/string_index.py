@@ -186,13 +186,18 @@ class QueryPlan:
     pre_weights: Optional[np.ndarray] = None
     pre_field_b: Optional[np.ndarray] = None
     pre_avg: Optional[np.ndarray] = None
-    # multi-field df support for the pruned rescore: per main range, the
-    # FIELD ordinal it belongs to (T, NR; -1 pad), plus per token the
-    # UNSPLIT doc-sorted spans [(ordinal, start, len), ...] — the device
-    # df counts postings minus docs already seen in an earlier field's
-    # span (exact union df, reference token_score.rs corpus_docs set)
+    # multi-field/multi-variant df support for the pruned rescore: per
+    # main range, the FIELD ordinal it belongs to (T, NR; -1 pad) and
+    # its SPAN ordinal (T, NR; -1 pad — splits share their source
+    # span), plus per token the UNSPLIT doc-sorted spans
+    # [(field_ord, term_ord, start, len), ...]. The device df counts
+    # postings minus docs already seen in any EARLIER span of the same
+    # token that isn't the same (field, term) — exact union df across
+    # fields AND across tolerance variant terms (reference
+    # token_score.rs corpus_docs set)
     range_field: Optional[np.ndarray] = None
-    spans: Optional[List[List[Tuple[int, int, int]]]] = None
+    range_span: Optional[np.ndarray] = None
+    spans: Optional[List[List[Tuple[int, int, int, int]]]] = None
 
 
 _INDEX_UIDS = __import__("itertools").count(1)
@@ -1229,6 +1234,7 @@ class StringIndex:
 
         per_token: List[List[Tuple[int, int, float, float, float]]] = []
         per_token_ford: List[List[int]] = []
+        per_token_spanord: List[List[int]] = []
         per_token_pre: List[List[Tuple[int, int, float, float, float]]] = []
         per_token_spans: List[List[Tuple[int, int, int]]] = []
         per_token_champs: List[List[Tuple[int, float]]] = []
@@ -1236,9 +1242,11 @@ class StringIndex:
             tw = token_weights[ti] if token_weights is not None else 1.0
             ranges: List[Tuple[int, int, float, float, float]] = []
             fords: List[int] = []
+            span_ords: List[int] = []
             pre: List[Tuple[int, int, float, float, float]] = []
-            spans: List[Tuple[int, int, int]] = []
+            spans: List[Tuple[int, int, int, int]] = []
             champs: List[Tuple[int, float]] = []
+            term_ord = 0
             for ford, path in enumerate(properties):
                 stats = self._stats.get(path)
                 if stats is None or stats.doc_count == 0:
@@ -1259,6 +1267,7 @@ class StringIndex:
                 for term, cr, lr in self._match_terms_detail(
                     path, token, tolerance
                 ):
+                    span_base = len(spans)
                     if with_prefix:
                         blocks = self._slab_prefix_ranges.get((path, term))
                         if blocks:
@@ -1274,21 +1283,27 @@ class StringIndex:
                                 (rs, min(rl, PREFIX_LEN), w, fb, avg)
                             )
                         for (rs, rl) in list(cr) + list(lr):
-                            spans.append((ford, rs, rl))
-                    for (start, length) in list(cr) + list(lr):
+                            spans.append((ford, term_ord, rs, rl))
+                    for si, (start, length) in enumerate(
+                        list(cr) + list(lr)
+                    ):
                         if champ_skip is not None and \
                                 (start, length) in champ_skip:
                             continue  # covered by the champion row
                         if impact_cap is not None and length > impact_cap:
                             length = impact_cap
+                        so = span_base + si if with_prefix else -1
                         # split over-long ranges: device slices stay bounded
                         while length > MAX_RANGE_LEN:
                             ranges.append((start, MAX_RANGE_LEN, w, fb, avg))
                             fords.append(ford)
+                            span_ords.append(so)
                             start += MAX_RANGE_LEN
                             length -= MAX_RANGE_LEN
                         ranges.append((start, length, w, fb, avg))
                         fords.append(ford)
+                        span_ords.append(so)
+                    term_ord += 1
             if with_prefix:
                 # NO coalescing for pruned plans: merged cross-field
                 # ranges would break the per-range doc-sorted invariant
@@ -1296,9 +1311,11 @@ class StringIndex:
                 # no NR-padding cost, so the cap is unnecessary)
                 per_token.append(ranges)
                 per_token_ford.append(fords)
+                per_token_spanord.append(span_ords)
             else:
                 per_token.append(_coalesce_and_cap(ranges, token))
                 per_token_ford.append([])
+                per_token_spanord.append([])
             per_token_pre.append(
                 _coalesce_and_cap(pre, token) if with_prefix else []
             )
@@ -1332,11 +1349,16 @@ class StringIndex:
                     champ_w[ti, cj] = w
         pre_starts = pre_lens = pre_w = pre_fb = pre_av = None
         range_field = None
+        range_span = None
         if with_prefix:
             range_field = np.full((T, NR), -1, np.int32)
+            range_span = np.full((T, NR), -1, np.int32)
             for ti, fords in enumerate(per_token_ford):
                 for ri, fo in enumerate(fords):
                     range_field[ti, ri] = fo
+            for ti, sords in enumerate(per_token_spanord):
+                for ri, so in enumerate(sords):
+                    range_span[ti, ri] = so
             NPR = max(1, max((len(r) for r in per_token_pre), default=1))
             pre_starts = np.zeros((T, NPR), np.int32)
             pre_lens = np.zeros((T, NPR), np.int32)
@@ -1366,6 +1388,7 @@ class StringIndex:
             pre_field_b=pre_fb,
             pre_avg=pre_av,
             range_field=range_field,
+            range_span=range_span,
             spans=per_token_spans if with_prefix else None,
         )
 

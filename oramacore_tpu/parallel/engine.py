@@ -1149,7 +1149,9 @@ class ShardedStringExec:
             dfs[i, :p.lens.shape[0]] = (
                 p.lens.astype(np.float64).sum(axis=1)
             )
-        d_ = np.maximum(dfs, 1.0)
+        # clamped like search_exec._pruned_host_inputs: tolerance sums
+        # variant ranges, so raw df can exceed nd (nomination-only)
+        d_ = np.minimum(np.maximum(dfs, 1.0), nd[:, None])
         idf = np.where(
             dfs > 0,
             np.log1p((nd[:, None] - d_ + 0.5) / (d_ + 0.5)),
@@ -1182,7 +1184,7 @@ class ShardedStringExec:
                 continue
             for t, spans_t in enumerate(p.spans):
                 span_base[(i, t)] = len(sp_st_l)
-                for (_fo, rs, rl) in spans_t:
+                for (_fo, _to, rs, rl) in spans_t:
                     sp_st_l.append(rs)
                     sp_ln_l.append(rl)
         if sp_st_l:
@@ -1212,14 +1214,21 @@ class ShardedStringExec:
                         lln = int(s_lens[s, i, t, r])
                         if lln <= 0:
                             continue
-                        ford = (
-                            int(p.range_field[t, r])
-                            if p.range_field is not None else 0
+                        so = (
+                            int(p.range_span[t, r])
+                            if p.range_span is not None else -1
                         )
-                        earlier = [
-                            base + e for e in range(len(spans_t))
-                            if spans_t[e][0] < ford
-                        ]
+                        # earlier spans of the same token except the
+                        # range's own (field, term): union df across
+                        # fields AND tolerance variants
+                        if so >= 0:
+                            me = spans_t[so][:2]
+                            earlier = [
+                                base + e for e in range(so)
+                                if spans_t[e][:2] != me
+                            ]
+                        else:
+                            earlier = []
                         for eid in earlier:
                             max_span = max(
                                 max_span, int(s_sp_ln[s, eid])

@@ -23,6 +23,11 @@ import numpy as np
 from ..config import OramacoreConfig
 from ..embeddings import EmbeddingsService, Intent
 from ..index.search_exec import PrunedPlanMixin, StringSearchExecutor
+
+# fuzzy plans beyond this many ranges per token keep the dense path
+# (the pruned worklist's earlier-span dedup costs NRE binary searches
+# per posting)
+PRUNED_MAX_RANGES = 48
 from ..oplog import Operation, OperationReceiver
 from ..storage.docstore import DocumentStore
 from ..storage.files import atomic_write_json, read_json
@@ -817,6 +822,12 @@ class ReadSide:
         if planned is None:
             return None
         tokens, plan = planned
+        if use_pruned and plan.starts.shape[1] > PRUNED_MAX_RANGES:
+            use_pruned = False
+            planned = self._plan_fulltext(idx, mode, params)
+            if planned is None:
+                return None
+            tokens, plan = planned
         targets = self.embeddings.calculate_embeddings(
             [mode.term], Intent.QUERY, idx.embedding_model
         )[0]
@@ -961,9 +972,12 @@ class ReadSide:
         FULLTEXT/hybrid paths implement pruning (parallel/engine);
         filtered searches there keep the dense kernels' doc_masks.
         Additionally (the kernel's documented preconditions):
-        - no tolerance — fuzzy matches can coalesce different terms'
-          ranges into one (string_index._coalesce_and_cap), breaking
-          the doc-sorted invariant the rescore's binary search needs;
+        - tolerance IS eligible: with_prefix plans keep fuzzy variant
+          ranges uncoalesced (doc-sorted per range) and the rescore's
+          earlier-span subtraction dedups a doc matched by several
+          variant terms of one token (exact union df) — callers fall
+          back to dense only when a fuzzy token explodes past
+          PRUNED_MAX_RANGES ranges (plan-size guard below);
         - no match threshold UNLESS the caller runs the exact counting
           dispatch or the small-filter cand-given path applies (the
           scoring kernel applies thresholds exactly; only the count
@@ -983,8 +997,6 @@ class ReadSide:
             and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES
         )
         if mode is not None:
-            if getattr(mode, "tolerance", None):
-                return False
             if (getattr(mode, "threshold", None) is not None
                     and not exact_counts and not small_filter):
                 return False
@@ -1168,6 +1180,14 @@ class ReadSide:
         if planned is None:
             return {}
         tokens, plan = planned
+        if use_pruned and plan.starts.shape[1] > PRUNED_MAX_RANGES:
+            # a fuzzy token exploded into too many variant ranges for
+            # the worklist's earlier-span dedup — take the dense path
+            use_pruned = False
+            planned = self._plan_fulltext(idx, mode, params)
+            if planned is None:
+                return {}
+            tokens, plan = planned
         ex = self._fused_executor(coll, idx) if fused_ok else coll.executor(
             idx.index_id
         )

@@ -440,3 +440,84 @@ def test_pruned_exact_count_opt_in():
         assert not viacfg.count_estimated
     finally:
         ctx.close()
+
+
+def _assert_hits_tieaware(dense, pruned, tol=1e-4):
+    """Ranked parity allowing id swaps among NEAR-TIED scores: the
+    pruned worklist accumulates contributions with a per-chunk f32
+    cumsum whose rounding differs from the dense scatter's by up to
+    ~1e-6 relative on many-range tolerance plans, legally reordering
+    ties."""
+    ds = [h.score for h in dense.hits]
+    ps = [h.score for h in pruned.hits]
+    assert len(ds) == len(ps), (ds, ps)
+    assert np.allclose(ds, ps, rtol=tol, atol=tol), (ds, ps)
+    i, K = 0, len(ds)
+    da, pa = ids_of(dense), ids_of(pruned)
+    while i < K:
+        j = i
+        while j + 1 < K and abs(ds[j + 1] - ds[i]) <= tol * max(
+            abs(ds[i]), 1e-9
+        ):
+            j += 1
+        if j < K - 1:
+            assert set(da[i:j + 1]) == set(pa[i:j + 1]), (i, j, da, pa)
+        i = j + 1
+
+
+def test_pruned_tolerance_parity(monkeypatch):
+    """Tolerance searches ride the pruned path (round-3 session 4): the
+    with_prefix plan keeps fuzzy variant ranges uncoalesced and the
+    rescore's earlier-span dedup subtracts docs matched by SEVERAL
+    variant terms of one token — df (hence IDF and scores) must equal
+    the dense path exactly, including docs containing multiple variants
+    across multiple fields."""
+    calls = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        for i in range(240):
+            words = ["apple" if i % 3 == 0 else "apples",
+                     "maple" if i % 4 == 0 else "cherry"]
+            # docs where SEVERAL variants of the fuzzy token co-occur,
+            # in one field and across fields
+            t = " ".join(words)
+            b = "apple appl grape" if i % 5 == 0 else "banana"
+            docs.append({"id": str(i), "t": t, "b": b})
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        for params in (
+            {"term": "appl", "tolerance": 1, "limit": 15},
+            {"term": "aple grape", "tolerance": 2, "limit": 15},
+            {"term": "apple banana", "tolerance": 1, "limit": 15,
+             "boost": {"t": 2.0}},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            _assert_hits_tieaware(dense, pruned)
+            assert pruned.count >= len(pruned.hits)
+        assert len(calls) == 3  # all three rode the pruned path
+    finally:
+        ctx.close()
+
+
+def test_pruned_tolerance_range_guard(monkeypatch):
+    """A fuzzy token exploding past PRUNED_MAX_RANGES variant ranges
+    falls back to the dense path (correct results, no pruned call)."""
+    import oramacore_tpu.read as read_mod
+
+    monkeypatch.setattr(read_mod, "PRUNED_MAX_RANGES", 1)
+    calls = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(200, seed=21))
+        ctx.commit_all()
+        params = {"term": "bade", "tolerance": 2, "limit": 10}
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert not calls  # guard forced the dense path
+    finally:
+        ctx.close()

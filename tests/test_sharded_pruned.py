@@ -45,6 +45,8 @@ QUERIES = [
     {"term": "grape kiwi mango", "limit": 10, "boost": {"title": 2.0}},
     {"term": "apple", "limit": 10, "exact": True},
     {"term": "fig lemon", "offset": 3, "limit": 4},
+    # tolerance rides the pruned mesh path too (variant-range union df)
+    {"term": "aple", "tolerance": 1, "limit": 10},
     {"term": "zz nothing"},
 ]
 
