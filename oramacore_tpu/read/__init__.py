@@ -2238,7 +2238,6 @@ def _search_batch_index(
     if (
         (shared_kind == "fulltext" or hybrid_pruned)
         and (doc_masks is None or shared_mask is not None)
-        and tolerance is None
         and max_k <= 512
         and self._pruned_eligible(
             idx, shared_mask, max_k, mode=first.mode, params=first,
@@ -2264,6 +2263,11 @@ def _search_batch_index(
                 plans = None
                 break
             p_tokens, plan = planned
+            if plan.starts.shape[1] > PRUNED_MAX_RANGES:
+                # a fuzzy token exploded past the variant-range budget:
+                # the whole batch keeps the dense shared path
+                plans = None
+                break
             plans.append(plan)
             thr_list.append(
                 float(np.floor(len(p_tokens) * p.mode.threshold))

@@ -385,3 +385,55 @@ def test_batch_sorted_matches_sequential():
     finally:
         search_exec.StringSearchTopK.search_topk_sorted = orig
         ctx.close()
+
+
+def test_batch_tolerance_pruned_routing():
+    """Homogeneous tolerance batches ride the pruned kernels when
+    pruning engages (session 4: variant-range union df on device):
+    near-tie-aware parity vs the dense per-query path."""
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(120))
+        ctx.commit_all()
+        batch = [
+            {"term": "aple", "tolerance": 1, "limit": 8},
+            {"term": "bananna", "tolerance": 1, "limit": 8},
+            {"term": "oronge kiwi", "tolerance": 1, "limit": 8},
+        ]
+        ctx.reader.config.reader_side.pruning = "off"
+        seq = [
+            ctx.reader.search(
+                coll.collection_id, coll.read_key,
+                SearchParams.from_json(dict(q)),
+            )
+            for q in batch
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+        for s, g, q in zip(seq, got, batch):
+            ss = [h.score for h in s.hits]
+            gs = [h.score for h in g.hits]
+            assert np.allclose(ss, gs, rtol=1e-4, atol=1e-5), (q, ss, gs)
+            # tie-aware id comparison (f32 association on variant plans)
+            i, K = 0, len(ss)
+            sa = [h.id for h in s.hits]
+            ga = [h.id for h in g.hits]
+            while i < K:
+                j = i
+                while j + 1 < K and abs(ss[j + 1] - ss[i]) <= 1e-4 * max(
+                    abs(ss[i]), 1e-9
+                ):
+                    j += 1
+                if j < K - 1:
+                    assert set(sa[i:j + 1]) == set(ga[i:j + 1]), (q, sa, ga)
+                i = j + 1
+            assert g.count >= len(g.hits), q
+    finally:
+        ctx.close()
