@@ -206,3 +206,13 @@ def test_hurl_kv_actions_script(live_server):
         os.path.join(HURL_DIR, "kv-actions-test.hurl"),
         {"base_url": live_server, "master_key": MASTER},
     )
+
+
+def test_hurl_search_paths_script(live_server):
+    """Round-3 search surfaces over the wire: fused sort (asc/desc,
+    fieldless tail), match-all browse, fused facets, exactCount,
+    sorted batch, tombstones."""
+    run_hurl_file(
+        os.path.join(HURL_DIR, "search-paths.hurl"),
+        {"base_url": live_server, "master_key": MASTER},
+    )
