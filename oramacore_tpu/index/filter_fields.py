@@ -48,6 +48,7 @@ class _ColumnBase:
         # (uid, prop, version) so fused sort-by reuses the upload until
         # the column actually changes (search_exec.search_topk_sorted)
         self.version = 0
+        self._single_valued_cache = None
 
     def append(self, doc_id: int, value) -> None:
         self._live_docs.append(doc_id)
@@ -117,6 +118,30 @@ class _ColumnBase:
 
     def n_values(self) -> int:
         return len(self._committed_docs) + len(self._live_docs)
+
+    def single_valued(self) -> bool:
+        """True when no doc holds more than one value in this column —
+        the precondition for the device facet path's dense id/value
+        columns (multi-valued facet fields keep the host counting).
+        Cached by the mutation version."""
+        cached = self._single_valued_cache
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        docs, _ = self.slab()
+        sv = bool(len(docs) == np.unique(docs).size)
+        self._single_valued_cache = (self.version, sv)
+        return sv
+
+    def dense_id_column(self, cap: int) -> np.ndarray:
+        """int32[cap] value per doc (-1 = none); callers must have
+        checked single_valued(). For bool columns ids are 0/1; for
+        interned string columns the intern ids."""
+        docs, vals = self.slab()
+        out = np.full(cap, -1, np.int32)
+        if len(docs):
+            d = docs[docs < cap]
+            out[d] = vals[docs < cap].astype(np.int32)
+        return out
 
     @staticmethod
     def _mask_from_docs(docs: np.ndarray, cap: int) -> np.ndarray:

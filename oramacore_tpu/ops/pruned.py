@@ -678,3 +678,124 @@ def estimate_match_count(n_docs: float, dfs) -> int:
     for df in dfs:
         miss *= max(0.0, 1.0 - float(df) / n)
     return int(round(n * (1.0 - miss)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "lch", "cap", "G", "exact", "has_filter", "numeric", "nre",
+        "bs_steps",
+    ),
+)
+def pruned_facet_counts(
+    p_doc, p_tf, p_exact_tf,
+    wl_i,         # int32[4, W]: b(=0), t, start, len<=lch
+    wl_prev,      # int32[2, W, NRE] earlier spans (GLOBAL token order)
+    fmask,        # f32[cap] (dummy (1,) when has_filter=False)
+    bucket,       # int32[cap] value ids (-1 = none) | f32[cap] (numeric)
+    bounds,       # f32[G, 2] inclusive ranges (numeric; dummy otherwise)
+    *,
+    lch: int, cap: int, G: int, exact: bool,
+    has_filter: bool, numeric: bool,
+    nre: int, bs_steps: int,
+):
+    """Facet counts for the PRUNED tier — scatter-free, sort-free.
+
+    The dense facet path needs the full match set (a (cap,) score
+    vector or bitmap from the dense kernel, scatter-bound at 10M docs).
+    This kernel streams the SAME worklist the pruned rescore uses and
+    counts matched docs per facet bucket directly:
+
+    - a posting CONTRIBUTES iff its doc is NOT a member of any EARLIER
+      span of the query (wl_prev in GLOBAL (token, field, term) order —
+      the tolerance union-df binary-search trick widened across tokens),
+      so each matched doc counts exactly once at its first matching
+      posting;
+    - bucket membership gathers from a device-resident value column
+      (int ids for string/bool facets; the raw f32 value compared
+      against [from, to] inclusive range bounds for number facets —
+      reference facet.rs / NumberField.range_counts semantics);
+    - per-chunk histograms are one-hot MATMULS over a 64k-posting flat
+      window — MXU work, no scatter, no global sort (the exact-counts
+      kernel sorts; this one must stay cheap enough for every faceted
+      query).
+
+    Thresholded queries keep the dense path (distinct matched-token
+    counting needs the full cross-token membership, not just ownership).
+    Returns counts f32[G] (single query — facet searches dispatch per
+    query)."""
+    tf_src = p_exact_tf if exact else p_tf
+    W = wl_i.shape[1]
+    wch = 2  # 2 x lch = 64k flat postings per scan step
+    assert W % wch == 0
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+    gidx = jnp.arange(G, dtype=jnp.int32)
+
+    def step(acc, j):
+        st = jax.lax.dynamic_slice(wl_i[2], (j * wch,), (wch,))
+        ln = jax.lax.dynamic_slice(wl_i[3], (j * wch,), (wch,))
+        docs = jax.vmap(
+            lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
+        )(st)
+        tf = jax.vmap(
+            lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
+        )(st)
+        valid = (iot < ln[:, None]) & (tf > 0)
+        if has_filter:
+            valid = valid & (
+                jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1))
+                > 0.0
+            )
+        if nre:
+            seen = jnp.zeros((wch, lch), bool)
+            for e in range(nre):
+                st_e = jax.lax.dynamic_slice(
+                    wl_prev[0], (j * wch, e), (wch, 1)
+                )
+                ln_e = jax.lax.dynamic_slice(
+                    wl_prev[1], (j * wch, e), (wch, 1)
+                )
+                pos = jnp.zeros((wch, lch), jnp.int32)
+                bstep = 1 << (bs_steps - 1)
+                while bstep >= 1:
+                    cpos = pos + bstep
+                    ok = cpos <= ln_e
+                    v = jnp.take(
+                        p_doc,
+                        jnp.clip(st_e + cpos - 1, 0, p_doc.shape[0] - 1),
+                    )
+                    pos = jnp.where(ok & (v < docs), cpos, pos)
+                    bstep >>= 1
+                at = jnp.clip(st_e + pos, 0, p_doc.shape[0] - 1)
+                hit = (pos < ln_e) & (jnp.take(p_doc, at) == docs) & (
+                    ln_e > 0
+                ) & (jnp.take(tf_src, at) > 0)
+                seen = seen | hit
+            owned = valid & ~seen
+        else:
+            owned = valid
+        w = owned.reshape(-1).astype(jnp.float32)        # (wch*lch,)
+        if numeric:
+            v = jnp.take(
+                bucket, jnp.clip(docs, 0, bucket.shape[0] - 1)
+            ).reshape(-1)
+            member = (
+                (v[:, None] >= bounds[None, :, 0])
+                & (v[:, None] <= bounds[None, :, 1])
+            ).astype(jnp.float32)                        # (F, G)
+        else:
+            b = jnp.take(
+                bucket, jnp.clip(docs, 0, bucket.shape[0] - 1)
+            ).reshape(-1)
+            member = (
+                b[:, None] == gidx[None, :]
+            ).astype(jnp.float32)                        # (F, G)
+        acc = acc + jnp.dot(
+            w, member, preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    counts, _ = jax.lax.scan(
+        step, jnp.zeros((G,), jnp.float32), jnp.arange(W // wch)
+    )
+    return counts

@@ -556,8 +556,31 @@ class ReadSide:
             # score vector + host dict — facet counting consumes the
             # unpacked mask directly (single-device; the sharded
             # executor keeps the dense path).
+            # facet counting at the PRUNED tier (ops/pruned.py
+            # pruned_facet_counts): distinct matched docs per bucket
+            # straight off the rescore worklist — no dense kernel, no
+            # bitmap. Needs a term (match-all uses the presence mask),
+            # no threshold (ownership is first-match, not counted),
+            # single-device, and every facet field device-compatible
+            # (single-valued; strings <= 256 values).
+            device_facet_specs = None
+            if (
+                bool(params.facets)
+                and isinstance(mode, FulltextMode)
+                and params.group_by is None
+                and params.sort_by is None
+                and getattr(mode, "threshold", None) is None
+                and mode.term.strip()
+                and self.sharded_mesh is None
+                and self._pruned_eligible(idx, None, 16, mode, params)
+            ):
+                device_facet_specs = self._device_facet_specs(
+                    idx, params
+                )
+            pruned_facets = device_facet_specs is not None
             fulltext_facets = (
                 bool(params.facets)
+                and not pruned_facets
                 and (
                     isinstance(mode, FulltextMode)
                     or (isinstance(mode, HybridMode)
@@ -586,7 +609,7 @@ class ReadSide:
                 )
             )
             fused_ok = (
-                (not params.facets or fulltext_facets)
+                (not params.facets or fulltext_facets or pruned_facets)
                 and params.group_by is None
                 and (params.sort_by is None or fused_sort)
             )
@@ -613,7 +636,23 @@ class ReadSide:
             if params.facets:
                 # facet quirk (search.rs:345-396): with filters present,
                 # facets are computed over the UNFILTERED scored doc set
-                if match_mask is not None:
+                facet_scores = None
+                if (pruned_facets
+                        and self._tls.pruned_plan is not None):
+                    self._pruned_facet_counts(
+                        coll, idx, mode, device_facet_specs,
+                        facet_results,
+                    )
+                elif pruned_facets:
+                    # the ranking declined pruning (deep page, fuzzy
+                    # range-guard replan, ...) — no pruned plan and no
+                    # bitmap was requested, so count via the dense dict
+                    facet_scores = self._token_scores(
+                        coll, idx, mode, params,
+                        idx.alive_mask() if has_filter else mask,
+                        fused_ok=False,
+                    )
+                elif match_mask is not None:
                     if has_filter:
                         # second bitmap dispatch over the alive set
                         unfiltered = self._token_scores(
@@ -633,7 +672,10 @@ class ReadSide:
                     )
                 else:
                     facet_scores = scores
-                self._compute_facets(idx, params, facet_scores, facet_results)
+                if facet_scores is not None:
+                    self._compute_facets(
+                        idx, params, facet_scores, facet_results
+                    )
 
             if params.group_by:
                 self._collect_group_values(idx, params, scores, group_values_by_doc)
@@ -725,6 +767,7 @@ class ReadSide:
         self._tls.omc_applied = False
         self._tls.match_mask = None
         self._tls.sorted_ranked = None
+        self._tls.pruned_plan = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
@@ -1004,6 +1047,91 @@ class ReadSide:
             return True
         return idx.cap() >= cfg.pruned_min_docs
 
+    def _device_facet_specs(self, idx: ReadIndex, params: SearchParams):
+        """Per-facet device specs for the pruned facet kernel, or None
+        when ANY requested facet can't take the device path (multi-
+        valued column, >256 string values, unknown field) — the search
+        then uses the bitmap/dict facet flows. Each entry:
+        (name, spec_tuple, spec_key, labels)."""
+        cap = idx.cap()
+        out = []
+        for name, facet in params.facets.items():
+            if facet.kind == "number" and name in idx.filters.numbers:
+                col = idx.filters.numbers[name]
+                if not col.single_valued():
+                    return None
+                vals, present = col.dense_values(cap)
+                arr = np.where(present, vals, np.nan).astype(np.float32)
+                bounds = np.asarray(
+                    [(r.from_, r.to) for r in facet.ranges], np.float64
+                ).reshape(-1, 2).astype(np.float32)
+                labels = [
+                    f"{_fmt_num(r.from_)}-{_fmt_num(r.to)}"
+                    for r in facet.ranges
+                ]
+                out.append((
+                    name, ("num", arr, bounds),
+                    ("facet", idx.uid, name, col.version), labels,
+                ))
+            elif facet.kind == "bool" and name in idx.filters.bools:
+                col = idx.filters.bools[name]
+                if not col.single_valued():
+                    return None
+                ids = col.dense_id_column(cap)
+                out.append((
+                    name, ("cat", ids, 2, True),
+                    ("facet", idx.uid, name, col.version),
+                    ["false", "true"],
+                ))
+            elif facet.kind == "string" and name in idx.filters.strings:
+                col = idx.filters.strings[name]
+                if not col.single_valued() or len(col._values) > 256:
+                    return None
+                ids = col.dense_id_column(cap)
+                out.append((
+                    name, ("cat", ids, max(len(col._values), 1), False),
+                    ("facet", idx.uid, name, col.version),
+                    list(col._values),
+                ))
+            else:
+                return None
+        return out
+
+    def _pruned_facet_counts(self, coll, idx: ReadIndex, mode,
+                             specs, facet_results):
+        """Device facet counting over the pruned plan (the facet quirk
+        counts UNFILTERED matches, so only the tombstone alive-mask
+        applies)."""
+        plan = self._tls.pruned_plan
+        amask = idx.alive_mask()
+        akey = (
+            ("alive", idx.uid, idx.cap(), idx.tombstone_version)
+            if amask is not None else None
+        )
+        ex = coll.executor(idx.index_id)
+        for name, spec, skey, labels in specs:
+            counts = ex.facet_counts_pruned(
+                idx.string, plan, idx.cap(), spec, skey,
+                exact=mode.exact, mask=amask, mask_key=akey,
+            )
+            keep_zeros = spec[0] == "num" or (
+                len(spec) > 3 and spec[3]
+            )
+            values = {
+                lab: int(round(c))
+                for lab, c in zip(labels, counts)
+                if keep_zeros or int(round(c))
+            }
+            prev = facet_results.get(name)
+            if prev:
+                for k2, v2 in values.items():
+                    prev.values[k2] = prev.values.get(k2, 0) + v2
+                prev.count = len(prev.values)
+            else:
+                facet_results[name] = FacetResult(
+                    count=len(values), values=values
+                )
+
     @staticmethod
     def _mask_cache_key(idx: ReadIndex, params: SearchParams):
         """Stable device-cache key for a combined mask that is PURELY the
@@ -1197,6 +1325,7 @@ class ReadSide:
                 thr = float(math.floor(len(tokens) * mode.threshold))
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
+                self._tls.pruned_plan = plan
                 small_filter = (
                     mask_sel is not None
                     and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES

@@ -521,3 +521,101 @@ def test_pruned_tolerance_range_guard(monkeypatch):
         assert not calls  # guard forced the dense path
     finally:
         ctx.close()
+
+
+def test_pruned_facet_counts_parity(monkeypatch):
+    """Facet searches at the pruned tier count buckets straight off the
+    rescore worklist (ops/pruned.py pruned_facet_counts — no dense
+    kernel, no bitmap): counts must equal the dense/bitmap path for
+    string, bool and number-range facets, incl. the unfiltered-rescore
+    quirk, tombstones, and tolerance variants."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        for i in range(300):
+            d = {
+                "id": str(i),
+                "t": ("apple banana" if i % 3 == 0 else "apple cherry")
+                     + (" grape" if i % 7 == 0 else ""),
+                "cat": ["a", "b", "c"][i % 3],
+                "flag": bool(i % 2),
+                "n": i % 5,
+            }
+            if i % 11 == 0:
+                d.pop("cat")  # docs without the facet field
+            docs.append(d)
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        idx.delete_documents([str(i) for i in range(0, 300, 10)])
+        for params in (
+            {"term": "apple banana", "limit": 10, "facets": {
+                "cat": {},
+                "flag": {"true": True, "false": True},
+                "n": {"ranges": [{"from": 0, "to": 2},
+                                 {"from": 2, "to": 4}]},
+            }},
+            # filtered: the quirk counts facets over UNFILTERED matches
+            {"term": "apple grape", "limit": 10,
+             "where": {"n": {"lt": 3}}, "facets": {"cat": {}}},
+            # tolerance variants dedup before bucketing
+            {"term": "aple", "tolerance": 1, "limit": 10,
+             "facets": {"flag": {"true": True, "false": True}}},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            for f in params["facets"]:
+                assert dense.facets[f].values == pruned.facets[f].values, (
+                    params, f, dense.facets[f].values,
+                    pruned.facets[f].values,
+                )
+        assert len(device_calls) >= 3
+    finally:
+        ctx.close()
+
+
+def test_pruned_facets_multivalued_falls_back(monkeypatch):
+    """A multi-valued facet field keeps the bitmap/dict flow (the dense
+    id column can't represent it) — results stay correct and the device
+    facet path is not used."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": "apple banana",
+             "tags": ["x", "y"] if i % 2 else ["x"]}
+            for i in range(60)
+        ])
+        ctx.commit_all()
+        params = {"term": "apple", "limit": 5, "facets": {"tags": {}}}
+        dense, pruned = _search_both(ctx, coll, params)
+        assert dense.facets["tags"].values == pruned.facets["tags"].values
+        assert dense.facets["tags"].values == {"x": 60, "y": 30}
+        assert not device_calls
+    finally:
+        ctx.close()
