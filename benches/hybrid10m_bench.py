@@ -22,6 +22,9 @@ Modes (--mode):
             mask through masked nomination+rescore (exact filtered-df
             IDF), and a 1k-doc small filter through the cand-given path
             (the filtered set IS the candidate list -- exact results)
+  facets    pruned-tier facet counting (pruned_facet_counts): 64-bucket
+            histograms off the rescore worklist, one-hot matmuls, no
+            dense kernel / bitmap / sort
   all       everything
 
 Memory budget (v5e, 16 GiB): int8 corpus 7.5 GiB + slab 1.5 GiB; the
@@ -81,13 +84,14 @@ def main():
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--mode", default="all",
                     choices=["ranged", "champion", "pruned", "ft",
-                             "counts", "filtered", "all"])
+                             "counts", "filtered", "facets", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
     modes = (
-        ["ranged", "champion", "pruned", "ft", "counts", "filtered"]
+        ["ranged", "champion", "pruned", "ft", "counts", "filtered",
+         "facets"]
         if args.mode == "all" else [args.mode]
     )
 
@@ -799,6 +803,59 @@ def main():
             log(f"hybrid filtered-50% B={B}: lat={dt * 1000:.1f}ms "
                 f"qps={B / dt:.0f}")
             results.append((B, "hybrid-filtered-50%", B / dt, dt * 1000))
+
+    # ---------------- pruned-tier facet counting ----------------
+    if "facets" in modes:
+        from oramacore_tpu.ops.pruned import pruned_facet_counts
+
+        G = 64
+        k_fac = jax.random.fold_in(root, 888)
+        bucket = jax.random.randint(k_fac, (N,), 0, G, dtype=jnp.int32)
+        bucket.block_until_ready()
+        for B_ in (1,):
+            variants = []
+            for s_ in range(3):
+                (_i, _f, _sc, _lr, _pi, _pf, idf,
+                 wl_i, _wf, _tids) = build_pruned_plans(1, seed=31 + s_)
+                # global earlier spans: each range's predecessors (the
+                # engine builds these from plan.spans; the synthetic
+                # corpus has single-field tokens, so earlier spans are
+                # simply the other tokens' ranges before it)
+                W = wl_i.shape[1]
+                nre = 2
+                wl_prev = np.zeros((2, W, nre), np.int32)
+                seen = []
+                for j in range(W):
+                    ln = int(wl_i[3, j])
+                    if ln <= 0:
+                        continue
+                    for e, (es, el) in enumerate(seen[:nre]):
+                        wl_prev[0, j, e] = es
+                        wl_prev[1, j, e] = el
+                    seen.append((int(wl_i[2, j]), ln))
+                variants.append((jnp.asarray(wl_i), jnp.asarray(wl_prev)))
+
+            def run_fc(v):
+                wli, wlp = v
+                return pruned_facet_counts(
+                    p_doc, p_tf, p_tf, wli, wlp,
+                    jnp.ones((1,), jnp.float32), bucket,
+                    jnp.zeros((G, 2), jnp.float32),
+                    lch=LCH, cap=N, G=G, exact=False,
+                    has_filter=False, numeric=False,
+                    nre=nre, bs_steps=24,
+                )
+
+            try:
+                dt = timeit(run_fc, variants)
+            except Exception as e:
+                log(f"facet counts B={B_}: SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            c = np.asarray(run_fc(variants[0]))
+            log(f"facet counts (G=64) per query: lat={dt * 1000:.1f}ms "
+                f"sum={c.sum():.0f}")
+            results.append((B_, "facet-counts-g64", 1 / dt, dt * 1000))
 
     # ---------------- champion mode (round-2 record) ----------------
     if "champion" in modes:
