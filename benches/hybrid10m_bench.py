@@ -247,7 +247,7 @@ def main():
             f"{time.perf_counter() - t_s:.1f}s "
             f"({n_heavy * LP * 12 / 2**20:.0f} MiB)")
 
-    needs_vectors = bool(set(modes) - {"ft"})
+    needs_vectors = bool(set(modes) - {"ft", "counts", "facets"})
     buf = scales = row_doc = doc2row = unit_cen = unit_st = None
     if needs_vectors:
         # ---- vector corpus -------------------------------------------------
