@@ -49,6 +49,7 @@ class _ColumnBase:
         # the column actually changes (search_exec.search_topk_sorted)
         self.version = 0
         self._single_valued_cache = None
+        self._dense_ids_cache = None
 
     def append(self, doc_id: int, value) -> None:
         self._live_docs.append(doc_id)
@@ -135,12 +136,17 @@ class _ColumnBase:
     def dense_id_column(self, cap: int) -> np.ndarray:
         """int32[cap] value per doc (-1 = none); callers must have
         checked single_valued(). For bool columns ids are 0/1; for
-        interned string columns the intern ids."""
+        interned string columns the intern ids. Cached by the mutation
+        version (the device facet path asks per faceted query)."""
+        cached = self._dense_ids_cache
+        if cached is not None and cached[0] == (self.version, cap):
+            return cached[1]
         docs, vals = self.slab()
         out = np.full(cap, -1, np.int32)
         if len(docs):
             d = docs[docs < cap]
             out[d] = vals[docs < cap].astype(np.int32)
+        self._dense_ids_cache = ((self.version, cap), out)
         return out
 
     @staticmethod
