@@ -725,6 +725,24 @@ def pruned_facet_counts(
     Returns counts f32[G] (single query — facet searches dispatch per
     query)."""
     tf_src = p_exact_tf if exact else p_tf
+    return _facet_counts_core(
+        p_doc, tf_src, wl_i, wl_prev, fmask, bucket, bounds,
+        lch=lch, cap=cap, G=G, has_filter=has_filter, numeric=numeric,
+        nre=nre, bs_steps=bs_steps,
+    )
+
+
+def _facet_counts_core(
+    p_doc, tf_src, wl_i, wl_prev, fmask, bucket, bounds,
+    *,
+    lch: int, cap: int, G: int, has_filter: bool, numeric: bool,
+    nre: int, bs_steps: int, axis_name=None,
+):
+    """Facet-histogram body, reusable inside a shard_map step: a doc's
+    postings all live in its doc % D shard, so per-shard ownership dedup
+    is complete and per-shard bucket counts are doc-disjoint — one psum
+    over the mesh axis yields the exact global counts
+    (parallel/engine.py)."""
     W = wl_i.shape[1]
     wch = 2  # 2 x lch = 64k flat postings per scan step
     assert W % wch == 0
@@ -798,4 +816,6 @@ def pruned_facet_counts(
     counts, _ = jax.lax.scan(
         step, jnp.zeros((G,), jnp.float32), jnp.arange(W // wch)
     )
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
     return counts

@@ -571,8 +571,9 @@ class ReadSide:
                 and params.sort_by is None
                 and getattr(mode, "threshold", None) is None
                 and mode.term.strip()
-                and self.sharded_mesh is None
-                and self._pruned_eligible(idx, None, 16, mode, params)
+                and self._pruned_eligible(
+                    idx, None, 16, mode, params, mesh_ok=True
+                )
             ):
                 device_facet_specs = self._device_facet_specs(
                     idx, params
@@ -1108,7 +1109,7 @@ class ReadSide:
             ("alive", idx.uid, idx.cap(), idx.tombstone_version)
             if amask is not None else None
         )
-        ex = coll.executor(idx.index_id)
+        ex = self._fused_executor(coll, idx)
         for name, spec, skey, labels in specs:
             counts = ex.facet_counts_pruned(
                 idx.string, plan, idx.cap(), spec, skey,

@@ -330,3 +330,69 @@ def test_sharded_pruned_filtered_matches_single_device():
                 sharded.stop()
     finally:
         eng.ShardedStringExec.search_topk_pruned = orig
+
+
+def test_sharded_pruned_facets_parity():
+    """Facet counting at the pruned tier on the MESH: per-shard bucket
+    histograms off the sharded worklist, psum'd — counts must equal the
+    single-device dense path (tombstones included, device facet spy)."""
+    import jax
+
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+    fdocs = []
+    for i, d in enumerate(DOCS):
+        d = dict(d)
+        d["n"] = i % 5
+        d["flag"] = bool(i % 2)
+        fdocs.append(d)
+    calls = []
+    orig = eng.ShardedStringExec.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        calls.append(True)
+        return orig(self, *a, **kw)
+
+    eng.ShardedStringExec.facet_counts_pruned = spy
+    try:
+        with tempfile.TemporaryDirectory() as t1, \
+                tempfile.TemporaryDirectory() as t2:
+            single, coll_s = _build(t1, 0, "off", docs=fdocs)
+            sharded, coll_m = _build(t2, 8, "on", docs=fdocs)
+            try:
+                single.read_side.commit(force=True)
+                sharded.read_side.commit(force=True)
+                for orama, coll in ((single, coll_s), (sharded, coll_m)):
+                    orama.write_side.delete_documents(
+                        "c", "main", coll.write_api_key,
+                        [str(i) for i in range(0, 400, 9)],
+                    )
+                    orama.read_side.pump()
+                for q in (
+                    {"term": "apple banana", "limit": 10, "facets": {
+                        "n": {"ranges": [{"from": 0, "to": 2},
+                                         {"from": 2, "to": 4}]},
+                        "flag": {"true": True, "false": True},
+                    }},
+                    {"term": "aple", "tolerance": 1, "limit": 10,
+                     "facets": {"flag": {"true": True, "false": True}}},
+                ):
+                    a = single.read_side.search(
+                        "c", coll_s.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    b = sharded.read_side.search(
+                        "c", coll_m.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    for f in q["facets"]:
+                        assert a.facets[f].values == b.facets[f].values, (
+                            q, f, a.facets[f].values, b.facets[f].values,
+                        )
+                assert calls  # the mesh device facet path engaged
+            finally:
+                single.stop()
+                sharded.stop()
+    finally:
+        eng.ShardedStringExec.facet_counts_pruned = orig
