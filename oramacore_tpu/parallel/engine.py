@@ -536,9 +536,10 @@ class ShardedStringExec:
         ))
 
     def _get_hybrid_step(self, *, lr, cap_l, k, exact, has_mask, has_omc,
-                         has_rescale, rescale_lo, rescale_hi):
+                         has_rescale, rescale_lo, rescale_hi,
+                         with_bitmap=False):
         key = ("hy", lr, cap_l, k, exact, has_mask, has_omc,
-               has_rescale, rescale_lo, rescale_hi)
+               has_rescale, rescale_lo, rescale_hi, with_bitmap)
         step = self._steps.get(key)
         if step is not None:
             return step
@@ -588,6 +589,12 @@ class ShardedStringExec:
             flat_ids = all_ids.reshape(B, D * k)
             vals, sel = jax.lax.top_k(flat_vals, k)
             ids = jnp.take_along_axis(flat_ids, sel, axis=1)
+            if with_bitmap:
+                # per-shard packed match bits over the LOCAL doc slots,
+                # stacked on the lead axis (global doc = slot*D + shard;
+                # the host reinterleaves — same contract as _get_step)
+                bits = jnp.packbits(present, axis=1)[None]
+                return vals, ids, counts, bits
             return vals, ids, counts
 
         fn = shard_map(
@@ -603,7 +610,11 @@ class ShardedStringExec:
                 P("d", None, None) if has_mask else P(None, None),
                 P("d", None) if has_omc else P(None),
             ),
-            out_specs=(P(None, None), P(None, None), P(None)),
+            out_specs=(
+                (P(None, None), P(None, None), P(None), P("d", None, None))
+                if with_bitmap
+                else (P(None, None), P(None, None), P(None))
+            ),
             check_vma=False,
         )
         step = jax.jit(fn)
@@ -853,9 +864,12 @@ class ShardedStringExec:
         omc: Optional[np.ndarray] = None,
         omc_key: Optional[int] = None,
         rescale: Optional[Tuple[float, float]] = None,
+        with_bitmap: bool = False,
     ):
         """Doc-sharded fused hybrid over the mesh; returns None when the
-        vector index can't shard (int8/IVF mode) so callers fall back."""
+        vector index can't shard (int8/IVF mode) so callers fall back.
+        with_bitmap appends the reassembled bool[B, cap] match set
+        (facet searches — same contract as search_topk)."""
         vecs = self.ensure_vectors(vector_index)
         if vecs is None:
             return None
@@ -916,11 +930,12 @@ class ShardedStringExec:
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
+            with_bitmap=with_bitmap,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         vec_m, vec_d, vec_v = vecs
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
-        vals, ids, counts = step(
+        out = step(
             p_doc, p_tf, p_etf, p_flen,
             jax.device_put(s_starts, sh4), jax.device_put(s_lens, sh4),
             jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
@@ -934,11 +949,22 @@ class ShardedStringExec:
                 omc_arr, NamedSharding(self.mesh, P("d", None))
             ) if has_omc else jnp.asarray(omc_arr),
         )
-        return (
+        vals, ids, counts = out[:3]
+        result = (
             np.asarray(vals[:, :k]),
             np.asarray(ids[:, :k]),
             np.asarray(counts[:B]),
         )
+        if with_bitmap:
+            # (D, B, cap_l/8) per-shard bits -> bool[B, cap]: global doc
+            # d lives at shard d % D, slot d // D (same as search_topk)
+            bits = np.asarray(out[3])
+            shard_bools = np.unpackbits(bits, axis=2)[:, :, :cap_l]
+            inter = np.ascontiguousarray(
+                shard_bools.transpose(1, 2, 0)
+            ).reshape(B, cap_l * D)
+            result = result + (inter[:, :cap].astype(bool),)
+        return result
 
     # ------------------------------------------------------------------
     # Sharded pruned scoring: the 10M-tier two-phase path (ops/pruned.py)

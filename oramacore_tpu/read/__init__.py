@@ -579,14 +579,14 @@ class ReadSide:
                     idx, params
                 )
             pruned_facets = device_facet_specs is not None
+            # hybrid facets ride the packed bitmap on one chip AND on
+            # the mesh (flat tier: sharded hybrid step returns per-shard
+            # bits; int8/IVF tier returns None there and the
+            # single-device int8 fused bitmap path takes over)
             fulltext_facets = (
                 bool(params.facets)
                 and not pruned_facets
-                and (
-                    isinstance(mode, FulltextMode)
-                    or (isinstance(mode, HybridMode)
-                        and self.sharded_mesh is None)
-                )
+                and isinstance(mode, (FulltextMode, HybridMode))
             )
             # fused SORT-BY (ops/bm25.py bm25_search_sorted_packed):
             # the non-fused sort path ships a dense score vector and
@@ -917,7 +917,11 @@ class ReadSide:
                     thresholds=[thr] if thr is not None else None,
                     omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
                     rescale=idx.vector.config.score_rescale,
+                    with_bitmap=want_bitmap,
                 )
+                if want_bitmap and out is not None:
+                    self._tls.match_mask = out[3][0]
+                    out = out[:3]
         if out is None:
             vec_rows = idx.vector.flat_device_rows()
             ex = coll.executor(idx.index_id)

@@ -53,6 +53,13 @@ QUERIES = [
     {"term": "apple banana", "where": {"n": {"lt": 5}},
      "facets": {"n": {"ranges": [{"from": 0, "to": 3},
                                  {"from": 3, "to": 7}]}}},
+    # hybrid facets on the mesh (per-shard bitmap from the hybrid step)
+    {"mode": "hybrid", "term": "orange banana", "similarity": 0.1,
+     "facets": {"flag": {"true": True, "false": True}}},
+    {"mode": "hybrid", "term": "apple", "similarity": 0.0,
+     "where": {"n": {"lt": 5}},
+     "facets": {"n": {"ranges": [{"from": 0, "to": 3},
+                                 {"from": 3, "to": 7}]}}},
     # fused sort-by on the mesh (per-shard stable top-k + host merge)
     {"term": "orange banana", "limit": 12,
      "sort_by": {"property": "n", "order": "asc"}},
