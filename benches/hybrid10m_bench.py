@@ -84,7 +84,8 @@ def main():
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--mode", default="all",
                     choices=["ranged", "champion", "pruned", "ft",
-                             "counts", "filtered", "facets", "all"])
+                             "counts", "filtered", "facets", "bs",
+                             "micro", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
@@ -635,6 +636,179 @@ def main():
             log(f"fulltext pruned B={B}: lat={dt * 1000:.1f}ms "
                 f"qps={B / dt:.0f}{note}")
             results.append((B, "ft-pruned" + note, B / dt, dt * 1000))
+
+    # ---------------- v4: binary-search rescore (bs) ----------------
+    if "bs" in modes:
+        from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
+
+        def build_bs_plans(B, T=3, seed=7, term_ids=None):
+            """v4 plans: UNSPLIT doc-sorted ranges + impact prefixes."""
+            _i, _f, scalars, _lr, term_ids = build_plans(
+                B, T, seed, term_ids
+            )
+            pre_st = np.zeros((B, T, 1), np.int32)
+            pre_ln = np.zeros((B, T, 1), np.int32)
+            rng_st = np.zeros((B, T, 1), np.int32)
+            rng_ln = np.zeros((B, T, 1), np.int32)
+            idf = np.zeros((B, T), np.float32)
+            for b in range(B):
+                for t in range(T):
+                    tid = int(term_ids[b, t])
+                    if tid in pre_ranges:
+                        ps, pl = pre_ranges[tid]
+                    else:
+                        ps, pl = int(tstart[tid]), int(df[tid])
+                    pre_st[b, t, 0] = ps
+                    pre_ln[b, t, 0] = pl
+                    rng_st[b, t, 0] = int(tstart[tid])
+                    rng_ln[b, t, 0] = int(df[tid])
+                    d = max(float(df[tid]), 1.0)
+                    idf[b, t] = np.log1p((N - d + 0.5) / (d + 0.5))
+            rng_i = np.stack([rng_st, rng_ln])
+            rng_f = np.stack([
+                np.ones((B, T, 1), np.float32),
+                np.full((B, T, 1), 0.75, np.float32),
+                np.full((B, T, 1), AVG_FLEN, np.float32),
+            ])
+            pre_f = np.stack([
+                np.ones((B, T, 1), np.float32),
+                np.full((B, T, 1), 0.75, np.float32),
+                np.full((B, T, 1), AVG_FLEN, np.float32),
+            ])
+            bs = 4
+            while (1 << bs) < int(rng_ln.max()) + 1:
+                bs += 4
+            pre_idesc = np.stack([pre_st, pre_ln])
+            return (pre_idesc, pre_f, rng_i, rng_f, idf,
+                    scalars, bs, term_ids)
+
+        # dense ground truth for overlap
+        bs_truth = {}
+        for B in (8,):
+            idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7)
+            _, ids, _ = bm25_search_topk_packed(
+                p_doc, p_tf, p_tf, p_flen,
+                jnp.asarray(idesc), jnp.asarray(fdesc),
+                jnp.asarray(scalars[:2]),
+                dummy_mask, dummy_omc,
+                lr=lr, exact=False, cap=N, k=16,
+                has_mask=False, has_omc=False,
+            )
+            bs_truth[B] = np.asarray(ids)
+        log("bs: dense ground truth ready")
+
+        for nom, knob in (("slice", 2048), ("slice", 8192),
+                          ("accum", 1024), ("accum", 2048)):
+            for B in (8, 64, 256):
+                variants = []
+                for s in range(3):
+                    (pre_i, pre_f, rng_i, rng_f, idf, scalars, bs,
+                     _t) = build_bs_plans(B, seed=7 + s)
+                    variants.append((
+                        jnp.asarray(pre_i), jnp.asarray(pre_f),
+                        jnp.asarray(rng_i), jnp.asarray(rng_f),
+                        jnp.asarray(idf), bs,
+                    ))
+
+                def run_bs(v):
+                    pre_i, pre_f, rng_i, rng_f, idf_a, bs = v
+                    B_ = idf_a.shape[0]
+                    return pruned_fulltext_topk_bs(
+                        p_doc, p_tf, p_flen,
+                        pre_i[0], pre_i[1], rng_i, rng_f,
+                        idf_a,
+                        jnp.zeros((B_,), jnp.float32),
+                        dummy_omc, None,
+                        pre_f if nom == "accum" else None,
+                        hp=knob if nom == "slice" else 1,
+                        cap=N, k=16, bs_steps=bs,
+                        has_omc=False, nom_accum=(nom == "accum"),
+                        lp=LP if nom == "accum" else 0,
+                        C=knob if nom == "accum" else 0,
+                    )
+
+                try:
+                    dt = timeit(run_bs, variants)
+                except Exception as e:
+                    log(f"ft-bs-{nom}{knob} B={B}: SKIPPED "
+                        f"({type(e).__name__}: {e})")
+                    continue
+                _, idsb, _ = run_bs(variants[0])
+                note = ""
+                if B in bs_truth:
+                    ov = overlap(bs_truth[B], np.asarray(idsb), 16)
+                    note = f" overlap@16={ov:.3f}"
+                log(f"ft-bs-{nom}{knob} B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}{note}")
+                results.append(
+                    (B, f"ft-bs-{nom}{knob}" + note, B / dt, dt * 1000)
+                )
+
+    # ---------------- primitive microbenches ----------------
+    if "micro" in modes:
+        key_m = jax.random.PRNGKey(99)
+
+        def mtime(f, variants, iters=5):
+            out = f(variants[0])
+            jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            t = time.perf_counter()
+            for i in range(iters):
+                out = f(variants[i % len(variants)])
+                jax.tree_util.tree_leaves(out)[0].block_until_ready()
+            return (time.perf_counter() - t) / iters
+
+        # (B, M) axis-1 two-operand sorts (the v3 nominator's shape)
+        for (Bm, M) in ((8, 196608), (8, 24576), (64, 24576),
+                        (1, 9437184)):
+            ks = [jax.random.fold_in(key_m, i) for i in range(3)]
+            vs = [
+                (jax.random.randint(k, (Bm, M), 0, N),
+                 jax.random.uniform(k, (Bm, M)))
+                for k in ks
+            ]
+            f = jax.jit(
+                lambda kv: jax.lax.sort(kv, dimension=1, num_keys=1)
+            )
+            dt = mtime(f, vs)
+            log(f"micro sort ({Bm},{M}) 2-op: {dt * 1000:.2f}ms "
+                f"({Bm * M / dt / 1e6:.0f}M elem/s)")
+
+        # random gathers into the 134M slab (the bsearch probe shape)
+        for sz in (262144, 2097152, 8388608):
+            ks = [jax.random.fold_in(key_m, 100 + i) for i in range(3)]
+            vs = [jax.random.randint(k, (sz,), 0, P) for k in ks]
+            g = jax.jit(lambda i: jnp.take(p_doc, i).sum())
+            dt = mtime(g, vs)
+            log(f"micro gather {sz}: {dt * 1000:.2f}ms "
+                f"({sz / dt / 1e6:.0f}M elem/s)")
+
+        # sequential-round gathers (bsearch dependency chain): 20 rounds
+        for (Bm, C_) in ((8, 4096), (64, 4096), (8, 24576)):
+            ks = [jax.random.fold_in(key_m, 200 + i) for i in range(3)]
+            vs = [jax.random.randint(k, (Bm, 3, 1, C_), 0, N) for k in ks]
+
+            def chain(cq):
+                pos = jnp.zeros(cq.shape, jnp.int32)
+                step = 1 << 19
+                while step >= 1:
+                    v = jnp.take(p_doc, jnp.clip(pos + step, 0, P - 1))
+                    pos = jnp.where(v < cq, pos + step, pos)
+                    step >>= 1
+                return pos.sum()
+
+            f = jax.jit(chain)
+            dt = mtime(f, vs)
+            n_g = Bm * 3 * C_ * 20
+            log(f"micro bsearch-chain B={Bm} C={C_}: {dt * 1000:.2f}ms "
+                f"({n_g / dt / 1e6:.0f}M probes/s)")
+
+        # top_k over wide rows (the nomination/top-k tail)
+        for (Bm, M, kk) in ((8, 196608, 2048), (8, 24576, 16)):
+            ks = [jax.random.fold_in(key_m, 300 + i) for i in range(3)]
+            vs = [jax.random.uniform(k, (Bm, M)) for k in ks]
+            f = jax.jit(lambda x: jax.lax.top_k(x, kk))
+            dt = mtime(f, vs)
+            log(f"micro top_k ({Bm},{M})->k={kk}: {dt * 1000:.2f}ms")
 
     if "counts" in modes:
         from oramacore_tpu.ops.pruned import pruned_exact_counts

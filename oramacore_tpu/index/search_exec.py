@@ -560,6 +560,14 @@ class PrunedPlanMixin(StringSearchTopK):
     PRUNED_CANDIDATES = 1024
     PRUNED_LCH = 32768   # rescore worklist chunk length
     PRUNED_WCH = 128     # worklist entries per scan step
+    # v4 binary-search rescore (ops/pruned.py pruned_*_bs): eligible
+    # searches (single-span tokens, non-exact tf, unfiltered) rescore
+    # candidates with per-candidate binary searches into unsplit
+    # doc-sorted ranges — O(C log len) instead of O(postings). Knobs:
+    PRUNED_BS = True          # dispatch eligible searches to v4
+    PRUNED_BS_ACCUM = True    # nominate via accumulated partial scores
+    PRUNED_BS_HP = 2048       # head slice per prefix range (slice mode)
+    PRUNED_BS_C = 1024        # candidate budget (accum mode)
 
     @classmethod
     def _pruned_host_inputs(cls, plans, n_docs, thresholds):
@@ -694,6 +702,73 @@ class PrunedPlanMixin(StringSearchTopK):
         pre_fdesc = np.stack([pre_w, pre_fb, pre_av])
         return (pre_idesc, pre_fdesc, wl_i, wl_f, idf, nd, thr, dfs,
                 int(lp), int(Tb), wl_prev, int(nre), int(bs_steps))
+
+    @classmethod
+    def _pruned_bs_inputs(cls, plans):
+        """Host arrays for the v4 binary-search rescore
+        (ops/pruned.py _rescore_bsearch): UNSPLIT doc-sorted ranges per
+        (query, token). Plan builders split ranges at MAX_RANGE_LEN for
+        the dense kernel's window gather; splitting preserves doc order,
+        so adjacent splits with identical field params re-coalesce here
+        and each coalesced range stays globally doc-sorted — NR becomes
+        the real span count and one binary search resolves a candidate.
+
+        Returns (rng_i int32[2, Bb, Tb, NRU], rng_f f32[3, Bb, Tb, NRU],
+        bs_steps) or None when any coalesced range would still exceed
+        the int32 probe budget (never in practice)."""
+        B = len(plans)
+        Bb = round_up_pow2(B, 1)
+        T = max(p.starts.shape[0] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        per = []  # [b][t] -> list of (start, len, w, fb, av)
+        nru = 1
+        max_len = 1
+        for p in plans:
+            rows = []
+            t_n, r_n = p.starts.shape
+            for t in range(t_n):
+                items = sorted(
+                    (
+                        (int(p.starts[t, r]), int(p.lens[t, r]),
+                         float(p.weights[t, r]), float(p.field_b[t, r]),
+                         float(p.avg_flen[t, r]))
+                        for r in range(r_n)
+                        if int(p.lens[t, r]) > 0
+                    ),
+                )
+                merged: list = []
+                for s0, ln, w0, b0, a0 in items:
+                    if merged and merged[-1][0] + merged[-1][1] == s0 \
+                            and merged[-1][2:] == (w0, b0, a0):
+                        prev = merged[-1]
+                        merged[-1] = (prev[0], prev[1] + ln, w0, b0, a0)
+                    else:
+                        merged.append((s0, ln, w0, b0, a0))
+                rows.append(merged)
+                nru = max(nru, len(merged))
+                for m in merged:
+                    max_len = max(max_len, m[1])
+            per.append(rows)
+        NRU = round_up_pow2(nru, 1)
+        rng_st = np.zeros((Bb, Tb, NRU), np.int32)
+        rng_ln = np.zeros((Bb, Tb, NRU), np.int32)
+        rng_w = np.zeros((Bb, Tb, NRU), np.float32)
+        rng_fb = np.full((Bb, Tb, NRU), 0.75, np.float32)
+        rng_av = np.ones((Bb, Tb, NRU), np.float32)
+        for i, rows in enumerate(per):
+            for t, merged in enumerate(rows):
+                for r, (s0, ln, w0, b0, a0) in enumerate(merged):
+                    rng_st[i, t, r] = s0
+                    rng_ln[i, t, r] = ln
+                    rng_w[i, t, r] = w0
+                    rng_fb[i, t, r] = b0
+                    rng_av[i, t, r] = a0
+        bs_steps = 4
+        while (1 << bs_steps) < max_len + 1:
+            bs_steps += 4  # bucket compiles: steps in {4, 8, ...}
+        rng_i = np.stack([rng_st, rng_ln])
+        rng_f = np.stack([rng_w, rng_fb, rng_av])
+        return rng_i, rng_f, int(bs_steps)
 
     @staticmethod
     def _pruned_counts(cand_counts, dfs, nd, thresholds, B,
@@ -930,19 +1005,49 @@ class PrunedPlanMixin(StringSearchTopK):
             fmask_arr, cand_in, cand_given, sel = self._pruned_mask_inputs(
                 mask, mask_key, cap, capb, idf.shape[0], C
             )
-        kb = min(round_up_pow2(k, 8), C)
-        vals, ids, cand_counts = pruned_fulltext_topk(
-            p_doc, p_tf, p_etf, p_flen,
-            jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-            jnp.asarray(wl_i), jnp.asarray(wl_f),
-            jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
-            omc_arr,
-            jnp.asarray(wl_prev) if wl_prev is not None else None,
-            fmask_arr, cand_in,
-            lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
-            exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
-            has_filter=has_filter, cand_given=cand_given,
+        use_bs = (
+            self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
+        if use_bs:
+            # v4: exact host IDF (single-span tokens, unfiltered,
+            # stemmed tf >= 1 — range lengths ARE the df) + per-candidate
+            # binary-search rescore over unsplit ranges
+            from ..ops.pruned import pruned_fulltext_topk_bs
+
+            rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
+            if self.PRUNED_BS_ACCUM:
+                Cb = self.PRUNED_BS_C
+            else:
+                Cb = pre_idesc.shape[2] * pre_idesc.shape[3] * \
+                    self.PRUNED_BS_HP
+            kb = min(round_up_pow2(k, 8), Cb)
+            vals, ids, cand_counts = pruned_fulltext_topk_bs(
+                p_doc, p_tf, p_flen,
+                jnp.asarray(pre_idesc[0]), jnp.asarray(pre_idesc[1]),
+                jnp.asarray(rng_i), jnp.asarray(rng_f),
+                jnp.asarray(idf), jnp.asarray(thr),
+                omc_arr, None,
+                jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
+                hp=self.PRUNED_BS_HP, cap=capb, k=kb,
+                bs_steps=rbs_steps, has_omc=has_omc,
+                nom_accum=self.PRUNED_BS_ACCUM,
+                lp=lp if self.PRUNED_BS_ACCUM else 0,
+                C=self.PRUNED_BS_C if self.PRUNED_BS_ACCUM else 0,
+            )
+        else:
+            kb = min(round_up_pow2(k, 8), C)
+            vals, ids, cand_counts = pruned_fulltext_topk(
+                p_doc, p_tf, p_etf, p_flen,
+                jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                jnp.asarray(wl_i), jnp.asarray(wl_f),
+                jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
+                omc_arr,
+                jnp.asarray(wl_prev) if wl_prev is not None else None,
+                fmask_arr, cand_in,
+                lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
+                exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
+                has_filter=has_filter, cand_given=cand_given,
+            )
         if cand_given:
             # every in-filter doc was verified: counts are exact
             counts = np.asarray(cand_counts[:B])
@@ -1206,24 +1311,58 @@ class HybridSearchTopK(PrunedPlanMixin):
         sims = np.zeros((Bb,), np.float32)
         for i, s in enumerate(similarities):
             sims[i] = s
-        kb = min(round_up_pow2(k, 8), Ct)
-        vals, ids, cand_counts = pruned_hybrid_topk_int8(
-            p_doc, p_tf, p_etf, p_flen,
-            jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
-            jnp.asarray(wl_i), jnp.asarray(wl_f),
-            jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
-            mat_i8, v_scales, row_doc, unit_cen, unit_starts, doc2row,
-            jnp.asarray(q), jnp.asarray(sims), omc_arr,
-            jnp.asarray(wl_prev) if wl_prev is not None else None,
-            fmask_arr, cand_in,
-            lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
-            exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
-            V=V, nprobe=nprobe, window=window,
-            has_rescale=rescale is not None,
-            rescale_lo=float(rescale[0]) if rescale else 0.0,
-            rescale_hi=float(rescale[1]) if rescale else 1.0,
-            has_filter=has_filter, cand_given=cand_given,
+        use_bs = (
+            self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
+        if use_bs:
+            from ..ops.pruned import pruned_hybrid_topk_int8_bs
+
+            rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
+            if self.PRUNED_BS_ACCUM:
+                Cb = self.PRUNED_BS_C
+            else:
+                Cb = pre_idesc.shape[2] * pre_idesc.shape[3] * \
+                    self.PRUNED_BS_HP
+            kb = min(round_up_pow2(k, 8), Cb + V)
+            vals, ids, cand_counts = pruned_hybrid_topk_int8_bs(
+                p_doc, p_tf, p_flen,
+                jnp.asarray(pre_idesc[0]), jnp.asarray(pre_idesc[1]),
+                jnp.asarray(rng_i), jnp.asarray(rng_f),
+                jnp.asarray(idf), jnp.asarray(thr),
+                mat_i8, v_scales, row_doc, unit_cen, unit_starts,
+                doc2row,
+                jnp.asarray(q), jnp.asarray(sims), omc_arr,
+                None,
+                jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
+                hp=self.PRUNED_BS_HP, cap=capb, k=kb,
+                bs_steps=rbs_steps, has_omc=has_omc,
+                V=V, nprobe=nprobe, window=window,
+                has_rescale=rescale is not None,
+                rescale_lo=float(rescale[0]) if rescale else 0.0,
+                rescale_hi=float(rescale[1]) if rescale else 1.0,
+                nom_accum=self.PRUNED_BS_ACCUM,
+                lp=lp if self.PRUNED_BS_ACCUM else 0,
+                C=self.PRUNED_BS_C if self.PRUNED_BS_ACCUM else 0,
+            )
+        else:
+            kb = min(round_up_pow2(k, 8), Ct)
+            vals, ids, cand_counts = pruned_hybrid_topk_int8(
+                p_doc, p_tf, p_etf, p_flen,
+                jnp.asarray(pre_idesc), jnp.asarray(pre_fdesc),
+                jnp.asarray(wl_i), jnp.asarray(wl_f),
+                jnp.asarray(idf), jnp.asarray(nd), jnp.asarray(thr),
+                mat_i8, v_scales, row_doc, unit_cen, unit_starts, doc2row,
+                jnp.asarray(q), jnp.asarray(sims), omc_arr,
+                jnp.asarray(wl_prev) if wl_prev is not None else None,
+                fmask_arr, cand_in,
+                lp=lp, lch=self.PRUNED_LCH, cap=capb, C=C, k=kb, T=Tb,
+                exact=exact, has_omc=has_omc, nre=nre, bs_steps=bs_steps,
+                V=V, nprobe=nprobe, window=window,
+                has_rescale=rescale is not None,
+                rescale_lo=float(rescale[0]) if rescale else 0.0,
+                rescale_hi=float(rescale[1]) if rescale else 1.0,
+                has_filter=has_filter, cand_given=cand_given,
+            )
         if cand_given:
             counts = np.asarray(cand_counts[:B])
         else:

@@ -666,6 +666,283 @@ def _exact_counts_core(
     return counts
 
 
+def _sliced_candidates(p_doc, pre_starts, pre_lens, *, hp: int, cap: int):
+    """v4 phase 1: candidate docs by SLICING impact-ordered prefix heads.
+
+    The hardware verdict on the v3 nominator (benches/RESULTS.md
+    "Round-4 session 1") showed its (B, T*NPR*lp) accumulation sort is
+    wasted work at the 10M tier: the rescore below is so cheap per
+    candidate that a LARGER un-scored candidate pool beats a smaller
+    accumulated one. Each (token, prefix-range) contributes its first
+    `hp` postings' doc ids (commit stores side blocks highest-impact
+    first, string_index._build_prefix_blocks); the only sort left is
+    the (B, C) id sort for the ascending/dedup layout the rescore's
+    binary searches need. A doc that would only nominate via cross-token
+    accumulation is covered by the larger head budget instead
+    (hp * T * NPR candidates vs v3's C=1024).
+
+    Returns cand int32[B, T*NPR*hp] ascending; `cap` marks empty slots.
+    """
+    B, T, NPR = pre_starts.shape
+    flat = pre_starts.reshape(-1)
+    docs = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (hp,)))(
+        flat
+    ).reshape(B, T, NPR, hp)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, hp), 3)
+    valid = slot < pre_lens[:, :, :, None]
+    docs = jnp.where(valid, docs, cap)
+    cand = jax.lax.sort(docs.reshape(B, T * NPR * hp), dimension=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+    )
+    cand = jnp.where(dup, cap, cand)
+    return jax.lax.sort(cand, dimension=1)
+
+
+def _rescore_bsearch(
+    p_doc, tf_src, p_flen,
+    rng_st, rng_ln,            # int32[B, T, NR] UNSPLIT doc-sorted ranges
+    rng_w, rng_fb, rng_av,     # f32[B, T, NR]
+    idf,                       # f32[B, T] EXACT host IDF (see gating)
+    cand,                      # int32[B, C] ascending (cap = empty)
+    *,
+    bs_steps: int,
+):
+    """v4 phase 2: binary-search EACH CANDIDATE into its ranges.
+
+    The v3 rescore streamed every posting of every query token
+    (O(batch postings)) and could therefore never beat the dense kernel
+    — measured 45 vs 47 QPS at 10.49M docs / 134M postings
+    (benches/RESULTS.md "Round-4 session 1"). This kernel inverts the
+    join: ranges are DOC-SORTED at commit (string_index._pack_segment),
+    so each candidate's tf resolves with ONE uniform binary search per
+    (token, range) — O(B*T*NR*C*log len) random gathers, independent of
+    the posting counts. Ranges here are UNSPLIT (plan builders split at
+    MAX_RANGE_LEN for the dense kernel's window gather; the split
+    pieces are re-coalesced by the caller so NR stays the real span
+    count and doc order stays global within each range).
+
+    df/IDF comes from the HOST (range lengths), which is exact exactly
+    when the caller gates this kernel: single-(field,term)-span tokens
+    (nre == 0 — ranges of one token are doc-disjoint), non-exact tf
+    (every stored posting has tf >= 1), unfiltered. Everything else
+    keeps the v3 streaming rescore, whose df is counted on device.
+
+    Returns (scores f32[B, C], matched f32[B, C])."""
+    P = p_doc.shape[0]
+    cq = cand[:, None, None, :]                        # (B, 1, 1, C)
+    st = rng_st[..., None]                             # (B, T, NR, 1)
+    ln = rng_ln[..., None]
+    pos = jnp.zeros(cq.shape[:1] + st.shape[1:3] + cq.shape[-1:],
+                    jnp.int32)                         # (B, T, NR, C)
+    step = 1 << (bs_steps - 1)
+    while step >= 1:
+        probe = pos + step
+        ok = probe <= ln
+        v = jnp.take(p_doc, jnp.clip(st + probe - 1, 0, P - 1))
+        pos = jnp.where(ok & (v < cq), probe, pos)
+        step >>= 1
+    at = jnp.clip(st + pos, 0, P - 1)
+    hit = (pos < ln) & (jnp.take(p_doc, at) == cq)
+    tf = jnp.where(hit, jnp.take(tf_src, at), 0.0)
+    fl = jnp.take(p_flen, at)
+    fb = rng_fb[..., None]
+    denom = (1.0 - fb) + fb * fl / jnp.maximum(rng_av[..., None], 1e-9)
+    ntf = rng_w[..., None] * tf / jnp.maximum(denom, 1e-9)
+    acc = jnp.sum(ntf, axis=2)                         # (B, T, C)
+    present = acc > 0.0
+    sat = idf[:, :, None] * (K1 + 1.0) * acc / (K1 + acc)
+    scores = jnp.sum(jnp.where(present, sat, 0.0), axis=1)
+    matched = jnp.sum(present.astype(jnp.float32), axis=1)
+    return scores, matched
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "cap", "k", "bs_steps", "has_omc",
+                     "cand_given", "nom_accum", "lp", "C"),
+)
+def pruned_fulltext_topk_bs(
+    p_doc, p_tf, p_flen,
+    pre_starts, pre_lens,      # int32[B, T, NPR] impact-prefix ranges
+    rng_i,                     # int32[2, B, T, NR] unsplit start/len
+    rng_f,                     # f32[3, B, T, NR] weight, field_b, avg
+    idf,                       # f32[B, T] exact host IDF
+    thr_counts,                # f32[B] min distinct matched tokens
+    omc,                       # f32[cap] (dummy (1,) when has_omc=False)
+    cand_in=None,              # int32[B, C] caller candidates (optional)
+    pre_fdesc=None,            # f32[3, B, T, NPR] (nom_accum only)
+    *,
+    hp: int, cap: int, k: int, bs_steps: int,
+    has_omc: bool, cand_given: bool = False,
+    nom_accum: bool = False, lp: int = 0, C: int = 0,
+):
+    """Fused v4 pruned full-text search: ONE dispatch, (B, k) results.
+
+    Nomination is either head-sliced (no accumulation sort; hp postings
+    per prefix range become candidates directly) or the v3 accumulated
+    partial-score nominator (nom_accum=True: sort + segmented-sum over
+    lp-deep prefixes, top-C partial scorers — more robust when impact
+    prefixes are flat, e.g. uniform-tf corpora). Both feed the
+    per-candidate binary-search rescore — work O(B*T*NR*(C log len)),
+    independent of posting counts, the design adopted from the round-4
+    hardware verdict (benches/RESULTS.md). Gating (caller-enforced,
+    search_exec.search_topk_pruned): nre == 0, non-exact tf, no filter
+    mask — everything else takes the v3 streaming kernel.
+
+    Returns (vals f32[B, k], ids int32[B, k], cand_counts int32[B])."""
+    if cand_given:
+        cand = cand_in
+    elif nom_accum:
+        cand = _prefix_candidates(
+            p_doc, p_tf, p_flen,
+            pre_starts, pre_lens,
+            pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+            idf, None, lp=lp, cap=cap, C=C,
+        )
+    else:
+        cand = _sliced_candidates(
+            p_doc, pre_starts, pre_lens, hp=hp, cap=cap
+        )
+    scores, matched = _rescore_bsearch(
+        p_doc, p_tf, p_flen,
+        rng_i[0], rng_i[1], rng_f[0], rng_f[1], rng_f[2],
+        idf, cand, bs_steps=bs_steps,
+    )
+    keep = (
+        (matched >= thr_counts[:, None]) & (scores > 0.0) & (cand < cap)
+    )
+    if has_omc:
+        omc_c = jnp.take(omc, jnp.clip(cand, 0, omc.shape[0] - 1))
+        s = scores * omc_c
+    else:
+        s = scores
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    s = jnp.where(keep, s, -jnp.inf)
+    vals, ci = jax.lax.top_k(s, k)
+    ids = jnp.take_along_axis(cand, ci, axis=1)
+    return vals, ids, counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "hp", "cap", "k", "bs_steps", "has_omc",
+        "V", "nprobe", "window", "has_rescale", "rescale_lo", "rescale_hi",
+        "cand_given", "nom_accum", "lp", "C",
+    ),
+)
+def pruned_hybrid_topk_int8_bs(
+    p_doc, p_tf, p_flen,
+    pre_starts, pre_lens, rng_i, rng_f,
+    idf, thr_counts,
+    mat_i8, scales, row_doc, unit_cen, unit_starts, doc2row,
+    queries, sim, omc,
+    cand_in=None,
+    pre_fdesc=None,
+    *,
+    hp: int, cap: int, k: int, bs_steps: int, has_omc: bool,
+    V: int, nprobe: int, window: int,
+    has_rescale: bool, rescale_lo: float, rescale_hi: float,
+    cand_given: bool = False,
+    nom_accum: bool = False, lp: int = 0, C: int = 0,
+):
+    """Fused v4 pruned hybrid over the int8/IVF vector layout: the
+    fulltext side uses head-sliced nomination + binary-search rescore
+    (pruned_fulltext_topk_bs), the vector side is unchanged from v3
+    (IVF probe nominations + exact int8 row gather), fusion is the
+    reference min-max-over-span (token_score.rs:357-422). Same gating
+    as the fulltext v4 kernel."""
+    from .vector import ivf_int8_topk
+
+    B = queries.shape[0]
+    v_vals, v_rows = ivf_int8_topk(
+        queries, mat_i8, scales, unit_cen, unit_starts,
+        k=V, nprobe=nprobe, window=window,
+    )
+    v_docs = jnp.where(
+        (v_rows >= 0) & (v_vals > NEG_INF / 2),
+        jnp.take(row_doc, jnp.clip(v_rows, 0, row_doc.shape[0] - 1)),
+        cap,
+    )
+    if cand_given:
+        cand = cand_in
+        Ct = cand_in.shape[1]
+    else:
+        if nom_accum:
+            ft_cand = _prefix_candidates(
+                p_doc, p_tf, p_flen,
+                pre_starts, pre_lens,
+                pre_fdesc[0], pre_fdesc[1], pre_fdesc[2],
+                idf, None, lp=lp, cap=cap, C=C,
+            )
+        else:
+            ft_cand = _sliced_candidates(
+                p_doc, pre_starts, pre_lens, hp=hp, cap=cap
+            )
+        Ct = ft_cand.shape[1] + V
+        cand = jnp.concatenate([ft_cand, v_docs], axis=1)
+        cand = jax.lax.sort(cand, dimension=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), cand[:, 1:] == cand[:, :-1]], axis=1
+        )
+        cand = jnp.where(dup, cap, cand)
+        cand = jax.lax.sort(cand, dimension=1)
+
+    scores, matched = _rescore_bsearch(
+        p_doc, p_tf, p_flen,
+        rng_i[0], rng_i[1], rng_f[0], rng_f[1], rng_f[2],
+        idf, cand, bs_steps=bs_steps,
+    )
+
+    rows_c = jnp.take(doc2row, jnp.clip(cand, 0, doc2row.shape[0] - 1))
+    safe_rows = jnp.clip(rows_c, 0, mat_i8.shape[0] - 1)
+    tiles = jnp.take(mat_i8, safe_rows, axis=0)             # (B, Ct, D)
+    sc_c = jnp.take(scales, safe_rows)                      # (B, Ct)
+    vec = jnp.einsum(
+        "bcd,bd->bc",
+        tiles.astype(jnp.bfloat16),
+        queries.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) * sc_c
+    vec = jnp.where((rows_c >= 0) & (cand < cap), vec, 0.0)
+    pos_v = _lower_bound(cand, v_docs)
+    posc_v = jnp.minimum(pos_v, Ct - 1)
+    hit_v = (
+        jnp.take_along_axis(cand, posc_v, axis=1) == v_docs
+    ) & (v_docs < cap)
+    probe_vals = jnp.where(hit_v, v_vals, 0.0)
+
+    def fold_probe(vec_b, pos_b, val_b):
+        return vec_b.at[pos_b].max(val_b)
+
+    vec = jax.vmap(fold_probe)(vec, posc_v, probe_vals)
+    if has_rescale:
+        vec = jnp.clip(
+            (vec - rescale_lo) / (rescale_hi - rescale_lo), 0.0, 1.0
+        )
+    vec = jnp.where(vec >= sim[:, None], vec, 0.0)
+
+    ft_keep = (
+        (scores > 0.0) & (matched >= thr_counts[:, None]) & (cand < cap)
+    )
+    vc_keep = (vec > 0.0) & (cand < cap)
+    ft = jnp.where(ft_keep, scores, 0.0)
+    vc = jnp.where(vc_keep, vec, 0.0)
+    hi = jnp.maximum(jnp.max(ft, axis=1), jnp.max(vc, axis=1))
+    span = jnp.where(hi > 0.0, hi, 1.0)
+    fused = (ft + vc) / span[:, None]
+    if has_omc:
+        omc_c = jnp.take(omc, jnp.clip(cand, 0, omc.shape[0] - 1))
+        fused = fused * omc_c
+    present = ft_keep | vc_keep
+    counts = jnp.sum(present, axis=1).astype(jnp.int32)
+    s = jnp.where(present, fused, -jnp.inf)
+    vals, ci = jax.lax.top_k(s, k)
+    ids = jnp.take_along_axis(cand, ci, axis=1)
+    return vals, ids, counts
+
+
 def estimate_match_count(n_docs: float, dfs) -> int:
     """Union-probability estimate of the corpus-wide match count for the
     pruned path (the dense path counts exactly; a pruned search would

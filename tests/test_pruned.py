@@ -400,6 +400,229 @@ def test_pruned_hybrid_parity():
                       np.asarray(vp), np.asarray(idp), tol=5e-3)
 
 
+def run_pruned_bs(corpus, plans, thr, omc, k, nom_accum=False,
+                  hp=None, C=1024, lp=None):
+    """Drive the v4 kernel (ops/pruned.py pruned_fulltext_topk_bs): the
+    test harness's full ranges are already unsplit (NR=1), so they feed
+    rng_i/rng_f directly."""
+    from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
+
+    full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, _wi, _wf = plans
+    B, T = idf.shape
+    cap = corpus["n_docs"]
+    has_omc = omc is not None
+    omc_arr = (
+        np.ones((cap,), np.float32) if has_omc else np.ones((1,), np.float32)
+    )
+    if has_omc:
+        omc_arr[: len(omc)] = omc
+    if hp is None:
+        hp = max(int(pre_idesc[1].max()), 8)
+    lp_b = 8
+    while lp_b < max(int(pre_idesc[1].max()), 8):
+        lp_b *= 2
+    bs = 4
+    while (1 << bs) < int(full_idesc[1].max()) + 1:
+        bs += 4
+    vals, ids, counts = pruned_fulltext_topk_bs(
+        jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+        jnp.asarray(corpus["p_flen"]),
+        jnp.asarray(pre_idesc[0]), jnp.asarray(pre_idesc[1]),
+        jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
+        jnp.asarray(idf),
+        jnp.asarray(np.asarray(thr, np.float32)),
+        jnp.asarray(omc_arr), None,
+        jnp.asarray(pre_fdesc) if nom_accum else None,
+        hp=hp, cap=cap, k=k, bs_steps=bs, has_omc=has_omc,
+        nom_accum=nom_accum, lp=(lp or lp_b) if nom_accum else 0,
+        C=C if nom_accum else 0,
+    )
+    return np.asarray(vals), np.asarray(ids), np.asarray(counts)
+
+
+@pytest.mark.parametrize("nom_accum", [False, True])
+def test_pruned_bs_exact_when_candidates_cover_corpus(nom_accum):
+    """v4 parity: when nomination covers every matching doc (whole-range
+    prefixes; slice hp / accum C span them) the binary-search rescore
+    must equal the dense kernel EXACTLY — scores, ids, verified counts.
+    Exercises thresholds and OMC through the same dispatch."""
+    corpus = build_corpus(n_docs=1500, n_terms=64, seed=1, prefix_len=10**9)
+    queries = [[0, 3, 10], [1, 2], [5, 20, 40], [7]]
+    plans = build_plans(corpus, queries)
+    thr = [0.0, 2.0, 0.0, 0.0]
+    omc = np.ones(1500, np.float32)
+    omc[::7] = 1.5
+    vd, idd, cd = dense_reference(corpus, plans[0], plans[1], thr, omc, 10)
+    vp, idp, cp = run_pruned_bs(
+        corpus, plans, thr, omc, 10, nom_accum=nom_accum, C=2048
+    )
+    assert_topk_equal(vd, idd, vp, idp)
+    assert np.array_equal(cd, cp)
+
+
+@pytest.mark.parametrize("nom_accum", [False, True])
+def test_pruned_bs_overlap_at_scale(nom_accum):
+    """v4 with real impact-prefix blocks + bounded budgets: top-10
+    overlap vs dense >= 0.95 on zipf data (the VERDICT r2 bar)."""
+    corpus = build_corpus(
+        n_docs=30000, n_terms=48, seed=7, max_df=12000, prefix_len=2048
+    )
+    rng = np.random.default_rng(11)
+    queries = [list(rng.choice(24, size=3, replace=False)) for _ in range(16)]
+    plans = build_plans(corpus, queries)
+    thr = [0.0] * len(queries)
+    vd, idd, _ = dense_reference(corpus, plans[0], plans[1], thr, None, 10)
+    vp, idp, _ = run_pruned_bs(
+        corpus, plans, thr, None, 10, nom_accum=nom_accum, hp=2048, C=1024
+    )
+    overlaps = [
+        len(set(idd[b].tolist()) & set(idp[b].tolist())) / 10.0
+        for b in range(len(queries))
+    ]
+    assert np.mean(overlaps) >= 0.95, overlaps
+
+
+def test_pruned_bs_split_ranges_parity():
+    """The v4 rescore searches UNSPLIT ranges: feeding it a plan whose
+    token was split at a small MAX_RANGE_LEN and re-coalesced
+    (search_exec._pruned_bs_inputs) must match the dense kernel run on
+    the split plan."""
+    from oramacore_tpu.index.search_exec import PrunedPlanMixin
+    from oramacore_tpu.index.string_index import QueryPlan
+
+    corpus = build_corpus(n_docs=2000, n_terms=16, seed=21,
+                          prefix_len=10**9)
+    queries = [[0, 1], [2, 0]]
+    plans = build_plans(corpus, queries)
+    full_idesc, full_fdesc = plans[0], plans[1]
+    # split every range into <=257-posting pieces (doc order preserved)
+    B, T = plans[4].shape
+    split = []
+    for b in range(B):
+        rows = []
+        for t in range(T):
+            s0 = int(full_idesc[0][b, t, 0])
+            ln = int(full_idesc[1][b, t, 0])
+            parts = []
+            off = 0
+            while off < ln:
+                take = min(257, ln - off)
+                parts.append((s0 + off, take))
+                off += take
+            rows.append(parts)
+        split.append(rows)
+    NR = max(len(p) for rows in split for p in rows)
+    st = np.zeros((B, T, NR), np.int32)
+    ln_ = np.zeros((B, T, NR), np.int32)
+    w = np.zeros((B, T, NR), np.float32)
+    fb = np.full((B, T, NR), 0.75, np.float32)
+    av = np.full((B, T, NR), 30.0, np.float32)
+    qplans = []
+    for b in range(B):
+        for t in range(T):
+            for r, (s0, l0) in enumerate(split[b][t]):
+                st[b, t, r] = s0
+                ln_[b, t, r] = l0
+                w[b, t, r] = 1.0
+        qplans.append(QueryPlan(
+            starts=st[b], lens=ln_[b], weights=w[b], field_b=fb[b],
+            avg_flen=av[b], n_tokens=T, max_range_len=257,
+        ))
+    rng_i, rng_f, bs = PrunedPlanMixin._pruned_bs_inputs(qplans)
+    # coalescing must recover the unsplit spans
+    assert rng_i.shape[3] == 1
+    assert np.array_equal(
+        rng_i[1][:B, :, 0], full_idesc[1][:, :, 0]
+    )
+    vd, idd, _ = dense_reference(
+        corpus, np.stack([st, ln_]), np.stack([w, fb, av]),
+        [0.0, 0.0], None, 8,
+    )
+    from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
+
+    idf = plans[4]
+    pre_idesc = plans[2]
+    vp, idp, _ = pruned_fulltext_topk_bs(
+        jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+        jnp.asarray(corpus["p_flen"]),
+        jnp.asarray(pre_idesc[0]), jnp.asarray(pre_idesc[1]),
+        jnp.asarray(rng_i[:, :B]), jnp.asarray(rng_f[:, :B]),
+        jnp.asarray(idf),
+        jnp.zeros((B,), jnp.float32),
+        jnp.ones((1,), jnp.float32), None, None,
+        hp=max(int(pre_idesc[1].max()), 8), cap=2000, k=8,
+        bs_steps=bs, has_omc=False,
+    )
+    assert_topk_equal(vd, idd, np.asarray(vp), np.asarray(idp))
+
+
+def test_pruned_bs_hybrid_parity():
+    """Full-coverage v4 hybrid == dense fused int8 hybrid."""
+    from oramacore_tpu.ops.hybrid import hybrid_search_topk_packed_int8
+    from oramacore_tpu.ops.pruned import pruned_hybrid_topk_int8_bs
+
+    n_docs = 700
+    corpus = build_corpus(n_docs=n_docs, n_terms=24, seed=9,
+                          prefix_len=10**9)
+    ivf = build_ivf(n_docs)
+    rng = np.random.default_rng(13)
+    B = 4
+    queries = [[0, 2, 5], [1, 3], [4, 8], [0, 7]]
+    (full_idesc, full_fdesc, pre_idesc, pre_fdesc, idf, _wi, _wf) = (
+        build_plans(corpus, queries)
+    )
+    qvecs = rng.normal(size=(B, 16)).astype(np.float32)
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+    sims = np.full((B,), 0.1, np.float32)
+    thr = np.zeros((B,), np.float32)
+
+    lr = 8
+    while lr < int(full_idesc[1].max()):
+        lr *= 2
+    capb = 128
+    while capb < n_docs:
+        capb *= 2
+    scalars = np.stack([
+        np.full((B,), float(n_docs), np.float32), thr, sims,
+    ])
+    vd, idd, _ = hybrid_search_topk_packed_int8(
+        jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+        jnp.asarray(corpus["p_etf"]), jnp.asarray(corpus["p_flen"]),
+        jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
+        jnp.asarray(scalars),
+        jnp.asarray(ivf["mat_i8"]), jnp.asarray(ivf["scales"]),
+        jnp.asarray(ivf["row_doc"]), jnp.asarray(ivf["unit_cen"]),
+        jnp.asarray(ivf["unit_starts"]),
+        jnp.asarray(qvecs),
+        jnp.zeros((1, 1), bool), jnp.ones((1,), jnp.float32),
+        lr=lr, exact=False, cap=capb, k=10,
+        V=1024, nprobe=ivf["n_units"], window=ivf["window"],
+        has_mask=False, has_omc=False,
+        has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+    )
+    bs = 4
+    while (1 << bs) < int(full_idesc[1].max()) + 1:
+        bs += 4
+    vp, idp, _ = pruned_hybrid_topk_int8_bs(
+        jnp.asarray(corpus["p_doc"]), jnp.asarray(corpus["p_tf"]),
+        jnp.asarray(corpus["p_flen"]),
+        jnp.asarray(pre_idesc[0]), jnp.asarray(pre_idesc[1]),
+        jnp.asarray(full_idesc), jnp.asarray(full_fdesc),
+        jnp.asarray(idf), jnp.asarray(thr),
+        jnp.asarray(ivf["mat_i8"]), jnp.asarray(ivf["scales"]),
+        jnp.asarray(ivf["row_doc"]), jnp.asarray(ivf["unit_cen"]),
+        jnp.asarray(ivf["unit_starts"]), jnp.asarray(ivf["doc2row"]),
+        jnp.asarray(qvecs), jnp.asarray(sims),
+        jnp.ones((1,), jnp.float32),
+        hp=max(int(pre_idesc[1].max()), 8), cap=n_docs, k=10,
+        bs_steps=bs, has_omc=False,
+        V=1024, nprobe=ivf["n_units"], window=ivf["window"],
+        has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+    )
+    assert_topk_equal(np.asarray(vd), np.asarray(idd),
+                      np.asarray(vp), np.asarray(idp), tol=5e-3)
+
+
 def test_estimate_match_count():
     assert estimate_match_count(1000, [1000]) == 1000
     assert estimate_match_count(1000, []) == 0
