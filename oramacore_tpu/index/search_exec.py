@@ -731,19 +731,34 @@ class PrunedPlanMixin(StringSearchTopK):
                     (
                         (int(p.starts[t, r]), int(p.lens[t, r]),
                          float(p.weights[t, r]), float(p.field_b[t, r]),
-                         float(p.avg_flen[t, r]))
+                         float(p.avg_flen[t, r]),
+                         int(p.range_span[t, r])
+                         if p.range_span is not None else -1 - r)
                         for r in range(r_n)
                         if int(p.lens[t, r]) > 0
                     ),
                 )
                 merged: list = []
-                for s0, ln, w0, b0, a0 in items:
-                    if merged and merged[-1][0] + merged[-1][1] == s0 \
+                m_span: list = []
+                for s0, ln, w0, b0, a0, so in items:
+                    # only re-join pieces SPLIT FROM THE SAME SPAN
+                    # (range_span ordinal): raw start-adjacency could
+                    # merge two distinct doc-sorted ranges (consecutive
+                    # segments of one term, or a committed tail abutting
+                    # the live region) whose concatenation is NOT
+                    # globally doc-sorted — _rescore_bsearch would then
+                    # silently return wrong tf (the hazard
+                    # string_index._pack_segment documents). Plans built
+                    # without range_span never merge (so >= 0 distinct
+                    # sentinel per row above).
+                    if merged and m_span[-1] == so and so >= 0 \
+                            and merged[-1][0] + merged[-1][1] == s0 \
                             and merged[-1][2:] == (w0, b0, a0):
                         prev = merged[-1]
                         merged[-1] = (prev[0], prev[1] + ln, w0, b0, a0)
                     else:
                         merged.append((s0, ln, w0, b0, a0))
+                        m_span.append(so)
                 rows.append(merged)
                 nru = max(nru, len(merged))
                 for m in merged:

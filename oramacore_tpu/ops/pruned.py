@@ -140,8 +140,16 @@ def _prefix_candidates(
         flat
     ).reshape(B, T, NPR, lp)
 
+    # dynamic_slice CLAMPS starts within lp of the slab end (reads the
+    # window at P - lp instead): slot j then holds posting s_eff + j,
+    # and the range's own postings live at slots [shift, shift + len)
+    # where shift = s - s_eff (advisor r3: unshifted masks nominated
+    # wrong doc ids near the tail)
+    P = p_doc.shape[0]
+    s_eff = jnp.clip(flat, 0, max(P - lp, 0))
+    shift = (flat - s_eff).reshape(B, T, NPR)[:, :, :, None]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, lp), 3)
-    valid = slot < pre_lens[:, :, :, None]
+    valid = (slot >= shift) & (slot < shift + pre_lens[:, :, :, None])
     fb = pre_fb[:, :, :, None]
     denom = (1.0 - fb) + fb * fl / jnp.maximum(pre_av[:, :, :, None], 1e-9)
     ntf = pre_w[:, :, :, None] * tf / jnp.maximum(denom, 1e-9)
@@ -681,6 +689,14 @@ def _sliced_candidates(p_doc, pre_starts, pre_lens, *, hp: int, cap: int):
     accumulation is covered by the larger head budget instead
     (hp * T * NPR candidates vs v3's C=1024).
 
+    CAVEAT (advisor r3): impact side blocks exist only for terms with
+    df > string_index.PREFIX_LEN; a mid-size term's prefix range is its
+    whole DOC-SORTED range, so when that range exceeds hp this mode
+    takes the hp LOWEST DOC IDS — a systematic doc-id recall bias, not
+    an impact order. PRUNED_BS_ACCUM=True (the default) is unaffected
+    (it scores full lp-deep prefixes); treat slice mode as a
+    measured-opt-in for corpora whose query terms are all heavy.
+
     Returns cand int32[B, T*NPR*hp] ascending; `cap` marks empty slots.
     """
     B, T, NPR = pre_starts.shape
@@ -688,8 +704,14 @@ def _sliced_candidates(p_doc, pre_starts, pre_lens, *, hp: int, cap: int):
     docs = jax.vmap(lambda s: jax.lax.dynamic_slice(p_doc, (s,), (hp,)))(
         flat
     ).reshape(B, T, NPR, hp)
+    # account for dynamic_slice's end-of-slab clamp (see
+    # _prefix_candidates): slot j holds posting s_eff + j, the range's
+    # own postings sit at [shift, shift + len)
+    P = p_doc.shape[0]
+    s_eff = jnp.clip(flat, 0, max(P - hp, 0))
+    shift = (flat - s_eff).reshape(B, T, NPR)[:, :, :, None]
     slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, hp), 3)
-    valid = slot < pre_lens[:, :, :, None]
+    valid = (slot >= shift) & (slot < shift + pre_lens[:, :, :, None])
     docs = jnp.where(valid, docs, cap)
     cand = jax.lax.sort(docs.reshape(B, T * NPR * hp), dimension=1)
     dup = jnp.concatenate(

@@ -524,9 +524,13 @@ def test_pruned_bs_split_ranges_parity():
                 st[b, t, r] = s0
                 ln_[b, t, r] = l0
                 w[b, t, r] = 1.0
+        # splits of one span share its ordinal (0 — one span per token
+        # here); _pruned_bs_inputs only re-joins same-span pieces
+        span_ord = np.where(ln_[b] > 0, 0, -1).astype(np.int32)
         qplans.append(QueryPlan(
             starts=st[b], lens=ln_[b], weights=w[b], field_b=fb[b],
             avg_flen=av[b], n_tokens=T, max_range_len=257,
+            range_span=span_ord,
         ))
     rng_i, rng_f, bs = PrunedPlanMixin._pruned_bs_inputs(qplans)
     # coalescing must recover the unsplit spans
@@ -554,6 +558,55 @@ def test_pruned_bs_split_ranges_parity():
         bs_steps=bs, has_omc=False,
     )
     assert_topk_equal(vd, idd, np.asarray(vp), np.asarray(idp))
+
+
+def test_pruned_bs_inputs_never_merges_distinct_spans():
+    """Regression (advisor r3, medium): _pruned_bs_inputs must NOT
+    re-join slab-adjacent ranges that belong to DIFFERENT spans
+    (consecutive committed segments of one term, or a committed tail
+    abutting the live region) — after doc-id resurrection their
+    concatenation is not globally doc-sorted and the binary-search
+    rescore would silently return wrong tf. Only MAX_RANGE_LEN split
+    pieces (same range_span ordinal) may merge; plans without
+    range_span never merge."""
+    from oramacore_tpu.index.search_exec import PrunedPlanMixin
+    from oramacore_tpu.index.string_index import QueryPlan
+
+    def plan(starts_lens, span_ords):
+        nr = len(starts_lens)
+        st = np.zeros((1, nr), np.int32)
+        ln = np.zeros((1, nr), np.int32)
+        for r, (s, l) in enumerate(starts_lens):
+            st[0, r], ln[0, r] = s, l
+        kw = dict(
+            starts=st, lens=ln,
+            weights=np.ones((1, nr), np.float32),
+            field_b=np.full((1, nr), 0.75, np.float32),
+            avg_flen=np.full((1, nr), 30.0, np.float32),
+            n_tokens=1, max_range_len=int(ln.max()),
+        )
+        if span_ords is not None:
+            kw["range_span"] = np.asarray([span_ords], np.int32)
+        return QueryPlan(**kw)
+
+    # adjacent + identical params, DIFFERENT spans -> two ranges
+    rng_i, _, _ = PrunedPlanMixin._pruned_bs_inputs(
+        [plan([(100, 50), (150, 30)], [0, 1])]
+    )
+    kept = rng_i[1][0, 0]
+    assert sorted(kept[kept > 0].tolist()) == [30, 50]
+    # adjacent + identical params, SAME span (splits) -> one range
+    rng_i, _, _ = PrunedPlanMixin._pruned_bs_inputs(
+        [plan([(100, 50), (150, 30)], [0, 0])]
+    )
+    kept = rng_i[1][0, 0]
+    assert kept[kept > 0].tolist() == [80]
+    # no range_span on the plan -> never merge
+    rng_i, _, _ = PrunedPlanMixin._pruned_bs_inputs(
+        [plan([(100, 50), (150, 30)], None)]
+    )
+    kept = rng_i[1][0, 0]
+    assert sorted(kept[kept > 0].tolist()) == [30, 50]
 
 
 def test_pruned_bs_hybrid_parity():

@@ -60,6 +60,7 @@ def _assert_hits_match(a, b, q=None, tol=1e-4):
     sb = [h.score for h in b.hits]
     assert len(sa) == len(sb), (q, sa, sb)
     assert np.allclose(sa, sb, rtol=tol, atol=tol), (q, sa, sb)
+    offset = int((q or {}).get("offset", 0))
     i, K = 0, len(sa)
     while i < K:
         j = i
@@ -67,10 +68,13 @@ def _assert_hits_match(a, b, q=None, tol=1e-4):
             abs(sa[i]), 1.0
         ):
             j += 1
-        # a tie run truncated by the page end may continue past k with
-        # more equal-score docs — any subset is a valid top-k there, so
-        # only interior runs demand identical id sets
-        if j < K - 1:
+        # a tie run truncated by a PAGE BOUNDARY may continue beyond it
+        # with more equal-score docs — any subset is a valid page slice
+        # there, so only interior runs demand identical id sets. Both
+        # boundaries truncate: the page end (run reaches K-1) and, under
+        # a nonzero offset, the page start (run starts at 0 — the group
+        # may extend into the dropped offset rows).
+        if j < K - 1 and not (i == 0 and offset > 0):
             assert {h.id for h in a.hits[i:j + 1]} == {
                 h.id for h in b.hits[i:j + 1]
             }, (q, i, j, [h.id for h in a.hits], [h.id for h in b.hits])
