@@ -1007,18 +1007,23 @@ class ShardedStringExec:
 
     def _get_pruned_step(self, *, lp, lch, cap_l, C, k, T, exact,
                          has_omc, nre, bs_steps,
-                         has_filter=False, cand_given=False):
+                         has_filter=False, cand_given=False,
+                         use_bs=False, nom_accum=True, hp=0):
         key = ("pruned", lp, lch, cap_l, C, k, T, exact, has_omc, nre,
-               bs_steps, has_filter, cand_given)
+               bs_steps, has_filter, cand_given, use_bs, nom_accum, hp)
         step = self._steps.get(key)
         if step is not None:
             return step
-        from ..ops.pruned import _prefix_candidates, _rescore_worklist
+        from ..ops.pruned import (
+            _prefix_candidates, _rescore_bsearch, _rescore_worklist,
+            _sliced_candidates,
+        )
 
         mesh, D = self.mesh, self.D
 
         def shard_fn(p_doc, p_tf, p_etf, p_flen,
                      pre_st, pre_ln, pre_w, pre_fb, pre_av,
+                     rng_st, rng_ln, rng_f,
                      wl_i, wl_f, wl_prev, idf, nd, thr, omc,
                      fmask, cand_in):
             tf_src = p_etf[0] if exact else p_tf[0]
@@ -1030,18 +1035,36 @@ class ShardedStringExec:
                 # set IS its candidate list (docs live in one shard, so
                 # per-shard verified counts psum to the exact count)
                 cand = cand_in[0]
+            elif use_bs and not nom_accum:
+                cand = _sliced_candidates(
+                    p_doc[0], pre_st[0], pre_ln[0], hp=hp, cap=cap_l
+                )
             else:
                 cand = _prefix_candidates(
                     p_doc[0], tf_src, p_flen[0],
                     pre_st[0], pre_ln[0], pre_w, pre_fb, pre_av,
                     idf, fm, lp=lp, cap=cap_l, C=C,
                 )
-            scores, matched = _rescore_worklist(
-                p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
-                nd, cand, wl_prev[0] if nre else None, fm,
-                lch=lch, C=C, T=T, nre=nre, bs_steps=bs_steps,
-                axis_name="d",
-            )
+            if use_bs:
+                # v4 rescore: per-candidate binary searches into the
+                # shard's slices of the UNSPLIT doc-sorted spans — the
+                # same kernel generation the single-device path
+                # dispatches (ops/pruned._rescore_bsearch); df/IDF is
+                # exact from the host under the shared gate (nre == 0,
+                # unfiltered, non-exact tf), so no psum is needed
+                scores, matched = _rescore_bsearch(
+                    p_doc[0], tf_src, p_flen[0],
+                    rng_st[0], rng_ln[0],
+                    rng_f[0], rng_f[1], rng_f[2],
+                    idf, cand, bs_steps=bs_steps,
+                )
+            else:
+                scores, matched = _rescore_worklist(
+                    p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
+                    nd, cand, wl_prev[0] if nre else None, fm,
+                    lch=lch, C=C, T=T, nre=nre, bs_steps=bs_steps,
+                    axis_name="d",
+                )
             keep = (
                 (matched >= thr[:, None]) & (scores > 0.0)
                 & (cand < cap_l)
@@ -1072,6 +1095,9 @@ class ShardedStringExec:
             P("d", None, None, None), P("d", None, None, None),
             P(None, None, None), P(None, None, None),
             P(None, None, None),
+            P("d", None, None, None) if use_bs else P(None, None, None),
+            P("d", None, None, None) if use_bs else P(None, None, None),
+            P(None, None, None, None) if use_bs else P(None, None, None),
             P("d", None, None), P("d", None, None),
             P("d", None, None, None) if nre else P(None, None, None),
             P(None, None), P(None), P(None),
@@ -1087,6 +1113,30 @@ class ShardedStringExec:
         step = jax.jit(fn)
         self._steps[key] = step
         return step
+
+    def _pruned_bs_shard_inputs(self, boundaries, bprefix, plans):
+        """Per-shard UNSPLIT doc-sorted ranges for the v4 binary-search
+        rescore: the single-device coalescing
+        (search_exec.PrunedPlanMixin._pruned_bs_inputs) recovers each
+        stored span, whose start/end land on stored boundaries, so
+        _shard_ranges_on maps them to shard-local sub-ranges — each
+        still sorted by LOCAL doc id (a doc-sorted range filtered to
+        docs with doc % D == sid stays sorted under doc // D).
+
+        Returns (s_rng_st (D, Bb, Tb, NRU), s_rng_ln, rng_f
+        (3, Bb, Tb, NRU), bs_steps) — bs_steps bucketed on the SHARD
+        max sub-range length (~1/D of the global)."""
+        from ..index.search_exec import PrunedPlanMixin as PM
+
+        rng_i, rng_f, _ = PM._pruned_bs_inputs(plans)
+        s_rng_st, s_rng_ln = self._shard_ranges_on(
+            boundaries, bprefix, self.D, rng_i[0], rng_i[1]
+        )
+        max_len = int(s_rng_ln.max()) if s_rng_ln.size else 1
+        bs_steps = 4
+        while (1 << bs_steps) < max_len + 1:
+            bs_steps += 4
+        return s_rng_st, s_rng_ln, rng_f, int(bs_steps)
 
     def _get_pruned_counts_step(self, *, lch, cap_l, T, exact,
                                 has_filter=False):
@@ -1581,7 +1631,6 @@ class ShardedStringExec:
         wl_i, wl_f, wl_prev, thr = (
             h["wl_i"], h["wl_f"], h["wl_prev"], h["thr"]
         )
-        kb = min(round_up_pow2(k, 8), C)
         has_filter = mask is not None
         fmask_dev = None
         cand_in = None
@@ -1593,12 +1642,35 @@ class ShardedStringExec:
                     mask, mask_key, cap, cap_l, h["idf"].shape[0], C
                 )
             )
+        # v4 dispatch mirrors the single-device gate
+        # (search_exec.search_topk_pruned use_bs): single-span tokens,
+        # non-exact tf, unfiltered — both stacks run the SAME kernel
+        # generation (VERDICT r3 #1)
+        use_bs = (
+            PM.PRUNED_BS and not exact and not has_filter and nre == 0
+        )
+        rng_dummy3 = jnp.zeros((1, 1, 1), jnp.int32)
+        s_rng_st = s_rng_ln = rng_f_in = rng_dummy3
+        bs_steps = h["bs_steps"]
+        hp = 0
+        if use_bs:
+            s_rng_st, s_rng_ln, rng_f_in, bs_steps = (
+                self._pruned_bs_shard_inputs(boundaries, bprefix, plans)
+            )
+            if PM.PRUNED_BS_ACCUM:
+                C = PM.PRUNED_BS_C
+            else:
+                hp = PM.PRUNED_BS_HP
+                C = (h["s_pre_st"].shape[2] * h["s_pre_st"].shape[3]
+                     * hp)
+        kb = min(round_up_pow2(k, 8), C)
 
         step = self._get_pruned_step(
             lp=h["lp"], lch=lch, cap_l=cap_l, C=C, k=int(kb),
             T=int(Tb), exact=exact, has_omc=has_omc, nre=nre,
-            bs_steps=h["bs_steps"],
+            bs_steps=bs_steps,
             has_filter=has_filter, cand_given=cand_given,
+            use_bs=use_bs, nom_accum=PM.PRUNED_BS_ACCUM, hp=hp,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
@@ -1610,6 +1682,9 @@ class ShardedStringExec:
             jax.device_put(h["s_pre_ln"], sh4),
             jnp.asarray(h["pre_w"]), jnp.asarray(h["pre_fb"]),
             jnp.asarray(h["pre_av"]),
+            jax.device_put(s_rng_st, sh4) if use_bs else rng_dummy3,
+            jax.device_put(s_rng_ln, sh4) if use_bs else rng_dummy3,
+            jnp.asarray(rng_f_in) if use_bs else rng_dummy3,
             jax.device_put(wl_i, sh3), jax.device_put(wl_f, sh3),
             jax.device_put(wl_prev, sh4) if nre else jnp.asarray(wl_prev),
             jnp.asarray(h["idf"]), jnp.asarray(h["nd"]),
@@ -1665,15 +1740,18 @@ class ShardedStringExec:
                                 has_omc, nre, bs_steps, V, nprobe,
                                 window, has_rescale, rescale_lo,
                                 rescale_hi,
-                                has_filter=False, cand_given=False):
+                                has_filter=False, cand_given=False,
+                                use_bs=False, nom_accum=True, hp=0):
         key = ("pruned_hy8", lp, lch, cap_l, C, k, T, exact, has_omc,
                nre, bs_steps, V, nprobe, window, has_rescale,
-               rescale_lo, rescale_hi, has_filter, cand_given)
+               rescale_lo, rescale_hi, has_filter, cand_given,
+               use_bs, nom_accum, hp)
         step = self._steps.get(key)
         if step is not None:
             return step
         from ..ops.pruned import (
-            _lower_bound, _prefix_candidates, _rescore_worklist,
+            _lower_bound, _prefix_candidates, _rescore_bsearch,
+            _rescore_worklist, _sliced_candidates,
         )
 
         mesh, D = self.mesh, self.D
@@ -1682,6 +1760,7 @@ class ShardedStringExec:
 
         def shard_fn(p_doc, p_tf, p_etf, p_flen,
                      pre_st, pre_ln, pre_w, pre_fb, pre_av,
+                     rng_st, rng_ln, rng_f,
                      wl_i, wl_f, wl_prev, idf, nd, thr,
                      mat8, sc8, doc8, unit_cen, owner, unit_local,
                      my_mat, my_sc, d2r,
@@ -1693,6 +1772,10 @@ class ShardedStringExec:
 
             if cand_given:
                 ft_cand = None  # small filter: cand_in IS the full set
+            elif use_bs and not nom_accum:
+                ft_cand = _sliced_candidates(
+                    p_doc[0], pre_st[0], pre_ln[0], hp=hp, cap=cap_l
+                )
             else:
                 # fulltext nomination: shard-local top-C (local doc ids)
                 ft_cand = _prefix_candidates(
@@ -1779,13 +1862,25 @@ class ShardedStringExec:
                 cand = jnp.where(dup, cap_l, cand)
                 cand = jax.lax.sort(cand, dimension=1)
 
-            # exact BM25F over the union (global df via psum)
-            scores, matched = _rescore_worklist(
-                p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
-                nd, cand, wl_prev[0] if nre else None, fm,
-                lch=lch, C=Ct, T=T, nre=nre, bs_steps=bs_steps,
-                axis_name="d",
-            )
+            # exact BM25F over the union
+            if use_bs:
+                # v4: per-candidate binary searches into the shard's
+                # slices of the unsplit spans; host IDF is exact under
+                # the gate (nre == 0, unfiltered, non-exact tf)
+                scores, matched = _rescore_bsearch(
+                    p_doc[0], tf_src, p_flen[0],
+                    rng_st[0], rng_ln[0],
+                    rng_f[0], rng_f[1], rng_f[2],
+                    idf, cand, bs_steps=bs_steps,
+                )
+            else:
+                # global df via psum
+                scores, matched = _rescore_worklist(
+                    p_doc[0], tf_src, p_flen[0], wl_i[0], wl_f[0],
+                    nd, cand, wl_prev[0] if nre else None, fm,
+                    lch=lch, C=Ct, T=T, nre=nre, bs_steps=bs_steps,
+                    axis_name="d",
+                )
 
             # exact cosine per candidate: doc-aligned int8 row gather
             rows_c = jnp.take(
@@ -1858,6 +1953,9 @@ class ShardedStringExec:
             P("d", None, None, None), P("d", None, None, None),
             P(None, None, None), P(None, None, None),
             P(None, None, None),
+            P("d", None, None, None) if use_bs else P(None, None, None),
+            P("d", None, None, None) if use_bs else P(None, None, None),
+            P(None, None, None, None) if use_bs else P(None, None, None),
             P("d", None, None), P("d", None, None),
             P("d", None, None, None) if nre else P(None, None, None),
             P(None, None), P(None), P(None),
@@ -1947,6 +2045,24 @@ class ShardedStringExec:
                     mask, mask_key, cap, cap_l, Bb, C
                 )
             )
+        # v4 dispatch mirrors the single-device gate (VERDICT r3 #1)
+        use_bs = (
+            PM.PRUNED_BS and not exact and not has_filter and nre == 0
+        )
+        rng_dummy3 = jnp.zeros((1, 1, 1), jnp.int32)
+        s_rng_st = s_rng_ln = rng_f_in = rng_dummy3
+        bs_steps = h["bs_steps"]
+        hp = 0
+        if use_bs:
+            s_rng_st, s_rng_ln, rng_f_in, bs_steps = (
+                self._pruned_bs_shard_inputs(boundaries, bprefix, plans)
+            )
+            if PM.PRUNED_BS_ACCUM:
+                C = PM.PRUNED_BS_C
+            else:
+                hp = PM.PRUNED_BS_HP
+                C = (h["s_pre_st"].shape[2] * h["s_pre_st"].shape[3]
+                     * hp)
         Ct = C if cand_given else C + V
         kb = min(round_up_pow2(k, 8), Ct)
         q = np.zeros((Bb, queries.shape[1]), np.float32)
@@ -1958,12 +2074,13 @@ class ShardedStringExec:
         step = self._get_pruned_hybrid_step(
             lp=h["lp"], lch=lch, cap_l=cap_l, C=C, k=int(kb),
             T=int(Tb), exact=exact, has_omc=has_omc, nre=nre,
-            bs_steps=h["bs_steps"], V=int(V), nprobe=int(nprobe),
+            bs_steps=bs_steps, V=int(V), nprobe=int(nprobe),
             window=int(window),
             has_rescale=rescale is not None,
             rescale_lo=float(rescale[0]) if rescale else 0.0,
             rescale_hi=float(rescale[1]) if rescale else 1.0,
             has_filter=has_filter, cand_given=cand_given,
+            use_bs=use_bs, nom_accum=PM.PRUNED_BS_ACCUM, hp=hp,
         )
         p_doc, p_tf, p_etf, p_flen = dev_slab
         sh4 = NamedSharding(self.mesh, P("d", None, None, None))
@@ -1974,6 +2091,9 @@ class ShardedStringExec:
             jax.device_put(h["s_pre_ln"], sh4),
             jnp.asarray(h["pre_w"]), jnp.asarray(h["pre_fb"]),
             jnp.asarray(h["pre_av"]),
+            jax.device_put(s_rng_st, sh4) if use_bs else rng_dummy3,
+            jax.device_put(s_rng_ln, sh4) if use_bs else rng_dummy3,
+            jnp.asarray(rng_f_in) if use_bs else rng_dummy3,
             jax.device_put(wl_i, sh3), jax.device_put(wl_f, sh3),
             jax.device_put(wl_prev, sh4) if nre else jnp.asarray(wl_prev),
             jnp.asarray(h["idf"]), jnp.asarray(h["nd"]),

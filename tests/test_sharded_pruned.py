@@ -400,3 +400,90 @@ def test_sharded_pruned_facets_parity():
                 sharded.stop()
     finally:
         eng.ShardedStringExec.facet_counts_pruned = orig
+
+
+def test_pruned_kernel_generation_policy():
+    """POLICY (VERDICT r3 #1): single-device and mesh must dispatch the
+    SAME pruned kernel generation. With PRUNED_BS=True an eligible
+    search (single-span tokens, non-exact, unfiltered) runs the v4
+    binary-search rescore on BOTH stacks; with PRUNED_BS=False both run
+    the v3 streaming rescore. A default flip that reaches only one
+    stack (the round-3 regression) fails here."""
+    import jax
+
+    import oramacore_tpu.ops.pruned as prmod
+    from oramacore_tpu.index import search_exec as se
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+
+    bs_calls = []
+    orig_bs = prmod.pruned_fulltext_topk_bs
+    orig_v3 = prmod.pruned_fulltext_topk
+
+    def spy_bs(*a, **kw):
+        bs_calls.append("single_v4")
+        return orig_bs(*a, **kw)
+
+    v3_calls = []
+
+    def spy_v3(*a, **kw):
+        v3_calls.append("single_v3")
+        return orig_v3(*a, **kw)
+
+    mesh_modes = []
+    orig_step = eng.ShardedStringExec._get_pruned_step
+
+    def spy_step(self, **kw):
+        mesh_modes.append(bool(kw.get("use_bs")))
+        return orig_step(self, **kw)
+
+    q = {"term": "apple banana", "limit": 10}
+    # the v4 gate needs single-span tokens (nre == 0): one searchable
+    # string field — the two-field DOCS corpus keeps both stacks on v3
+    sdocs = [
+        {"id": d["id"], "t": d["title"],
+         **({"_omc": d["_omc"]} if "_omc" in d else {})}
+        for d in DOCS
+    ]
+    prmod.pruned_fulltext_topk_bs = spy_bs
+    prmod.pruned_fulltext_topk = spy_v3
+    eng.ShardedStringExec._get_pruned_step = spy_step
+    old_flag = se.PrunedPlanMixin.PRUNED_BS
+    try:
+        with tempfile.TemporaryDirectory() as t1, \
+                tempfile.TemporaryDirectory() as t2:
+            single, coll_s = _build(t1, 0, "on", docs=sdocs)
+            sharded, coll_m = _build(t2, 8, "on", docs=sdocs)
+            try:
+                single.read_side.commit(force=True)
+                sharded.read_side.commit(force=True)
+                for flag in (True, False):
+                    se.PrunedPlanMixin.PRUNED_BS = flag
+                    bs_calls.clear()
+                    v3_calls.clear()
+                    mesh_modes.clear()
+                    a = single.read_side.search(
+                        "c", coll_s.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    b = sharded.read_side.search(
+                        "c", coll_m.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    assert a.hits and b.hits
+                    if flag:
+                        assert bs_calls and not v3_calls
+                        assert mesh_modes == [True], mesh_modes
+                    else:
+                        assert v3_calls and not bs_calls
+                        assert mesh_modes == [False], mesh_modes
+                    _assert_hits_match(a, b, q)
+            finally:
+                single.stop()
+                sharded.stop()
+    finally:
+        prmod.pruned_fulltext_topk_bs = orig_bs
+        prmod.pruned_fulltext_topk = orig_v3
+        eng.ShardedStringExec._get_pruned_step = orig_step
+        se.PrunedPlanMixin.PRUNED_BS = old_flag
