@@ -810,71 +810,29 @@ class PrunedPlanMixin(StringSearchTopK):
         return out
 
     def _facet_worklist(self, plan: QueryPlan, lch: int):
-        """Worklist for the facet-counting kernel: every main range of
-        the plan, each entry carrying ALL spans that precede it in
-        GLOBAL (token, field, term) order except its own (field, term) —
-        a posting then contributes iff its doc's FIRST matching posting
-        is this one (distinct-doc counting without the exact-counts
-        kernel's global sort). Returns (wl_i, wl_prev, nre, bs_steps)."""
+        """Worklist for the sort-based facet/reps kernel: every main
+        range of the plan chunked to lch, each row carrying its token
+        index (distinct-token counting groups the global (doc, token)
+        sort by it — ops/pruned._match_reps_core). Returns wl_i
+        int32[4, W]."""
         T, NR = plan.starts.shape
-        flat_spans = []  # global list of (token, field, term, rs, rl)
-        span_gid = {}    # (t, local span ordinal) -> global ordinal
-        for t in range(T):
-            spans_t = (
-                plan.spans[t] if plan.spans is not None
-                and t < len(plan.spans) else []
-            )
-            for e, (fo, to, rs, rl) in enumerate(spans_t):
-                span_gid[(t, e)] = len(flat_spans)
-                flat_spans.append((t, fo, to, rs, rl))
         wl = []
-        wl_earlier = []
-        max_span = 0
         for t in range(T):
             for r in range(NR):
                 ln = int(plan.lens[t, r])
                 if ln <= 0:
                     continue
-                so = (
-                    int(plan.range_span[t, r])
-                    if plan.range_span is not None else -1
-                )
-                gid = span_gid.get((t, so), 0) if so >= 0 else 0
-                if so >= 0:
-                    me = flat_spans[gid][:3]
-                    earlier = [
-                        (rs, rl)
-                        for (tt, fo, to, rs, rl) in flat_spans[:gid]
-                        if (tt, fo, to) != me
-                    ]
-                else:
-                    earlier = []
-                for (_rs, rl) in earlier:
-                    max_span = max(max_span, rl)
                 s0 = int(plan.starts[t, r])
                 off = 0
                 while off < ln:
                     take = min(ln - off, lch)
                     wl.append((0, t, s0 + off, take))
-                    wl_earlier.append(earlier)
                     off += take
         W = round_up_pow2(max(len(wl), 1), 2)
         wl_i = np.zeros((4, W), np.int32)
         for j, row in enumerate(wl):
             wl_i[:, j] = row
-        nre = max((len(e) for e in wl_earlier), default=0)
-        nre = round_up_pow2(nre, 1) if nre else 0
-        wl_prev = np.zeros((2, max(W, 1), max(nre, 1)), np.int32)
-        bs_steps = 0
-        if nre:
-            for j, earlier in enumerate(wl_earlier):
-                for e, (rs, rl) in enumerate(earlier):
-                    wl_prev[0, j, e] = rs
-                    wl_prev[1, j, e] = rl
-            bs_steps = 4
-            while (1 << bs_steps) < max_span + 1:
-                bs_steps += 4
-        return wl_i, wl_prev, int(nre), int(bs_steps)
+        return wl_i
 
     def facet_counts_pruned(
         self,
@@ -888,23 +846,42 @@ class PrunedPlanMixin(StringSearchTopK):
         exact: bool = False,
         mask: Optional[np.ndarray] = None,
         mask_key=None,
+        thr: float = 0.0,
     ) -> np.ndarray:
         """Facet counts over a pruned-tier fulltext search: distinct
-        matched docs per bucket via ops/pruned.pruned_facet_counts (no
-        dense score vector, no bitmap, no global sort). `mask` is the
-        facet quirk's alive-mask (tombstones); where-filters never reach
-        here (facets count the UNFILTERED match set)."""
-        from ..ops.pruned import pruned_facet_counts
+        matched docs per bucket, sort-based (ops/pruned
+        pruned_match_reps + pruned_facet_hist — the v3 streamed
+        membership kernel was a measured hardware dud, RESULTS.md
+        "Round-4 session 1"). The per-plan (docs, rep) pair is computed
+        ONCE and cached device-resident for the search's remaining
+        facet fields. `mask` is the facet quirk's alive-mask
+        (tombstones); where-filters never reach here (facets count the
+        UNFILTERED match set). `thr` = min distinct matched tokens
+        (thresholded facets)."""
+        from ..ops.pruned import pruned_facet_hist, pruned_match_reps
 
         p_doc, p_tf, p_etf, _p_flen = self._get_device_slab(index)
         capb = round_up_pow2(cap, 128)
-        wl_i, wl_prev, nre, bs_steps = self._facet_worklist(
-            plan, self.PRUNED_LCH
-        )
         has_filter = mask is not None
         fmask_arr = jnp.ones((1,), jnp.float32)
         if has_filter:
             fmask_arr = self._get_device_fmask(mask, mask_key, capb)
+        # one-slot reps cache: the slot holds a strong ref to the plan,
+        # so the `is` identity check can never alias a recycled id()
+        reps_key = (index.uid, mask_key, has_filter, exact,
+                    float(thr), capb)
+        slot = getattr(self, "_facet_reps_slot", None)
+        if slot is not None and slot[1] is plan and slot[0] == reps_key:
+            docs_dev, rep_dev = slot[2], slot[3]
+        else:
+            wl_i = self._facet_worklist(plan, self.PRUNED_LCH)
+            docs_dev, rep_dev = pruned_match_reps(
+                p_doc, p_tf, p_etf, jnp.asarray(wl_i),
+                jnp.float32(thr), fmask_arr,
+                lch=self.PRUNED_LCH, cap=capb, exact=exact,
+                has_filter=has_filter,
+            )
+            self._facet_reps_slot = (reps_key, plan, docs_dev, rep_dev)
         kind = spec[0]
         if kind == "num":
             vals = spec[1]
@@ -937,14 +914,9 @@ class PrunedPlanMixin(StringSearchTopK):
                     col_dev = self._fmask_dev.put(col_key, col_dev)
             bounds_dev = jnp.zeros((G, 2), jnp.float32)
             numeric = False
-        counts = pruned_facet_counts(
-            p_doc, p_tf, p_etf,
-            jnp.asarray(wl_i),
-            jnp.asarray(wl_prev),
-            fmask_arr, col_dev, bounds_dev,
-            lch=self.PRUNED_LCH, cap=capb, G=G, exact=exact,
-            has_filter=has_filter, numeric=numeric,
-            nre=nre, bs_steps=bs_steps,
+        counts = pruned_facet_hist(
+            docs_dev, rep_dev, col_dev, bounds_dev, G=G,
+            numeric=numeric,
         )
         return np.asarray(counts)
 

@@ -979,142 +979,143 @@ def estimate_match_count(n_docs: float, dfs) -> int:
     return int(round(n * (1.0 - miss)))
 
 
+
+# ---------------------------------------------------------------------------
+# v4 facet path: ONE global (doc, token) sort per query, then per-field
+# histograms off the run-end representatives. The v3 worklist/histogram
+# kernel (streamed earlier-span membership probes) measured 4.8 s/query
+# on TPU v5e vs the dense bitmap's ~21 ms, while the exact-counts global
+# sort costs ~5 ms/query over the same postings (benches/RESULTS.md
+# "Round-4 session 1") — on this hardware one big sort beats many
+# binary-search probe rounds. Splitting reps from the histogram lets a
+# multi-facet query pay the sort ONCE: the (docs, rep) pair stays
+# device-resident and each facet field is a cheap chunked one-hot
+# matmul over it. Reference semantics: facet.rs (distinct matched docs
+# per bucket; number ranges inclusive at both ends,
+# NumberField.range_counts).
+
+
+def _match_reps_core(p_doc, tf_src, wl_i, thr, fmask=None, *,
+                     lch: int, cap: int):
+    """Distinct matched docs of a pruned plan as sorted run-end reps.
+
+    Gathers every worklist posting ((W, lch) dynamic slices), flattens,
+    then ONE 2-key (doc, token) lax.sort. Each doc's postings form a
+    run; rep[i] = 1.0 at the run END iff the run's distinct-token count
+    clears thr (thr <= 1 accepts any match — the cumsum/cummax
+    distinct-counting trick from _exact_counts_core). Duplicates across
+    tokens and across fields of one token collapse exactly: within one
+    (field, term) range docs are unique, so equal (doc, token) pairs
+    only arise across fields and equal docs across tokens — both merged
+    by the sort. Returns (docs_sorted int32[N], rep f32[N]), N = W*lch.
+
+    Shard-complete under doc-sharding: a doc's postings all live in its
+    doc % D shard, so per-shard runs are whole and per-shard reps are
+    doc-disjoint (parallel/engine.py facet steps psum the histograms)."""
+    tw, st, ln = wl_i[1], wl_i[2], wl_i[3]
+    docs = jax.vmap(
+        lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
+    )(st)                                                   # (W, lch)
+    tf = jax.vmap(
+        lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
+    )(st)
+    iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+    valid = (iot < ln[:, None]) & (tf > 0)
+    if fmask is not None:
+        valid = valid & (
+            jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1)) > 0.0
+        )
+    dk = jnp.where(valid, docs, cap).reshape(-1)
+    tk = jnp.where(valid, tw[:, None], jnp.int32(2 ** 30)).reshape(-1)
+    dk, tk = jax.lax.sort((dk, tk), dimension=0, num_keys=2)
+    validk = dk < cap
+    same_doc = dk[1:] == dk[:-1]
+    new_tok = jnp.concatenate(
+        [jnp.ones((1,), bool), ~(same_doc & (tk[1:] == tk[:-1]))]
+    ) & validk
+    is_end = jnp.concatenate(
+        [~same_doc, jnp.ones((1,), bool)]
+    ) & validk
+    s = jnp.cumsum(new_tok.astype(jnp.int32))
+    e = jnp.where(is_end, s, 0)
+    prev_end = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jax.lax.cummax(e)[:-1]]
+    )
+    tokcnt = (s - prev_end).astype(jnp.float32)
+    rep = (is_end & (tokcnt >= jnp.maximum(thr, 1.0))).astype(
+        jnp.float32
+    )
+    return dk, rep
+
+
 @functools.partial(
-    jax.jit,
-    static_argnames=(
-        "lch", "cap", "G", "exact", "has_filter", "numeric", "nre",
-        "bs_steps",
-    ),
+    jax.jit, static_argnames=("lch", "cap", "exact", "has_filter")
 )
-def pruned_facet_counts(
+def pruned_match_reps(
     p_doc, p_tf, p_exact_tf,
     wl_i,         # int32[4, W]: b(=0), t, start, len<=lch
-    wl_prev,      # int32[2, W, NRE] earlier spans (GLOBAL token order)
-    fmask,        # f32[cap] (dummy (1,) when has_filter=False)
-    bucket,       # int32[cap] value ids (-1 = none) | f32[cap] (numeric)
-    bounds,       # f32[G, 2] inclusive ranges (numeric; dummy otherwise)
+    thr,          # f32[] min distinct matched tokens (<=1 = any)
+    fmask,        # f32[cap] alive mask (dummy (1,) when has_filter=False)
     *,
-    lch: int, cap: int, G: int, exact: bool,
-    has_filter: bool, numeric: bool,
-    nre: int, bs_steps: int,
+    lch: int, cap: int, exact: bool, has_filter: bool = False,
 ):
-    """Facet counts for the PRUNED tier — scatter-free, sort-free.
-
-    The dense facet path needs the full match set (a (cap,) score
-    vector or bitmap from the dense kernel, scatter-bound at 10M docs).
-    This kernel streams the SAME worklist the pruned rescore uses and
-    counts matched docs per facet bucket directly:
-
-    - a posting CONTRIBUTES iff its doc is NOT a member of any EARLIER
-      span of the query (wl_prev in GLOBAL (token, field, term) order —
-      the tolerance union-df binary-search trick widened across tokens),
-      so each matched doc counts exactly once at its first matching
-      posting;
-    - bucket membership gathers from a device-resident value column
-      (int ids for string/bool facets; the raw f32 value compared
-      against [from, to] inclusive range bounds for number facets —
-      reference facet.rs / NumberField.range_counts semantics);
-    - per-chunk histograms are one-hot MATMULS over a 64k-posting flat
-      window — MXU work, no scatter, no global sort (the exact-counts
-      kernel sorts; this one must stay cheap enough for every faceted
-      query).
-
-    Thresholded queries keep the dense path (distinct matched-token
-    counting needs the full cross-token membership, not just ownership).
-    Returns counts f32[G] (single query — facet searches dispatch per
-    query)."""
+    """Phase A of the sort-based facet path (single device). The
+    returned (docs, rep) stay on device; phase B (pruned_facet_hist)
+    consumes them once per facet field. rep.sum() is also the EXACT
+    corpus-wide match count — a thresholded/filtered-aware byproduct."""
     tf_src = p_exact_tf if exact else p_tf
-    return _facet_counts_core(
-        p_doc, tf_src, wl_i, wl_prev, fmask, bucket, bounds,
-        lch=lch, cap=cap, G=G, has_filter=has_filter, numeric=numeric,
-        nre=nre, bs_steps=bs_steps,
+    return _match_reps_core(
+        p_doc, tf_src, wl_i, thr, fmask if has_filter else None,
+        lch=lch, cap=cap,
     )
 
 
-def _facet_counts_core(
-    p_doc, tf_src, wl_i, wl_prev, fmask, bucket, bounds,
-    *,
-    lch: int, cap: int, G: int, has_filter: bool, numeric: bool,
-    nre: int, bs_steps: int, axis_name=None,
-):
-    """Facet-histogram body, reusable inside a shard_map step: a doc's
-    postings all live in its doc % D shard, so per-shard ownership dedup
-    is complete and per-shard bucket counts are doc-disjoint — one psum
-    over the mesh axis yields the exact global counts
-    (parallel/engine.py)."""
-    W = wl_i.shape[1]
-    wch = 2  # 2 x lch = 64k flat postings per scan step
-    assert W % wch == 0
-    iot = jax.lax.broadcasted_iota(jnp.int32, (1, lch), 1)
+def _facet_hist_core(docs, rep, bucket, bounds, *,
+                     G: int, numeric: bool, ch: int = 32768,
+                     axis_name=None):
+    """Phase B body: chunked scan of one-hot matmuls over the run-end
+    reps — (ch,) weights x (ch, G) membership per step, MXU work, no
+    scatter. Sentinel docs (doc == cap) carry rep == 0, so the clipped
+    gather contributes nothing. Reusable inside a shard_map step (psum
+    over the mesh axis when axis_name is set)."""
+    N = docs.shape[0]
+    ch = min(ch, N)
+    assert N % ch == 0
     gidx = jnp.arange(G, dtype=jnp.int32)
 
     def step(acc, j):
-        st = jax.lax.dynamic_slice(wl_i[2], (j * wch,), (wch,))
-        ln = jax.lax.dynamic_slice(wl_i[3], (j * wch,), (wch,))
-        docs = jax.vmap(
-            lambda x: jax.lax.dynamic_slice(p_doc, (x,), (lch,))
-        )(st)
-        tf = jax.vmap(
-            lambda x: jax.lax.dynamic_slice(tf_src, (x,), (lch,))
-        )(st)
-        valid = (iot < ln[:, None]) & (tf > 0)
-        if has_filter:
-            valid = valid & (
-                jnp.take(fmask, jnp.clip(docs, 0, fmask.shape[0] - 1))
-                > 0.0
-            )
-        if nre:
-            seen = jnp.zeros((wch, lch), bool)
-            for e in range(nre):
-                st_e = jax.lax.dynamic_slice(
-                    wl_prev[0], (j * wch, e), (wch, 1)
-                )
-                ln_e = jax.lax.dynamic_slice(
-                    wl_prev[1], (j * wch, e), (wch, 1)
-                )
-                pos = jnp.zeros((wch, lch), jnp.int32)
-                bstep = 1 << (bs_steps - 1)
-                while bstep >= 1:
-                    cpos = pos + bstep
-                    ok = cpos <= ln_e
-                    v = jnp.take(
-                        p_doc,
-                        jnp.clip(st_e + cpos - 1, 0, p_doc.shape[0] - 1),
-                    )
-                    pos = jnp.where(ok & (v < docs), cpos, pos)
-                    bstep >>= 1
-                at = jnp.clip(st_e + pos, 0, p_doc.shape[0] - 1)
-                hit = (pos < ln_e) & (jnp.take(p_doc, at) == docs) & (
-                    ln_e > 0
-                ) & (jnp.take(tf_src, at) > 0)
-                seen = seen | hit
-            owned = valid & ~seen
-        else:
-            owned = valid
-        w = owned.reshape(-1).astype(jnp.float32)        # (wch*lch,)
+        d = jax.lax.dynamic_slice(docs, (j * ch,), (ch,))
+        w = jax.lax.dynamic_slice(rep, (j * ch,), (ch,))
+        v = jnp.take(bucket, jnp.clip(d, 0, bucket.shape[0] - 1))
         if numeric:
-            v = jnp.take(
-                bucket, jnp.clip(docs, 0, bucket.shape[0] - 1)
-            ).reshape(-1)
             member = (
                 (v[:, None] >= bounds[None, :, 0])
                 & (v[:, None] <= bounds[None, :, 1])
-            ).astype(jnp.float32)                        # (F, G)
+            ).astype(jnp.float32)                        # (ch, G)
         else:
-            b = jnp.take(
-                bucket, jnp.clip(docs, 0, bucket.shape[0] - 1)
-            ).reshape(-1)
             member = (
-                b[:, None] == gidx[None, :]
-            ).astype(jnp.float32)                        # (F, G)
+                v[:, None] == gidx[None, :]
+            ).astype(jnp.float32)                        # (ch, G)
         acc = acc + jnp.dot(
             w, member, preferred_element_type=jnp.float32
         )
         return acc, None
 
     counts, _ = jax.lax.scan(
-        step, jnp.zeros((G,), jnp.float32), jnp.arange(W // wch)
+        step, jnp.zeros((G,), jnp.float32), jnp.arange(N // ch)
     )
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
     return counts
+
+
+@functools.partial(jax.jit, static_argnames=("G", "numeric"))
+def pruned_facet_hist(docs, rep, bucket, bounds, *, G: int,
+                      numeric: bool):
+    """Phase B of the sort-based facet path (single device): facet
+    counts f32[G] for ONE field off device-resident (docs, rep).
+    `bucket` is int32[cap] value ids (-1 = none) for string/bool facets
+    or f32[cap] raw values (NaN = missing) compared against inclusive
+    [from, to] `bounds` f32[G, 2] for number facets."""
+    return _facet_hist_core(docs, rep, bucket, bounds, G=G,
+                            numeric=numeric)

@@ -1367,35 +1367,59 @@ class ShardedStringExec:
             has_omc=has_omc, omc_arr=omc_arr,
         )
 
-    def _get_facet_step(self, *, lch, cap_l, G, has_filter, numeric,
-                        nre, bs_steps):
-        key = ("facets", lch, cap_l, G, has_filter, numeric, nre,
-               bs_steps)
+    def _get_facet_reps_step(self, *, lch, cap_l, has_filter):
+        """Phase A of the mesh sort-based facet path: per-shard
+        (doc, token) sort + run-end reps (ops/pruned._match_reps_core;
+        shard-complete — a doc's postings all live in its doc % D
+        shard). Outputs stay sharded on device for phase B."""
+        key = ("facet_reps", lch, cap_l, has_filter)
         step = self._steps.get(key)
         if step is not None:
             return step
-        from ..ops.pruned import _facet_counts_core
+        from ..ops.pruned import _match_reps_core
 
-        def shard_fn(p_doc, p_tf, wl_i, wl_prev, fmask, bucket, bounds):
-            return _facet_counts_core(
-                p_doc[0], p_tf[0], wl_i[0],
-                wl_prev[0] if nre else wl_prev,
-                fmask[0] if has_filter else fmask,
-                bucket[0], bounds,
-                lch=lch, cap=cap_l, G=G, has_filter=has_filter,
-                numeric=numeric, nre=nre, bs_steps=bs_steps,
-                axis_name="d",
+        def shard_fn(p_doc, p_tf, wl_i, thr, fmask):
+            docs, rep = _match_reps_core(
+                p_doc[0], p_tf[0], wl_i[0], thr,
+                fmask[0] if has_filter else None,
+                lch=lch, cap=cap_l,
+            )
+            return docs[None], rep[None]
+
+        fn = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(
+                P("d", None), P("d", None),
+                P("d", None, None), P(),
+                P("d", None) if has_filter else P(None),
+            ),
+            out_specs=(P("d", None), P("d", None)),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
+    def _get_facet_hist_step(self, *, G, numeric):
+        """Phase B: per-shard chunked one-hot matmul histograms off the
+        sharded (docs, rep), psum'd to exact global counts."""
+        key = ("facet_hist", G, numeric)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.pruned import _facet_hist_core
+
+        def shard_fn(docs, rep, bucket, bounds):
+            return _facet_hist_core(
+                docs[0], rep[0], bucket[0], bounds,
+                G=G, numeric=numeric, axis_name="d",
             )
 
         fn = shard_map(
             shard_fn, mesh=self.mesh,
             in_specs=(
                 P("d", None), P("d", None),
-                P("d", None, None),
-                P("d", None, None, None) if nre else P(None, None, None),
-                P("d", None) if has_filter else P(None),
-                P("d", None),
-                P(None, None),
+                P("d", None), P(None, None),
             ),
             out_specs=P(None),
             check_vma=False,
@@ -1414,109 +1438,83 @@ class ShardedStringExec:
         exact: bool = False,
         mask: Optional[np.ndarray] = None,
         mask_key=None,
+        thr: float = 0.0,
     ) -> np.ndarray:
         """Mesh facet counting over the pruned plan — the single-device
-        search_exec contract: distinct matched docs per bucket. A doc's
-        postings all live in its doc % D shard, so shard-local ownership
-        dedup is complete and the psum of per-shard counts is exact."""
+        search_exec contract: distinct matched docs per bucket,
+        sort-based (per-shard (doc, token) sort + run-end reps, then a
+        psum'd histogram; ops/pruned._match_reps_core /
+        _facet_hist_core). A doc's postings all live in its doc % D
+        shard, so shard-local runs are whole and the psum of per-shard
+        histograms is exact. The sharded (docs, rep) pair is computed
+        ONCE per plan and cached device-resident for the search's
+        remaining facet fields."""
         from ..index.search_exec import PrunedPlanMixin as PM, _MISS
-        from ..ops.bm25 import MAX_RANGE_LEN  # noqa: F401
 
         dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         lch = PM.PRUNED_LCH
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
-        # global span table + per-range earlier lists (the single-device
-        # _facet_worklist rule), then shard every range AND span
-        T, NR = plan.starts.shape
-        flat_spans = []
-        span_gid = {}
-        for t in range(T):
-            spans_t = (
-                plan.spans[t] if plan.spans is not None
-                and t < len(plan.spans) else []
-            )
-            for e, (fo, to, rs, rl) in enumerate(spans_t):
-                span_gid[(t, e)] = len(flat_spans)
-                flat_spans.append((t, fo, to, rs, rl))
-        if flat_spans:
-            s_sp_st, s_sp_ln = self._shard_ranges_on(
-                boundaries, bprefix, D,
-                np.asarray([f[3] for f in flat_spans], np.int32),
-                np.asarray([f[4] for f in flat_spans], np.int32),
-            )
+        p_doc, p_tf, p_etf, _p_flen = dev_slab
+        has_filter = mask is not None
+
+        # one-slot reps cache: the slot holds a strong ref to the plan,
+        # so the `is` identity check can never alias a recycled id()
+        reps_key = (index.uid, mask_key, has_filter, bool(exact),
+                    float(thr), int(cap_l))
+        slot = getattr(self, "_facet_reps_slot", None)
+        if slot is not None and slot[1] is plan and slot[0] == reps_key:
+            docs_dev, rep_dev = slot[2], slot[3]
         else:
-            s_sp_st = s_sp_ln = np.zeros((D, 0), np.int64)
-        g_st = plan.starts[None]
-        g_ln = plan.lens[None]
-        s_st, s_ln = self._shard_ranges_on(
-            boundaries, bprefix, D, g_st, g_ln
-        )
-        per_shard = []
-        nre = 0
-        max_span = 0
-        max_rows = 0
-        for sh in range(D):
-            rows = []
-            for t in range(T):
-                for r in range(NR):
-                    lln = int(s_ln[sh, 0, t, r])
-                    if lln <= 0:
-                        continue
-                    so = (
-                        int(plan.range_span[t, r])
-                        if plan.range_span is not None else -1
+            T, NR = plan.starts.shape
+            s_st, s_ln = self._shard_ranges_on(
+                boundaries, bprefix, D, plan.starts[None],
+                plan.lens[None],
+            )
+            per_shard = []
+            max_rows = 0
+            for sh in range(D):
+                rows = []
+                for t in range(T):
+                    for r in range(NR):
+                        lln = int(s_ln[sh, 0, t, r])
+                        if lln <= 0:
+                            continue
+                        ls = int(s_st[sh, 0, t, r])
+                        off = 0
+                        while off < lln:
+                            take = min(lln - off, lch)
+                            rows.append((t, ls + off, take))
+                            off += take
+                per_shard.append(rows)
+                max_rows = max(max_rows, len(rows))
+            W = round_up_pow2(max(max_rows, 1), 2)
+            wl_i = np.zeros((D, 4, W), np.int32)
+            for sh, rows in enumerate(per_shard):
+                for j, (t, ls, ll) in enumerate(rows):
+                    wl_i[sh, 1, j] = t
+                    wl_i[sh, 2, j] = ls
+                    wl_i[sh, 3, j] = ll
+            fmask_dev = jnp.ones((1,), jnp.float32)
+            if has_filter:
+                # C=0: the cand-given branch can't trigger (only the
+                # sharded mask upload is wanted here)
+                fmask_dev, _c, _cg, _sel = (
+                    self._pruned_mask_shard_inputs(
+                        mask, mask_key, cap, cap_l, 1, 0
                     )
-                    gid = span_gid.get((t, so)) if so >= 0 else None
-                    if gid is not None:
-                        me = flat_spans[gid][:3]
-                        earlier = [
-                            e for e in range(gid)
-                            if flat_spans[e][:3] != me
-                        ]
-                    else:
-                        earlier = []
-                    nre = max(nre, len(earlier))
-                    for e in earlier:
-                        max_span = max(max_span, int(s_sp_ln[sh, e]))
-                    ls = int(s_st[sh, 0, t, r])
-                    off = 0
-                    while off < lln:
-                        take = min(lln - off, lch)
-                        rows.append((ls + off, take, earlier))
-                        off += take
-            per_shard.append(rows)
-            max_rows = max(max_rows, len(rows))
-        W = round_up_pow2(max(max_rows, 1), 2)
-        nre = round_up_pow2(nre, 1) if nre else 0
-        wl_i = np.zeros((D, 4, W), np.int32)
-        wl_prev = (
-            np.zeros((D, 2, W, nre), np.int32) if nre
-            else np.zeros((1, 1, 1), np.int32)
-        )
-        for sh, rows in enumerate(per_shard):
-            for j, (ls, ll, earlier) in enumerate(rows):
-                wl_i[sh, 2, j] = ls
-                wl_i[sh, 3, j] = ll
-                if nre:
-                    for e2, eid in enumerate(earlier):
-                        wl_prev[sh, 0, j, e2] = int(s_sp_st[sh, eid])
-                        wl_prev[sh, 1, j, e2] = int(s_sp_ln[sh, eid])
-        bs_steps = 0
-        if nre:
-            bs_steps = 4
-            while (1 << bs_steps) < max_span + 1:
-                bs_steps += 4
+                )
+            reps_step = self._get_facet_reps_step(
+                lch=lch, cap_l=int(cap_l), has_filter=has_filter,
+            )
+            sh3 = NamedSharding(self.mesh, P("d", None, None))
+            docs_dev, rep_dev = reps_step(
+                p_doc, p_etf if exact else p_tf,
+                jax.device_put(wl_i, sh3), jnp.float32(thr), fmask_dev,
+            )
+            self._facet_reps_slot = (reps_key, plan, docs_dev, rep_dev)
 
         sh1 = NamedSharding(self.mesh, P("d", None))
-        has_filter = mask is not None
-        fmask_dev = jnp.ones((1,), jnp.float32)
-        if has_filter:
-            # C=0: the cand-given branch can't trigger (only the sharded
-            # mask upload is wanted here)
-            fmask_dev, _cand, _cg, _sel = self._pruned_mask_shard_inputs(
-                mask, mask_key, cap, cap_l, 1, 0
-            )
         kind = spec[0]
         numeric = kind == "num"
         ckey = (spec_key, cap_l) if spec_key is not None else None
@@ -1543,20 +1541,8 @@ class ShardedStringExec:
             bounds = jnp.zeros((int(spec[2]), 2), jnp.float32)
             G = int(spec[2])
 
-        p_doc, p_tf, p_etf, _p_flen = dev_slab
-        step = self._get_facet_step(
-            lch=lch, cap_l=int(cap_l), G=G, has_filter=has_filter,
-            numeric=numeric, nre=nre, bs_steps=bs_steps,
-        )
-        sh3 = NamedSharding(self.mesh, P("d", None, None))
-        counts = step(
-            p_doc, p_etf if exact else p_tf,
-            jax.device_put(wl_i, sh3),
-            jax.device_put(
-                wl_prev, NamedSharding(self.mesh, P("d", None, None, None))
-            ) if nre else jnp.asarray(wl_prev),
-            fmask_dev, col_dev, bounds,
-        )
+        hist_step = self._get_facet_hist_step(G=G, numeric=numeric)
+        counts = hist_step(docs_dev, rep_dev, col_dev, bounds)
         return np.asarray(counts)
 
     def _pruned_mask_shard_inputs(self, mask, mask_key, cap, cap_l,

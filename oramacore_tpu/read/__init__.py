@@ -557,22 +557,25 @@ class ReadSide:
             # unpacked mask directly (single-device; the sharded
             # executor keeps the dense path).
             # facet counting at the PRUNED tier (ops/pruned.py
-            # pruned_facet_counts): distinct matched docs per bucket
-            # straight off the rescore worklist — no dense kernel, no
-            # bitmap. Needs a term (match-all uses the presence mask),
-            # no threshold (ownership is first-match, not counted),
-            # single-device, and every facet field device-compatible
-            # (single-valued; strings <= 256 values).
+            # pruned_match_reps + pruned_facet_hist): ONE global
+            # (doc, token) sort per query, distinct matched docs per
+            # bucket off the run-end reps — no dense kernel, no bitmap.
+            # Needs a term (match-all uses the presence mask) and every
+            # facet field device-compatible (single-valued; strings <=
+            # 256 values). Thresholded queries ride it too (the reps
+            # kernel counts distinct matched tokens per doc run) — they
+            # reach here only when scoring itself took the pruned path
+            # (exactCount or small-filter, _pruned_eligible).
             device_facet_specs = None
             if (
                 bool(params.facets)
                 and isinstance(mode, FulltextMode)
                 and params.group_by is None
                 and params.sort_by is None
-                and getattr(mode, "threshold", None) is None
                 and mode.term.strip()
                 and self._pruned_eligible(
-                    idx, None, 16, mode, params, mesh_ok=True
+                    idx, None, 16, mode, params, mesh_ok=True,
+                    exact_counts=params.exact_count,
                 )
             ):
                 device_facet_specs = self._device_facet_specs(
@@ -1016,9 +1019,10 @@ class ReadSide:
         the mask gathers into nomination + rescore (exact filtered-df
         IDF, ops/bm25.py:22 semantics), and a filter selecting <=
         PRUNED_CANDIDATES docs becomes the candidate set itself (exact
-        results AND counts). On the sharded mesh only the UNfiltered
-        FULLTEXT/hybrid paths implement pruning (parallel/engine);
-        filtered searches there keep the dense kernels' doc_masks.
+        results AND counts). The sharded mesh runs the same filtered
+        pruned paths (parallel/engine passes the doc-sharded mask into
+        per-shard nomination + rescore; small filters shard the
+        cand-given set).
         Additionally (the kernel's documented preconditions):
         - tolerance IS eligible: with_prefix plans keep fuzzy variant
           ranges uncoalesced (doc-sorted per range) and the rescore's
@@ -1113,11 +1117,17 @@ class ReadSide:
             ("alive", idx.uid, idx.cap(), idx.tombstone_version)
             if amask is not None else None
         )
+        thr = 0.0
+        if getattr(mode, "threshold", None) is not None:
+            # same count the scoring kernel applies (T = plan tokens)
+            thr = float(
+                math.floor(plan.starts.shape[0] * mode.threshold)
+            )
         ex = self._fused_executor(coll, idx)
         for name, spec, skey, labels in specs:
             counts = ex.facet_counts_pruned(
                 idx.string, plan, idx.cap(), spec, skey,
-                exact=mode.exact, mask=amask, mask_key=akey,
+                exact=mode.exact, mask=amask, mask_key=akey, thr=thr,
             )
             keep_zeros = spec[0] == "num" or (
                 len(spec) > 3 and spec[3]

@@ -619,3 +619,89 @@ def test_pruned_facets_multivalued_falls_back(monkeypatch):
         assert not device_calls
     finally:
         ctx.close()
+
+def test_pruned_facets_thresholded(monkeypatch):
+    """Thresholded facet searches ride the sort-based device path when
+    scoring itself took the pruned plan (exactCount makes thresholded
+    queries pruned-eligible): the reps kernel counts distinct matched
+    tokens per doc run, so bucket counts include only docs clearing the
+    threshold — equal to the dense path's."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(kw.get("thr"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i),
+             "t": ("apple banana cherry" if i % 5 == 0
+                   else "apple banana" if i % 2 == 0 else "apple"),
+             "cat": ["a", "b"][i % 2]}
+            for i in range(240)
+        ])
+        ctx.commit_all()
+        params = {
+            "term": "apple banana cherry", "threshold": 0.6,
+            "exactCount": True, "limit": 10, "facets": {"cat": {}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        assert dense.facets["cat"].values == pruned.facets["cat"].values
+        assert dense.count == pruned.count
+        assert device_calls and device_calls[-1] > 0.0
+    finally:
+        ctx.close()
+
+
+def test_pruned_facets_reps_cached_across_fields(monkeypatch):
+    """A multi-facet query pays the global sort ONCE: phase A
+    (pruned_match_reps) runs one time, phase B (pruned_facet_hist) once
+    per facet field off the cached device-resident reps."""
+    import oramacore_tpu.ops.pruned as prmod
+
+    reps_calls = []
+    hist_calls = []
+    orig_reps = prmod.pruned_match_reps
+    orig_hist = prmod.pruned_facet_hist
+
+    def spy_reps(*a, **kw):
+        reps_calls.append(True)
+        return orig_reps(*a, **kw)
+
+    def spy_hist(*a, **kw):
+        hist_calls.append(True)
+        return orig_hist(*a, **kw)
+
+    monkeypatch.setattr(prmod, "pruned_match_reps", spy_reps)
+    monkeypatch.setattr(prmod, "pruned_facet_hist", spy_hist)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": "apple banana",
+             "cat": ["a", "b", "c"][i % 3], "flag": bool(i % 2),
+             "n": i % 4}
+            for i in range(120)
+        ])
+        ctx.commit_all()
+        params = {"term": "apple", "limit": 5, "facets": {
+            "cat": {}, "flag": {"true": True, "false": True},
+            "n": {"ranges": [{"from": 0, "to": 2}]},
+        }}
+        dense, pruned = _search_both(ctx, coll, params)
+        for f in params["facets"]:
+            assert dense.facets[f].values == pruned.facets[f].values
+        assert len(reps_calls) == 1, reps_calls
+        assert len(hist_calls) == 3, hist_calls
+    finally:
+        ctx.close()
