@@ -560,6 +560,11 @@ class PrunedPlanMixin(StringSearchTopK):
     PRUNED_CANDIDATES = 1024
     PRUNED_LCH = 32768   # rescore worklist chunk length
     PRUNED_WCH = 128     # worklist entries per scan step
+    # exact-counts batch slice: the kernel's global sort is superlinear
+    # in flat length (39.6 ms @B=8 vs 12.4 s @B=64 on TPU v5e,
+    # benches/RESULTS.md round-4 session 1) — dispatch <= 8 queries at
+    # a time and the B=64 batch costs ~8 x 40 ms instead of 12.4 s
+    PRUNED_COUNTS_SLICE = 8
     # v4 binary-search rescore (ops/pruned.py pruned_*_bs): eligible
     # searches (single-span tokens, non-exact tf, unfiltered) rescore
     # candidates with per-candidate binary searches into unsplit
@@ -938,6 +943,43 @@ class PrunedPlanMixin(StringSearchTopK):
             cand_given = True
         return fmask_arr, cand_in, cand_given, sel
 
+    def _exact_counts_sliced(self, kernel, p_doc, p_tf, p_etf, wl_i,
+                             thr, fmask_arr, *, B, capb, Tb, exact,
+                             has_filter):
+        """Dispatch the exact-counts kernel in <= PRUNED_COUNTS_SLICE
+        query slices: its ONE global 3-key sort over the batch's flat
+        postings blows up superlinearly with length on TPU v5e — 39.6 ms
+        at B=8 vs 12.4 s at B=64 (benches/RESULTS.md round-4 session 1,
+        VERDICT r3 #5). Slices share one compile shape per worklist-width
+        bucket (padded to S queries)."""
+        S = self.PRUNED_COUNTS_SLICE
+        if B <= S:
+            return np.asarray(kernel(
+                p_doc, p_tf, p_etf,
+                jnp.asarray(wl_i), jnp.asarray(thr), fmask_arr,
+                lch=self.PRUNED_LCH, cap=capb, T=Tb, exact=exact,
+                has_filter=has_filter,
+            ))[:B]
+        bw, ln = wl_i[0], wl_i[3]
+        counts = np.zeros((B,), np.int32)
+        for s0 in range(0, B, S):
+            cols = np.nonzero((bw >= s0) & (bw < s0 + S) & (ln > 0))[0]
+            Ws = round_up_pow2(max(len(cols), 1), 2)
+            wls = np.zeros((4, Ws), np.int32)
+            wls[:, : len(cols)] = wl_i[:, cols]
+            wls[0, : len(cols)] -= s0
+            thrs = np.zeros((S,), np.float32)
+            take = min(S, B - s0)
+            thrs[:take] = thr[s0:s0 + take]
+            c = np.asarray(kernel(
+                p_doc, p_tf, p_etf,
+                jnp.asarray(wls), jnp.asarray(thrs), fmask_arr,
+                lch=self.PRUNED_LCH, cap=capb, T=Tb, exact=exact,
+                has_filter=has_filter,
+            ))
+            counts[s0:s0 + take] = c[:take]
+        return counts
+
     def search_topk_pruned(
         self,
         index: StringIndex,
@@ -1039,14 +1081,11 @@ class PrunedPlanMixin(StringSearchTopK):
             # every in-filter doc was verified: counts are exact
             counts = np.asarray(cand_counts[:B])
         elif exact_counts:
-            counts = np.asarray(
-                pruned_exact_counts(
-                    p_doc, p_tf, p_etf,
-                    jnp.asarray(wl_i), jnp.asarray(thr), fmask_arr,
-                    lch=self.PRUNED_LCH, cap=capb, T=Tb, exact=exact,
-                    has_filter=has_filter,
-                )
-            )[:B]
+            counts = self._exact_counts_sliced(
+                pruned_exact_counts, p_doc, p_tf, p_etf, wl_i, thr,
+                fmask_arr, B=B, capb=capb, Tb=Tb, exact=exact,
+                has_filter=has_filter,
+            )
         else:
             sel_frac = 1.0
             if sel is not None:

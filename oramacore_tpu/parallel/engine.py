@@ -1688,13 +1688,50 @@ class ShardedStringExec:
                 lch=lch, cap_l=int(cap_l), T=int(Tb), exact=exact,
                 has_filter=has_filter,
             )
-            counts = np.asarray(
-                cstep(
-                    p_doc, p_tf, p_etf,
-                    jax.device_put(wl_i, sh3), jnp.asarray(thr),
-                    fmask_dev if has_filter else dummy_f,
-                )
-            )[:B]
+            S = PM.PRUNED_COUNTS_SLICE
+            if B <= S:
+                counts = np.asarray(
+                    cstep(
+                        p_doc, p_tf, p_etf,
+                        jax.device_put(wl_i, sh3), jnp.asarray(thr),
+                        fmask_dev if has_filter else dummy_f,
+                    )
+                )[:B]
+            else:
+                # the counts kernel's per-shard global sort is
+                # superlinear in flat length (search_exec
+                # _exact_counts_sliced rationale) — dispatch <= S query
+                # slices, one compile shape per worklist-width bucket
+                counts = np.zeros((B,), np.int32)
+                D = self.D
+                for s0 in range(0, B, S):
+                    take = min(S, B - s0)
+                    cols = [
+                        np.nonzero(
+                            (wl_i[sh, 0] >= s0) & (wl_i[sh, 0] < s0 + S)
+                            & (wl_i[sh, 3] > 0)
+                        )[0]
+                        for sh in range(D)
+                    ]
+                    Ws = round_up_pow2(
+                        max(max((len(c) for c in cols), default=0), 1), 2
+                    )
+                    wls = np.zeros((D, 4, Ws), np.int32)
+                    for sh in range(D):
+                        cc = cols[sh]
+                        wls[sh, :, : len(cc)] = wl_i[sh][:, cc]
+                        wls[sh, 0, : len(cc)] -= s0
+                    thrs = np.zeros((S,), np.float32)
+                    thrs[:take] = np.asarray(thr)[s0:s0 + take]
+                    c = np.asarray(
+                        cstep(
+                            p_doc, p_tf, p_etf,
+                            jax.device_put(wls, sh3),
+                            jnp.asarray(thrs),
+                            fmask_dev if has_filter else dummy_f,
+                        )
+                    )
+                    counts[s0:s0 + take] = c[:take]
         else:
             sel_frac = 1.0
             if sel is not None:

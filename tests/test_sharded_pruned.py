@@ -487,3 +487,66 @@ def test_pruned_kernel_generation_policy():
         prmod.pruned_fulltext_topk = orig_v3
         eng.ShardedStringExec._get_pruned_step = orig_step
         se.PrunedPlanMixin.PRUNED_BS = old_flag
+
+def test_sharded_batch_exact_counts_sliced():
+    """A >8-query exactCount batch on the mesh dispatches the counts
+    kernel in <= PRUNED_COUNTS_SLICE query slices (its per-shard global
+    sort is superlinear in flat length): counts stay exact and match
+    the single-device dense per-query path."""
+    import jax
+
+    from oramacore_tpu.index.search_exec import PrunedPlanMixin as PM
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+
+    S = PM.PRUNED_COUNTS_SLICE
+    slice_b = []
+    orig_step = eng.ShardedStringExec._get_pruned_counts_step
+
+    def spy_step(self, **kw):
+        step = orig_step(self, **kw)
+
+        def wrapped(p_doc, p_tf, p_etf, wl, thr, fm):
+            slice_b.append(int(thr.shape[0]))
+            return step(p_doc, p_tf, p_etf, wl, thr, fm)
+
+        return wrapped
+
+    eng.ShardedStringExec._get_pruned_counts_step = spy_step
+    try:
+        with tempfile.TemporaryDirectory() as t1, \
+                tempfile.TemporaryDirectory() as t2:
+            single, coll_s = _build(t1, 0, "off")
+            sharded, coll_m = _build(t2, 8, "on")
+            try:
+                single.read_side.commit(force=True)
+                sharded.read_side.commit(force=True)
+                terms = [VOCAB[i % 16] for i in range(2 * S + 4)]
+                batch = [
+                    {"term": f"{t} {VOCAB[(i + 3) % 16]}", "limit": 5,
+                     "exactCount": True}
+                    for i, t in enumerate(terms)
+                ]
+                seq = [
+                    single.read_side.search(
+                        "c", coll_s.read_api_key,
+                        SearchParams.from_json(dict(q)),
+                    )
+                    for q in batch
+                ]
+                got = sharded.read_side.search_batch(
+                    "c", coll_m.read_api_key,
+                    [SearchParams.from_json(dict(q)) for q in batch],
+                )
+                for s, g, q in zip(seq, got, batch):
+                    _assert_hits_match(s, g, q)
+                    assert g.count == s.count, q
+                    assert not g.count_estimated, q
+                assert slice_b and all(b == S for b in slice_b), slice_b
+                assert len(slice_b) >= -(-len(batch) // S)
+            finally:
+                single.stop()
+                sharded.stop()
+    finally:
+        eng.ShardedStringExec._get_pruned_counts_step = orig_step
