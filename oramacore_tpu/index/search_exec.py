@@ -549,6 +549,98 @@ class StringSearchTopK(StringSearchExecutor):
             ranked.append(row[:k])
         return ranked, np.asarray(counts[: pb.B])
 
+    def _get_device_gid(self, ids: np.ndarray, gid_key, capb: int):
+        """Group-id column as int32[capb] on device (-1 = doc lacks the
+        field, incl. the padding). Cached by the caller's version key."""
+        key = (gid_key, capb) if gid_key is not None else None
+        if key is not None:
+            cached = self._fmask_dev.get(key)
+            if cached is not _MISS:
+                return cached
+        arr = np.full((capb,), -1, np.int32)
+        n = min(len(ids), capb)
+        arr[:n] = ids[:n]
+        dev = jnp.asarray(arr)
+        if key is not None:
+            dev = self._fmask_dev.put(key, dev)
+        return dev
+
+    def search_topk_grouped(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        gid_col: np.ndarray,        # int32[cap] group ids (-1 = none)
+        gid_key,                    # device-cache key (None = no cache)
+        n_groups: int,
+        max_results: int,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ):
+        """Fused GROUP-BY search (ops/bm25.py
+        bm25_search_grouped_packed): per query, the main top-k page,
+        the exact match count, and per-group top-`max_results`
+        [(doc, score)] pages — one dispatch, no dense score dict, no
+        host walk of per-doc group values (reference group.rs builds
+        per-combo doc lists on CPU). Returns
+        (vals, ids, counts, group_pages) with group_pages[b][g] a
+        ranked list for group id g < n_groups."""
+        from ..ops.bm25 import bm25_search_grouped_packed, round_up_pow2
+
+        p_doc, p_tf, p_etf, p_flen = self._get_device_slab(index)
+        pb = _PlanBatch(plans, n_docs, cap, doc_masks)
+        Bb = pb.starts.shape[0]
+        idesc = np.stack([pb.starts, pb.lens])
+        fdesc = np.stack([pb.weights, pb.field_b, pb.avg_flen])
+        scalars = np.stack([pb.nd, np.zeros((Bb,), np.float32)])
+        if thresholds is not None:
+            for i, t in enumerate(thresholds):
+                scalars[1, i] = t or 0.0
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        has_omc = omc is not None
+        mask_arr = pb.masks if has_mask else np.zeros((1, 1), bool)
+        omc_arr = (
+            self._get_device_omc(omc, omc_key, pb.capb)
+            if has_omc else jnp.ones((1,), jnp.float32)
+        )
+        gid_dev = self._get_device_gid(gid_col, gid_key, pb.capb)
+        kb = min(round_up_pow2(k, 8), pb.capb)
+        Gb = round_up_pow2(max(n_groups, 1), 8)
+        Rb = min(round_up_pow2(max_results, 8), pb.capb)
+        vals, ids, counts, gvals, gdocs = bm25_search_grouped_packed(
+            p_doc, p_tf, p_etf, p_flen,
+            jnp.asarray(idesc), jnp.asarray(fdesc), jnp.asarray(scalars),
+            jnp.asarray(mask_arr), omc_arr, gid_dev,
+            lr=pb.LRb, exact=exact, cap=pb.capb, k=kb, R=Rb, G=Gb,
+            has_mask=has_mask, has_omc=has_omc,
+        )
+        gvals = np.asarray(gvals[: pb.B, :n_groups])
+        gdocs = np.asarray(gdocs[: pb.B, :n_groups])
+        group_pages = [
+            [
+                [
+                    (int(d), float(v))
+                    for d, v in zip(gdocs[b, g], gvals[b, g])
+                    if np.isfinite(v)
+                ][:max_results]
+                for g in range(n_groups)
+            ]
+            for b in range(pb.B)
+        ]
+        return (
+            np.asarray(vals[: pb.B, :k]),
+            np.asarray(ids[: pb.B, :k]),
+            np.asarray(counts[: pb.B]),
+            group_pages,
+        )
+
 
 class PrunedPlanMixin(StringSearchTopK):
     """Shared helpers for the pruned (candidate + exact rescore) path:

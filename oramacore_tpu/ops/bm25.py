@@ -375,6 +375,87 @@ def bm25_search_sorted_packed(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "exact", "cap", "lr", "k", "R", "G", "has_mask", "has_omc",
+    ),
+)
+def bm25_search_grouped_packed(
+    p_doc, p_tf, p_exact_tf, p_flen,
+    idesc, fdesc, scalars,
+    doc_mask,            # bool[B, cap] (dummy (1,1) when has_mask=False)
+    omc,                 # float32[cap] (dummy (1,) when has_omc=False)
+    gid,                 # int32[cap] group ids (-1 = doc lacks the field)
+    *,
+    lr: int, exact: bool, cap: int, k: int, R: int, G: int,
+    has_mask: bool, has_omc: bool,
+):
+    """Fused GROUP-BY search: score + threshold + main top-k + per-group
+    top-R pages in ONE dispatch. The host path ships a dense score dict
+    and walks per-doc value dicts over the full hit set
+    (ReadSide._collect_group_values / _build_groups — O(hits) python,
+    seconds at 10M matches; reference read/index/group.rs builds the
+    same per-combo doc lists on CPU); here only (B, k) + (B, G, R)
+    pages cross the boundary.
+
+    Per-group top-R without a sort or scatter: a chunked scan holds a
+    running (B, G, R) page; each step broadcasts the chunk's scores
+    against a (G, ch) group-membership mask and merges via one stable
+    top_k over [carry, chunk] — carry entries (earlier = lower doc ids)
+    win score ties, and within a chunk the ascending iota does, so ties
+    resolve doc-ascending end to end (the host path's order). Docs
+    without the group field (gid -1) match no group row and drop, like
+    _build_groups skipping docs with no value."""
+    starts, lens = idesc[0], idesc[1]
+    weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
+    n_docs, thr_counts = scalars[0], scalars[1]
+    B = starts.shape[0]
+    mask = doc_mask if has_mask else jnp.ones((B, cap), bool)
+    scores, matched = bm25_score_batch(
+        p_doc, p_tf, p_exact_tf, p_flen, starts, lens, weights, field_b,
+        avg_flen, n_docs, mask, lr=lr, exact=exact, cap=cap,
+    )
+    s = scores * omc[None, :] if has_omc else scores
+    keep = (matched >= thr_counts[:, None]) & (scores > 0.0)
+    counts = jnp.sum(keep, axis=1).astype(jnp.int32)
+    s = jnp.where(keep, s, -jnp.inf)
+    from .vector import topk_2level
+
+    vals, idx = topk_2level(s, k)
+
+    # (B, G, ch) stays ~2M elems per step regardless of G; ch is a
+    # power of two so it always divides the pow2-padded cap
+    ch = min(cap, 1 << max(9, 21 - (max(G, 1) - 1).bit_length()))
+    garange = jnp.arange(G, dtype=jnp.int32)
+    init = (
+        jnp.full((B, G, R), -jnp.inf, jnp.float32),
+        jnp.zeros((B, G, R), jnp.int32),
+    )
+
+    def step(carry, ci):
+        cv, cd = carry
+        off = ci * ch
+        gid_c = jax.lax.dynamic_slice(gid, (off,), (ch,))
+        s_c = jax.lax.dynamic_slice(s, (0, off), (B, ch))
+        gm = gid_c[None, :] == garange[:, None]              # (G, ch)
+        sk = jnp.where(gm[None], s_c[:, None, :], -jnp.inf)  # (B, G, ch)
+        v, i = jax.lax.top_k(jnp.concatenate([cv, sk], axis=2), R)
+        d_new = jnp.broadcast_to(
+            (off + jax.lax.iota(jnp.int32, ch))[None, None, :],
+            (B, G, ch),
+        )
+        d = jnp.take_along_axis(
+            jnp.concatenate([cd, d_new], axis=2), i, axis=2
+        )
+        return (v, d), None
+
+    (gvals, gdocs), _ = jax.lax.scan(
+        step, init, jnp.arange(cap // ch)
+    )
+    return vals, idx, counts, gvals, gdocs
+
+
 # ---------------------------------------------------------------------------
 # Shared (term-deduplicated) batched scoring.
 #

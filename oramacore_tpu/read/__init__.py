@@ -612,9 +612,31 @@ class ReadSide:
                                   idx.filters.bools)
                 )
             )
+            # fused GROUP-BY (ops/bm25.py bm25_search_grouped_packed):
+            # main top-k + per-group top-R pages in one dispatch — the
+            # host flow ships a dense score dict and walks per-doc value
+            # dicts over the full hit set (seconds at 10M). Single
+            # index + single single-valued string/bool property,
+            # term-ful fulltext, no facets/sort/pins, single device
+            # (ref group.rs builds per-combo doc lists on CPU).
+            device_group_spec = None
+            if (
+                params.group_by is not None
+                and len(params.group_by.properties) == 1
+                and params.group_by.max_results <= 64
+                and params.sort_by is None
+                and not params.facets
+                and not consequences
+                and len(indexes) == 1
+                and self.sharded_mesh is None
+                and isinstance(mode, FulltextMode)
+                and mode.term.strip()
+            ):
+                device_group_spec = self._device_group_spec(idx, params)
             fused_ok = (
                 (not params.facets or fulltext_facets or pruned_facets)
-                and params.group_by is None
+                and (params.group_by is None
+                     or device_group_spec is not None)
                 and (params.sort_by is None or fused_sort)
             )
             with span("token_scores", index=idx.index_id,
@@ -623,7 +645,9 @@ class ReadSide:
                     coll, idx, mode, params, mask, fused_ok=fused_ok,
                     want_bitmap=fulltext_facets,
                     sort_spec=params.sort_by if fused_sort else None,
+                    group_spec=device_group_spec,
                 )
+            device_groups = getattr(self._tls, "grouped_pages", None)
             match_mask = self._tls.match_mask
             if self._tls.fused_count is not None:
                 fused_counts = fused_counts + self._tls.fused_count                     if fused_counts is not None else self._tls.fused_count
@@ -681,7 +705,7 @@ class ReadSide:
                         idx, params, facet_scores, facet_results
                     )
 
-            if params.group_by:
+            if params.group_by and device_groups is None:
                 self._collect_group_values(idx, params, scores, group_values_by_doc)
 
         # error semantics (search.rs:434-460)
@@ -710,10 +734,23 @@ class ReadSide:
 
         groups = None
         if params.group_by:
-            groups = self._build_groups(
-                coll, indexes, all_scores, group_values_by_doc, params,
-                consequences, resolve,
-            )
+            if device_groups is not None:
+                # fused pages: hydrate each non-empty group directly
+                labels, pages = device_groups
+                groups = []
+                for g, gpage in enumerate(pages):
+                    if not gpage:
+                        continue
+                    groups.append(GroupedResult(
+                        values=[labels[g]],
+                        result=self._hydrate(coll, indexes, gpage),
+                    ))
+                groups.sort(key=lambda gr: [str(v) for v in gr.values])
+            else:
+                groups = self._build_groups(
+                    coll, indexes, all_scores, group_values_by_doc,
+                    params, consequences, resolve,
+                )
 
         with span("hydrate", n=len(page)):
             hits = self._hydrate(coll, indexes, page)
@@ -766,19 +803,21 @@ class ReadSide:
         fused_ok: bool = False,
         want_bitmap: bool = False,
         sort_spec=None,
+        group_spec=None,
     ) -> Dict[int, float]:
         self._tls.fused_count = None
         self._tls.omc_applied = False
         self._tls.match_mask = None
         self._tls.sorted_ranked = None
         self._tls.pruned_plan = None
+        self._tls.grouped_pages = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
         if isinstance(mode, (FulltextMode,)):
             return self._fulltext_scores(
                 coll, idx, mode, params, mask, fused_ok=fused_ok,
                 omc_in_kernel=True, want_bitmap=want_bitmap,
-                sort_spec=sort_spec,
+                sort_spec=sort_spec, group_spec=group_spec,
             )
         if isinstance(mode, VectorMode):
             return self._vector_scores(idx, mode.term, mode.similarity, params, mask)
@@ -1106,6 +1145,33 @@ class ReadSide:
                 return None
         return out
 
+    def _device_group_spec(self, idx: ReadIndex, params: SearchParams):
+        """Device spec for the fused group-by kernel, or None when the
+        group property can't take the device path (multi-valued, >256
+        string values, numbers, unknown field) — the search then keeps
+        the host dict flow (_collect_group_values/_build_groups).
+        Returns (ids int32[cap], n_groups, labels, cache_key)."""
+        prop = params.group_by.properties[0]
+        cap = idx.cap()
+        if prop in idx.filters.strings:
+            col = idx.filters.strings[prop]
+            if not col.single_valued() or len(col._values) > 256:
+                return None
+            return (
+                col.dense_id_column(cap), max(len(col._values), 1),
+                list(col._values),
+                ("gid", idx.uid, prop, col.version),
+            )
+        if prop in idx.filters.bools:
+            col = idx.filters.bools[prop]
+            if not col.single_valued():
+                return None
+            return (
+                col.dense_id_column(cap), 2, [False, True],
+                ("gid", idx.uid, prop, col.version),
+            )
+        return None
+
     def _pruned_facet_counts(self, coll, idx: ReadIndex, mode,
                              specs, facet_results):
         """Device facet counting over the pruned plan (the facet quirk
@@ -1245,6 +1311,7 @@ class ReadSide:
         omc_in_kernel: bool = False,
         want_bitmap: bool = False,
         sort_spec=None,
+        group_spec=None,
     ) -> Dict[int, float]:
         """When fused_ok, returns only the top candidates (enough for the
         requested page) via one fused device call and stashes the exact
@@ -1305,6 +1372,7 @@ class ReadSide:
         )
         use_pruned = (
             fused_ok and not want_bitmap and sort_spec is None
+            and group_spec is None
             and self._pruned_eligible(
                 idx, mask, k, mode, params,
                 exact_counts=want_exact_counts,
@@ -1316,7 +1384,7 @@ class ReadSide:
         planned = self._plan_fulltext(
             idx, mode, params,
             use_champions=fused_ok and not use_pruned and not want_bitmap
-            and sort_spec is None
+            and sort_spec is None and group_spec is None
             and self.sharded_mesh is None and not mode.exact,
             with_prefix=use_pruned,
         )
@@ -1391,6 +1459,21 @@ class ReadSide:
                 self._tls.fused_count = int(counts[0])
                 self._tls.omc_applied = omc_arr is not None
                 return {int(d): float(v) for d, v in ranked[0]}
+            elif group_spec is not None:
+                # fused group-by: the group-id column rides the device;
+                # only the main page + (G, R) group pages come back
+                gid_col, n_groups, labels, gkey = group_spec
+                vals, ids, counts, group_pages = ex.search_topk_grouped(
+                    idx.string, [plan], [idx.document_count()], cap,
+                    k=k,
+                    gid_col=gid_col, gid_key=gkey, n_groups=n_groups,
+                    max_results=params.group_by.max_results,
+                    exact=mode.exact,
+                    doc_masks=[mask] if mask is not None else None,
+                    thresholds=[thr] if thr is not None else None,
+                    omc=omc_arr, omc_key=(idx.uid, idx.omc_version),
+                )
+                self._tls.grouped_pages = (labels, group_pages[0])
             else:
                 # only the single-device executor takes with_bitmap
                 # (want_bitmap is gated on sharded_mesh is None)
