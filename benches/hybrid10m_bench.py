@@ -85,14 +85,14 @@ def main():
     ap.add_argument("--mode", default="all",
                     choices=["ranged", "champion", "pruned", "ft",
                              "counts", "filtered", "facets", "bs",
-                             "micro", "all"])
+                             "bsh", "groups", "micro", "all"])
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
     modes = (
         ["ranged", "champion", "pruned", "ft", "counts", "filtered",
-         "facets"]
+         "facets", "bs", "bsh", "groups"]
         if args.mode == "all" else [args.mode]
     )
 
@@ -248,7 +248,10 @@ def main():
             f"{time.perf_counter() - t_s:.1f}s "
             f"({n_heavy * LP * 12 / 2**20:.0f} MiB)")
 
-    needs_vectors = bool(set(modes) - {"ft", "counts", "facets"})
+    needs_vectors = bool(
+        set(modes) - {"ft", "counts", "facets", "bs", "groups",
+                      "micro"}
+    )
     buf = scales = row_doc = doc2row = unit_cen = unit_st = None
     if needs_vectors:
         # ---- vector corpus -------------------------------------------------
@@ -452,6 +455,47 @@ def main():
                 wl_i, wl_f, term_ids)
 
     # queries from the same mixture as the corpus
+    def build_bs_plans(B, T=3, seed=7, term_ids=None):
+        """v4 plans: UNSPLIT doc-sorted ranges + impact prefixes."""
+        _i, _f, scalars, _lr, term_ids = build_plans(
+            B, T, seed, term_ids
+        )
+        pre_st = np.zeros((B, T, 1), np.int32)
+        pre_ln = np.zeros((B, T, 1), np.int32)
+        rng_st = np.zeros((B, T, 1), np.int32)
+        rng_ln = np.zeros((B, T, 1), np.int32)
+        idf = np.zeros((B, T), np.float32)
+        for b in range(B):
+            for t in range(T):
+                tid = int(term_ids[b, t])
+                if tid in pre_ranges:
+                    ps, pl = pre_ranges[tid]
+                else:
+                    ps, pl = int(tstart[tid]), int(df[tid])
+                pre_st[b, t, 0] = ps
+                pre_ln[b, t, 0] = pl
+                rng_st[b, t, 0] = int(tstart[tid])
+                rng_ln[b, t, 0] = int(df[tid])
+                d = max(float(df[tid]), 1.0)
+                idf[b, t] = np.log1p((N - d + 0.5) / (d + 0.5))
+        rng_i = np.stack([rng_st, rng_ln])
+        rng_f = np.stack([
+            np.ones((B, T, 1), np.float32),
+            np.full((B, T, 1), 0.75, np.float32),
+            np.full((B, T, 1), AVG_FLEN, np.float32),
+        ])
+        pre_f = np.stack([
+            np.ones((B, T, 1), np.float32),
+            np.full((B, T, 1), 0.75, np.float32),
+            np.full((B, T, 1), AVG_FLEN, np.float32),
+        ])
+        bs = 4
+        while (1 << bs) < int(rng_ln.max()) + 1:
+            bs += 4
+        pre_idesc = np.stack([pre_st, pre_ln])
+        return (pre_idesc, pre_f, rng_i, rng_f, idf,
+                scalars, bs, term_ids)
+
     qvecs = None
     if needs_vectors:
         ka, kn = jax.random.split(k_query)
@@ -641,47 +685,6 @@ def main():
     if "bs" in modes:
         from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
 
-        def build_bs_plans(B, T=3, seed=7, term_ids=None):
-            """v4 plans: UNSPLIT doc-sorted ranges + impact prefixes."""
-            _i, _f, scalars, _lr, term_ids = build_plans(
-                B, T, seed, term_ids
-            )
-            pre_st = np.zeros((B, T, 1), np.int32)
-            pre_ln = np.zeros((B, T, 1), np.int32)
-            rng_st = np.zeros((B, T, 1), np.int32)
-            rng_ln = np.zeros((B, T, 1), np.int32)
-            idf = np.zeros((B, T), np.float32)
-            for b in range(B):
-                for t in range(T):
-                    tid = int(term_ids[b, t])
-                    if tid in pre_ranges:
-                        ps, pl = pre_ranges[tid]
-                    else:
-                        ps, pl = int(tstart[tid]), int(df[tid])
-                    pre_st[b, t, 0] = ps
-                    pre_ln[b, t, 0] = pl
-                    rng_st[b, t, 0] = int(tstart[tid])
-                    rng_ln[b, t, 0] = int(df[tid])
-                    d = max(float(df[tid]), 1.0)
-                    idf[b, t] = np.log1p((N - d + 0.5) / (d + 0.5))
-            rng_i = np.stack([rng_st, rng_ln])
-            rng_f = np.stack([
-                np.ones((B, T, 1), np.float32),
-                np.full((B, T, 1), 0.75, np.float32),
-                np.full((B, T, 1), AVG_FLEN, np.float32),
-            ])
-            pre_f = np.stack([
-                np.ones((B, T, 1), np.float32),
-                np.full((B, T, 1), 0.75, np.float32),
-                np.full((B, T, 1), AVG_FLEN, np.float32),
-            ])
-            bs = 4
-            while (1 << bs) < int(rng_ln.max()) + 1:
-                bs += 4
-            pre_idesc = np.stack([pre_st, pre_ln])
-            return (pre_idesc, pre_f, rng_i, rng_f, idf,
-                    scalars, bs, term_ids)
-
         # dense ground truth for overlap
         bs_truth = {}
         for B in (8,):
@@ -742,6 +745,110 @@ def main():
                     f"qps={B / dt:.0f}{note}")
                 results.append(
                     (B, f"ft-bs-{nom}{knob}" + note, B / dt, dt * 1000)
+                )
+
+    # ---------------- v4 hybrid: bs rescore + IVF probe (bsh) ----------
+    if "bsh" in modes:
+        from oramacore_tpu.ops.pruned import pruned_hybrid_topk_int8_bs
+
+        bsh_truth = dict(ranged_ids)
+        if not bsh_truth:
+            for B in (8,):
+                idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7)
+                _, ids, _ = hybrid_search_topk_packed_int8(
+                    p_doc, p_tf, p_tf, p_flen,
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars),
+                    buf, scales, row_doc, unit_cen, unit_st, qvecs[:B],
+                    dummy_mask, dummy_omc,
+                    lr=lr, exact=False, cap=N, k=16,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_mask=False, has_omc=False,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                )
+                bsh_truth[B] = np.asarray(ids)
+            log("bsh: dense hybrid ground truth ready")
+
+        for B in (8, 64, 128):
+            variants = []
+            for s_ in range(3):
+                (pre_i, pre_f, rng_i, rng_f, idf, scalars, bs,
+                 _t) = build_bs_plans(B, seed=7 + s_)
+                variants.append((
+                    jnp.asarray(pre_i), jnp.asarray(pre_f),
+                    jnp.asarray(rng_i), jnp.asarray(rng_f),
+                    jnp.asarray(idf), qvecs[:B],
+                    jnp.asarray(scalars[2][:B]), bs,
+                ))
+
+            def run_bsh(v):
+                pre_i, pre_f, rng_i, rng_f, idf_a, qb, sims, bs = v
+                B_ = idf_a.shape[0]
+                return pruned_hybrid_topk_int8_bs(
+                    p_doc, p_tf, p_flen,
+                    pre_i[0], pre_i[1], rng_i, rng_f,
+                    idf_a, jnp.zeros((B_,), jnp.float32),
+                    buf, scales, row_doc, unit_cen, unit_st, doc2row,
+                    qb, sims, dummy_omc, None, pre_f,
+                    hp=1, cap=N, k=16, bs_steps=bs, has_omc=False,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                    nom_accum=True, lp=LP, C=1024,
+                )
+
+            try:
+                dt = timeit(run_bsh, variants)
+            except Exception as e:
+                log(f"hybrid bs B={B}: SKIPPED ({type(e).__name__}: {e})")
+                continue
+            _, idsb, _ = run_bsh(variants[0])
+            note = ""
+            if B in bsh_truth:
+                ov = overlap(bsh_truth[B], np.asarray(idsb), 16)
+                note = f" overlap@16={ov:.3f}"
+            log(f"hybrid bs B={B}: lat={dt * 1000:.1f}ms "
+                f"qps={B / dt:.0f}{note}")
+            results.append((B, "hybrid-bs" + note, B / dt, dt * 1000))
+
+    # ---------------- fused group-by at 10M (groups) --------------------
+    if "groups" in modes:
+        from oramacore_tpu.ops.bm25 import bm25_search_grouped_packed
+
+        k_grp = jax.random.fold_in(root, 777)
+        for G in (8, 64):
+            gid = jax.random.randint(k_grp, (N,), -1, G, dtype=jnp.int32)
+            gid.block_until_ready()
+            for B in (1, 8):
+                variants = []
+                for s_ in range(3):
+                    idesc, fdesc, scalars, lr, _t = build_plans(
+                        B, seed=7 + s_
+                    )
+                    variants.append((
+                        jnp.asarray(idesc), jnp.asarray(fdesc),
+                        jnp.asarray(scalars[:2]), lr,
+                    ))
+
+                def run_g(v):
+                    idesc, fdesc, scalars2, lr = v
+                    return bm25_search_grouped_packed(
+                        p_doc, p_tf, p_tf, p_flen,
+                        idesc, fdesc, scalars2,
+                        dummy_mask, dummy_omc, gid,
+                        lr=lr, exact=False, cap=N, k=16, R=8, G=G,
+                        has_mask=False, has_omc=False,
+                    )
+
+                try:
+                    dt = timeit(run_g, variants)
+                except Exception as e:
+                    log(f"grouped G={G} B={B}: SKIPPED "
+                        f"({type(e).__name__}: {e})")
+                    continue
+                log(f"grouped G={G} B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}")
+                results.append(
+                    (B, f"grouped-g{G}", B / dt, dt * 1000)
                 )
 
     # ---------------- primitive microbenches ----------------
@@ -978,58 +1085,58 @@ def main():
                 f"qps={B / dt:.0f}")
             results.append((B, "hybrid-filtered-50%", B / dt, dt * 1000))
 
-    # ---------------- pruned-tier facet counting ----------------
+    # ---------------- pruned-tier facet counting (sort-based v4) -------
     if "facets" in modes:
-        from oramacore_tpu.ops.pruned import pruned_facet_counts
+        from oramacore_tpu.ops.pruned import (
+            pruned_facet_hist,
+            pruned_match_reps,
+        )
 
         G = 64
         k_fac = jax.random.fold_in(root, 888)
         bucket = jax.random.randint(k_fac, (N,), 0, G, dtype=jnp.int32)
         bucket.block_until_ready()
-        for B_ in (1,):
-            variants = []
-            for s_ in range(3):
-                (_i, _f, _sc, _lr, _pi, _pf, idf,
-                 wl_i, _wf, _tids) = build_pruned_plans(1, seed=31 + s_)
-                # global earlier spans: each range's predecessors (the
-                # engine builds these from plan.spans; the synthetic
-                # corpus has single-field tokens, so earlier spans are
-                # simply the other tokens' ranges before it)
-                W = wl_i.shape[1]
-                nre = 2
-                wl_prev = np.zeros((2, W, nre), np.int32)
-                seen = []
-                for j in range(W):
-                    ln = int(wl_i[3, j])
-                    if ln <= 0:
-                        continue
-                    for e, (es, el) in enumerate(seen[:nre]):
-                        wl_prev[0, j, e] = es
-                        wl_prev[1, j, e] = el
-                    seen.append((int(wl_i[2, j]), ln))
-                variants.append((jnp.asarray(wl_i), jnp.asarray(wl_prev)))
+        bounds0 = jnp.zeros((G, 2), jnp.float32)
+        variants = []
+        for s_ in range(3):
+            (_i, _f, _sc, _lr, _pi, _pf, idf,
+             wl_i, _wf, _tids) = build_pruned_plans(1, seed=31 + s_)
+            variants.append(jnp.asarray(wl_i))
 
-            def run_fc(v):
-                wli, wlp = v
-                return pruned_facet_counts(
-                    p_doc, p_tf, p_tf, wli, wlp,
-                    jnp.ones((1,), jnp.float32), bucket,
-                    jnp.zeros((G, 2), jnp.float32),
-                    lch=LCH, cap=N, G=G, exact=False,
-                    has_filter=False, numeric=False,
-                    nre=nre, bs_steps=24,
+        def run_reps(wli):
+            return pruned_match_reps(
+                p_doc, p_tf, p_tf, wli,
+                jnp.float32(0.0), jnp.ones((1,), jnp.float32),
+                lch=LCH, cap=N, exact=False, has_filter=False,
+            )
+
+        try:
+            dt_reps = timeit(run_reps, variants)
+            reps = [run_reps(v) for v in variants]
+            for d_, r_ in reps:
+                r_.block_until_ready()
+
+            def run_hist(v):
+                d_, r_ = v
+                return pruned_facet_hist(
+                    d_, r_, bucket, bounds0, G=G, numeric=False,
                 )
 
-            try:
-                dt = timeit(run_fc, variants)
-            except Exception as e:
-                log(f"facet counts B={B_}: SKIPPED "
-                    f"({type(e).__name__}: {e})")
-                continue
-            c = np.asarray(run_fc(variants[0]))
-            log(f"facet counts (G=64) per query: lat={dt * 1000:.1f}ms "
+            dt_hist = timeit(run_hist, reps)
+            c = np.asarray(run_hist(reps[0]))
+            log(f"facet reps (sort) per query: lat={dt_reps * 1000:.1f}ms")
+            log(f"facet hist (G=64) per field: lat={dt_hist * 1000:.1f}ms "
                 f"sum={c.sum():.0f}")
-            results.append((B_, "facet-counts-g64", 1 / dt, dt * 1000))
+            log(f"facet 1-field total: {(dt_reps + dt_hist) * 1000:.1f}ms "
+                f"(v3 dud kernel: 4829.6ms; dense bitmap: ~21ms)")
+            results.append(
+                (1, "facet-sort-reps", 1 / dt_reps, dt_reps * 1000)
+            )
+            results.append(
+                (1, "facet-sort-hist-g64", 1 / dt_hist, dt_hist * 1000)
+            )
+        except Exception as e:
+            log(f"facet sort mode SKIPPED ({type(e).__name__}: {e})")
 
     # ---------------- champion mode (round-2 record) ----------------
     if "champion" in modes:

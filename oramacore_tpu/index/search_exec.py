@@ -657,6 +657,11 @@ class PrunedPlanMixin(StringSearchTopK):
     # benches/RESULTS.md round-4 session 1) — dispatch <= 8 queries at
     # a time and the B=64 batch costs ~8 x 40 ms instead of 12.4 s
     PRUNED_COUNTS_SLICE = 8
+    # v4 batched dispatch chunk: accum1024 measured 106 QPS @B=64 vs
+    # 72 @B=256 (RESULTS.md round-4 session 2) — larger bs batches are
+    # dispatched as B=64 chunks (v3 shapes are NOT split; their
+    # pathology is the inverse)
+    PRUNED_BS_BATCH = 64
     # v4 binary-search rescore (ops/pruned.py pruned_*_bs): eligible
     # searches (single-span tokens, non-exact tf, unfiltered) rescore
     # candidates with per-candidate binary searches into unsplit
@@ -1129,6 +1134,30 @@ class PrunedPlanMixin(StringSearchTopK):
         use_bs = (
             self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
+        if use_bs and B > self.PRUNED_BS_BATCH:
+            # measured non-monotonicity: accum1024 runs 106 QPS @B=64
+            # but 72 @B=256 on TPU v5e (RESULTS.md round-4 session 2) —
+            # dispatch larger batches as B=64 chunks. v3 shapes are NOT
+            # split (their pathology is the inverse: 12 QPS @B=64,
+            # 47 @B=256).
+            S = self.PRUNED_BS_BATCH
+            parts = [
+                self.search_topk_pruned(
+                    index, plans[i:i + S], n_docs[i:i + S], cap, k,
+                    exact=exact,
+                    thresholds=(
+                        thresholds[i:i + S] if thresholds is not None
+                        else None
+                    ),
+                    omc=omc, omc_key=omc_key, exact_counts=exact_counts,
+                )
+                for i in range(0, B, S)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
         if use_bs:
             # v4: exact host IDF (single-span tokens, unfiltered,
             # stemmed tf >= 1 — range lengths ARE the df) + per-candidate

@@ -493,3 +493,55 @@ def test_batch_exact_counts_sliced():
     finally:
         prmod.pruned_exact_counts = orig
         ctx.close()
+
+def test_batch_pruned_bs_split():
+    """v4 batched dispatches split at PRUNED_BS_BATCH plans (accum1024
+    measured 106 QPS @B=64 vs 72 @B=256): results equal the unsplit
+    per-query path and the kernel sees <= 64-plan batches."""
+    import oramacore_tpu.ops.pruned as prmod
+    from oramacore_tpu.index import search_exec
+
+    PM = search_exec.PrunedPlanMixin
+    dispatch_b = []
+    orig = prmod.pruned_fulltext_topk_bs
+
+    def spy(p_doc, p_tf, p_flen, pre_st, *a, **kw):
+        dispatch_b.append(int(pre_st.shape[0]))
+        return orig(p_doc, p_tf, p_flen, pre_st, *a, **kw)
+
+    prmod.pruned_fulltext_topk_bs = spy
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(130))
+        ctx.commit_all()
+        B = PM.PRUNED_BS_BATCH + 6
+        batch = [
+            {"term": f"{_WORDS[i % len(_WORDS)]} "
+                     f"{_WORDS[(i + 2) % len(_WORDS)]}", "limit": 5}
+            for i in range(B)
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            seq = [
+                ctx.reader.search(
+                    coll.collection_id, coll.read_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                for q in batch
+            ]
+            dispatch_b.clear()
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+        assert dispatch_b, "bs kernel never dispatched"
+        assert all(b <= PM.PRUNED_BS_BATCH for b in dispatch_b), dispatch_b
+        assert len(dispatch_b) >= 2
+        for s, g, q in zip(seq, got, batch):
+            assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+    finally:
+        prmod.pruned_fulltext_topk_bs = orig
+        ctx.close()
