@@ -83,18 +83,21 @@ def main():
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
     ap.add_argument("--mode", default="all",
-                    choices=["ranged", "champion", "pruned", "ft",
-                             "counts", "filtered", "facets", "bs",
-                             "bsh", "groups", "micro", "all"])
+                    help="comma-separated list of modes, or 'all'")
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
+    KNOWN = ["ranged", "champion", "pruned", "ft", "counts", "filtered",
+             "facets", "bs", "bsh", "groups", "micro"]
     modes = (
         ["ranged", "champion", "pruned", "ft", "counts", "filtered",
          "facets", "bs", "bsh", "groups"]
-        if args.mode == "all" else [args.mode]
+        if args.mode == "all" else args.mode.split(",")
     )
+    for m in modes:
+        if m not in KNOWN:
+            ap.error(f"unknown mode {m!r} (known: {KNOWN})")
 
     import jax
 
