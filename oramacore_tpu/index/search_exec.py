@@ -1461,6 +1461,31 @@ class HybridSearchTopK(PrunedPlanMixin):
         use_bs = (
             self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
+        if use_bs and B > self.PRUNED_BS_BATCH:
+            # same measured non-monotonicity as fulltext: hybrid-bs runs
+            # 97 QPS @B=64 but 69 @B=128 on TPU v5e (RESULTS.md round-4
+            # session 3) — dispatch larger batches as B=64 chunks.
+            S = self.PRUNED_BS_BATCH
+            parts = [
+                self.search_topk_hybrid_int8_pruned(
+                    index, plans[i:i + S], n_docs[i:i + S], cap, k,
+                    vec_int8, doc2row, queries[i:i + S],
+                    similarities[i:i + S],
+                    exact=exact,
+                    thresholds=(
+                        thresholds[i:i + S] if thresholds is not None
+                        else None
+                    ),
+                    omc=omc, omc_key=omc_key, rescale=rescale,
+                    candidates=candidates,
+                )
+                for i in range(0, B, S)
+            ]
+            return (
+                np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+            )
         if use_bs:
             from ..ops.pruned import pruned_hybrid_topk_int8_bs
 

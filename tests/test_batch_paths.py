@@ -545,3 +545,63 @@ def test_batch_pruned_bs_split():
     finally:
         prmod.pruned_fulltext_topk_bs = orig
         ctx.close()
+
+
+def test_batch_hybrid_bs_split(monkeypatch):
+    """v4 batched HYBRID dispatches split at PRUNED_BS_BATCH plans
+    (hybrid-bs measured 97 QPS @B=64 vs 69 @B=128 on TPU v5e,
+    RESULTS.md round-4 session 3): results equal the per-query path
+    and the kernel sees <= 64-plan batches."""
+    import oramacore_tpu.index.vector_index as vi
+    import oramacore_tpu.ops.pruned as prmod
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    PM = search_exec.PrunedPlanMixin
+    dispatch_b = []
+    orig = prmod.pruned_hybrid_topk_int8_bs
+
+    def spy(p_doc, p_tf, p_flen, pre_st, *a, **kw):
+        dispatch_b.append(int(pre_st.shape[0]))
+        return orig(p_doc, p_tf, p_flen, pre_st, *a, **kw)
+
+    prmod.pruned_hybrid_topk_int8_bs = spy
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = _docs(700, seed=5)
+        for s in range(0, 700, 350):
+            idx.insert_documents(docs[s:s + 350])
+        ctx.commit_all()
+        B = PM.PRUNED_BS_BATCH + 4
+        batch = [
+            {"term": f"{_WORDS[i % len(_WORDS)]} "
+                     f"{_WORDS[(i + 3) % len(_WORDS)]}",
+             "mode": "hybrid", "limit": 5, "similarity": 0.05}
+            for i in range(B)
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            seq = [
+                ctx.reader.search(
+                    coll.collection_id, coll.read_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                for q in batch
+            ]
+            dispatch_b.clear()
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+        assert dispatch_b, "hybrid bs kernel never dispatched"
+        assert all(b <= PM.PRUNED_BS_BATCH for b in dispatch_b), dispatch_b
+        assert len(dispatch_b) >= 2
+        for s, g, q in zip(seq, got, batch):
+            assert [h.id for h in s.hits] == [h.id for h in g.hits], q
+    finally:
+        prmod.pruned_hybrid_topk_int8_bs = orig
+        ctx.close()
