@@ -949,9 +949,10 @@ class PrunedPlanMixin(StringSearchTopK):
         mask: Optional[np.ndarray] = None,
         mask_key=None,
         thr: float = 0.0,
+        vec=None,
     ) -> np.ndarray:
-        """Facet counts over a pruned-tier fulltext search: distinct
-        matched docs per bucket, sort-based (ops/pruned
+        """Facet counts over a pruned-tier fulltext OR hybrid search:
+        distinct matched docs per bucket, sort-based (ops/pruned
         pruned_match_reps + pruned_facet_hist — the v3 streamed
         membership kernel was a measured hardware dud, RESULTS.md
         "Round-4 session 1"). The per-plan (docs, rep) pair is computed
@@ -959,8 +960,14 @@ class PrunedPlanMixin(StringSearchTopK):
         facet fields. `mask` is the facet quirk's alive-mask
         (tombstones); where-filters never reach here (facets count the
         UNFILTERED match set). `thr` = min distinct matched tokens
-        (thresholded facets)."""
-        from ..ops.pruned import pruned_facet_hist, pruned_match_reps
+        (thresholded facets). `vec` = (vector_index, q f32[1, dim],
+        similarity, rescale) for HYBRID searches at the int8/IVF tier:
+        the match set widens to ft | top-V probe rows clearing the
+        similarity floor (ops/pruned.pruned_hybrid_match_reps)."""
+        from ..ops.pruned import (
+            pruned_facet_hist, pruned_hybrid_match_reps,
+            pruned_match_reps,
+        )
 
         p_doc, p_tf, p_etf, _p_flen = self._get_device_slab(index)
         capb = round_up_pow2(cap, 128)
@@ -971,7 +978,7 @@ class PrunedPlanMixin(StringSearchTopK):
         # one-slot reps cache: the slot holds a strong ref to the plan,
         # so the `is` identity check can never alias a recycled id()
         reps_key = (index.uid, mask_key, has_filter, exact,
-                    float(thr), capb)
+                    float(thr), capb, vec is not None)
         slot = getattr(self, "_facet_reps_slot", None)
         if slot is not None and slot[1] is plan and slot[0] == reps_key:
             docs_dev, rep_dev = slot[2], slot[3]
@@ -983,6 +990,24 @@ class PrunedPlanMixin(StringSearchTopK):
                 lch=self.PRUNED_LCH, cap=capb, exact=exact,
                 has_filter=has_filter,
             )
+            if vec is not None:
+                vector_index, q, sim_v, rescale = vec
+                (mat_i8, v_scales, row_doc, unit_cen, unit_starts,
+                 window, nprobe) = vector_index.int8_device_rows()
+                V = round_up_pow2(
+                    min(HYBRID_INT8_CANDIDATES, int(mat_i8.shape[0])), 8
+                )
+                docs_dev, rep_dev = pruned_hybrid_match_reps(
+                    docs_dev, rep_dev,
+                    mat_i8, v_scales, row_doc, unit_cen, unit_starts,
+                    jnp.asarray(np.asarray(q, np.float32)),
+                    jnp.float32(sim_v), fmask_arr,
+                    V=V, nprobe=nprobe, window=window, cap=capb,
+                    pad=self.PRUNED_LCH, has_filter=has_filter,
+                    has_rescale=rescale is not None,
+                    rescale_lo=float(rescale[0]) if rescale else 0.0,
+                    rescale_hi=float(rescale[1]) if rescale else 1.0,
+                )
             self._facet_reps_slot = (reps_key, plan, docs_dev, rep_dev)
         kind = spec[0]
         if kind == "num":

@@ -1119,3 +1119,98 @@ def pruned_facet_hist(docs, rep, bucket, bounds, *, G: int,
     [from, to] `bounds` f32[G, 2] for number facets."""
     return _facet_hist_core(docs, rep, bucket, bounds, G=G,
                             numeric=numeric)
+
+
+# Hybrid extension of the sort-based facet path. A hybrid search's
+# match set is ft_keep | vec_keep (ops/hybrid._fuse, reference
+# token_score.rs:357-422): docs matched by the fulltext side (clearing
+# any threshold) UNION docs whose best vector row survives the
+# similarity floor. At the int8/IVF tier the vector side is
+# candidate-bounded (top-V probe rows, like the dense int8 kernel's
+# scatter-max), so the extra facet work is one V-element sort + a
+# binary-search dedup against the fulltext reps — no dense bitmap.
+
+
+def _vec_reps_core(vdocs, docs_ft, rep_ft, cap: int):
+    """One rep per DISTINCT vector-candidate doc not already counted by
+    the fulltext reps. vdocs int32[V] (cap = invalid sentinel); docs_ft
+    int32[N] ascending with run-end flags rep_ft f32[N]
+    (_match_reps_core output). Returns (vd int32[V], vrep f32[V]).
+
+    A doc present in the fulltext worklist but FAILING its threshold
+    carries rep 0 at its run end — the membership test below therefore
+    lets the vector side count it, exactly matching _fuse (vec_keep is
+    not threshold-gated)."""
+    vd = jax.lax.sort(vdocs)
+    is_end = jnp.concatenate(
+        [vd[1:] != vd[:-1], jnp.ones((1,), bool)]
+    ) & (vd < cap)
+    # last occurrence of vd in docs_ft (== its run end) via
+    # lower_bound(vd + 1) - 1; sentinel rows (vd == cap) die on is_end
+    ub = _lower_bound(docs_ft[None], (vd + 1)[None])[0] - 1
+    ubc = jnp.maximum(ub, 0)
+    member = (
+        (ub >= 0)
+        & (jnp.take(docs_ft, ubc) == vd)
+        & (jnp.take(rep_ft, ubc) > 0.0)
+    )
+    return vd, (is_end & ~member).astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "V", "nprobe", "window", "cap", "pad", "has_filter",
+        "has_rescale", "rescale_lo", "rescale_hi",
+    ),
+)
+def pruned_hybrid_match_reps(
+    docs_ft, rep_ft,   # phase-A fulltext reps (pruned_match_reps)
+    mat_i8, scales, row_doc, unit_cen, unit_starts,
+    query,             # f32[1, dim] L2-normalized
+    sim,               # f32[] similarity floor
+    fmask,             # f32[cap] alive mask (dummy (1,) if !has_filter)
+    *,
+    V: int, nprobe: int, window: int, cap: int, pad: int,
+    has_filter: bool, has_rescale: bool,
+    rescale_lo: float, rescale_hi: float,
+):
+    """HYBRID phase A tail: probe the IVF layout for the query's top-V
+    rows (the same candidate bound the dense int8 kernel scatter-maxes,
+    ops/hybrid._vector_dense_scores_int8), keep rows clearing the
+    similarity floor, dedup their doc ids against the fulltext reps, and
+    append them (padded to `pad` sentinel slots so phase B's chunking
+    invariant holds) — the combined (docs, rep) pair feeds the SAME
+    per-field pruned_facet_hist dispatches."""
+    from .vector import ivf_int8_topk_masked
+
+    if has_filter:
+        mask2d = (fmask > 0.0)[None, :]
+    else:
+        mask2d = jnp.ones((1, 1), bool)
+    vals, rows = ivf_int8_topk_masked(
+        query, mat_i8, scales, row_doc, unit_cen, unit_starts, mask2d,
+        k=V, nprobe=nprobe, window=window, has_mask=has_filter,
+    )
+    vals, rows = vals[0], rows[0]
+    if has_rescale:
+        vals = jnp.clip(
+            (vals - rescale_lo) / (rescale_hi - rescale_lo), 0.0, 1.0
+        )
+    # dense-kernel membership: row valid, >= similarity, and > 0 after
+    # rescale (a scatter-max of 0 never sets vec_keep in _fuse)
+    keep = (rows >= 0) & (vals >= sim) & (vals > 0.0)
+    vd = jnp.where(
+        keep,
+        jnp.take(row_doc, jnp.clip(rows, 0, row_doc.shape[0] - 1)),
+        cap,
+    )
+    vd, vrep = _vec_reps_core(vd, docs_ft, rep_ft, cap)
+    vd = jnp.concatenate([vd, jnp.full((pad - V,), cap, jnp.int32)])
+    vrep = jnp.concatenate(
+        [vrep, jnp.zeros((pad - V,), jnp.float32)]
+    )
+    return (
+        jnp.concatenate([docs_ft, vd]),
+        jnp.concatenate([rep_ft, vrep]),
+    )

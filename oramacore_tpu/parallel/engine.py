@@ -1400,6 +1400,117 @@ class ShardedStringExec:
         self._steps[key] = step
         return step
 
+    def _get_facet_vec_reps_step(self, *, cap_l, V, nprobe, window,
+                                 pad, has_filter, has_rescale,
+                                 rescale_lo, rescale_hi):
+        """HYBRID phase-A tail on the mesh: the IVF probe scans each
+        unit on its round-robin owner (the ensure_vectors_int8 layout),
+        the global top-V rows route to their doc % D owner via one
+        all_gather — exactly the sharded pruned hybrid's probe
+        (_get_pruned_hybrid_step) — then each shard dedups its owned
+        probe docs against its fulltext reps (ops/pruned._vec_reps_core;
+        shard-complete: a doc's postings AND its facet slot live in its
+        doc % D shard) and appends them to the sharded (docs, rep)
+        pair. `pad` keeps phase B's chunking invariant."""
+        key = ("facet_vreps", cap_l, V, nprobe, window, pad,
+               has_filter, has_rescale, rescale_lo, rescale_hi)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.pruned import _vec_reps_core
+
+        mesh, D = self.mesh, self.D
+        NEG_INF = -1e30
+
+        def shard_fn(docs_ft, rep_ft, mat8, sc8, doc8,
+                     unit_cen, owner, unit_local,
+                     query, sim, fmask):
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            mat_l, sc_l, doc_l = mat8[0], sc8[0], doc8[0]
+            dim = mat_l.shape[1]
+            nloc = mat_l.shape[0]
+            qv = query[0].astype(jnp.bfloat16)
+            _, probes = jax.lax.top_k(
+                jnp.dot(
+                    qv, unit_cen.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32,
+                ),
+                nprobe,
+            )
+
+            def body(carry, u):
+                vals, docs = carry
+                own = jnp.take(owner, u) == sid
+                j = jnp.take(unit_local, u)
+                start = jnp.minimum(j * window, nloc - window)
+                tile = jax.lax.dynamic_slice(
+                    mat_l, (start, 0), (window, dim)
+                )
+                sc = jax.lax.dynamic_slice(sc_l, (start,), (window,))
+                dg = jax.lax.dynamic_slice(doc_l, (start,), (window,))
+                s = jnp.dot(
+                    tile.astype(jnp.bfloat16), qv,
+                    preferred_element_type=jnp.float32,
+                ) * sc
+                s = jnp.where(own & (sc > 0), s, NEG_INF)
+                cat_v = jnp.concatenate([vals, s])
+                cat_d = jnp.concatenate([docs, dg])
+                new_v, sel = jax.lax.top_k(cat_v, V)
+                new_d = jnp.take(cat_d, sel)
+                return (new_v, new_d), None
+
+            init = (
+                jnp.full((V,), NEG_INF, jnp.float32),
+                jnp.full((V,), -1, jnp.int32),
+            )
+            (lv, ld), _ = jax.lax.scan(body, init, probes)
+            av = jax.lax.all_gather(lv, "d").reshape(D * V)
+            ad = jax.lax.all_gather(ld, "d").reshape(D * V)
+            gv, sel = jax.lax.top_k(av, V)
+            gd = jnp.take(ad, sel)
+            if has_rescale:
+                gv = jnp.clip(
+                    (gv - rescale_lo) / (rescale_hi - rescale_lo),
+                    0.0, 1.0,
+                )
+            keep = (gd >= 0) & (gv >= sim) & (gv > 0.0)
+            own_doc = keep & ((gd % D) == sid)
+            vd = jnp.where(own_doc, gd // D, cap_l)
+            if has_filter:
+                vd = jnp.where(
+                    jnp.take(
+                        fmask[0], jnp.clip(vd, 0, cap_l - 1)
+                    ) > 0.0,
+                    vd, cap_l,
+                )
+            vd, vrep = _vec_reps_core(vd, docs_ft[0], rep_ft[0], cap_l)
+            vd = jnp.concatenate(
+                [vd, jnp.full((pad - V,), cap_l, jnp.int32)]
+            )
+            vrep = jnp.concatenate(
+                [vrep, jnp.zeros((pad - V,), jnp.float32)]
+            )
+            return (
+                jnp.concatenate([docs_ft[0], vd])[None],
+                jnp.concatenate([rep_ft[0], vrep])[None],
+            )
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(
+                P("d", None), P("d", None),
+                P("d", None, None), P("d", None), P("d", None),
+                P(None, None), P(None), P(None),
+                P(None, None), P(),
+                P("d", None) if has_filter else P(None),
+            ),
+            out_specs=(P("d", None), P("d", None)),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
     def _get_facet_hist_step(self, *, G, numeric):
         """Phase B: per-shard chunked one-hot matmul histograms off the
         sharded (docs, rep), psum'd to exact global counts."""
@@ -1439,6 +1550,7 @@ class ShardedStringExec:
         mask: Optional[np.ndarray] = None,
         mask_key=None,
         thr: float = 0.0,
+        vec=None,
     ) -> np.ndarray:
         """Mesh facet counting over the pruned plan — the single-device
         search_exec contract: distinct matched docs per bucket,
@@ -1448,8 +1560,13 @@ class ShardedStringExec:
         shard, so shard-local runs are whole and the psum of per-shard
         histograms is exact. The sharded (docs, rep) pair is computed
         ONCE per plan and cached device-resident for the search's
-        remaining facet fields."""
-        from ..index.search_exec import PrunedPlanMixin as PM, _MISS
+        remaining facet fields. `vec` = (vector_index, q, similarity,
+        rescale) for HYBRID searches at the int8/IVF tier — the probe's
+        owned top-V docs join each shard's reps
+        (_get_facet_vec_reps_step)."""
+        from ..index.search_exec import (
+            HYBRID_INT8_CANDIDATES, PrunedPlanMixin as PM, _MISS,
+        )
 
         dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
@@ -1461,7 +1578,7 @@ class ShardedStringExec:
         # one-slot reps cache: the slot holds a strong ref to the plan,
         # so the `is` identity check can never alias a recycled id()
         reps_key = (index.uid, mask_key, has_filter, bool(exact),
-                    float(thr), int(cap_l))
+                    float(thr), int(cap_l), vec is not None)
         slot = getattr(self, "_facet_reps_slot", None)
         if slot is not None and slot[1] is plan and slot[0] == reps_key:
             docs_dev, rep_dev = slot[2], slot[3]
@@ -1512,6 +1629,33 @@ class ShardedStringExec:
                 p_doc, p_etf if exact else p_tf,
                 jax.device_put(wl_i, sh3), jnp.float32(thr), fmask_dev,
             )
+            if vec is not None:
+                vector_index, q, sim_v, rescale = vec
+                vecs8 = self.ensure_vectors_int8(vector_index)
+                mat8, sc8, doc8, unit_cen, owner, unit_local, window = (
+                    vecs8
+                )
+                V = round_up_pow2(
+                    min(HYBRID_INT8_CANDIDATES,
+                        int(mat8.shape[0] * mat8.shape[1])), 8
+                )
+                from ..index.vector_index import IVF_NPROBE
+
+                nprobe = min(IVF_NPROBE, int(unit_cen.shape[0]))
+                vstep = self._get_facet_vec_reps_step(
+                    cap_l=int(cap_l), V=V, nprobe=int(nprobe),
+                    window=int(window), pad=lch,
+                    has_filter=has_filter,
+                    has_rescale=rescale is not None,
+                    rescale_lo=float(rescale[0]) if rescale else 0.0,
+                    rescale_hi=float(rescale[1]) if rescale else 1.0,
+                )
+                docs_dev, rep_dev = vstep(
+                    docs_dev, rep_dev, mat8, sc8, doc8,
+                    unit_cen, owner, unit_local,
+                    jnp.asarray(np.asarray(q, np.float32)),
+                    jnp.float32(sim_v), fmask_dev,
+                )
             self._facet_reps_slot = (reps_key, plan, docs_dev, rep_dev)
 
         sh1 = NamedSharding(self.mesh, P("d", None))

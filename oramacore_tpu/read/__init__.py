@@ -567,15 +567,32 @@ class ReadSide:
             # reach here only when scoring itself took the pruned path
             # (exactCount or small-filter, _pruned_eligible).
             device_facet_specs = None
+            # HYBRID facet searches ride the pruned facet path at the
+            # int8/IVF tier too (single device AND mesh): the vector
+            # side's membership is candidate-bounded there (top-V probe
+            # rows, ops/pruned.pruned_hybrid_match_reps), so the dense
+            # bitmap kernel — the one remaining 10M-tier scatter for
+            # faceted hybrids — is skipped. exactCount keeps the bitmap
+            # (the hybrid pruned kernels estimate counts).
+            hybrid_ivf_facets = (
+                isinstance(mode, HybridMode)
+                and not params.exact_count
+                and idx.vector is not None
+                and idx.vector._ivf is not None
+                and not idx.vector._live_rows
+            )
             if (
                 bool(params.facets)
-                and isinstance(mode, FulltextMode)
+                and (isinstance(mode, FulltextMode) or hybrid_ivf_facets)
                 and params.group_by is None
                 and params.sort_by is None
                 and mode.term.strip()
                 and self._pruned_eligible(
                     idx, None, 16, mode, params, mesh_ok=True,
-                    exact_counts=params.exact_count,
+                    exact_counts=(
+                        params.exact_count
+                        and isinstance(mode, FulltextMode)
+                    ),
                 )
             ):
                 device_facet_specs = self._device_facet_specs(
@@ -666,7 +683,9 @@ class ReadSide:
                 # facets are computed over the UNFILTERED scored doc set
                 facet_scores = None
                 if (pruned_facets
-                        and self._tls.pruned_plan is not None):
+                        and self._tls.pruned_plan is not None
+                        and (not isinstance(mode, HybridMode)
+                             or self._tls.hybrid_q is not None)):
                     self._pruned_facet_counts(
                         coll, idx, mode, device_facet_specs,
                         facet_results,
@@ -810,6 +829,7 @@ class ReadSide:
         self._tls.match_mask = None
         self._tls.sorted_ranked = None
         self._tls.pruned_plan = None
+        self._tls.hybrid_q = None
         self._tls.grouped_pages = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
@@ -948,8 +968,12 @@ class ReadSide:
                     rescale=idx.vector.config.score_rescale,
                     **mask_kw,
                 )
-                if out is not None and not small_filter:
-                    self._tls.count_estimated = True
+                if out is not None:
+                    # hybrid pruned facets (search() device_facet_specs)
+                    self._tls.pruned_plan = plan
+                    self._tls.hybrid_q = q
+                    if not small_filter:
+                        self._tls.count_estimated = True
             else:
                 out = sharded.search_topk_hybrid(
                     idx.string, [plan], [idx.document_count()], cap, k,
@@ -995,6 +1019,9 @@ class ReadSide:
                     # dense doc-space accumulators (the 10M-tier path)
                     if not small_filter:
                         self._tls.count_estimated = True
+                    # hybrid pruned facets (search() device_facet_specs)
+                    self._tls.pruned_plan = plan
+                    self._tls.hybrid_q = q
                     mask_kw = {}
                     if mask is not None:
                         mask_kw = dict(
@@ -1176,7 +1203,10 @@ class ReadSide:
                              specs, facet_results):
         """Device facet counting over the pruned plan (the facet quirk
         counts UNFILTERED matches, so only the tombstone alive-mask
-        applies)."""
+        applies). HYBRID searches widen the match set with the IVF
+        probe's top-V docs clearing the similarity floor — the query
+        embedding is reused from the scoring dispatch
+        (self._tls.hybrid_q)."""
         plan = self._tls.pruned_plan
         amask = idx.alive_mask()
         akey = (
@@ -1189,11 +1219,20 @@ class ReadSide:
             thr = float(
                 math.floor(plan.starts.shape[0] * mode.threshold)
             )
+        vec = None
+        if isinstance(mode, HybridMode):
+            # the caller gates on hybrid_q being stashed (search())
+            vec = (
+                idx.vector, self._tls.hybrid_q,
+                float(mode.similarity),
+                idx.vector.config.score_rescale,
+            )
         ex = self._fused_executor(coll, idx)
         for name, spec, skey, labels in specs:
             counts = ex.facet_counts_pruned(
                 idx.string, plan, idx.cap(), spec, skey,
                 exact=mode.exact, mask=amask, mask_key=akey, thr=thr,
+                vec=vec,
             )
             keep_zeros = spec[0] == "num" or (
                 len(spec) > 3 and spec[3]

@@ -705,3 +705,116 @@ def test_pruned_facets_reps_cached_across_fields(monkeypatch):
         assert len(hist_calls) == 3, hist_calls
     finally:
         ctx.close()
+
+
+def test_pruned_hybrid_facets_parity(monkeypatch):
+    """HYBRID facet searches at the int8/IVF tier ride the sort-based
+    pruned facet path (ops/pruned.pruned_hybrid_match_reps): the match
+    set is ft | top-V probe rows clearing the similarity floor — the
+    same candidate-bounded membership the dense int8 bitmap kernel
+    packs (ops/hybrid._fuse present) — so bucket counts must equal the
+    forced-dense path for string/bool/number facets, incl. tombstones
+    and the filters quirk (facets over UNFILTERED matches)."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    vec_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        vec_calls.append(kw.get("vec") is not None)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        rng = np.random.default_rng(7)
+        for i in range(900):
+            words = rng.choice(VOCAB, size=5, replace=False)
+            d = {
+                "id": str(i),
+                "t": " ".join(words),
+                "cat": ["a", "b", "c"][i % 3],
+                "flag": bool(i % 2),
+                "n": i % 5,
+            }
+            if i % 13 == 0:
+                d.pop("cat")
+            docs.append(d)
+        for s in range(0, 900, 300):
+            idx.insert_documents(docs[s:s + 300])
+        ctx.commit_all()
+        ridx = next(iter(
+            ctx.reader.collections[coll.collection_id].indexes.values()
+        ))
+        assert ridx.vector is not None and ridx.vector._ivf is not None
+        idx.delete_documents([str(i) for i in range(0, 900, 10)])
+        for params in (
+            {"mode": "hybrid", "term": "apple banana",
+             "similarity": 0.45, "limit": 10, "facets": {
+                 "cat": {},
+                 "flag": {"true": True, "false": True},
+                 "n": {"ranges": [{"from": 0, "to": 2},
+                                  {"from": 2, "to": 4}]},
+             }},
+            # filters quirk: facets count UNFILTERED matches
+            {"mode": "hybrid", "term": "mango kiwi",
+             "similarity": 0.5, "limit": 10,
+             "where": {"n": {"lt": 3}}, "facets": {"cat": {}}},
+        ):
+            dense, pruned = _search_both(ctx, coll, params)
+            for f in params["facets"]:
+                assert dense.facets[f].values == pruned.facets[f].values, (
+                    params, f, dense.facets[f].values,
+                    pruned.facets[f].values,
+                )
+        assert vec_calls and all(vec_calls), vec_calls
+    finally:
+        ctx.close()
+
+
+def test_pruned_hybrid_facets_threshold_falls_back(monkeypatch):
+    """Thresholded hybrid searches are pruned-ineligible (the hybrid
+    kernels estimate counts and cannot model the min-matched-tokens
+    constraint) — faceted ones keep the dense bitmap flow with correct
+    counts, and the device facet path never engages."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(9)
+        idx.insert_documents([
+            {"id": str(i),
+             "t": " ".join(rng.choice(VOCAB, size=5, replace=False)),
+             "cat": ["a", "b"][i % 2]}
+            for i in range(700)
+        ])
+        ctx.commit_all()
+        params = {"mode": "hybrid", "term": "apple banana cherry",
+                  "similarity": 0.45, "threshold": 0.6, "limit": 10,
+                  "facets": {"cat": {}}}
+        dense, pruned = _search_both(ctx, coll, params)
+        assert dense.facets["cat"].values == pruned.facets["cat"].values
+        assert not device_calls
+    finally:
+        ctx.close()
