@@ -883,12 +883,15 @@ def main():
             log(f"micro sort ({Bm},{M}) 2-op: {dt * 1000:.2f}ms "
                 f"({Bm * M / dt / 1e6:.0f}M elem/s)")
 
-        # random gathers into the 134M slab (the bsearch probe shape)
+        # random gathers into the 134M slab (the bsearch probe shape).
+        # p_doc MUST be a jit ARGUMENT: a device-array closure gets
+        # serialized into the tunnel's remote_compile request and the
+        # 536 MB payload dies with HTTP 413 (round-4 session 4).
         for sz in (262144, 2097152, 8388608):
             ks = [jax.random.fold_in(key_m, 100 + i) for i in range(3)]
             vs = [jax.random.randint(k, (sz,), 0, P) for k in ks]
-            g = jax.jit(lambda i: jnp.take(p_doc, i).sum())
-            dt = mtime(g, vs)
+            g = jax.jit(lambda pd, i: jnp.take(pd, i).sum())
+            dt = mtime(lambda v: g(p_doc, v), vs)
             log(f"micro gather {sz}: {dt * 1000:.2f}ms "
                 f"({sz / dt / 1e6:.0f}M elem/s)")
 
@@ -897,17 +900,17 @@ def main():
             ks = [jax.random.fold_in(key_m, 200 + i) for i in range(3)]
             vs = [jax.random.randint(k, (Bm, 3, 1, C_), 0, N) for k in ks]
 
-            def chain(cq):
+            def chain(pd, cq):
                 pos = jnp.zeros(cq.shape, jnp.int32)
                 step = 1 << 19
                 while step >= 1:
-                    v = jnp.take(p_doc, jnp.clip(pos + step, 0, P - 1))
+                    v = jnp.take(pd, jnp.clip(pos + step, 0, P - 1))
                     pos = jnp.where(v < cq, pos + step, pos)
                     step >>= 1
                 return pos.sum()
 
             f = jax.jit(chain)
-            dt = mtime(f, vs)
+            dt = mtime(lambda v: f(p_doc, v), vs)
             n_g = Bm * 3 * C_ * 20
             log(f"micro bsearch-chain B={Bm} C={C_}: {dt * 1000:.2f}ms "
                 f"({n_g / dt / 1e6:.0f}M probes/s)")

@@ -149,6 +149,38 @@ class _ColumnBase:
         self._dense_ids_cache = ((self.version, cap), out)
         return out
 
+    def pair_table(self, cap: int):
+        """Doc-sorted DEDUPED (doc, value) pairs + the max distinct
+        values any doc holds — the device multi-valued facet path's
+        CSR inputs (search_exec facet kinds "mcat"/"mnum": per matched
+        doc a binary search locates its run, then <= m bounded probes
+        read its values; value_counts/range_counts semantics — a doc
+        counts once per DISTINCT value / once per range). Returns
+        (pair_docs int32[P] ascending, pair_vals, m). Cached by the
+        mutation version."""
+        cached = getattr(self, "_pair_table_cache", None)
+        if cached is not None and cached[0] == (self.version, cap):
+            return cached[1]
+        docs, vals = self.slab()
+        keep = docs < cap
+        docs, vals = docs[keep], vals[keep]
+        if len(docs):
+            order = np.lexsort((vals, docs))
+            d = docs[order].astype(np.int32)
+            v = vals[order]
+            first = np.ones(len(d), bool)
+            first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+            d, v = d[first], v[first]
+            ends = np.flatnonzero(np.r_[d[1:] != d[:-1], True])
+            m = int(np.diff(np.r_[-1, ends]).max())
+        else:
+            d = np.zeros(0, np.int32)
+            v = np.zeros(0, self._value_dtype)
+            m = 0
+        out = (d, v, m)
+        self._pair_table_cache = ((self.version, cap), out)
+        return out
+
     @staticmethod
     def _mask_from_docs(docs: np.ndarray, cap: int) -> np.ndarray:
         mask = np.zeros(cap, bool)

@@ -650,6 +650,10 @@ class PrunedPlanMixin(StringSearchTopK):
 
     PRUNED_PREFIX = 8192
     PRUNED_CANDIDATES = 1024
+    # multi-valued device facets: max DISTINCT values one doc may hold
+    # (pair-table probes per hist chunk scale with it); columns above
+    # the bound keep the host facet flows
+    PRUNED_FACET_MULTI_MAX = 8
     PRUNED_LCH = 32768   # rescore worklist chunk length
     PRUNED_WCH = 128     # worklist entries per scan step
     # exact-counts batch slice: the kernel's global sort is superlinear
@@ -1010,6 +1014,42 @@ class PrunedPlanMixin(StringSearchTopK):
                 )
             self._facet_reps_slot = (reps_key, plan, docs_dev, rep_dev)
         kind = spec[0]
+        if kind in ("mcat", "mnum"):
+            # multi-valued column: doc-sorted deduped (doc, value) pair
+            # table + bounded per-doc probes (filter_fields.pair_table)
+            numeric = kind == "mnum"
+            pair_docs, pair_vals = spec[1], spec[2]
+            if numeric:
+                bounds = spec[3]
+                G, M = bounds.shape[0], int(spec[4])
+                bounds_dev = jnp.asarray(bounds.astype(np.float32))
+            else:
+                G, M = int(spec[3]), int(spec[4])
+                bounds_dev = jnp.zeros((G, 2), jnp.float32)
+            col_key = (spec_key, capb) if spec_key is not None else None
+            pair_dev = _MISS
+            if col_key is not None:
+                pair_dev = self._fmask_dev.get(col_key)
+            if pair_dev is _MISS:
+                # sentinel row (> any doc id, != the docs' cap sentinel)
+                # keeps the binary search total on empty/last runs
+                pd = np.concatenate(
+                    [pair_docs, np.full((1,), 2 ** 30, np.int32)]
+                )
+                pv = np.concatenate([
+                    pair_vals,
+                    np.zeros((1,), pair_vals.dtype),
+                ])
+                pair_dev = (jnp.asarray(pd), jnp.asarray(pv))
+                if col_key is not None:
+                    pair_dev = self._fmask_dev.put(col_key, pair_dev)
+            from ..ops.pruned import pruned_facet_hist_multi
+
+            counts = pruned_facet_hist_multi(
+                docs_dev, rep_dev, pair_dev[0], pair_dev[1], bounds_dev,
+                G=G, numeric=numeric, M=max(M, 1),
+            )
+            return np.asarray(counts)
         if kind == "num":
             vals = spec[1]
             bounds = spec[2]

@@ -1121,6 +1121,75 @@ def pruned_facet_hist(docs, rep, bucket, bounds, *, G: int,
                             numeric=numeric)
 
 
+def _facet_hist_multi_core(docs, rep, pair_docs, pair_vals, bounds, *,
+                           G: int, numeric: bool, M: int,
+                           ch: int = 32768, axis_name=None):
+    """Phase B for MULTI-VALUED facet columns: per chunk of run-end
+    reps, binary-search each doc into the doc-sorted deduped
+    (pair_docs, pair_vals) table (filter_fields pair_table) and probe
+    its <= M rows. String/bool buckets accumulate one one-hot matmul
+    per probe row (pairs are distinct, so a doc adds once per DISTINCT
+    value — value_counts semantics); number ranges OR the probes first
+    (a doc counts once per range however many values land in it —
+    range_counts semantics). pair_docs must be padded with a sentinel
+    larger than any doc id (not the docs' own `cap` sentinel)."""
+    N = docs.shape[0]
+    ch = min(ch, N)
+    assert N % ch == 0
+    P = pair_docs.shape[0]
+    gidx = jnp.arange(G, dtype=jnp.int32)
+
+    def step(acc, j):
+        d = jax.lax.dynamic_slice(docs, (j * ch,), (ch,))
+        w = jax.lax.dynamic_slice(rep, (j * ch,), (ch,))
+        pos = _lower_bound(pair_docs[None], d[None])[0]      # (ch,)
+        if numeric:
+            member = jnp.zeros((ch, G), bool)
+        for jj in range(M):
+            pj = jnp.clip(pos + jj, 0, P - 1)
+            pd = jnp.take(pair_docs, pj)
+            pv = jnp.take(pair_vals, pj)
+            valid = (pd == d) & (pos + jj < P)
+            if numeric:
+                member = member | (
+                    valid[:, None]
+                    & (pv[:, None] >= bounds[None, :, 0])
+                    & (pv[:, None] <= bounds[None, :, 1])
+                )
+            else:
+                onehot = (
+                    (pv.astype(jnp.int32)[:, None] == gidx[None, :])
+                    & valid[:, None]
+                ).astype(jnp.float32)                        # (ch, G)
+                acc2 = jnp.dot(
+                    w, onehot, preferred_element_type=jnp.float32
+                )
+                acc = acc + acc2
+        if numeric:
+            acc = acc + jnp.dot(
+                w, member.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        return acc, None
+
+    counts, _ = jax.lax.scan(
+        step, jnp.zeros((G,), jnp.float32), jnp.arange(N // ch)
+    )
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+    return counts
+
+
+@functools.partial(jax.jit, static_argnames=("G", "numeric", "M"))
+def pruned_facet_hist_multi(docs, rep, pair_docs, pair_vals, bounds, *,
+                            G: int, numeric: bool, M: int):
+    """Single-device multi-valued phase B (see _facet_hist_multi_core)."""
+    return _facet_hist_multi_core(
+        docs, rep, pair_docs, pair_vals, bounds,
+        G=G, numeric=numeric, M=M,
+    )
+
+
 # Hybrid extension of the sort-based facet path. A hybrid search's
 # match set is ft_keep | vec_keep (ops/hybrid._fuse, reference
 # token_score.rs:357-422): docs matched by the fulltext side (clearing

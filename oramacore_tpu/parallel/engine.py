@@ -1539,6 +1539,36 @@ class ShardedStringExec:
         self._steps[key] = step
         return step
 
+    def _get_facet_hist_multi_step(self, *, G, numeric, M):
+        """Phase B for MULTI-VALUED facet columns on the mesh: per-shard
+        bounded pair-table probes (ops/pruned._facet_hist_multi_core),
+        psum'd to exact global counts — shard-complete because a doc's
+        reps AND its pair rows both live in its doc % D shard."""
+        key = ("facet_hist_multi", G, numeric, M)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        from ..ops.pruned import _facet_hist_multi_core
+
+        def shard_fn(docs, rep, pair_docs, pair_vals, bounds):
+            return _facet_hist_multi_core(
+                docs[0], rep[0], pair_docs[0], pair_vals[0], bounds,
+                G=G, numeric=numeric, M=M, axis_name="d",
+            )
+
+        fn = shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=(
+                P("d", None), P("d", None),
+                P("d", None), P("d", None), P(None, None),
+            ),
+            out_specs=P(None),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
     def facet_counts_pruned(
         self,
         index: StringIndex,
@@ -1660,6 +1690,46 @@ class ShardedStringExec:
 
         sh1 = NamedSharding(self.mesh, P("d", None))
         kind = spec[0]
+        if kind in ("mcat", "mnum"):
+            # multi-valued column: the doc-sorted deduped pair table
+            # shards by doc % D (global doc order keeps each shard's
+            # local ids ascending), padded with a sentinel > any local
+            # id so the per-shard binary search stays total
+            numeric = kind == "mnum"
+            if numeric:
+                bounds = jnp.asarray(spec[3].astype(np.float32))
+                G, M = int(spec[3].shape[0]), int(spec[4])
+            else:
+                bounds = jnp.zeros((int(spec[3]), 2), jnp.float32)
+                G, M = int(spec[3]), int(spec[4])
+            ckey = (spec_key, cap_l) if spec_key is not None else None
+            pair_dev = _MISS
+            if ckey is not None:
+                pair_dev = self._fmask_dev.get(ckey)
+            if pair_dev is _MISS:
+                gd, gv = spec[1], spec[2]
+                shard = gd % D
+                pl = max(int(np.bincount(shard, minlength=D).max())
+                         if len(gd) else 0, 0) + 1
+                pd = np.full((D, pl), 2 ** 30, np.int32)
+                pv = np.zeros((D, pl), gv.dtype)
+                for s in range(D):
+                    sel = shard == s
+                    n = int(np.count_nonzero(sel))
+                    pd[s, :n] = gd[sel] // D
+                    pv[s, :n] = gv[sel]
+                pair_dev = (
+                    jax.device_put(pd, sh1), jax.device_put(pv, sh1),
+                )
+                if ckey is not None:
+                    pair_dev = self._fmask_dev.put(ckey, pair_dev)
+            mstep = self._get_facet_hist_multi_step(
+                G=G, numeric=numeric, M=max(M, 1),
+            )
+            counts = mstep(
+                docs_dev, rep_dev, pair_dev[0], pair_dev[1], bounds
+            )
+            return np.asarray(counts)
         numeric = kind == "num"
         ckey = (spec_key, cap_l) if spec_key is not None else None
         col_dev = _MISS

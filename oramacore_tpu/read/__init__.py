@@ -1124,19 +1124,19 @@ class ReadSide:
 
     def _device_facet_specs(self, idx: ReadIndex, params: SearchParams):
         """Per-facet device specs for the pruned facet kernel, or None
-        when ANY requested facet can't take the device path (multi-
-        valued column, >256 string values, unknown field) — the search
-        then uses the bitmap/dict facet flows. Each entry:
-        (name, spec_tuple, spec_key, labels)."""
+        when ANY requested facet can't take the device path (a doc
+        holding more values than the bounded-probe budget, >256 string
+        values, unknown field) — the search then uses the bitmap/dict
+        facet flows. Multi-valued columns ship doc-sorted deduped
+        (doc, value) pair tables ("mcat"/"mnum" specs,
+        filter_fields.pair_table + ops/pruned.pruned_facet_hist_multi).
+        Each entry: (name, spec_tuple, spec_key, labels)."""
         cap = idx.cap()
+        mmax = PrunedPlanMixin.PRUNED_FACET_MULTI_MAX
         out = []
         for name, facet in params.facets.items():
             if facet.kind == "number" and name in idx.filters.numbers:
                 col = idx.filters.numbers[name]
-                if not col.single_valued():
-                    return None
-                vals, present = col.dense_values(cap)
-                arr = np.where(present, vals, np.nan).astype(np.float32)
                 bounds = np.asarray(
                     [(r.from_, r.to) for r in facet.ranges], np.float64
                 ).reshape(-1, 2).astype(np.float32)
@@ -1144,27 +1144,49 @@ class ReadSide:
                     f"{_fmt_num(r.from_)}-{_fmt_num(r.to)}"
                     for r in facet.ranges
                 ]
+                if col.single_valued():
+                    vals, present = col.dense_values(cap)
+                    arr = np.where(
+                        present, vals, np.nan
+                    ).astype(np.float32)
+                    spec = ("num", arr, bounds)
+                else:
+                    pd, pv, m = col.pair_table(cap)
+                    if m > mmax:
+                        return None
+                    spec = ("mnum", pd, pv.astype(np.float32), bounds, m)
                 out.append((
-                    name, ("num", arr, bounds),
+                    name, spec,
                     ("facet", idx.uid, name, col.version), labels,
                 ))
             elif facet.kind == "bool" and name in idx.filters.bools:
                 col = idx.filters.bools[name]
-                if not col.single_valued():
-                    return None
-                ids = col.dense_id_column(cap)
+                if col.single_valued():
+                    spec = ("cat", col.dense_id_column(cap), 2, True)
+                else:
+                    pd, pv, m = col.pair_table(cap)
+                    if m > mmax:
+                        return None
+                    spec = ("mcat", pd, pv.astype(np.int32), 2, m, True)
                 out.append((
-                    name, ("cat", ids, 2, True),
+                    name, spec,
                     ("facet", idx.uid, name, col.version),
                     ["false", "true"],
                 ))
             elif facet.kind == "string" and name in idx.filters.strings:
                 col = idx.filters.strings[name]
-                if not col.single_valued() or len(col._values) > 256:
+                if len(col._values) > 256:
                     return None
-                ids = col.dense_id_column(cap)
+                G = max(len(col._values), 1)
+                if col.single_valued():
+                    spec = ("cat", col.dense_id_column(cap), G, False)
+                else:
+                    pd, pv, m = col.pair_table(cap)
+                    if m > mmax:
+                        return None
+                    spec = ("mcat", pd, pv.astype(np.int32), G, m, False)
                 out.append((
-                    name, ("cat", ids, max(len(col._values), 1), False),
+                    name, spec,
                     ("facet", idx.uid, name, col.version),
                     list(col._values),
                 ))
@@ -1234,8 +1256,10 @@ class ReadSide:
                 exact=mode.exact, mask=amask, mask_key=akey, thr=thr,
                 vec=vec,
             )
-            keep_zeros = spec[0] == "num" or (
-                len(spec) > 3 and spec[3]
+            keep_zeros = (
+                spec[0] in ("num", "mnum")
+                or (spec[0] == "cat" and spec[3])
+                or (spec[0] == "mcat" and spec[5])
             )
             values = {
                 lab: int(round(c))

@@ -586,10 +586,13 @@ def test_pruned_facet_counts_parity(monkeypatch):
         ctx.close()
 
 
-def test_pruned_facets_multivalued_falls_back(monkeypatch):
-    """A multi-valued facet field keeps the bitmap/dict flow (the dense
-    id column can't represent it) — results stay correct and the device
-    facet path is not used."""
+def test_pruned_facets_multivalued_device_parity(monkeypatch):
+    """Multi-valued facet fields ride the device path too (doc-sorted
+    deduped pair tables + bounded per-doc probes,
+    ops/pruned.pruned_facet_hist_multi): a doc counts once per DISTINCT
+    string value (value_counts semantics, duplicate values collapse)
+    and once per number range however many of its values land in it
+    (range_counts semantics)."""
     from oramacore_tpu.index import search_exec
 
     device_calls = []
@@ -608,14 +611,61 @@ def test_pruned_facets_multivalued_falls_back(monkeypatch):
         idx = coll.create_index()
         idx.insert_documents([
             {"id": str(i), "t": "apple banana",
-             "tags": ["x", "y"] if i % 2 else ["x"]}
+             # duplicate "x" on odd docs: dedup must count it once
+             "tags": ["x", "y", "x"] if i % 2 else ["x"],
+             "sizes": [i % 5, (i % 5) + 3]}
+            for i in range(60)
+        ])
+        ctx.commit_all()
+        idx.delete_documents([str(i) for i in range(0, 60, 9)])
+        params = {"term": "apple", "limit": 5, "facets": {
+            "tags": {},
+            "sizes": {"ranges": [{"from": 0, "to": 3},
+                                 {"from": 4, "to": 7}]},
+        }}
+        dense, pruned = _search_both(ctx, coll, params)
+        for f in params["facets"]:
+            assert dense.facets[f].values == pruned.facets[f].values, (
+                f, dense.facets[f].values, pruned.facets[f].values,
+            )
+        assert device_calls
+    finally:
+        ctx.close()
+
+
+def test_pruned_facets_multivalued_budget_falls_back(monkeypatch):
+    """A doc holding more values than PRUNED_FACET_MULTI_MAX keeps the
+    bitmap/dict flow — results stay correct and the device facet path
+    is not used."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "PRUNED_FACET_MULTI_MAX", 2
+    )
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents([
+            {"id": str(i), "t": "apple banana",
+             "tags": ["x", "y", "z"] if i % 2 else ["x"]}
             for i in range(60)
         ])
         ctx.commit_all()
         params = {"term": "apple", "limit": 5, "facets": {"tags": {}}}
         dense, pruned = _search_both(ctx, coll, params)
         assert dense.facets["tags"].values == pruned.facets["tags"].values
-        assert dense.facets["tags"].values == {"x": 60, "y": 30}
+        assert dense.facets["tags"].values == {"x": 60, "y": 30, "z": 30}
         assert not device_calls
     finally:
         ctx.close()

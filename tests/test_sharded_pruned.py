@@ -550,3 +550,61 @@ def test_sharded_batch_exact_counts_sliced():
                 sharded.stop()
     finally:
         eng.ShardedStringExec._get_pruned_counts_step = orig_step
+
+
+def test_sharded_pruned_facets_multivalued_parity():
+    """MULTI-VALUED facet fields on the MESH device path: the deduped
+    pair table shards by doc % D and per-shard bounded probes psum to
+    exact global counts (parallel/engine._get_facet_hist_multi_step) —
+    equal to the single-device dense path, distinct-value and
+    range-once semantics included."""
+    import jax
+
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+    fdocs = []
+    for i, d in enumerate(DOCS):
+        d = dict(d)
+        d["tags"] = ["x", "y", "x"] if i % 2 else ["x"]
+        d["sizes"] = [i % 5, (i % 5) + 3]
+        fdocs.append(d)
+    calls = []
+    orig = eng.ShardedStringExec._get_facet_hist_multi_step
+
+    def spy(self, *a, **kw):
+        calls.append(True)
+        return orig(self, *a, **kw)
+
+    eng.ShardedStringExec._get_facet_hist_multi_step = spy
+    try:
+        with tempfile.TemporaryDirectory() as t1, \
+                tempfile.TemporaryDirectory() as t2:
+            single, coll_s = _build(t1, 0, "off", docs=fdocs)
+            sharded, coll_m = _build(t2, 8, "on", docs=fdocs)
+            try:
+                single.read_side.commit(force=True)
+                sharded.read_side.commit(force=True)
+                q = {"term": "apple banana", "limit": 10, "facets": {
+                    "tags": {},
+                    "sizes": {"ranges": [{"from": 0, "to": 3},
+                                         {"from": 4, "to": 7}]},
+                }}
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                for f in q["facets"]:
+                    assert a.facets[f].values == b.facets[f].values, (
+                        f, a.facets[f].values, b.facets[f].values,
+                    )
+                assert calls  # the mesh multi-valued step engaged
+            finally:
+                single.stop()
+                sharded.stop()
+    finally:
+        eng.ShardedStringExec._get_facet_hist_multi_step = orig
