@@ -1141,6 +1141,49 @@ def main():
             results.append(
                 (1, "facet-sort-hist-g64", 1 / dt_hist, dt_hist * 1000)
             )
+
+            # the TRUE A/B arm: the dense-bitmap facet route END TO END
+            # per query at B=1 — dense scoring dispatch WITH the packed
+            # match bits, the cap/8 D2H, the host unpackbits and the
+            # host bincount off the bucket column (the engine's
+            # fulltext_facets flow). The earlier "~21ms" record was the
+            # device portion at B=8 amortization only.
+            bucket_h = np.asarray(bucket)
+            dvs = []
+            for s_ in range(3):
+                idesc, fdesc, scalars2, lr, _t = build_plans(
+                    1, seed=31 + s_
+                )
+                dvs.append((
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars2[:2]), lr,
+                ))
+
+            def run_dense_facet(v):
+                idesc, fdesc, scalars2, lr = v
+                out = bm25_search_topk_packed(
+                    p_doc, p_tf, p_tf, p_flen,
+                    idesc, fdesc, scalars2,
+                    dummy_mask, dummy_omc,
+                    lr=lr, exact=False, cap=N, k=16,
+                    has_mask=False, has_omc=False, with_bitmap=True,
+                )
+                bits = np.asarray(out[3][0])          # D2H cap/8
+                m = np.unpackbits(bits)[:N].astype(bool)
+                return np.bincount(bucket_h[m], minlength=G)
+
+            cd = run_dense_facet(dvs[0])   # warm the compile
+            t_ = time.perf_counter()
+            for i_ in range(5):
+                cd = run_dense_facet(dvs[i_ % len(dvs)])
+            dt_dense = (time.perf_counter() - t_) / 5
+            log(f"facet dense-bitmap e2e per query: "
+                f"lat={dt_dense * 1000:.1f}ms sum={cd.sum():.0f} "
+                f"(device dispatch + D2H + host unpack/bincount)")
+            results.append(
+                (1, "facet-dense-bitmap-e2e", 1 / dt_dense,
+                 dt_dense * 1000)
+            )
         except Exception as e:
             log(f"facet sort mode SKIPPED ({type(e).__name__}: {e})")
 

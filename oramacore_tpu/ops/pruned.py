@@ -1071,16 +1071,23 @@ def pruned_match_reps(
 
 
 def _facet_hist_core(docs, rep, bucket, bounds, *,
-                     G: int, numeric: bool, ch: int = 32768,
+                     G: int, numeric: bool, ch: int = 262144,
                      axis_name=None):
     """Phase B body: chunked scan of one-hot matmuls over the run-end
     reps — (ch,) weights x (ch, G) membership per step, MXU work, no
     scatter. Sentinel docs (doc == cap) carry rep == 0, so the clipped
     gather contributes nothing. Reusable inside a shard_map step (psum
-    over the mesh axis when axis_name is set)."""
+    over the mesh axis when axis_name is set).
+
+    Hardware-tuned (TPU v5e, RESULTS.md round-4 session 4): 32768-chunk
+    steps measured ~4 ms EACH (182 ms/field over a 1.5M worklist) —
+    per-step overhead, not traffic, dominated. 262144 chunks + bf16
+    one-hot membership (0/1 exact; accumulation stays f32) amortize it;
+    counts below 2^24 stay exact."""
     N = docs.shape[0]
+    while N % ch:
+        ch >>= 1
     ch = min(ch, N)
-    assert N % ch == 0
     gidx = jnp.arange(G, dtype=jnp.int32)
 
     def step(acc, j):
@@ -1091,13 +1098,14 @@ def _facet_hist_core(docs, rep, bucket, bounds, *,
             member = (
                 (v[:, None] >= bounds[None, :, 0])
                 & (v[:, None] <= bounds[None, :, 1])
-            ).astype(jnp.float32)                        # (ch, G)
+            ).astype(jnp.bfloat16)                       # (ch, G)
         else:
             member = (
                 v[:, None] == gidx[None, :]
-            ).astype(jnp.float32)                        # (ch, G)
+            ).astype(jnp.bfloat16)                       # (ch, G)
         acc = acc + jnp.dot(
-            w, member, preferred_element_type=jnp.float32
+            w.astype(jnp.bfloat16), member,
+            preferred_element_type=jnp.float32,
         )
         return acc, None
 
@@ -1123,7 +1131,7 @@ def pruned_facet_hist(docs, rep, bucket, bounds, *, G: int,
 
 def _facet_hist_multi_core(docs, rep, pair_docs, pair_vals, bounds, *,
                            G: int, numeric: bool, M: int,
-                           ch: int = 32768, axis_name=None):
+                           ch: int = 262144, axis_name=None):
     """Phase B for MULTI-VALUED facet columns: per chunk of run-end
     reps, binary-search each doc into the doc-sorted deduped
     (pair_docs, pair_vals) table (filter_fields pair_table) and probe
@@ -1134,8 +1142,9 @@ def _facet_hist_multi_core(docs, rep, pair_docs, pair_vals, bounds, *,
     range_counts semantics). pair_docs must be padded with a sentinel
     larger than any doc id (not the docs' own `cap` sentinel)."""
     N = docs.shape[0]
+    while N % ch:
+        ch >>= 1
     ch = min(ch, N)
-    assert N % ch == 0
     P = pair_docs.shape[0]
     gidx = jnp.arange(G, dtype=jnp.int32)
 
@@ -1160,14 +1169,15 @@ def _facet_hist_multi_core(docs, rep, pair_docs, pair_vals, bounds, *,
                 onehot = (
                     (pv.astype(jnp.int32)[:, None] == gidx[None, :])
                     & valid[:, None]
-                ).astype(jnp.float32)                        # (ch, G)
+                ).astype(jnp.bfloat16)                       # (ch, G)
                 acc2 = jnp.dot(
-                    w, onehot, preferred_element_type=jnp.float32
+                    w.astype(jnp.bfloat16), onehot,
+                    preferred_element_type=jnp.float32,
                 )
                 acc = acc + acc2
         if numeric:
             acc = acc + jnp.dot(
-                w, member.astype(jnp.float32),
+                w.astype(jnp.bfloat16), member.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
         return acc, None

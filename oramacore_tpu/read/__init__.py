@@ -636,6 +636,11 @@ class ReadSide:
             # index + single single-valued string/bool property,
             # term-ful fulltext, no facets/sort/pins, single device
             # (ref group.rs builds per-combo doc lists on CPU).
+            # MATCH-ALL group-by (empty term) takes a vectorized host
+            # flow off the presence mask + the same group-id column
+            # (numpy chunk scans, _matchall_group_pages) instead of the
+            # O(corpus)-python per-doc dict walk — mesh-independent, so
+            # the sharded gate lifts for it.
             device_group_spec = None
             if (
                 params.group_by is not None
@@ -645,9 +650,11 @@ class ReadSide:
                 and not params.facets
                 and not consequences
                 and len(indexes) == 1
-                and self.sharded_mesh is None
                 and isinstance(mode, FulltextMode)
-                and mode.term.strip()
+                and (
+                    mode.term.strip() and self.sharded_mesh is None
+                    or not mode.term.strip()
+                )
             ):
                 device_group_spec = self._device_group_spec(idx, params)
             fused_ok = (
@@ -1221,6 +1228,43 @@ class ReadSide:
             )
         return None
 
+    @staticmethod
+    def _matchall_group_pages(m: np.ndarray, gid: np.ndarray, G: int,
+                              R: int):
+        """Per-group first-R (doc, 0.0) pages for a MATCH-ALL group-by:
+        chunked numpy scans over the presence mask + group-id column —
+        typically one chunk fills every page; the host dict flow walked
+        per-doc value dicts over the whole corpus (seconds at 10M).
+        Order within a group is doc-ascending, the host flow's stable
+        order for all-equal (zero) scores."""
+        CH = 262144
+        pages: list = [[] for _ in range(G)]
+        remaining = G * R
+        cap = len(m)
+        for s in range(0, cap, CH):
+            sel = np.flatnonzero(m[s:s + CH]) + s
+            if not len(sel):
+                continue
+            g = gid[sel]
+            keep = g >= 0
+            sel, g = sel[keep], g[keep]
+            if not len(sel):
+                continue
+            order = np.argsort(g, kind="stable")
+            gs, ds = g[order], sel[order]
+            starts = np.searchsorted(gs, np.arange(G))
+            ends = np.searchsorted(gs, np.arange(G), side="right")
+            for gi in range(G):
+                take = R - len(pages[gi])
+                if take <= 0 or starts[gi] >= ends[gi]:
+                    continue
+                got = ds[starts[gi]:min(ends[gi], starts[gi] + take)]
+                pages[gi].extend((int(d), 0.0) for d in got)
+                remaining -= len(got)
+            if remaining <= 0:
+                break
+        return pages
+
     def _pruned_facet_counts(self, coll, idx: ReadIndex, mode,
                              specs, facet_results):
         """Device facet counting over the pruned plan (the facet quirk
@@ -1416,6 +1460,18 @@ class ReadSide:
                     )
                     self._tls.sorted_ranked = ranked
                     return {d: v for d, v in ranked}
+                if group_spec is not None:
+                    # vectorized match-all group-by: per-group first-R
+                    # pages off the presence mask (doc-asc = the host
+                    # flow's stable zero-score order)
+                    gid_col, n_groups, labels, _gkey = group_spec
+                    self._tls.grouped_pages = (
+                        labels,
+                        self._matchall_group_pages(
+                            m, gid_col, n_groups,
+                            params.group_by.max_results,
+                        ),
+                    )
                 page = np.flatnonzero(m)[:need]
                 return {int(d): 0.0 for d in page}
             alive = idx.alive_doc_ids()

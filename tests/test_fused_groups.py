@@ -180,3 +180,60 @@ def test_fused_groups_fallbacks(ctx, monkeypatch):
         out = coll.search(dict(params))
         assert out.groups, params
         assert not fused_calls, params
+
+
+def _search_both_matchall(ctx, coll, params, monkeypatch):
+    """Host dict flow vs the vectorized match-all group flow
+    (read._matchall_group_pages), asserting each took its path."""
+    vec_calls = []
+    orig_pages = ReadSide._matchall_group_pages
+
+    def spy(m, gid, G, R):
+        vec_calls.append(True)
+        return orig_pages(m, gid, G, R)
+
+    orig_spec = ReadSide._device_group_spec
+    monkeypatch.setattr(
+        ReadSide, "_device_group_spec", lambda self, idx, params: None
+    )
+    host = coll.search(dict(params))
+    monkeypatch.setattr(ReadSide, "_device_group_spec", orig_spec)
+    monkeypatch.setattr(
+        ReadSide, "_matchall_group_pages", staticmethod(spy)
+    )
+    vec = coll.search(dict(params))
+    assert vec_calls, "vectorized match-all group path did not engage"
+    return host, vec
+
+
+def test_matchall_groups_parity(ctx, monkeypatch):
+    """MATCH-ALL (empty term) group-by rides the vectorized presence-
+    mask flow instead of the O(corpus) per-doc dict walk: same groups,
+    same doc-asc pages, same counts — tombstones and filters
+    included."""
+    coll, idx = _setup(ctx)
+    idx.delete_documents([str(i) for i in range(0, 140, 11)])
+    for params in (
+        {"term": "", "limit": 10,
+         "groupBy": {"properties": ["color"], "maxResults": 5}},
+        {"term": "", "limit": 5, "where": {"price": {"gte": 2}},
+         "groupBy": {"properties": ["flag"], "maxResults": 6}},
+    ):
+        host, vec = _search_both_matchall(ctx, coll, params, monkeypatch)
+        _assert_groups_match(host, vec, params)
+        assert host.count == vec.count, params
+        assert [h.id for h in host.hits] == [h.id for h in vec.hits], (
+            params
+        )
+
+
+def test_matchall_groups_page_budget(ctx, monkeypatch):
+    """The chunked scan stops early once every group page is full and
+    still returns the FIRST maxResults docs per group in doc order."""
+    coll, _ = _setup(ctx, n=140)
+    params = {"term": "", "limit": 3,
+              "groupBy": {"properties": ["color"], "maxResults": 2}}
+    host, vec = _search_both_matchall(ctx, coll, params, monkeypatch)
+    _assert_groups_match(host, vec, params)
+    for g in vec.groups or []:
+        assert len(g.result) <= 2
