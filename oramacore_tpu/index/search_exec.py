@@ -674,6 +674,7 @@ class PrunedPlanMixin(StringSearchTopK):
     PRUNED_BS_ACCUM = True    # nominate via accumulated partial scores
     PRUNED_BS_HP = 2048       # head slice per prefix range (slice mode)
     PRUNED_BS_C = 1024        # candidate budget (accum mode)
+    PRUNED_BS_BUCKETS = 1024  # rescore bucket-index resolution
 
     @classmethod
     def _pruned_host_inputs(cls, plans, n_docs, thresholds):
@@ -890,6 +891,65 @@ class PrunedPlanMixin(StringSearchTopK):
         rng_i = np.stack([rng_st, rng_ln])
         rng_f = np.stack([rng_w, rng_fb, rng_av])
         return rng_i, rng_f, int(bs_steps)
+
+    def _pruned_bs_boff(self, index, rng_i, capb: int,
+                        bs_steps: int):
+        """Bucket-offset tables for the v4 binary-search rescore: the
+        doc space divides into PRUNED_BS_BUCKETS uniform buckets and
+        each unsplit range ships searchsorted offsets at the bucket
+        boundaries, so the per-candidate search runs only inside its
+        bucket window. Cuts rescore rounds from log2(range len) (24 at
+        a 4M-posting term) to log2(max bucket span) (~12 at 10M/1024
+        buckets) — and the bsearch chain is HBM-latency-bound at ~58M
+        probes/s, so rounds are the cost (RESULTS.md round-4 session 4
+        micro). Host cost: one vectorized searchsorted per DISTINCT
+        span per batch, memoized; H2D is (B, T, NR, K+1) int32 (~1 MB
+        at B=64). Results are bit-identical to the unbucketed search.
+
+        Returns (boff | None, bs_steps) — None (with the caller's
+        bs_steps unchanged) when any span unexpectedly crosses the
+        committed/live slab boundary."""
+        K = self.PRUNED_BS_BUCKETS
+        while K > capb:
+            K >>= 1
+        stride = capb // K
+        grid = np.arange(1, K, dtype=np.int64) * stride
+        comm, live, _ck = index.slab_split()
+        n_comm = len(comm[0]) if comm is not None else 0
+        rng_st, rng_ln = rng_i[0], rng_i[1]
+        Bb, Tb, NRU = rng_st.shape
+        boff = np.zeros((Bb, Tb, NRU, K + 1), np.int32)
+        memo: dict = {}
+        max_span = 1
+        for b in range(Bb):
+            for t in range(Tb):
+                for r in range(NRU):
+                    ln = int(rng_ln[b, t, r])
+                    if ln <= 0:
+                        continue
+                    s0 = int(rng_st[b, t, r])
+                    hit = memo.get((s0, ln))
+                    if hit is None:
+                        if s0 < n_comm:
+                            seg = comm[0][s0:s0 + ln]
+                        elif live is not None:
+                            seg = live[0][s0 - n_comm:s0 - n_comm + ln]
+                        else:
+                            seg = np.zeros(0, np.int32)
+                        if len(seg) != ln:
+                            return None, bs_steps
+                        row = np.empty(K + 1, np.int32)
+                        row[0] = 0
+                        row[1:K] = np.searchsorted(seg, grid)
+                        row[K] = ln
+                        hit = (row, int(np.diff(row).max()))
+                        memo[(s0, ln)] = hit
+                    boff[b, t, r] = hit[0]
+                    max_span = max(max_span, hit[1])
+        steps = 4
+        while (1 << steps) < max_span + 1:
+            steps += 4  # bucket compiles: steps in {4, 8, ...}
+        return boff, steps
 
     @staticmethod
     def _pruned_counts(cand_counts, dfs, nd, thresholds, B,
@@ -1230,6 +1290,9 @@ class PrunedPlanMixin(StringSearchTopK):
             from ..ops.pruned import pruned_fulltext_topk_bs
 
             rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
+            boff, rbs_steps = self._pruned_bs_boff(
+                index, rng_i, capb, rbs_steps
+            )
             if self.PRUNED_BS_ACCUM:
                 Cb = self.PRUNED_BS_C
             else:
@@ -1243,6 +1306,7 @@ class PrunedPlanMixin(StringSearchTopK):
                 jnp.asarray(idf), jnp.asarray(thr),
                 omc_arr, None,
                 jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
+                jnp.asarray(boff) if boff is not None else None,
                 hp=self.PRUNED_BS_HP, cap=capb, k=kb,
                 bs_steps=rbs_steps, has_omc=has_omc,
                 nom_accum=self.PRUNED_BS_ACCUM,
@@ -1555,6 +1619,9 @@ class HybridSearchTopK(PrunedPlanMixin):
             from ..ops.pruned import pruned_hybrid_topk_int8_bs
 
             rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
+            boff, rbs_steps = self._pruned_bs_boff(
+                index, rng_i, capb, rbs_steps
+            )
             if self.PRUNED_BS_ACCUM:
                 Cb = self.PRUNED_BS_C
             else:
@@ -1571,6 +1638,7 @@ class HybridSearchTopK(PrunedPlanMixin):
                 jnp.asarray(q), jnp.asarray(sims), omc_arr,
                 None,
                 jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
+                jnp.asarray(boff) if boff is not None else None,
                 hp=self.PRUNED_BS_HP, cap=capb, k=kb,
                 bs_steps=rbs_steps, has_omc=has_omc,
                 V=V, nprobe=nprobe, window=window,

@@ -729,6 +729,8 @@ def _rescore_bsearch(
     cand,                      # int32[B, C] ascending (cap = empty)
     *,
     bs_steps: int,
+    boff=None,                 # int32[B, T, NR, K+1] bucket offsets
+    cap: int = 0,              # pow2 doc-space bound (with boff only)
 ):
     """v4 phase 2: binary-search EACH CANDIDATE into its ranges.
 
@@ -750,17 +752,37 @@ def _rescore_bsearch(
     (every stored posting has tf >= 1), unfiltered. Everything else
     keeps the v3 streaming rescore, whose df is counted on device.
 
+    boff (optional, with pow2 `cap`): per-range BUCKET OFFSETS — the
+    doc space divides into K = boff.shape[-1]-1 uniform buckets and
+    boff[..., j] = count of the range's postings with doc < j*(cap/K)
+    (host searchsorted at plan time, search_exec._pruned_bs_boff). The
+    binary search then runs only inside the candidate's bucket window
+    [lo, hi), cutting rounds from log2(range len) to log2(max bucket
+    span) — measured HBM-latency-bound at ~58M probes/s, so round
+    count IS the rescore cost (RESULTS.md round-4 session 4 micro).
+    Results are bit-identical with or without boff.
+
     Returns (scores f32[B, C], matched f32[B, C])."""
     P = p_doc.shape[0]
     cq = cand[:, None, None, :]                        # (B, 1, 1, C)
     st = rng_st[..., None]                             # (B, T, NR, 1)
     ln = rng_ln[..., None]
-    pos = jnp.zeros(cq.shape[:1] + st.shape[1:3] + cq.shape[-1:],
-                    jnp.int32)                         # (B, T, NR, C)
+    shape4 = cq.shape[:1] + st.shape[1:3] + cq.shape[-1:]
+    if boff is not None:
+        K = boff.shape[-1] - 1
+        shift = (cap // K).bit_length() - 1            # cap, K pow2
+        b_idx = jnp.broadcast_to(
+            jnp.clip(cand >> shift, 0, K - 1)[:, None, None, :], shape4
+        )
+        pos = jnp.take_along_axis(boff, b_idx, axis=-1)
+        hi = jnp.take_along_axis(boff, b_idx + 1, axis=-1)
+    else:
+        pos = jnp.zeros(shape4, jnp.int32)             # (B, T, NR, C)
+        hi = ln
     step = 1 << (bs_steps - 1)
     while step >= 1:
         probe = pos + step
-        ok = probe <= ln
+        ok = probe <= hi
         v = jnp.take(p_doc, jnp.clip(st + probe - 1, 0, P - 1))
         pos = jnp.where(ok & (v < cq), probe, pos)
         step >>= 1
@@ -794,6 +816,7 @@ def pruned_fulltext_topk_bs(
     omc,                       # f32[cap] (dummy (1,) when has_omc=False)
     cand_in=None,              # int32[B, C] caller candidates (optional)
     pre_fdesc=None,            # f32[3, B, T, NPR] (nom_accum only)
+    boff=None,                 # int32[B, T, NR, K+1] bucket offsets
     *,
     hp: int, cap: int, k: int, bs_steps: int,
     has_omc: bool, cand_given: bool = False,
@@ -829,7 +852,7 @@ def pruned_fulltext_topk_bs(
     scores, matched = _rescore_bsearch(
         p_doc, p_tf, p_flen,
         rng_i[0], rng_i[1], rng_f[0], rng_f[1], rng_f[2],
-        idf, cand, bs_steps=bs_steps,
+        idf, cand, bs_steps=bs_steps, boff=boff, cap=cap,
     )
     keep = (
         (matched >= thr_counts[:, None]) & (scores > 0.0) & (cand < cap)
@@ -862,6 +885,7 @@ def pruned_hybrid_topk_int8_bs(
     queries, sim, omc,
     cand_in=None,
     pre_fdesc=None,
+    boff=None,                 # int32[B, T, NR, K+1] bucket offsets
     *,
     hp: int, cap: int, k: int, bs_steps: int, has_omc: bool,
     V: int, nprobe: int, window: int,
@@ -914,7 +938,7 @@ def pruned_hybrid_topk_int8_bs(
     scores, matched = _rescore_bsearch(
         p_doc, p_tf, p_flen,
         rng_i[0], rng_i[1], rng_f[0], rng_f[1], rng_f[2],
-        idf, cand, bs_steps=bs_steps,
+        idf, cand, bs_steps=bs_steps, boff=boff, cap=cap,
     )
 
     rows_c = jnp.take(doc2row, jnp.clip(cand, 0, doc2row.shape[0] - 1))

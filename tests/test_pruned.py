@@ -874,3 +874,71 @@ def test_pruned_filtered_empty_filter():
     )
     assert not np.any(np.isfinite(vp) & (vp > 0))
     assert cp[0] == 0
+
+
+def test_rescore_bsearch_bucket_index_parity():
+    """The bucket-index window (boff) changes ROUNDS, never results:
+    windowed and full binary searches must return bit-identical
+    scores/matched for random doc-sorted ranges and candidates
+    (search_exec._pruned_bs_boff contract)."""
+    import jax.numpy as jnp
+
+    from oramacore_tpu.ops.pruned import _rescore_bsearch
+
+    rng = np.random.default_rng(3)
+    cap = 2048
+    P = 8000
+    p_doc = np.zeros(P, np.int32)
+    p_tf = np.zeros(P, np.float32)
+    p_fl = np.ones(P, np.float32)
+    st = np.zeros((2, 2, 2), np.int32)
+    ln = np.zeros((2, 2, 2), np.int32)
+    off = 0
+    for b in range(2):
+        for t in range(2):
+            for r in range(2):
+                n = int(rng.integers(30, 1200))
+                docs = np.sort(
+                    rng.choice(cap, size=n, replace=False)
+                ).astype(np.int32)
+                p_doc[off:off + n] = docs
+                p_tf[off:off + n] = rng.integers(1, 5, n)
+                st[b, t, r] = off
+                ln[b, t, r] = n
+                off += n
+    w = rng.uniform(0.5, 2.0, (2, 2, 2)).astype(np.float32)
+    fb = np.full((2, 2, 2), 0.75, np.float32)
+    av = np.ones((2, 2, 2), np.float32)
+    idf = rng.uniform(0.5, 3.0, (2, 2)).astype(np.float32)
+    cand = np.sort(
+        rng.choice(cap + 1, size=(2, 128)), axis=1
+    ).astype(np.int32)  # incl. cap sentinels
+
+    K = 64
+    grid = np.arange(1, K) * (cap // K)
+    boff = np.zeros((2, 2, 2, K + 1), np.int32)
+    mx = 1
+    for b in range(2):
+        for t in range(2):
+            for r in range(2):
+                s0, n = int(st[b, t, r]), int(ln[b, t, r])
+                row = np.empty(K + 1, np.int32)
+                row[0] = 0
+                row[1:K] = np.searchsorted(p_doc[s0:s0 + n], grid)
+                row[K] = n
+                boff[b, t, r] = row
+                mx = max(mx, int(np.diff(row).max()))
+    steps2 = 4
+    while (1 << steps2) < mx + 1:
+        steps2 += 4
+
+    args = [jnp.asarray(a) for a in (
+        p_doc, p_tf, p_fl, st, ln, w, fb, av, idf, cand,
+    )]
+    sa, ma = _rescore_bsearch(*args, bs_steps=12)
+    sb, mb = _rescore_bsearch(
+        *args, bs_steps=steps2, boff=jnp.asarray(boff), cap=cap,
+    )
+    assert np.array_equal(np.asarray(ma), np.asarray(mb))
+    assert np.array_equal(np.asarray(sa), np.asarray(sb))
+    assert steps2 < 12  # the windows actually cut rounds

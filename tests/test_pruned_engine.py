@@ -868,3 +868,34 @@ def test_pruned_hybrid_facets_threshold_falls_back(monkeypatch):
         assert not device_calls
     finally:
         ctx.close()
+
+
+def test_pruned_bs_bucket_index_engages(monkeypatch):
+    """Eligible pruned searches ship the bucket-offset tables
+    (search_exec._pruned_bs_boff) and the v4 results stay equal to the
+    dense path — the windows change round count, never results."""
+    from oramacore_tpu.index import search_exec
+
+    calls = []
+    orig = search_exec.PrunedPlanMixin._pruned_bs_boff
+
+    def spy(self, index, rng_i, capb, bs_steps):
+        out = orig(self, index, rng_i, capb, bs_steps)
+        calls.append(out[1])
+        return out
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "_pruned_bs_boff", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(400, seed=5))
+        ctx.commit_all()
+        params = {"term": "apple banana", "limit": 10}
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert calls  # boff built for the v4 dispatch
+    finally:
+        ctx.close()
