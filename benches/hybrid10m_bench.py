@@ -89,7 +89,7 @@ def main():
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
     KNOWN = ["ranged", "champion", "pruned", "ft", "counts", "filtered",
-             "facets", "bs", "bsh", "groups", "micro"]
+             "facets", "bs", "bsh", "bsb", "bshb", "groups", "micro"]
     modes = (
         ["ranged", "champion", "pruned", "ft", "counts", "filtered",
          "facets", "bs", "bsh", "groups"]
@@ -252,7 +252,7 @@ def main():
             f"({n_heavy * LP * 12 / 2**20:.0f} MiB)")
 
     needs_vectors = bool(
-        set(modes) - {"ft", "counts", "facets", "bs", "groups",
+        set(modes) - {"ft", "counts", "facets", "bs", "bsb", "groups",
                       "micro"}
     )
     buf = scales = row_doc = doc2row = unit_cen = unit_st = None
@@ -812,6 +812,195 @@ def main():
             log(f"hybrid bs B={B}: lat={dt * 1000:.1f}ms "
                 f"qps={B / dt:.0f}{note}")
             results.append((B, "hybrid-bs" + note, B / dt, dt * 1000))
+
+    # ------- v4 + bucket-offset rescore index (bsb / bshb) -------------
+    # A/B for the engine's PRUNED_BS_BUCKETS path (search_exec.
+    # _pruned_bs_boff): boff tables cut the rescore's binary-search
+    # rounds from log2(range len) to log2(max bucket span). The engine
+    # builds boff on host from its slab copy; here the slab is
+    # device-only, so boff is built ON DEVICE with the same vectorized
+    # searchsorted (outside the timed loop — it is plan-build cost).
+    # cap must be pow2 for the bucket shift, so these arms pass the
+    # padded CAPP (semantics unchanged: no doc id >= N exists).
+    if "bsb" in modes or "bshb" in modes:
+        import functools
+
+        CAPP = 1 << (N - 1).bit_length()
+        KB = 1024
+        STRIDE_B = CAPP // KB
+
+        @functools.partial(jax.jit, static_argnames=("steps",))
+        def boff_dev(p_doc_, st, ln, steps):
+            grid = jnp.arange(1, KB, dtype=jnp.int32) * STRIDE_B
+            g = grid[None, None, None, :]
+            stq = st[..., None]
+            lnq = ln[..., None]
+            pos = jnp.zeros(st.shape + (KB - 1,), jnp.int32)
+            step = 1 << (steps - 1)
+            while step >= 1:
+                probe = pos + step
+                ok = probe <= lnq
+                v = jnp.take(p_doc_, jnp.clip(stq + probe - 1, 0, P - 1))
+                pos = jnp.where(ok & (v < g), probe, pos)
+                step >>= 1
+            z = jnp.zeros(st.shape + (1,), jnp.int32)
+            return jnp.concatenate([z, pos, lnq], axis=-1)
+
+        def build_bsb_variants(B, n=3):
+            """(variant list, bucketed steps) for batch size B."""
+            raw = []
+            span = 1
+            for s_ in range(n):
+                (pre_i, pre_f, rng_i, rng_f, idf, _sc, bs,
+                 _t) = build_bs_plans(B, seed=7 + s_)
+                st_d = jnp.asarray(rng_i[0])
+                ln_d = jnp.asarray(rng_i[1])
+                boff = boff_dev(p_doc, st_d, ln_d, bs)
+                sp = int(jnp.max(boff[..., 1:] - boff[..., :-1]))
+                span = max(span, sp)
+                raw.append((jnp.asarray(pre_i), jnp.asarray(pre_f),
+                            jnp.asarray(rng_i), jnp.asarray(rng_f),
+                            jnp.asarray(idf), boff, bs))
+            sb = 4
+            while (1 << sb) < span + 1:
+                sb += 4
+            return raw, sb
+
+    if "bsb" in modes:
+        from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
+
+        bsb_truth = {}
+        for B in (8,):
+            idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7)
+            _, ids, _ = bm25_search_topk_packed(
+                p_doc, p_tf, p_tf, p_flen,
+                jnp.asarray(idesc), jnp.asarray(fdesc),
+                jnp.asarray(scalars[:2]),
+                dummy_mask, dummy_omc,
+                lr=lr, exact=False, cap=N, k=16,
+                has_mask=False, has_omc=False,
+            )
+            bsb_truth[B] = np.asarray(ids)
+        log("bsb: dense ground truth ready")
+
+        for B in (8, 64, 256):
+            try:
+                variants, sb = build_bsb_variants(B)
+            except Exception as e:
+                log(f"ft-bsb B={B}: boff build SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            log(f"ft-bsb B={B}: max-span steps {sb} "
+                f"(unbucketed {variants[0][6]})")
+
+            def run_bsb(v, use_boff=True, sb_=sb):
+                pre_i, pre_f, rng_i, rng_f, idf_a, boff, bs = v
+                B_ = idf_a.shape[0]
+                return pruned_fulltext_topk_bs(
+                    p_doc, p_tf, p_flen,
+                    pre_i[0], pre_i[1], rng_i, rng_f,
+                    idf_a, jnp.zeros((B_,), jnp.float32),
+                    dummy_omc, None, pre_f,
+                    boff if use_boff else None,
+                    hp=1, cap=CAPP, k=16,
+                    bs_steps=sb_ if use_boff else bs,
+                    has_omc=False, nom_accum=True, lp=LP, C=1024,
+                )
+
+            for arm, use in (("bsb", True), ("bs-ab", False)):
+                try:
+                    dt = timeit(lambda v: run_bsb(v, use), variants)
+                except Exception as e:
+                    log(f"ft-{arm} B={B}: SKIPPED "
+                        f"({type(e).__name__}: {e})")
+                    continue
+                _, idsb, _ = run_bsb(variants[0], use)
+                note = ""
+                if B in bsb_truth:
+                    ov = overlap(bsb_truth[B], np.asarray(idsb), 16)
+                    note = f" overlap@16={ov:.3f}"
+                if use and B in bsb_truth:
+                    _, ids0, _ = run_bsb(variants[0], False)
+                    same = bool(np.array_equal(np.asarray(idsb),
+                                               np.asarray(ids0)))
+                    note += f" ids==unbucketed:{same}"
+                log(f"ft-{arm} B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}{note}")
+                results.append(
+                    (B, f"ft-{arm}" + note, B / dt, dt * 1000)
+                )
+
+    if "bshb" in modes:
+        from oramacore_tpu.ops.pruned import pruned_hybrid_topk_int8_bs
+
+        bshb_truth = dict(ranged_ids)
+        if not bshb_truth:
+            for B in (8,):
+                idesc, fdesc, scalars, lr, tids = build_plans(B, seed=7)
+                _, ids, _ = hybrid_search_topk_packed_int8(
+                    p_doc, p_tf, p_tf, p_flen,
+                    jnp.asarray(idesc), jnp.asarray(fdesc),
+                    jnp.asarray(scalars),
+                    buf, scales, row_doc, unit_cen, unit_st, qvecs[:B],
+                    dummy_mask, dummy_omc,
+                    lr=lr, exact=False, cap=N, k=16,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_mask=False, has_omc=False,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                )
+                bshb_truth[B] = np.asarray(ids)
+            log("bshb: dense hybrid ground truth ready")
+
+        for B in (8, 64):
+            try:
+                variants, sb = build_bsb_variants(B)
+            except Exception as e:
+                log(f"hybrid-bsb B={B}: boff build SKIPPED "
+                    f"({type(e).__name__}: {e})")
+                continue
+            hvariants = [
+                v + (qvecs[:B], jnp.zeros((B,), jnp.float32))
+                for v in variants
+            ]
+            log(f"hybrid-bsb B={B}: max-span steps {sb} "
+                f"(unbucketed {variants[0][6]})")
+
+            def run_bshb(v, use_boff=True, sb_=sb):
+                (pre_i, pre_f, rng_i, rng_f, idf_a, boff, bs,
+                 qb, sims) = v
+                B_ = idf_a.shape[0]
+                return pruned_hybrid_topk_int8_bs(
+                    p_doc, p_tf, p_flen,
+                    pre_i[0], pre_i[1], rng_i, rng_f,
+                    idf_a, jnp.zeros((B_,), jnp.float32),
+                    buf, scales, row_doc, unit_cen, unit_st, doc2row,
+                    qb, sims, dummy_omc, None, pre_f,
+                    boff if use_boff else None,
+                    hp=1, cap=CAPP, k=16,
+                    bs_steps=sb_ if use_boff else bs,
+                    has_omc=False,
+                    V=V_HY, nprobe=8, window=WINDOW,
+                    has_rescale=False, rescale_lo=0.0, rescale_hi=1.0,
+                    nom_accum=True, lp=LP, C=1024,
+                )
+
+            for arm, use in (("bshb", True), ("bsh-ab", False)):
+                try:
+                    dt = timeit(lambda v: run_bshb(v, use), hvariants)
+                except Exception as e:
+                    log(f"hybrid-{arm} B={B}: SKIPPED "
+                        f"({type(e).__name__}: {e})")
+                    continue
+                _, idsb, _ = run_bshb(hvariants[0], use)
+                note = ""
+                if B in bshb_truth:
+                    ov = overlap(bshb_truth[B], np.asarray(idsb), 16)
+                    note = f" overlap@16={ov:.3f}"
+                log(f"hybrid-{arm} B={B}: lat={dt * 1000:.1f}ms "
+                    f"qps={B / dt:.0f}{note}")
+                results.append(
+                    (B, f"hybrid-{arm}" + note, B / dt, dt * 1000)
+                )
 
     # ---------------- fused group-by at 10M (groups) --------------------
     if "groups" in modes:
