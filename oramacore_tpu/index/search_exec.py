@@ -1110,6 +1110,31 @@ class PrunedPlanMixin(StringSearchTopK):
                 G=G, numeric=numeric, M=max(M, 1),
             )
             return np.asarray(counts)
+        return self._facet_hist_single(
+            spec, spec_key, capb, docs_dev, rep_dev
+        )
+
+    def facet_match_count(self, plan) -> Optional[int]:
+        """EXACT match count of the search whose facet counting just
+        ran: phase A's rep sum (one rep per distinct doc clearing the
+        threshold under the alive mask — ops/pruned._match_reps_core).
+        The count source for THRESHOLDED pruned facet searches, whose
+        scoring-kernel estimate cannot model the min-matched-tokens
+        constraint (read._pruned_facet_counts want_count). None when
+        the reps slot doesn't hold this plan."""
+        slot = getattr(self, "_facet_reps_slot", None)
+        if slot is None or slot[1] is not plan:
+            return None
+        return int(round(float(jnp.sum(slot[3]))))
+
+    def _facet_hist_single(self, spec, spec_key, capb,
+                           docs_dev, rep_dev) -> np.ndarray:
+        """Single-valued phase B of facet_counts_pruned: resolve the
+        device column ("num" raw values / "cat" value ids) and run one
+        pruned_facet_hist dispatch over the cached reps."""
+        from ..ops.pruned import pruned_facet_hist
+
+        kind = spec[0]
         if kind == "num":
             vals = spec[1]
             bounds = spec[2]

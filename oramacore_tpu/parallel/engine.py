@@ -1759,6 +1759,17 @@ class ShardedStringExec:
         counts = hist_step(docs_dev, rep_dev, col_dev, bounds)
         return np.asarray(counts)
 
+    def facet_match_count(self, plan) -> Optional[int]:
+        """Mesh analog of search_exec.facet_match_count: the global rep
+        sum over the doc-sharded phase-A reps (per-shard runs are whole
+        and doc-disjoint, so one cross-shard sum is the exact
+        thresholded match count). None when the reps slot doesn't hold
+        this plan."""
+        slot = getattr(self, "_facet_reps_slot", None)
+        if slot is None or slot[1] is not plan:
+            return None
+        return int(round(float(jnp.sum(slot[3]))))
+
     def _pruned_mask_shard_inputs(self, mask, mask_key, cap, cap_l,
                                   Bb, C):
         """Doc-sharded device inputs for a FILTERED pruned search: the

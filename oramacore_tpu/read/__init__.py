@@ -485,6 +485,7 @@ class ReadSide:
         # collection where only one index pruned must still flag the
         # response count as estimated)
         self._tls.count_estimated = False
+        self._tls.facet_thr_exact = False
         # BeforeSearch hook may rewrite the search params (read/mod.rs:642);
         # per-collection secret is passed to hooks (read/mod.rs:656-660)
         if self.hooks_runtime is not None:
@@ -581,6 +582,19 @@ class ReadSide:
                 and idx.vector._ivf is not None
                 and not idx.vector._live_rows
             )
+            # THRESHOLDED facet searches ride the device facet path
+            # too: the reps kernel counts distinct matched tokens per
+            # doc run (ops/pruned._match_reps_core), so phase A's
+            # rep.sum() is the EXACT thresholded match count — it
+            # replaces the scoring kernel's estimate (which cannot
+            # model the min-matched-tokens constraint, the reason
+            # _pruned_eligible normally rejects thresholds). Needs the
+            # facet quirk's set == the search's set: no where-filter
+            # (tombstone alive-masks apply on both sides).
+            thr_exact_candidate = (
+                getattr(mode, "threshold", None) is not None
+                and not has_filter
+            )
             if (
                 bool(params.facets)
                 and (isinstance(mode, FulltextMode) or hybrid_ivf_facets)
@@ -592,13 +606,16 @@ class ReadSide:
                     exact_counts=(
                         params.exact_count
                         and isinstance(mode, FulltextMode)
-                    ),
+                    ) or thr_exact_candidate,
                 )
             ):
                 device_facet_specs = self._device_facet_specs(
                     idx, params
                 )
             pruned_facets = device_facet_specs is not None
+            self._tls.facet_thr_exact = bool(
+                pruned_facets and thr_exact_candidate
+            )
             # hybrid facets ride the packed bitmap on one chip AND on
             # the mesh (flat tier: sharded hybrid step returns per-shard
             # bits; int8/IVF tier returns None there and the
@@ -663,6 +680,7 @@ class ReadSide:
                      or device_group_spec is not None)
                 and (params.sort_by is None or fused_sort)
             )
+            est_before = self._tls.count_estimated
             with span("token_scores", index=idx.index_id,
                       fused=fused_ok):
                 scores = self._token_scores(
@@ -693,10 +711,24 @@ class ReadSide:
                         and self._tls.pruned_plan is not None
                         and (not isinstance(mode, HybridMode)
                              or self._tls.hybrid_q is not None)):
-                    self._pruned_facet_counts(
+                    exact_n = self._pruned_facet_counts(
                         coll, idx, mode, device_facet_specs,
                         facet_results,
+                        want_count=self._tls.facet_thr_exact,
                     )
+                    if exact_n is not None:
+                        # thresholded search: the scoring kernel's
+                        # count estimate can't model the min-matched-
+                        # tokens constraint — replace this index's
+                        # contribution with phase A's exact rep sum
+                        # and roll back its count_estimated flag
+                        if self._tls.fused_count is not None:
+                            fused_counts = (
+                                (fused_counts or 0)
+                                - self._tls.fused_count
+                            )
+                        fused_counts = (fused_counts or 0) + exact_n
+                        self._tls.count_estimated = est_before
                 elif pruned_facets:
                     # the ranking declined pruning (deep page, fuzzy
                     # range-guard replan, ...) — no pruned plan and no
@@ -1123,7 +1155,12 @@ class ReadSide:
         )
         if mode is not None:
             if (getattr(mode, "threshold", None) is not None
-                    and not exact_counts and not small_filter):
+                    and not exact_counts and not small_filter
+                    and not getattr(self._tls, "facet_thr_exact",
+                                    False)):
+                # facet_thr_exact: search() verified the device facet
+                # path will run for this index, whose phase-A reps give
+                # the exact thresholded count (see the facet gate)
                 return False
         if cfg.pruning == "on":
             return True
@@ -1266,13 +1303,18 @@ class ReadSide:
         return pages
 
     def _pruned_facet_counts(self, coll, idx: ReadIndex, mode,
-                             specs, facet_results):
+                             specs, facet_results,
+                             want_count: bool = False):
         """Device facet counting over the pruned plan (the facet quirk
         counts UNFILTERED matches, so only the tombstone alive-mask
         applies). HYBRID searches widen the match set with the IVF
         probe's top-V docs clearing the similarity floor — the query
         embedding is reused from the scoring dispatch
-        (self._tls.hybrid_q)."""
+        (self._tls.hybrid_q).
+
+        want_count: additionally return phase A's rep sum — the EXACT
+        match count under the search's threshold and tombstones (the
+        thresholded facet searches' count source; None otherwise)."""
         plan = self._tls.pruned_plan
         amask = idx.alive_mask()
         akey = (
@@ -1319,6 +1361,9 @@ class ReadSide:
                 facet_results[name] = FacetResult(
                     count=len(values), values=values
                 )
+        if want_count:
+            return ex.facet_match_count(plan)
+        return None
 
     @staticmethod
     def _mask_cache_key(idx: ReadIndex, params: SearchParams):
@@ -2317,6 +2362,10 @@ def _search_batch_locked(
     params_list: List[SearchParams],
     shared_kind: str = "fulltext",
 ) -> Optional[List[SearchResult]]:
+    # a stale facet_thr_exact from a prior single search on this thread
+    # must not widen batch eligibility (batches never run the facet-reps
+    # count override)
+    self._tls.facet_thr_exact = False
     if shared_kind == "vector":
         return _search_batch_vector(self, coll, indexes, params_list)
     if shared_kind == "sorted":

@@ -712,6 +712,80 @@ def test_pruned_facets_thresholded(monkeypatch):
         ctx.close()
 
 
+def test_pruned_facets_thresholded_no_exact_count(monkeypatch):
+    """Thresholded facet searches WITHOUT exactCount ride the pruned
+    path too (read.search facet_thr_exact): the scoring estimate can't
+    model the min-matched-tokens constraint, so the response count
+    comes from phase A's rep sum (facet_match_count) — exact, equal to
+    the dense path, and NOT flagged estimated. Filters other than
+    tombstones disable the exception (the facet quirk's unfiltered set
+    would diverge from the search's)."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(kw.get("thr"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    pruned_spies = _spy_pruned(monkeypatch)
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        # randomized text (no score ties — tie ORDER between the dense
+        # and pruned top-k is unspecified) + guaranteed multi-token docs
+        # so the threshold actually bites
+        docs = _docs(240, seed=33)
+        for i, d in enumerate(docs):
+            if i % 5 == 0:
+                # varying tf so thresholded hits have distinct scores
+                # varying tf AND flen: any exact (tf, flen) duplicate
+                # pair ties exactly, and cross-path tie order is
+                # unspecified float noise
+                d["t"] = " ".join(
+                    ["apple"] * (1 + i % 3)
+                    + ["banana"] * (1 + (i // 3) % 2)
+                    + ["cherry"]
+                ) + " " + d["t"] + " " + " ".join(["pad"] * (i % 13))
+            d["cat"] = ["a", "b"][i % 2]
+            d["n"] = i % 7
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        # tombstones apply on both the scoring and the reps side
+        idx.delete_documents([str(i) for i in range(0, 240, 11)])
+        params = {
+            "term": "apple banana cherry", "threshold": 0.6,
+            "limit": 10, "facets": {"cat": {}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert dense.facets["cat"].values == pruned.facets["cat"].values
+        assert dense.count == pruned.count
+        assert not dense.count_estimated
+        assert not pruned.count_estimated  # rep-sum override, not est.
+        assert device_calls and device_calls[-1] > 0.0
+        assert pruned_spies  # scoring itself took the pruned kernel
+
+        # with a where-filter the exception must NOT apply: the search
+        # falls back to the dense thresholded path (correct results)
+        device_calls.clear()
+        pruned_spies.clear()
+        fparams = dict(params)
+        fparams["where"] = {"n": {"lt": 5}}
+        dense_f, pruned_f = _search_both(ctx, coll, fparams)
+        _assert_hits_equal(dense_f, pruned_f)
+        assert dense_f.count == pruned_f.count
+        assert dense_f.facets["cat"].values == pruned_f.facets["cat"].values
+        assert not device_calls  # facet device path declined
+    finally:
+        ctx.close()
+
+
 def test_pruned_facets_reps_cached_across_fields(monkeypatch):
     """A multi-facet query pays the global sort ONCE: phase A
     (pruned_match_reps) runs one time, phase B (pruned_facet_hist) once
@@ -829,11 +903,15 @@ def test_pruned_hybrid_facets_parity(monkeypatch):
         ctx.close()
 
 
-def test_pruned_hybrid_facets_threshold_falls_back(monkeypatch):
-    """Thresholded hybrid searches are pruned-ineligible (the hybrid
-    kernels estimate counts and cannot model the min-matched-tokens
-    constraint) — faceted ones keep the dense bitmap flow with correct
-    counts, and the device facet path never engages."""
+def test_pruned_hybrid_facets_thresholded_device(monkeypatch):
+    """Thresholded HYBRID facet searches ride the device facet path
+    (read.search facet_thr_exact): the reps kernel thresholds the
+    fulltext side's distinct-token runs and unions the IVF probe's
+    matches (_fuse semantics), so facet counts AND the response count
+    (phase A's rep sum via facet_match_count) are exact — the hybrid
+    scoring kernels alone couldn't model the min-matched-tokens
+    constraint in their count estimate, which used to force the dense
+    bitmap flow here."""
     from oramacore_tpu.index import search_exec
 
     monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
@@ -842,7 +920,7 @@ def test_pruned_hybrid_facets_threshold_falls_back(monkeypatch):
     orig = search_exec.PrunedPlanMixin.facet_counts_pruned
 
     def spy(self, *a, **kw):
-        device_calls.append(True)
+        device_calls.append(kw.get("thr"))
         return orig(self, *a, **kw)
 
     monkeypatch.setattr(
@@ -865,7 +943,9 @@ def test_pruned_hybrid_facets_threshold_falls_back(monkeypatch):
                   "facets": {"cat": {}}}
         dense, pruned = _search_both(ctx, coll, params)
         assert dense.facets["cat"].values == pruned.facets["cat"].values
-        assert not device_calls
+        assert dense.count == pruned.count
+        assert not pruned.count_estimated
+        assert device_calls and device_calls[-1] > 0.0
     finally:
         ctx.close()
 

@@ -381,6 +381,12 @@ def test_sharded_pruned_facets_parity():
                     }},
                     {"term": "aple", "tolerance": 1, "limit": 10,
                      "facets": {"flag": {"true": True, "false": True}}},
+                    # thresholded facets: reps count distinct matched
+                    # tokens per doc; the response count is the exact
+                    # rep sum (facet_match_count), not the estimate
+                    {"term": "apple banana", "threshold": 1.0,
+                     "limit": 10,
+                     "facets": {"flag": {"true": True, "false": True}}},
                 ):
                     a = single.read_side.search(
                         "c", coll_s.read_api_key,
@@ -394,6 +400,9 @@ def test_sharded_pruned_facets_parity():
                         assert a.facets[f].values == b.facets[f].values, (
                             q, f, a.facets[f].values, b.facets[f].values,
                         )
+                    if q.get("threshold") is not None:
+                        assert a.count == b.count, (q, a.count, b.count)
+                        assert not b.count_estimated
                 assert calls  # the mesh device facet path engaged
             finally:
                 single.stop()
