@@ -79,15 +79,26 @@ def log(msg):
 
 
 def main():
+    global LP
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--postings", type=int, default=128 * 1024 * 1024)
+    ap.add_argument("--lp", type=int, default=LP,
+                    help="impact-prefix depth (side blocks built for "
+                         "df > lp; engine default PREFIX_LEN is 8192)")
+    ap.add_argument("--tf", choices=["uniform", "zipf"],
+                    default="uniform",
+                    help="posting tf distribution: 'uniform' iid{1,2,3}"
+                         " (the impact-prefix WORST case: no impact "
+                         "signal) or 'zipf' P(tf>=k)=k^-1.5 capped 64 "
+                         "(real-text-like concentration)")
     ap.add_argument("--mode", default="all",
                     help="comma-separated list of modes, or 'all'")
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
     P = (args.postings // P_CHUNK) * P_CHUNK
+    LP = args.lp
     KNOWN = ["ranged", "champion", "pruned", "ft", "counts", "filtered",
              "facets", "bs", "bsh", "bsb", "bshb", "groups", "micro"]
     modes = (
@@ -114,7 +125,8 @@ def main():
     from oramacore_tpu.ops.vector import quantize_rows_int8
 
     dev = jax.devices()[0]
-    log(f"device {dev}; N={N:,} docs, P={P:,} postings, D={D}")
+    log(f"device {dev}; N={N:,} docs, P={P:,} postings, D={D}, "
+        f"tf={args.tf}, lp={LP}")
 
     root = jax.random.PRNGKey(20260816)
     k_centers, k_chunks, k_query, k_kmeans, k_post = jax.random.split(root, 5)
@@ -148,9 +160,21 @@ def main():
             ),
             N - 1,
         )
-        tf = (1.0 + (jax.random.uniform(
-            jax.random.fold_in(key, 10_000 + i), (P_CHUNK,)
-        ) * 3).astype(jnp.int32)).astype(jnp.float32)
+        u_tf = jax.random.uniform(
+            jax.random.fold_in(key, 10_000 + i), (P_CHUNK,),
+            minval=1e-6,
+        )
+        if args.tf == "zipf":
+            # discrete power law P(tf >= k) = k^-1.5, capped at 64 —
+            # real-text-like tf concentration (impact prefixes carry
+            # signal; contrast with the uniform worst case)
+            tf = jnp.minimum(
+                jnp.floor(u_tf ** (-1.0 / 1.5)), 64.0
+            ).astype(jnp.float32)
+        else:
+            tf = (1.0 + (u_tf * 3).astype(jnp.int32)).astype(
+                jnp.float32
+            )
         fl = (5.0 + jax.random.uniform(
             jax.random.fold_in(key, 20_000 + i), (P_CHUNK,)
         ) * 45.0).astype(jnp.float32)

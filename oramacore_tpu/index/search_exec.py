@@ -666,6 +666,14 @@ class PrunedPlanMixin(StringSearchTopK):
     # dispatched as B=64 chunks (v3 shapes are NOT split; their
     # pathology is the inverse)
     PRUNED_BS_BATCH = 64
+    # ...but the real limit is the NOMINATOR SORT WIDTH, not B: at
+    # lp=65536 the (256, 196608) sort regressed (75 vs 110 QPS @B=64 =
+    # 12.6M elements) while at the engine-default lp=8192 the (256,
+    # 24576) shape was the FASTEST measured (522 vs 427 QPS @B=64 —
+    # zipf arm, RESULTS.md round-4 session 5). Chunks grow past
+    # PRUNED_BS_BATCH while chunk * T * NPR * lp stays within this
+    # budget (16M ~= the largest measured-good width).
+    PRUNED_BS_SORT_BUDGET = 16 * 1024 * 1024
     # v4 binary-search rescore (ops/pruned.py pruned_*_bs): eligible
     # searches (single-span tokens, non-exact tf, unfiltered) rescore
     # candidates with per-candidate binary searches into unsplit
@@ -891,6 +899,23 @@ class PrunedPlanMixin(StringSearchTopK):
         rng_i = np.stack([rng_st, rng_ln])
         rng_f = np.stack([rng_w, rng_fb, rng_av])
         return rng_i, rng_f, int(bs_steps)
+
+    def _pruned_bs_chunk(self, plans) -> int:
+        """Batched v4 dispatch chunk size: PRUNED_BS_BATCH doubled while
+        the chunk's accum-nominator sort width (chunk * T * NPR * lp)
+        stays within PRUNED_BS_SORT_BUDGET — the measured shape limit
+        (see the constants' provenance comments)."""
+        width = 0
+        for pl in plans:
+            if pl.pre_lens is not None and pl.pre_lens.size:
+                lpq = round_up_pow2(max(8, int(pl.pre_lens.max())), 8)
+                t_npr = pl.pre_lens.shape[0] * pl.pre_lens.shape[1]
+                width = max(width, t_npr * lpq)
+        S = self.PRUNED_BS_BATCH
+        if width:
+            while width * (S * 2) <= self.PRUNED_BS_SORT_BUDGET:
+                S *= 2
+        return S
 
     def _pruned_bs_boff(self, index, rng_i, capb: int,
                         bs_steps: int):
@@ -1284,13 +1309,16 @@ class PrunedPlanMixin(StringSearchTopK):
         use_bs = (
             self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
-        if use_bs and B > self.PRUNED_BS_BATCH:
+        if use_bs and B > self._pruned_bs_chunk(plans):
             # measured non-monotonicity: accum1024 runs 106 QPS @B=64
             # but 72 @B=256 on TPU v5e (RESULTS.md round-4 session 2) —
-            # dispatch larger batches as B=64 chunks. v3 shapes are NOT
-            # split (their pathology is the inverse: 12 QPS @B=64,
-            # 47 @B=256).
-            S = self.PRUNED_BS_BATCH
+            # dispatch larger batches as chunks whose nominator sort
+            # width fits PRUNED_BS_SORT_BUDGET (engine-default lp=8192
+            # batches run unsplit to B=256+, the measured-fastest
+            # shape; the zipf arm, RESULTS.md round-4 session 5). v3
+            # shapes are NOT split (their pathology is the inverse:
+            # 12 QPS @B=64, 47 @B=256).
+            S = self._pruned_bs_chunk(plans)
             parts = [
                 self.search_topk_pruned(
                     index, plans[i:i + S], n_docs[i:i + S], cap, k,
@@ -1615,11 +1643,13 @@ class HybridSearchTopK(PrunedPlanMixin):
         use_bs = (
             self.PRUNED_BS and not exact and not has_filter and nre == 0
         )
-        if use_bs and B > self.PRUNED_BS_BATCH:
+        if use_bs and B > self._pruned_bs_chunk(plans):
             # same measured non-monotonicity as fulltext: hybrid-bs runs
             # 97 QPS @B=64 but 69 @B=128 on TPU v5e (RESULTS.md round-4
-            # session 3) — dispatch larger batches as B=64 chunks.
-            S = self.PRUNED_BS_BATCH
+            # session 3) — dispatch larger batches as sort-width-bounded
+            # chunks (_pruned_bs_chunk; engine-default lp=8192 batches
+            # run unsplit, the measured-fastest shape).
+            S = self._pruned_bs_chunk(plans)
             parts = [
                 self.search_topk_hybrid_int8_pruned(
                     index, plans[i:i + S], n_docs[i:i + S], cap, k,

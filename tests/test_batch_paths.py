@@ -510,6 +510,10 @@ def test_batch_pruned_bs_split():
         return orig(p_doc, p_tf, p_flen, pre_st, *a, **kw)
 
     prmod.pruned_fulltext_topk_bs = spy
+    # tiny corpora have tiny nominator sort widths, which the adaptive
+    # chunker would run unsplit — pin the budget so chunking engages
+    budget = PM.PRUNED_BS_SORT_BUDGET
+    PM.PRUNED_BS_SORT_BUDGET = 0
     ctx = TestContext()
     try:
         coll = ctx.create_collection()
@@ -543,6 +547,53 @@ def test_batch_pruned_bs_split():
         for s, g, q in zip(seq, got, batch):
             assert [h.id for h in s.hits] == [h.id for h in g.hits], q
     finally:
+        PM.PRUNED_BS_SORT_BUDGET = budget
+        prmod.pruned_fulltext_topk_bs = orig
+        ctx.close()
+
+
+def test_batch_pruned_bs_small_width_unsplit():
+    """The adaptive chunker (_pruned_bs_chunk): batches whose nominator
+    sort width fits PRUNED_BS_SORT_BUDGET dispatch UNSPLIT even past
+    PRUNED_BS_BATCH plans — at the engine-default lp=8192 the (256,
+    24576) shape measured FASTEST (zipf arm, RESULTS.md round-4
+    session 5)."""
+    import oramacore_tpu.ops.pruned as prmod
+    from oramacore_tpu.index import search_exec
+
+    PM = search_exec.PrunedPlanMixin
+    dispatch_b = []
+    orig = prmod.pruned_fulltext_topk_bs
+
+    def spy(p_doc, p_tf, p_flen, pre_st, *a, **kw):
+        dispatch_b.append(int(pre_st.shape[0]))
+        return orig(p_doc, p_tf, p_flen, pre_st, *a, **kw)
+
+    prmod.pruned_fulltext_topk_bs = spy
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        idx.insert_documents(_docs(130))
+        ctx.commit_all()
+        B = PM.PRUNED_BS_BATCH + 6
+        batch = [
+            {"term": f"{_WORDS[i % len(_WORDS)]} "
+                     f"{_WORDS[(i + 2) % len(_WORDS)]}", "limit": 5}
+            for i in range(B)
+        ]
+        ctx.reader.config.reader_side.pruning = "on"
+        try:
+            got = ctx.reader.search_batch(
+                coll.collection_id, coll.read_key, _params(batch)
+            )
+        finally:
+            ctx.reader.config.reader_side.pruning = "auto"
+        assert got is not None
+        # ONE unsplit dispatch (the batch path pads B to its shape
+        # bucket, so the kernel may see a padded batch)
+        assert len(dispatch_b) == 1 and dispatch_b[0] >= B, dispatch_b
+    finally:
         prmod.pruned_fulltext_topk_bs = orig
         ctx.close()
 
@@ -567,6 +618,7 @@ def test_batch_hybrid_bs_split(monkeypatch):
         return orig(p_doc, p_tf, p_flen, pre_st, *a, **kw)
 
     prmod.pruned_hybrid_topk_int8_bs = spy
+    monkeypatch.setattr(PM, "PRUNED_BS_SORT_BUDGET", 0)
     ctx = TestContext()
     try:
         coll = ctx.create_collection()
