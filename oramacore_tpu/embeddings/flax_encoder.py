@@ -66,6 +66,59 @@ def _convert_bert_weights(state_dict) -> Dict:
     return params
 
 
+def bert_forward(params: Dict, input_ids, attention_mask, *,
+                 n_heads: int):
+    """Functional BERT-family forward: embeddings → blocks → mean pool
+    → L2 norm. Shared by inference (FlaxTextEncoder) and the in-image
+    contrastive training loop (scripts/train_semantic_encoder_v2.py) so
+    the trained weights run EXACTLY the serving math (reference keeps
+    train/serve parity via ONNX export, embeddings.py:45)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = params
+    B, L = input_ids.shape
+    H = n_heads
+    D = p["tok_emb"].shape[1]
+    hd = D // H
+
+    x = (
+        jnp.take(p["tok_emb"], input_ids, axis=0)
+        + p["pos_emb"][None, :L]
+        + p["type_emb"][0][None, None, :]
+    )
+
+    def ln(x, g, b, eps=1e-12):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
+
+    x = ln(x, p["emb_ln_g"], p["emb_ln_b"])
+    neg = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
+
+    for layer in p["layers"]:
+        q = (x @ layer["q_w"] + layer["q_b"]).reshape(B, L, H, hd)
+        k = (x @ layer["k_w"] + layer["k_b"]).reshape(B, L, H, hd)
+        v = (x @ layer["v_w"] + layer["v_b"]).reshape(B, L, H, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        att = jax.nn.softmax(att + neg, axis=-1)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
+        x = ln(x + ctx @ layer["o_w"] + layer["o_b"],
+               layer["attn_ln_g"], layer["attn_ln_b"])
+        ffn = jax.nn.gelu(x @ layer["ffn_w1"] + layer["ffn_b1"])
+        x = ln(x + ffn @ layer["ffn_w2"] + layer["ffn_b2"],
+               layer["ffn_ln_g"], layer["ffn_ln_b"])
+
+    # mean pooling over attended tokens (reference embeddings.py)
+    mask = attention_mask[:, :, None].astype(x.dtype)
+    pooled = jnp.sum(x * mask, axis=1) / jnp.maximum(
+        jnp.sum(mask, axis=1), 1e-9
+    )
+    return pooled / jnp.maximum(
+        jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+    )
+
+
 class FlaxTextEncoder:
     """Batched mean-pooled BERT encoder, jitted per (B, L) bucket."""
 
@@ -87,49 +140,8 @@ class FlaxTextEncoder:
 
     @partial(__import__("jax").jit, static_argnums=(0,))
     def _forward(self, input_ids, attention_mask):
-        import jax
-        import jax.numpy as jnp
-
-        p = self.params
-        B, L = input_ids.shape
-        H = self.n_heads
-        D = self.dim
-        hd = D // H
-
-        x = (
-            jnp.take(p["tok_emb"], input_ids, axis=0)
-            + p["pos_emb"][None, :L]
-            + p["type_emb"][0][None, None, :]
-        )
-
-        def ln(x, g, b, eps=1e-12):
-            mu = jnp.mean(x, axis=-1, keepdims=True)
-            var = jnp.var(x, axis=-1, keepdims=True)
-            return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
-
-        x = ln(x, p["emb_ln_g"], p["emb_ln_b"])
-        neg = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9)
-
-        for layer in p["layers"]:
-            q = (x @ layer["q_w"] + layer["q_b"]).reshape(B, L, H, hd)
-            k = (x @ layer["k_w"] + layer["k_b"]).reshape(B, L, H, hd)
-            v = (x @ layer["v_w"] + layer["v_b"]).reshape(B, L, H, hd)
-            att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
-            att = jax.nn.softmax(att + neg, axis=-1)
-            ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
-            x = ln(x + ctx @ layer["o_w"] + layer["o_b"],
-                   layer["attn_ln_g"], layer["attn_ln_b"])
-            ffn = jax.nn.gelu(x @ layer["ffn_w1"] + layer["ffn_b1"])
-            x = ln(x + ffn @ layer["ffn_w2"] + layer["ffn_b2"],
-                   layer["ffn_ln_g"], layer["ffn_ln_b"])
-
-        # mean pooling over attended tokens (reference embeddings.py)
-        mask = attention_mask[:, :, None].astype(x.dtype)
-        pooled = jnp.sum(x * mask, axis=1) / jnp.maximum(
-            jnp.sum(mask, axis=1), 1e-9
-        )
-        return pooled / jnp.maximum(
-            jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9
+        return bert_forward(
+            self.params, input_ids, attention_mask, n_heads=self.n_heads
         )
 
     def encode(self, texts: List[str]) -> List[np.ndarray]:
