@@ -905,12 +905,20 @@ class PrunedPlanMixin(StringSearchTopK):
         the chunk's accum-nominator sort width (chunk * T * NPR * lp)
         stays within PRUNED_BS_SORT_BUDGET — the measured shape limit
         (see the constants' provenance comments)."""
-        width = 0
+        # The batched dispatch pads T*NPR and lp INDEPENDENTLY to the
+        # batch maxima, so the true sort width is max(T*NPR) * max(lp)
+        # — not max over plans of (T*NPR*lp) (advisor r4: a chunk could
+        # exceed the budget when the widest-(T*NPR) plan is not the
+        # deepest-prefix plan).
+        max_tnpr = 0
+        max_lpq = 0
         for pl in plans:
             if pl.pre_lens is not None and pl.pre_lens.size:
                 lpq = round_up_pow2(max(8, int(pl.pre_lens.max())), 8)
                 t_npr = pl.pre_lens.shape[0] * pl.pre_lens.shape[1]
-                width = max(width, t_npr * lpq)
+                max_tnpr = max(max_tnpr, t_npr)
+                max_lpq = max(max_lpq, lpq)
+        width = max_tnpr * max_lpq
         S = self.PRUNED_BS_BATCH
         if width:
             while width * (S * 2) <= self.PRUNED_BS_SORT_BUDGET:
@@ -1150,7 +1158,10 @@ class PrunedPlanMixin(StringSearchTopK):
         slot = getattr(self, "_facet_reps_slot", None)
         if slot is None or slot[1] is not plan:
             return None
-        return int(round(float(jnp.sum(slot[3]))))
+        # int32 accumulation: an f32 sum of 1.0s is only exact to 2^24
+        # matched docs (advisor r4) — above that tier the "exact" count
+        # would silently drift
+        return int(jnp.sum(slot[3].astype(jnp.int32)))
 
     def _facet_hist_single(self, spec, spec_key, capb,
                            docs_dev, rep_dev) -> np.ndarray:

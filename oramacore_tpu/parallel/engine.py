@@ -1768,7 +1768,9 @@ class ShardedStringExec:
         slot = getattr(self, "_facet_reps_slot", None)
         if slot is None or slot[1] is not plan:
             return None
-        return int(round(float(jnp.sum(slot[3]))))
+        # int32 accumulation (advisor r4): per-shard f32 partials can
+        # each approach 2^24 on the 8-shard mesh — sum exactly
+        return int(jnp.sum(slot[3].astype(jnp.int32)))
 
     def _pruned_mask_shard_inputs(self, mask, mask_key, cap, cap_l,
                                   Bb, C):

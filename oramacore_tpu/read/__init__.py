@@ -729,6 +729,29 @@ class ReadSide:
                             )
                         fused_counts = (fused_counts or 0) + exact_n
                         self._tls.count_estimated = est_before
+                    elif self._tls.facet_thr_exact:
+                        # the eligibility gate promised an exact
+                        # thresholded count via the device facet path,
+                        # but the reps never landed for this plan
+                        # (advisor r4: the pruned estimate cannot model
+                        # min-matched-tokens and may be badly inflated)
+                        # — recount densely so the premise violation
+                        # never ships a wrong number
+                        logging.getLogger("oramacore_tpu.read").warning(
+                            "facet_thr_exact premise violated (no reps "
+                            "for plan); dense recount for %s", idx.uid,
+                        )
+                        prev_fc = self._tls.fused_count
+                        dense = self._token_scores(
+                            coll, idx, mode, params, mask,
+                            fused_ok=False,
+                        )
+                        if prev_fc is not None:
+                            fused_counts = (
+                                (fused_counts or 0) - prev_fc
+                            )
+                        fused_counts = (fused_counts or 0) + len(dense)
+                        self._tls.count_estimated = est_before
                 elif pruned_facets:
                     # the ranking declined pruning (deep page, fuzzy
                     # range-guard replan, ...) — no pruned plan and no
@@ -868,6 +891,7 @@ class ReadSide:
         self._tls.match_mask = None
         self._tls.sorted_ranked = None
         self._tls.pruned_plan = None
+        self._tls.pruned_thr = None
         self._tls.hybrid_q = None
         self._tls.grouped_pages = None
         # NOTE: count_estimated is reset once per search (and ORs
@@ -1010,6 +1034,7 @@ class ReadSide:
                 if out is not None:
                     # hybrid pruned facets (search() device_facet_specs)
                     self._tls.pruned_plan = plan
+                    self._tls.pruned_thr = thr
                     self._tls.hybrid_q = q
                     if not small_filter:
                         self._tls.count_estimated = True
@@ -1060,6 +1085,7 @@ class ReadSide:
                         self._tls.count_estimated = True
                     # hybrid pruned facets (search() device_facet_specs)
                     self._tls.pruned_plan = plan
+                    self._tls.pruned_thr = thr
                     self._tls.hybrid_q = q
                     mask_kw = {}
                     if mask is not None:
@@ -1321,12 +1347,13 @@ class ReadSide:
             ("alive", idx.uid, idx.cap(), idx.tombstone_version)
             if amask is not None else None
         )
-        thr = 0.0
-        if getattr(mode, "threshold", None) is not None:
-            # same count the scoring kernel applies (T = plan tokens)
-            thr = float(
-                math.floor(plan.starts.shape[0] * mode.threshold)
-            )
+        # the EXACT thr the scoring kernel applied (floor(len(tokens) *
+        # threshold), stashed alongside the plan) — rederiving it from
+        # plan.starts.shape[0] only agrees while plan tokens ==
+        # tokenizer tokens (advisor r4: a future plan-shape change
+        # would silently desynchronize the count from the hit set)
+        thr = self._tls.pruned_thr
+        thr = float(thr) if thr is not None else 0.0
         vec = None
         if isinstance(mode, HybridMode):
             # the caller gates on hybrid_q being stashed (search())
@@ -1573,6 +1600,7 @@ class ReadSide:
             omc_arr = idx.omc_array() if omc_in_kernel else None
             if use_pruned:
                 self._tls.pruned_plan = plan
+                self._tls.pruned_thr = thr
                 small_filter = (
                     mask_sel is not None
                     and mask_sel <= PrunedPlanMixin.PRUNED_CANDIDATES

@@ -137,8 +137,13 @@ def test_kill9_reader_converges_byte_identical(tmp_path):
             w.embedding_queue.flush_and_wait()
             if batch == 4:
                 # SIGKILL the subprocess reader MID-STREAM (it has seen
-                # some ops — possibly mid-commit — but not all)
-                wait_for(lambda: read_status().get("count", 0) > 100)
+                # some ops — possibly mid-commit — but not all).
+                # Generous deadline: a fresh JAX subprocess can take
+                # minutes just to import on a loaded single-core host
+                # (r4 verdict: this test flaked purely from CPU
+                # contention with the old 4 s budget).
+                wait_for(lambda: read_status().get("count", 0) > 100,
+                         attempts=6000, delay=0.05)
                 os.kill(proc.pid, signal.SIGKILL)
                 proc.wait(timeout=30)
         # restart the killed reader: it must resume from its committed
@@ -150,10 +155,12 @@ def test_kill9_reader_converges_byte_identical(tmp_path):
         wait_for(
             lambda: r.collections.get("c") is not None
             and r.collections["c"].document_count() == total,
-            attempts=4000,
+            attempts=6000, delay=0.05,
         )
+        # the restarted subprocess pays the JAX import again — same
+        # load-tolerant budget as the boot wait above
         wait_for(lambda: read_status().get("count", 0) == total,
-                 attempts=4000, delay=0.01)
+                 attempts=6000, delay=0.05)
 
         ctrl_out = r.search(
             "c", coll.read_api_key,
