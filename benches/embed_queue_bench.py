@@ -26,7 +26,12 @@ import time
 sys.path.insert(0, "/root/repo")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "models", "semantic-mini")
+CKPTS = {
+    "mini": ("SemanticMini", 128,
+             os.path.join(REPO, "models", "semantic-mini")),
+    "base": ("SemanticBase", 256,
+             os.path.join(REPO, "models", "semantic-base")),
+}
 
 WORDS = (
     "car automobile doctor physician storm melody purchase warning "
@@ -76,6 +81,7 @@ def run_queue(model: str, texts, batch_limit: int = 256) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2048)
+    ap.add_argument("--model", choices=["mini", "base"], default="base")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -94,23 +100,25 @@ def main():
         register_flax_backend,
     )
 
-    emb.register_model(emb.ModelInfo("SemanticMini", 128, 64, backend="flax"))
-    assert register_flax_backend(CKPT, model_name="SemanticMini")
+    name, dim, ckpt = CKPTS[args.model]
+    emb.register_model(emb.ModelInfo(name, dim, 64, backend="flax"))
+    assert register_flax_backend(ckpt, model_name=name)
 
     texts = make_texts(args.docs)
 
     # raw encoder (no queue, one big batch path inside the encoder)
-    enc = load_flax_encoder(CKPT)
+    enc = load_flax_encoder(ckpt)
     enc.encode(texts[:2])
     t0 = time.perf_counter()
     enc.encode(texts)
     raw = len(texts) / (time.perf_counter() - t0)
 
-    trained = run_queue("SemanticMini", texts)
+    trained = run_queue(name, texts)
     hash_rate = run_queue(emb.DEFAULT_MODEL, texts)
 
     print(
         f'{{"bench": "embed_queue", "platform": "{platform}", '
+        f'"model": "{name}", '
         f'"docs": {len(texts)}, '
         f'"trained_queue_docs_per_s": {trained:.0f}, '
         f'"trained_raw_docs_per_s": {raw:.0f}, '

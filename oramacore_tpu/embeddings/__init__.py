@@ -72,6 +72,12 @@ for _info in [
     ModelInfo("MultilingualE5Large", 1024, 512, intent_prefixes=_E5_PREFIX,
               score_rescale=(0.7, 1.0), backend="flax"),
     ModelInfo("MultilingualMiniLML12V2", 384, 128, backend="flax"),
+    # In-image TRAINED checkpoints (zero-egress: the capability proof is
+    # trained on-device, scripts/train_semantic_encoder*.py). The repo
+    # bundles models/semantic-{mini,base}; runtime.build_orama binds
+    # them lazily so any collection can select them by name.
+    ModelInfo("SemanticMini", 128, 64, backend="flax"),
+    ModelInfo("SemanticBase", 256, 64, backend="flax"),
 ]:
     register_model(_info)
 

@@ -214,3 +214,24 @@ def register_flax_backend(model_path: str,
     else:
         register_backend("flax", backend)
     return True
+
+
+def register_flax_backend_lazy(model_path: str, model_name: str) -> None:
+    """Bind a registry entry to a local checkpoint WITHOUT loading it:
+    the encoder (and the `transformers` import behind it) loads on the
+    first embedding request for that model. Used by runtime.build_orama
+    for the bundled in-image trained checkpoints
+    (models/semantic-{mini,base}) so engine boot stays fast for
+    deployments that never select them. Falls back to the hash backend
+    per call when the checkpoint cannot load."""
+    from . import register_backend
+
+    def backend(texts, info):
+        enc = load_flax_encoder(model_path)
+        if enc is None:
+            from . import _hash_backend
+
+            return _hash_backend(texts, info)
+        return enc.encode(list(texts))
+
+    register_backend(f"flax:{model_name}", backend)

@@ -8,6 +8,7 @@ channel pair, WriteSide, ReadSide; graceful shutdown with final commits
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 from .config import OramacoreConfig
@@ -121,6 +122,24 @@ def build_orama(
         from .embeddings.flax_encoder import register_flax_backend
 
         register_flax_backend(_path, model_name=_name)
+    # bundled in-image trained checkpoints: SemanticBase (the default
+    # flax checkpoint) and SemanticMini bind lazily unless the config
+    # explicitly maps them elsewhere — any collection can select
+    # `embedding_model: SemanticBase` out of the box
+    from .embeddings.flax_encoder import register_flax_backend_lazy
+
+    _repo_models = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "models",
+    )
+    for _name, _sub in (
+        ("SemanticBase", "semantic-base"),
+        ("SemanticMini", "semantic-mini"),
+    ):
+        if _name not in (config.ai.embeddings_model_paths or {}):
+            _p = os.path.join(_repo_models, _sub)
+            if os.path.isdir(_p):
+                register_flax_backend_lazy(_p, model_name=_name)
     nlp = NLPService()
 
     jwt_manager = None
