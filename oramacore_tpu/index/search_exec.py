@@ -1047,6 +1047,7 @@ class PrunedPlanMixin(StringSearchTopK):
         mask_key=None,
         thr: float = 0.0,
         vec=None,
+        vec_only: bool = False,
     ) -> np.ndarray:
         """Facet counts over a pruned-tier fulltext OR hybrid search:
         distinct matched docs per bucket, sort-based (ops/pruned
@@ -1066,7 +1067,6 @@ class PrunedPlanMixin(StringSearchTopK):
             pruned_match_reps,
         )
 
-        p_doc, p_tf, p_etf, _p_flen = self._get_device_slab(index)
         capb = round_up_pow2(cap, 128)
         has_filter = mask is not None
         fmask_arr = jnp.ones((1,), jnp.float32)
@@ -1075,18 +1075,29 @@ class PrunedPlanMixin(StringSearchTopK):
         # one-slot reps cache: the slot holds a strong ref to the plan,
         # so the `is` identity check can never alias a recycled id()
         reps_key = (index.uid, mask_key, has_filter, exact,
-                    float(thr), capb, vec is not None)
+                    float(thr), capb, vec is not None, vec_only)
         slot = getattr(self, "_facet_reps_slot", None)
         if slot is not None and slot[1] is plan and slot[0] == reps_key:
             docs_dev, rep_dev = slot[2], slot[3]
         else:
-            wl_i = self._facet_worklist(plan, self.PRUNED_LCH)
-            docs_dev, rep_dev = pruned_match_reps(
-                p_doc, p_tf, p_etf, jnp.asarray(wl_i),
-                jnp.float32(thr), fmask_arr,
-                lch=self.PRUNED_LCH, cap=capb, exact=exact,
-                has_filter=has_filter,
-            )
+            if vec_only:
+                # vector-mode facets: no text worklist — phase A is the
+                # probe alone, deduped against an all-sentinel (sorted)
+                # ft reps array by pruned_hybrid_match_reps below
+                assert vec is not None
+                docs_dev = jnp.full((self.PRUNED_LCH,), capb, jnp.int32)
+                rep_dev = jnp.zeros((self.PRUNED_LCH,), jnp.float32)
+            else:
+                p_doc, p_tf, p_etf, _p_flen = self._get_device_slab(
+                    index
+                )
+                wl_i = self._facet_worklist(plan, self.PRUNED_LCH)
+                docs_dev, rep_dev = pruned_match_reps(
+                    p_doc, p_tf, p_etf, jnp.asarray(wl_i),
+                    jnp.float32(thr), fmask_arr,
+                    lch=self.PRUNED_LCH, cap=capb, exact=exact,
+                    has_filter=has_filter,
+                )
             if vec is not None:
                 vector_index, q, sim_v, rescale = vec
                 (mat_i8, v_scales, row_doc, unit_cen, unit_starts,

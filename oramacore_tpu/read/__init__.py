@@ -573,11 +573,27 @@ class ReadSide:
             # side's membership is candidate-bounded there (top-V probe
             # rows, ops/pruned.pruned_hybrid_match_reps), so the dense
             # bitmap kernel — the one remaining 10M-tier scatter for
-            # faceted hybrids — is skipped. exactCount keeps the bitmap
-            # (the hybrid pruned kernels estimate counts).
+            # faceted hybrids — is skipped. exactCount hybrids ride it
+            # too when no where-filter applies: phase A's rep sum IS
+            # the exact |ft ∪ vec| count (r5; filtered exactCount keeps
+            # the bitmap — the quirk's unfiltered set differs from the
+            # search's filtered count).
             hybrid_ivf_facets = (
                 isinstance(mode, HybridMode)
-                and not params.exact_count
+                and (not params.exact_count or not has_filter)
+                and idx.vector is not None
+                and idx.vector._ivf is not None
+                and not idx.vector._live_rows
+            )
+            # VECTOR-mode facet searches at the int8/IVF tier: the
+            # match set is the candidate-bounded top-V probe clearing
+            # the similarity floor — identical to the dense int8
+            # kernel's scatter-max set — so the reps machinery counts
+            # it with a vec-only phase A (no text worklist).
+            # Single-device (the mesh keeps the host dict flow).
+            vector_ivf_facets = (
+                isinstance(mode, VectorMode)
+                and self.sharded_mesh is None
                 and idx.vector is not None
                 and idx.vector._ivf is not None
                 and not idx.vector._live_rows
@@ -595,11 +611,18 @@ class ReadSide:
                 getattr(mode, "threshold", None) is not None
                 and not has_filter
             )
+            # r5 widening (VERDICT r4 #4): sort_by+facets,
+            # facets+group_by, vector-mode facets and exactCount
+            # hybrids all ride the device facet path — facet counting
+            # needs only a QUERY PLAN (phase A's reps are exact over
+            # the full worklist), not the scoring dispatch, so the
+            # ranking path is free to be fused-sorted / grouped / a
+            # host dict. The plan is built on demand in the facet
+            # block when scoring didn't stash one.
             if (
                 bool(params.facets)
-                and (isinstance(mode, FulltextMode) or hybrid_ivf_facets)
-                and params.group_by is None
-                and params.sort_by is None
+                and (isinstance(mode, FulltextMode) or hybrid_ivf_facets
+                     or vector_ivf_facets)
                 and mode.term.strip()
                 and self._pruned_eligible(
                     idx, None, 16, mode, params, mesh_ok=True,
@@ -613,8 +636,24 @@ class ReadSide:
                     idx, params
                 )
             pruned_facets = device_facet_specs is not None
+            # the reps sum substitutes the search's count only for
+            # scoring shapes whose own count would be estimated (the
+            # pruned scoring kernels); sorted/grouped/host-dict
+            # rankings already produce exact counts
+            scoring_pruned_shape = (
+                params.group_by is None and params.sort_by is None
+            )
             self._tls.facet_thr_exact = bool(
                 pruned_facets and thr_exact_candidate
+                and scoring_pruned_shape
+            )
+            # exactCount hybrids: phase A's rep sum is the exact
+            # |ft ∪ vec| count, so the hybrid pruned scoring kernel
+            # (whose own count is an estimate) becomes eligible
+            self._tls.facet_exact_count = bool(
+                pruned_facets and isinstance(mode, HybridMode)
+                and params.exact_count and not has_filter
+                and scoring_pruned_shape
             )
             # hybrid facets ride the packed bitmap on one chip AND on
             # the mesh (flat tier: sharded hybrid step returns per-shard
@@ -636,7 +675,7 @@ class ReadSide:
                 params.sort_by is not None
                 and len(indexes) == 1
                 and isinstance(mode, FulltextMode)
-                and not params.facets
+                and (not params.facets or pruned_facets)
                 and params.group_by is None
                 and not consequences
                 and params.limit + params.offset <= 512
@@ -664,7 +703,7 @@ class ReadSide:
                 and len(params.group_by.properties) == 1
                 and params.group_by.max_results <= 64
                 and params.sort_by is None
-                and not params.facets
+                and (not params.facets or pruned_facets)
                 and not consequences
                 and len(indexes) == 1
                 and isinstance(mode, FulltextMode)
@@ -707,14 +746,23 @@ class ReadSide:
                 # facet quirk (search.rs:345-396): with filters present,
                 # facets are computed over the UNFILTERED scored doc set
                 facet_scores = None
+                if pruned_facets and self._tls.pruned_plan is None:
+                    # the ranking took a non-pruned dispatch (fused
+                    # sort / fused group-by / host dict / vector mode)
+                    # — build the facet plan now; phase A's reps are
+                    # exact over the full worklist regardless of how
+                    # the ranking ran (r5 eligibility widening)
+                    self._build_facet_plan(idx, mode, params)
                 if (pruned_facets
                         and self._tls.pruned_plan is not None
-                        and (not isinstance(mode, HybridMode)
+                        and (not isinstance(mode, (HybridMode,
+                                                   VectorMode))
                              or self._tls.hybrid_q is not None)):
                     exact_n = self._pruned_facet_counts(
                         coll, idx, mode, device_facet_specs,
                         facet_results,
-                        want_count=self._tls.facet_thr_exact,
+                        want_count=(self._tls.facet_thr_exact
+                                    or self._tls.facet_exact_count),
                     )
                     if exact_n is not None:
                         # thresholded search: the scoring kernel's
@@ -729,7 +777,8 @@ class ReadSide:
                             )
                         fused_counts = (fused_counts or 0) + exact_n
                         self._tls.count_estimated = est_before
-                    elif self._tls.facet_thr_exact:
+                    elif (self._tls.facet_thr_exact
+                          or self._tls.facet_exact_count):
                         # the eligibility gate promised an exact
                         # thresholded count via the device facet path,
                         # but the reps never landed for this plan
@@ -893,6 +942,7 @@ class ReadSide:
         self._tls.pruned_plan = None
         self._tls.pruned_thr = None
         self._tls.hybrid_q = None
+        self._tls.facet_vec_only = False
         self._tls.grouped_pages = None
         # NOTE: count_estimated is reset once per search (and ORs
         # across a collection's indexes), not per index
@@ -983,7 +1033,11 @@ class ReadSide:
                 idx, mask, k, mode, params, mesh_ok=is_ivf,
                 mask_sel=mask_sel,
             )
-            and (not params.exact_count or small_filter)
+            # exactCount: pruned needs an exact count source — the
+            # small-filter cand-given path, or the device facet path's
+            # rep sum (facet_exact_count, r5)
+            and (not params.exact_count or small_filter
+                 or getattr(self._tls, "facet_exact_count", False))
         )
         planned = self._plan_fulltext(
             idx, mode, params, with_prefix=use_pruned,
@@ -1328,6 +1382,52 @@ class ReadSide:
                 break
         return pages
 
+    def _build_facet_plan(self, idx: ReadIndex, mode, params):
+        """Stash a pruned plan (+ thr / query embedding) for DEVICE
+        facet counting when the ranking dispatch didn't produce one
+        (fused sort, fused group-by, host-dict fallbacks, vector mode).
+        Phase A's reps are exact over the plan's full worklist, so the
+        facet counts are independent of how the ranking ran. Leaves
+        self._tls.pruned_plan None on failure (the caller falls back to
+        the dense facet flows)."""
+        self._tls.facet_vec_only = False
+        if isinstance(mode, VectorMode):
+            # no text worklist: phase A is the vec-only candidate probe
+            targets = self.embeddings.calculate_embeddings(
+                [mode.term], Intent.QUERY, idx.embedding_model
+            )[0]
+            if len(targets) != 1 or idx.vector is None:
+                return
+            from ..ops.vector import l2_normalize
+
+            self._tls.hybrid_q = l2_normalize(
+                np.asarray(targets[0], np.float32).reshape(1, -1)
+            )
+            self._tls.pruned_plan = ("vec-facets", object())
+            self._tls.pruned_thr = None
+            self._tls.facet_vec_only = True
+            return
+        planned = self._plan_fulltext(idx, mode, params)
+        if planned is None:
+            return
+        tokens, plan = planned
+        thr = None
+        if getattr(mode, "threshold", None) is not None:
+            thr = float(math.floor(len(tokens) * mode.threshold))
+        if isinstance(mode, HybridMode):
+            targets = self.embeddings.calculate_embeddings(
+                [mode.term], Intent.QUERY, idx.embedding_model
+            )[0]
+            if len(targets) != 1 or idx.vector is None:
+                return
+            from ..ops.vector import l2_normalize
+
+            self._tls.hybrid_q = l2_normalize(
+                np.asarray(targets[0], np.float32).reshape(1, -1)
+            )
+        self._tls.pruned_plan = plan
+        self._tls.pruned_thr = thr
+
     def _pruned_facet_counts(self, coll, idx: ReadIndex, mode,
                              specs, facet_results,
                              want_count: bool = False):
@@ -1355,19 +1455,25 @@ class ReadSide:
         thr = self._tls.pruned_thr
         thr = float(thr) if thr is not None else 0.0
         vec = None
-        if isinstance(mode, HybridMode):
+        if isinstance(mode, (HybridMode, VectorMode)):
             # the caller gates on hybrid_q being stashed (search())
             vec = (
                 idx.vector, self._tls.hybrid_q,
                 float(mode.similarity),
                 idx.vector.config.score_rescale,
             )
+        extra = {}
+        if getattr(self._tls, "facet_vec_only", False):
+            # vector-mode facets: phase A is the vec-only probe (no
+            # text worklist; single-device executor only)
+            extra["vec_only"] = True
         ex = self._fused_executor(coll, idx)
         for name, spec, skey, labels in specs:
             counts = ex.facet_counts_pruned(
                 idx.string, plan, idx.cap(), spec, skey,
-                exact=mode.exact, mask=amask, mask_key=akey, thr=thr,
-                vec=vec,
+                exact=getattr(mode, "exact", False),
+                mask=amask, mask_key=akey, thr=thr,
+                vec=vec, **extra,
             )
             keep_zeros = (
                 spec[0] in ("num", "mnum")

@@ -979,3 +979,214 @@ def test_pruned_bs_bucket_index_engages(monkeypatch):
         assert calls  # boff built for the v4 dispatch
     finally:
         ctx.close()
+
+
+def test_pruned_facets_with_sort_by(monkeypatch):
+    """sort_by + facets rides the device facet path (r5 widening,
+    VERDICT r4 #4): facet counting needs only a query plan — phase A's
+    reps are exact over the full worklist — so the ranking is free to
+    be the fused sorted dispatch. Facet counts AND sorted hit order
+    must equal the forced-dense path."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        for i in range(300):
+            docs.append({
+                "id": str(i),
+                "t": "apple banana" if i % 3 == 0 else "apple cherry",
+                "cat": ["a", "b", "c"][i % 3],
+                "n": i % 50,
+            })
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        idx.delete_documents([str(i) for i in range(0, 300, 10)])
+        for direction in ("asc", "desc"):
+            params = {
+                "term": "apple banana", "limit": 10,
+                "sort_by": {"property": "n", "order": direction.upper()},
+                "facets": {"cat": {}, "n": {"ranges": [
+                    {"from": 0, "to": 20}, {"from": 20, "to": 49},
+                ]}},
+            }
+            dense, pruned = _search_both(ctx, coll, params)
+            assert ids_of(dense) == ids_of(pruned)
+            for f in params["facets"]:
+                assert dense.facets[f].values == pruned.facets[f].values
+        assert device_calls
+    finally:
+        ctx.close()
+
+
+def test_pruned_facets_with_group_by(monkeypatch):
+    """group_by + facets rides the device facet path too: the grouped
+    ranking takes its own dispatch (fused or host) while facet counting
+    runs off the on-demand plan. Groups and facet counts must equal the
+    forced-dense path."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = []
+        for i in range(300):
+            docs.append({
+                "id": str(i),
+                "t": "apple banana" if i % 3 == 0 else "apple cherry",
+                "cat": ["a", "b", "c"][i % 3],
+                "flag": bool(i % 2),
+            })
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        params = {
+            "term": "apple", "limit": 5,
+            "group_by": {"properties": ["cat"], "max_results": 3},
+            "facets": {"flag": {"true": True, "false": True}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        for f in params["facets"]:
+            assert dense.facets[f].values == pruned.facets[f].values
+        dg = {tuple(g.values): [h.id for h in g.result]
+              for g in (dense.groups or [])}
+        pg = {tuple(g.values): [h.id for h in g.result]
+              for g in (pruned.groups or [])}
+        assert dg and dg == pg
+        assert device_calls
+    finally:
+        ctx.close()
+
+
+def test_pruned_facets_vector_mode(monkeypatch):
+    """Vector-mode facet searches at the int8/IVF tier ride the device
+    facet path with a vec-only phase A (no text worklist): counts must
+    equal the host dict flow when the match set fits both candidate
+    bounds (the host flow is limit*4-bounded, the device path
+    HYBRID_INT8_CANDIDATES-bounded — the similarity floor here keeps
+    matches well under both)."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    vec_only_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        vec_only_calls.append(kw.get("vec_only", False))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(11)
+        docs = []
+        for i in range(900):
+            words = rng.choice(VOCAB, size=5, replace=False)
+            docs.append({
+                "id": str(i),
+                "t": " ".join(words),
+                "cat": ["a", "b", "c"][i % 3],
+                "n": i % 5,
+            })
+        for s in range(0, 900, 300):
+            idx.insert_documents(docs[s:s + 300])
+        ctx.commit_all()
+        ridx = next(iter(
+            ctx.reader.collections[coll.collection_id].indexes.values()
+        ))
+        assert ridx.vector is not None and ridx.vector._ivf is not None
+        params = {
+            "mode": "vector", "term": docs[5]["t"],
+            "similarity": 0.9, "limit": 32,
+            "facets": {"cat": {}, "n": {"ranges": [
+                {"from": 0, "to": 2}, {"from": 2, "to": 4},
+            ]}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        assert ids_of(dense) == ids_of(pruned)
+        for f in params["facets"]:
+            assert dense.facets[f].values == pruned.facets[f].values, (
+                f, dense.facets[f].values, pruned.facets[f].values,
+            )
+        assert vec_only_calls and all(vec_only_calls), vec_only_calls
+    finally:
+        ctx.close()
+
+
+def test_pruned_hybrid_exact_count_facets(monkeypatch):
+    """exactCount HYBRID facet searches ride the pruned path (r5):
+    phase A's rep sum is the exact |ft ∪ vec| count, so the pruned
+    hybrid scoring kernel becomes eligible (its own estimate is
+    replaced) and the dense bitmap route dies. Hits, facet counts AND
+    the response count must equal the forced-dense path exactly."""
+    from oramacore_tpu.index import search_exec
+
+    monkeypatch.setattr(vi, "IVF_MIN_ROWS", 600)
+    monkeypatch.setattr(vi, "IVF_NPROBE", 16)
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        rng = np.random.default_rng(13)
+        docs = []
+        for i in range(900):
+            words = rng.choice(VOCAB, size=5, replace=False)
+            docs.append({
+                "id": str(i),
+                "t": " ".join(words),
+                "cat": ["a", "b", "c"][i % 3],
+            })
+        for s in range(0, 900, 300):
+            idx.insert_documents(docs[s:s + 300])
+        ctx.commit_all()
+        idx.delete_documents([str(i) for i in range(0, 900, 10)])
+        params = {
+            "mode": "hybrid", "term": "apple banana",
+            "similarity": 0.45, "limit": 10, "exactCount": True,
+            "facets": {"cat": {}},
+        }
+        dense, pruned = _search_both(ctx, coll, params)
+        _assert_hits_equal(dense, pruned)
+        assert dense.count == pruned.count, (dense.count, pruned.count)
+        for f in params["facets"]:
+            assert dense.facets[f].values == pruned.facets[f].values
+        assert device_calls
+    finally:
+        ctx.close()
