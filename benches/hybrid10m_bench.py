@@ -100,7 +100,8 @@ def main():
     P = (args.postings // P_CHUNK) * P_CHUNK
     LP = args.lp
     KNOWN = ["ranged", "champion", "pruned", "ft", "counts", "filtered",
-             "facets", "bs", "bsh", "bsb", "bshb", "groups", "micro"]
+             "facets", "bs", "bsh", "bsb", "bshb", "groups", "micro",
+             "split"]
     modes = (
         ["ranged", "champion", "pruned", "ft", "counts", "filtered",
          "facets", "bs", "bsh", "groups"]
@@ -277,7 +278,7 @@ def main():
 
     needs_vectors = bool(
         set(modes) - {"ft", "counts", "facets", "bs", "bsb", "groups",
-                      "micro"}
+                      "micro", "split"}
     )
     buf = scales = row_doc = doc2row = unit_cen = unit_st = None
     if needs_vectors:
@@ -709,6 +710,103 @@ def main():
             results.append((B, "ft-pruned" + note, B / dt, dt * 1000))
 
     # ---------------- v4: binary-search rescore (bs) ----------------
+    # ---------------- v4 phase split (r5): where do the ms go? --------
+    if "split" in modes:
+        import functools as _ft
+
+        from oramacore_tpu.ops.pruned import (
+            _prefix_candidates,
+            _rescore_bsearch,
+            pruned_fulltext_topk_bs,
+        )
+
+        nom_jit = jax.jit(_ft.partial(
+            _prefix_candidates, lp=LP, cap=N, C=1024,
+        ))
+
+        def _resc(p_doc, tf_src, p_flen, rng_i, rng_f, idf_a, cand,
+                  bs_steps):
+            return _rescore_bsearch(
+                p_doc, tf_src, p_flen,
+                rng_i[0], rng_i[1], rng_f[0], rng_f[1], rng_f[2],
+                idf_a, cand, bs_steps=bs_steps,
+            )
+
+        resc_jit = jax.jit(_resc, static_argnames=("bs_steps",))
+
+        for B in (8, 64):
+            variants = []
+            for s in range(3):
+                (pre_i, pre_f, rng_i, rng_f, idf, scalars, bs,
+                 _t) = build_bs_plans(B, seed=7 + s)
+                variants.append((
+                    jnp.asarray(pre_i), jnp.asarray(pre_f),
+                    jnp.asarray(rng_i), jnp.asarray(rng_f),
+                    jnp.asarray(idf), bs,
+                ))
+
+            def run_nom(v):
+                pre_i, pre_f, _ri, _rf, idf_a, _bs = v
+                return nom_jit(
+                    p_doc, p_tf, p_flen, pre_i[0], pre_i[1],
+                    pre_f[0], pre_f[1], pre_f[2], idf_a,
+                )
+
+            # fixed candidate set per variant so the rescore arm times
+            # ONLY the rescore
+            cands = [run_nom(v) for v in variants]
+            jax.block_until_ready(cands)
+
+            def run_resc(v, cand):
+                _pi, _pf, rng_i, rng_f, idf_a, bs = v
+                return resc_jit(
+                    p_doc, p_tf, p_flen, rng_i, rng_f, idf_a, cand,
+                    bs_steps=bs,
+                )
+
+            def run_full(v):
+                pre_i, pre_f, rng_i, rng_f, idf_a, bs = v
+                B_ = idf_a.shape[0]
+                return pruned_fulltext_topk_bs(
+                    p_doc, p_tf, p_flen,
+                    pre_i[0], pre_i[1], rng_i, rng_f, idf_a,
+                    jnp.zeros((B_,), jnp.float32),
+                    dummy_omc, None, pre_f,
+                    hp=1, cap=N, k=16, bs_steps=bs,
+                    has_omc=False, nom_accum=True, lp=LP, C=1024,
+                )
+
+            # timing-method sanity: block_until_ready vs a
+            # data-dependent device_get (CLAUDE.md: block_until_ready
+            # on small outputs may not round-trip the tunnel)
+            def timeit_get(fn, vs, iters=5):
+                out = fn(vs[0])
+                float(np.asarray(
+                    jax.tree_util.tree_leaves(out)[0]
+                ).ravel()[0])
+                t = time.perf_counter()
+                for i in range(iters):
+                    out = fn(vs[i % len(vs)])
+                    float(np.asarray(
+                        jax.tree_util.tree_leaves(out)[0]
+                    ).ravel()[0])
+                return (time.perf_counter() - t) / iters
+
+            dt_n = timeit(run_nom, variants)
+            dt_ng = timeit_get(run_nom, variants)
+            log(f"split B={B}: nominator {dt_n * 1000:.1f}ms "
+                f"(device_get {dt_ng * 1000:.1f}ms)")
+            rv = list(zip(variants, cands))
+            dt_r = timeit(lambda vc: run_resc(*vc), rv)
+            dt_rg = timeit_get(lambda vc: run_resc(*vc), rv)
+            log(f"split B={B}: rescore bs={variants[0][5]} "
+                f"{dt_r * 1000:.1f}ms (device_get {dt_rg * 1000:.1f}ms)")
+            dt_f = timeit(run_full, variants)
+            dt_fg = timeit_get(run_full, variants)
+            log(f"split B={B}: full bs kernel {dt_f * 1000:.1f}ms "
+                f"(device_get {dt_fg * 1000:.1f}ms) "
+                f"nom+resc={1000 * (dt_n + dt_r):.1f}ms")
+
     if "bs" in modes:
         from oramacore_tpu.ops.pruned import pruned_fulltext_topk_bs
 

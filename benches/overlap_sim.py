@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from itertools import islice
 
 import numpy as np
 
@@ -170,8 +171,11 @@ def main():
                 # per-doc present-term m mass (each term's docs unique)
                 pm = np.bincount(pinv, weights=pr_m)
                 absent_mass = m.sum() - pm
+                tarr = np.fromiter(truth, np.int64, len(truth))
+                ti = np.searchsorted(pu, tarr)
+                inpool = (ti < len(pu)) & (pu[np.minimum(ti, len(pu) - 1)] == tarr)
                 nom_miss.setdefault((ordk, lp), []).append(
-                    sum(1 for d_ in truth if d_ not in set(pu.tolist()))
+                    int((~inpool).sum())
                 )
                 keyvals = {
                     "part": ptot,
@@ -182,8 +186,9 @@ def main():
                     order = np.argsort(-keyvals[rk], kind="stable")
                     for C in Cs:
                         cand = set(pu[order[:C]].tolist())
-                        got = [d_ for d_ in exact_order
-                               if d_ in cand][:K_AT]
+                        got = list(islice(
+                            (d_ for d_ in exact_order if d_ in cand),
+                            K_AT))
                         miss.setdefault((ordk, lp, rk, C), []).append(
                             sum(1 for d_ in truth
                                 if d_ not in set(got))
@@ -226,7 +231,8 @@ def main():
                 return set(cand.tolist()), U
 
             cand1, U = nominate(lp1, C1)
-            got1 = [d_ for d_ in exact_order if d_ in cand1][:K_AT]
+            got1 = list(islice(
+                (d_ for d_ in exact_order if d_ in cand1), K_AT))
             # exact scores of the rescored candidates; theta = 16th
             got_scores = sorted(
                 (float(tot[np.searchsorted(u_doc, d_)]) for d_ in got1),
@@ -241,8 +247,9 @@ def main():
             else:
                 casc_esc.setdefault(key, []).append(1)
                 cand2, _ = nominate(lp2, C2)
-                final = [d_ for d_ in exact_order
-                         if d_ in (cand1 | cand2)][:K_AT]
+                both = cand1 | cand2
+                final = list(islice(
+                    (d_ for d_ in exact_order if d_ in both), K_AT))
             casc_miss.setdefault(key, []).append(
                 sum(1 for d_ in truth if d_ not in set(final))
             )
@@ -306,15 +313,19 @@ def main():
                 ])
                 pu, pinv = np.unique(pr_doc, return_inverse=True)
                 ptot = np.bincount(pinv, weights=pr_sat)
+                tarr = np.fromiter(truth, np.int64, len(truth))
+                ti = np.searchsorted(pu, tarr)
+                inpool = (ti < len(pu)) & (pu[np.minimum(ti, len(pu) - 1)] == tarr)
                 nom_miss.setdefault((alloc, W), []).append(
-                    sum(1 for d_ in truth if d_ not in set(pu.tolist()))
+                    int((~inpool).sum())
                 )
                 wid_used.setdefault((alloc, W), []).append(int(sum(d)))
                 order = np.argsort(-ptot, kind="stable")
                 for C in Cs:
                     cand = set(pu[order[:C]].tolist())
-                    got = [d_ for d_ in exact_order
-                           if d_ in cand][:K_AT]
+                    got = list(islice(
+                        (d_ for d_ in exact_order if d_ in cand),
+                        K_AT))
                     miss.setdefault((alloc, W, "part", C), []).append(
                         sum(1 for d_ in truth if d_ not in set(got))
                     )

@@ -70,7 +70,18 @@ _SEGMENT_UIDS = __import__("itertools").count(1)
 # impact, tf/flen) appended to the segment, feeding the pruned path's
 # phase-1 candidate nomination (ops/pruned.py). Main ranges stay
 # DOC-SORTED so the exact rescore needs no device-side sort at all.
-PREFIX_LEN = 8192
+#
+# Depth provenance (r5): 65536 is the measured joint-bar point at the
+# 10M tier — overlap@16 0.98 on the zipf-tf corpus at 520 QPS/B=64
+# (benches/RESULTS.md round-5; offline frontier: overlap_sim shows
+# lp=65536/C=1024 is the ONLY regime clearing the 0.95 bar — the
+# nomination pool floor at 8192 is 0.926). Deep prefixes became
+# affordable once the nominator's segmented sums went gather-free and
+# scan-free (ops/pruned._seg_totals_sorted + the windowed doc-run sum):
+# the v4 kernel at this depth was 536 ms/B=64, now 72 ms. Memory: one
+# 64k-posting side copy (~1 MiB) per term with df > 65536 — a few
+# hundred terms on a zipfian 10M corpus.
+PREFIX_LEN = 65536
 
 
 @dataclass

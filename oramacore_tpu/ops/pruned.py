@@ -64,26 +64,36 @@ NEG_INF = -1e30
 
 
 def _seg_totals_sorted(keys: jax.Array, vals: jax.Array):
-    """Segmented sums over runs of equal (sorted) keys, scatter-free.
+    """Segmented sums over runs of equal (sorted) keys, scatter-free
+    AND gather-free.
 
-    keys int32[B, M] non-decreasing along axis 1; vals f32[B, M].
+    keys int32[B, M] non-decreasing along axis 1; vals f32[B, M]
+    NON-NEGATIVE (every caller feeds ntf or saturated-BM25 partials,
+    both >= 0 — the invariant that makes the cummax trick valid).
     Returns (is_end bool[B, M], totals f32[B, M]) where totals[i] holds
     the full run sum at each run-END position (junk elsewhere).
+
+    The run base is the PREVIOUS run's end cumsum, propagated with one
+    cummax over the (non-decreasing, since vals >= 0) cumsum masked to
+    run ends — no take_along_axis. The earlier formulation gathered
+    the run-start exclusive cumsum with a (B, M) take_along_axis,
+    which XLA lowers to elementwise HBM gathers at ~70M elem/s on TPU:
+    446 ms of a 517 ms nominator at (64, 196k) (r5 hardware split,
+    benches/RESULTS.md round-5) — the gather WAS the v4 kernel's
+    dominant cost, misattributed to the sort in round 4.
     """
     B, M = keys.shape
     cs = jnp.cumsum(vals, axis=1)
-    excl = cs - vals
-    is_start = jnp.concatenate(
-        [jnp.ones((B, 1), bool), keys[:, 1:] != keys[:, :-1]], axis=1
-    )
-    idx = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
-    start_idx = jnp.where(is_start, idx, 0)
-    run_start = jax.lax.cummax(start_idx, axis=1)
-    base = jnp.take_along_axis(excl, run_start, axis=1)
-    totals = cs - base
     is_end = jnp.concatenate(
         [keys[:, 1:] != keys[:, :-1], jnp.ones((B, 1), bool)], axis=1
     )
+    end_cs = jnp.where(is_end, cs, NEG_INF)
+    prev = jnp.concatenate(
+        [jnp.full((B, 1), NEG_INF, cs.dtype), end_cs[:, :-1]], axis=1
+    )
+    prev = jax.lax.cummax(prev, axis=1)
+    base = jnp.where(prev > NEG_INF / 2, prev, 0.0)
+    totals = cs - base
     return is_end, totals
 
 
@@ -170,16 +180,46 @@ def _prefix_candidates(
     ntf = ntf.reshape(B, M)
     key_s, ntf_s = jax.lax.sort((key, ntf), dimension=1, num_keys=1)
 
-    # per-(doc, token) accumulation -> saturation
-    t_end, t_acc = _seg_totals_sorted(key_s, ntf_s)
+    # per-(doc, token) accumulation -> saturation. Scans are ~25 ms
+    # EACH at (64, 196k) on v5e (r5 micro) — every one avoided counts:
+    # with NPR == 1 a term's prefix has DISTINCT docs (one segment, one
+    # block), so (doc, token) keys are unique and the token-level
+    # segmented sum is the identity (duplicate sentinel keys die on the
+    # key_s < cap*TT guard below).
+    if NPR == 1:
+        t_end = jnp.ones(key_s.shape, bool)
+        t_acc = ntf_s
+    else:
+        t_end, t_acc = _seg_totals_sorted(key_s, ntf_s)
     tok_s = jnp.clip(key_s - (key_s // TT) * TT, 0, T - 1)
-    idf_s = jnp.take_along_axis(idf, tok_s, axis=1)
+    # per-element idf via a T-way select chain — take_along_axis here
+    # is a (B, M) elementwise gather (~70M elem/s on TPU, the same
+    # pathology as the old seg-sum base gather); T <= 8 compares fuse
+    # into the surrounding elementwise work for free
+    idf_s = jnp.zeros_like(t_acc)
+    for _t in range(T):
+        idf_s = idf_s + jnp.where(tok_s == _t, idf[:, _t, None], 0.0)
     sat = idf_s * (K1 + 1.0) * t_acc / (K1 + t_acc)
     sat = jnp.where(t_end & (t_acc > 0.0) & (key_s < cap * TT), sat, 0.0)
 
-    # per-doc partial score (second segmented sum; doc key stays sorted)
+    # per-doc partial score: a doc's run in the (doc, token)-sorted
+    # order has at most T*NPR entries, so for small plans the run
+    # total is a windowed sum of T*NPR-1 shifted adds (elementwise,
+    # fuses) instead of a cumsum+cummax scan pair
     dkey = key_s // TT
-    d_end, d_tot = _seg_totals_sorted(dkey, sat)
+    WRUN = T * NPR
+    if WRUN <= 8:
+        d_end = jnp.concatenate(
+            [dkey[:, 1:] != dkey[:, :-1], jnp.ones((B, 1), bool)],
+            axis=1,
+        )
+        d_tot = sat
+        for _k in range(1, WRUN):
+            same = dkey[:, _k:] == dkey[:, :-_k]
+            shifted = jnp.where(same, sat[:, :-_k], 0.0)
+            d_tot = d_tot + jnp.pad(shifted, ((0, 0), (_k, 0)))
+    else:
+        d_end, d_tot = _seg_totals_sorted(dkey, sat)
     part = jnp.where(d_end & (d_tot > 0.0) & (dkey < cap), d_tot, NEG_INF)
 
     if C > part.shape[1]:  # tiny prefix pools: pad up to the budget

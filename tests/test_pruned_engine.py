@@ -299,12 +299,15 @@ def test_pruned_pagination_and_match_all():
         ctx.close()
 
 
-def test_pruned_with_engaged_prefix_blocks():
-    """A term with df > PREFIX_LEN (8192) gets an impact-prefix side
-    block at commit; the pruned path must nominate from the block and
-    still agree with the dense path on the top page."""
+def test_pruned_with_engaged_prefix_blocks(monkeypatch):
+    """A term with df > PREFIX_LEN gets an impact-prefix side block at
+    commit; the pruned path must nominate from the block and still
+    agree with the dense path on the top page. PREFIX_LEN is pinned to
+    8192 here (the engine default is 65536 since r5 — a 65k-df test
+    corpus would be too slow on CPU)."""
     import oramacore_tpu.index.string_index as si
 
+    monkeypatch.setattr(si, "PREFIX_LEN", 8192)
     ctx = TestContext()
     try:
         # keep everything in ONE segment (the per-collection operation
