@@ -94,6 +94,10 @@ def main():
                          "(real-text-like concentration)")
     ap.add_argument("--mode", default="all",
                     help="comma-separated list of modes, or 'all'")
+    ap.add_argument("--kb", type=int, default=1024,
+                    help="bsb/bshb bucket-offset resolution (engine "
+                         "PRUNED_BS_BUCKETS analog; higher = fewer "
+                         "rescore rounds, bigger tables)")
     args = ap.parse_args()
     NCHUNK = args.chunks
     N = NCHUNK * CH
@@ -948,7 +952,7 @@ def main():
         import functools
 
         CAPP = 1 << (N - 1).bit_length()
-        KB = 1024
+        KB = args.kb
         STRIDE_B = CAPP // KB
 
         @functools.partial(jax.jit, static_argnames=("steps",))

@@ -149,6 +149,31 @@ class _ColumnBase:
         self._dense_ids_cache = ((self.version, cap), out)
         return out
 
+    def group_id_column(self, cap: int, max_groups: int = 1024):
+        """(ids int32[cap] (-1 = none), labels) for DEVICE group-by over
+        a numeric column: distinct slab values become group ids in
+        ascending value order (reference group.rs groups on any
+        filterable value). None when the column has more than
+        `max_groups` distinct values — the host dict flow takes over.
+        Callers must have checked single_valued(). Cached by the
+        mutation version."""
+        cached = getattr(self, "_group_ids_cache", None)
+        if cached is not None and cached[0] == (self.version, cap):
+            return cached[1]
+        docs, vals = self.slab()
+        uniq = np.unique(vals)
+        if len(uniq) > max_groups:
+            out = None
+        else:
+            ids = np.full(cap, -1, np.int32)
+            sel = docs < cap
+            ids[docs[sel]] = np.searchsorted(uniq, vals[sel]).astype(
+                np.int32
+            )
+            out = (ids, [float(v) for v in uniq])
+        self._group_ids_cache = ((self.version, cap), out)
+        return out
+
     def pair_table(self, cap: int):
         """Doc-sorted DEDUPED (doc, value) pairs + the max distinct
         values any doc holds — the device multi-valued facet path's

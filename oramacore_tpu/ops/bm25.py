@@ -399,14 +399,16 @@ def bm25_search_grouped_packed(
     same per-combo doc lists on CPU); here only (B, k) + (B, G, R)
     pages cross the boundary.
 
-    Per-group top-R without a sort or scatter: a chunked scan holds a
-    running (B, G, R) page; each step broadcasts the chunk's scores
-    against a (G, ch) group-membership mask and merges via one stable
-    top_k over [carry, chunk] — carry entries (earlier = lower doc ids)
-    win score ties, and within a chunk the ascending iota does, so ties
-    resolve doc-ascending end to end (the host path's order). Docs
-    without the group field (gid -1) match no group row and drop, like
-    _build_groups skipping docs with no value."""
+    Per-group top-R via ONE global (gid, -score, doc) 3-key sort + run
+    slicing: group g's page is the first R entries of its run, read
+    with a (B, G*R) gather off the per-group run starts (G binary
+    searches). O(cap log cap) INDEPENDENT of G — the previous
+    masked-merge scan was O(cap*G) and measured 812 ms @G=64 at the
+    10M tier (r4 session 3); the sort design subsumes it at every G
+    and lifts the G ceiling (r5, VERDICT r4 #5). Tie order matches the
+    host path: score desc then doc asc (the doc iota is the third sort
+    key). Docs without the group field (gid -1) sort to the G sentinel
+    run and drop, like _build_groups skipping docs with no value."""
     starts, lens = idesc[0], idesc[1]
     weights, field_b, avg_flen = fdesc[0], fdesc[1], fdesc[2]
     n_docs, thr_counts = scalars[0], scalars[1]
@@ -424,34 +426,45 @@ def bm25_search_grouped_packed(
 
     vals, idx = topk_2level(s, k)
 
-    # (B, G, ch) stays ~2M elems per step regardless of G; ch is a
-    # power of two so it always divides the pow2-padded cap
-    ch = min(cap, 1 << max(9, 21 - (max(G, 1) - 1).bit_length()))
-    garange = jnp.arange(G, dtype=jnp.int32)
-    init = (
-        jnp.full((B, G, R), -jnp.inf, jnp.float32),
-        jnp.zeros((B, G, R), jnp.int32),
+    gidk = jnp.where(
+        keep & (gid[None, :] >= 0), gid[None, :], jnp.int32(G)
     )
-
-    def step(carry, ci):
-        cv, cd = carry
-        off = ci * ch
-        gid_c = jax.lax.dynamic_slice(gid, (off,), (ch,))
-        s_c = jax.lax.dynamic_slice(s, (0, off), (B, ch))
-        gm = gid_c[None, :] == garange[:, None]              # (G, ch)
-        sk = jnp.where(gm[None], s_c[:, None, :], -jnp.inf)  # (B, G, ch)
-        v, i = jax.lax.top_k(jnp.concatenate([cv, sk], axis=2), R)
-        d_new = jnp.broadcast_to(
-            (off + jax.lax.iota(jnp.int32, ch))[None, None, :],
-            (B, G, ch),
+    neg = jnp.where(gidk < G, -s, jnp.inf)
+    diota = jnp.broadcast_to(
+        jax.lax.iota(jnp.int32, cap)[None, :], (B, cap)
+    )
+    gk, ns, dd = jax.lax.sort(
+        (gidk, neg, diota), dimension=1, num_keys=3
+    )
+    # run starts of groups 0..G (G = end of the last real run): uniform
+    # lower_bound over the sorted gid row — log2(cap) rounds of tiny
+    # (B, G+1) gathers
+    queries = jnp.arange(G + 1, dtype=jnp.int32)[None, :]
+    pos = jnp.zeros((B, G + 1), jnp.int32)
+    step_ = 1
+    while step_ * 2 <= cap:
+        step_ *= 2
+    while step_ >= 1:
+        probe = pos + step_
+        pv = jnp.take_along_axis(
+            gk, jnp.minimum(probe, cap) - 1, axis=1
         )
-        d = jnp.take_along_axis(
-            jnp.concatenate([cd, d_new], axis=2), i, axis=2
-        )
-        return (v, d), None
-
-    (gvals, gdocs), _ = jax.lax.scan(
-        step, init, jnp.arange(cap // ch)
+        pos = jnp.where((probe <= cap) & (pv < queries), probe, pos)
+        step_ >>= 1
+    g_start = pos[:, :G]                                  # (B, G)
+    g_end = pos[:, 1:]                                    # (B, G)
+    page_ix = g_start[:, :, None] + jnp.arange(R, dtype=jnp.int32)
+    in_run = page_ix < g_end[:, :, None]
+    clip = jnp.minimum(page_ix, cap - 1).reshape(B, G * R)
+    gvals = jnp.where(
+        in_run,
+        -jnp.take_along_axis(ns, clip, axis=1).reshape(B, G, R),
+        -jnp.inf,
+    )
+    gdocs = jnp.where(
+        in_run,
+        jnp.take_along_axis(dd, clip, axis=1).reshape(B, G, R),
+        0,
     )
     return vals, idx, counts, gvals, gdocs
 

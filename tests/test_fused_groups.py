@@ -146,9 +146,43 @@ def test_fused_groups_bool_filtered_tombstones(ctx, monkeypatch):
             assert n % 4 >= 1 and n % 10 != 0
 
 
+def test_fused_groups_number_parity(ctx, monkeypatch):
+    """Numeric group keys ride the device path (r5 widening: distinct
+    slab values -> group ids, filter_fields.group_id_column) with
+    host-identical groups."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(_docs(400))
+    ctx.commit_all()
+    for q in ("shoe", "boot heel"):
+        params = {"term": q, "groupBy": {"properties": ["price"],
+                                         "maxResults": 4}}
+        host, fused = _search_both(ctx, coll, params, monkeypatch)
+        _assert_groups_match(host, fused, q)
+        assert [h.id for h in host.hits] == [h.id for h in fused.hits]
+
+
+def test_fused_groups_multi_property_parity(ctx, monkeypatch):
+    """Multi-property combos ride the device path (mixed-radix combined
+    ids + cartesian tuple labels): same combos, same pages as the host
+    cartesian flow — including docs missing one of the properties
+    (dropped, like _build_groups)."""
+    coll = ctx.create_collection()
+    idx = coll.create_index()
+    idx.insert_documents(_docs(400))
+    ctx.commit_all()
+    for props in (["color", "flag"], ["flag", "price"],
+                  ["color", "flag", "price"]):
+        params = {"term": "shoe", "groupBy": {"properties": props,
+                                              "maxResults": 3}}
+        host, fused = _search_both(ctx, coll, params, monkeypatch)
+        _assert_groups_match(host, fused, props)
+
+
 def test_fused_groups_fallbacks(ctx, monkeypatch):
-    """Ineligible shapes keep the host flow and stay correct: number
-    property, two properties, multi-valued column, maxResults > 64."""
+    """Ineligible shapes keep the host flow and stay correct:
+    multi-valued column, maxResults > 64 (numbers and multi-property
+    combos engage the device path since r5)."""
     from oramacore_tpu.index import search_exec
 
     fused_calls = []
@@ -171,9 +205,8 @@ def test_fused_groups_fallbacks(ctx, monkeypatch):
     ])
     ctx.commit_all()
     for params in (
-        {"term": "shoe", "groupBy": {"properties": ["n"]}},
-        {"term": "shoe", "groupBy": {"properties": ["color", "n"]}},
         {"term": "shoe", "groupBy": {"properties": ["tags"]}},
+        {"term": "shoe", "groupBy": {"properties": ["color", "tags"]}},
         {"term": "shoe",
          "groupBy": {"properties": ["color"], "maxResults": 100}},
     ):
