@@ -973,9 +973,14 @@ def main():
             return jnp.concatenate([z, pos, lnq], axis=-1)
 
         def build_bsb_variants(B, n=3):
-            """(variant list, bucketed steps) for batch size B."""
+            """(variant list, bucketed steps) for batch size B. boff is
+            the kernel's r5 flat-table triple (flat, base, shift) —
+            here built uniform-K on device and flattened row-major with
+            identity bases (the ENGINE builds per-range-resolution rows
+            host-side, search_exec._pruned_bs_boff)."""
             raw = []
             span = 1
+            sh_const = int(np.log2(CAPP // KB))
             for s_ in range(n):
                 (pre_i, pre_f, rng_i, rng_f, idf, _sc, bs,
                  _t) = build_bs_plans(B, seed=7 + s_)
@@ -984,9 +989,18 @@ def main():
                 boff = boff_dev(p_doc, st_d, ln_d, bs)
                 sp = int(jnp.max(boff[..., 1:] - boff[..., :-1]))
                 span = max(span, sp)
+                Bv, Tv, NRv = rng_i.shape[1:]
+                flat = jnp.concatenate(
+                    [boff.reshape(-1), jnp.zeros((1,), jnp.int32)]
+                )
+                base = (
+                    jnp.arange(Bv * Tv * NRv, dtype=jnp.int32)
+                    * (KB + 1)
+                ).reshape(Bv, Tv, NRv)
+                shift = jnp.full((Bv, Tv, NRv), sh_const, jnp.int32)
                 raw.append((jnp.asarray(pre_i), jnp.asarray(pre_f),
                             jnp.asarray(rng_i), jnp.asarray(rng_f),
-                            jnp.asarray(idf), boff, bs))
+                            jnp.asarray(idf), (flat, base, shift), bs))
             sb = 4
             while (1 << sb) < span + 1:
                 sb += 4

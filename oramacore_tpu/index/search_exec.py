@@ -925,43 +925,60 @@ class PrunedPlanMixin(StringSearchTopK):
                 S *= 2
         return S
 
+    # bucket-span target for the static flat tables: per-range
+    # resolution K_r = capb >> shift_r sized so the expected postings
+    # per bucket is ~this many (rescore rounds = log2(max span))
+    PRUNED_BS_SPAN = 16
+
     def _pruned_bs_boff(self, index, rng_i, capb: int,
                         bs_steps: int):
-        """Bucket-offset tables for the v4 binary-search rescore: the
-        doc space divides into PRUNED_BS_BUCKETS uniform buckets and
-        each unsplit range ships searchsorted offsets at the bucket
-        boundaries, so the per-candidate search runs only inside its
-        bucket window. Cuts rescore rounds from log2(range len) (24 at
-        a 4M-posting term) to log2(max bucket span) (~12 at 10M/1024
-        buckets) — and the bsearch chain is HBM-latency-bound at ~58M
-        probes/s, so rounds are the cost (RESULTS.md round-4 session 4
-        micro). Host cost: one vectorized searchsorted per DISTINCT
-        span per batch, memoized; H2D is (B, T, NR, K+1) int32 (~1 MB
-        at B=64). Results are bit-identical to the unbucketed search.
+        """STATIC per-range bucket-offset tables for the v4
+        binary-search rescore (r5 design; replaces the per-batch
+        (B, T, NR, K+1) host-searchsorted tables). Each distinct
+        committed range gets one device-resident offsets row at its own
+        resolution K_r = capb >> shift_r (sized for ~PRUNED_BS_SPAN
+        postings per bucket), built lazily on first use and cached by
+        (index.uid, generation) — so a batch ships only (B, T, NR)
+        int32 base/shift arrays (~2 KB) instead of re-searchsorting and
+        re-uploading megabyte tables per batch. Rescore rounds drop
+        from log2(range len) to log2(max engaged span): the kb=8192 A/B
+        measured 520 -> 579 QPS @B=64 at the 10M tier (RESULTS.md
+        round-5). Results are bit-identical to the unbucketed search.
 
-        Returns (boff | None, bs_steps) — None (with the caller's
-        bs_steps unchanged) when any span unexpectedly crosses the
+        flat[0:2] is a zero dummy row: empty ranges point at it with a
+        full-width shift so pos == hi == 0 and nothing probes.
+
+        Returns (flat_dev | None, base, shift, steps) — (None, None,
+        None, bs_steps) when any span unexpectedly crosses the
         committed/live slab boundary."""
-        K = self.PRUNED_BS_BUCKETS
-        while K > capb:
-            K >>= 1
-        stride = capb // K
-        grid = np.arange(1, K, dtype=np.int64) * stride
         comm, live, _ck = index.slab_split()
         n_comm = len(comm[0]) if comm is not None else 0
+        gen = (index.uid, index.generation)
+        state = getattr(self, "_boff_flat", None)
+        if state is None or state["key"] != gen:
+            state = {
+                "key": gen,
+                "spans": {},
+                "rows": [np.zeros(2, np.int32)],  # dummy row at 0
+                "total": 2,
+                "dev": None,
+            }
+            self._boff_flat = state
+        spans = state["spans"]
+        full_shift = max(capb.bit_length() - 1, 0)
         rng_st, rng_ln = rng_i[0], rng_i[1]
         Bb, Tb, NRU = rng_st.shape
-        boff = np.zeros((Bb, Tb, NRU, K + 1), np.int32)
-        memo: dict = {}
+        base = np.zeros((Bb, Tb, NRU), np.int32)
+        shift = np.full((Bb, Tb, NRU), full_shift, np.int32)
         max_span = 1
         for b in range(Bb):
             for t in range(Tb):
                 for r in range(NRU):
                     ln = int(rng_ln[b, t, r])
                     if ln <= 0:
-                        continue
+                        continue  # dummy row
                     s0 = int(rng_st[b, t, r])
-                    hit = memo.get((s0, ln))
+                    hit = spans.get((s0, ln))
                     if hit is None:
                         if s0 < n_comm:
                             seg = comm[0][s0:s0 + ln]
@@ -970,19 +987,46 @@ class PrunedPlanMixin(StringSearchTopK):
                         else:
                             seg = np.zeros(0, np.int32)
                         if len(seg) != ln:
-                            return None, bs_steps
+                            return None, None, None, bs_steps
+                        # K_r = capb >> sh, sized for ~SPAN postings
+                        # per bucket: span ~= ln * 2^sh / capb
+                        sh = full_shift
+                        while sh > 0 and (
+                            ln << sh
+                        ) > capb * self.PRUNED_BS_SPAN:
+                            sh -= 1
+                        K = max(capb >> sh, 1)
+                        grid = np.arange(1, K, dtype=np.int64) << sh
                         row = np.empty(K + 1, np.int32)
                         row[0] = 0
-                        row[1:K] = np.searchsorted(seg, grid)
+                        if K > 1:
+                            row[1:K] = np.searchsorted(seg, grid)
                         row[K] = ln
-                        hit = (row, int(np.diff(row).max()))
-                        memo[(s0, ln)] = hit
-                    boff[b, t, r] = hit[0]
-                    max_span = max(max_span, hit[1])
+                        hit = (state["total"], sh,
+                               int(np.diff(row).max()))
+                        spans[(s0, ln)] = hit
+                        state["rows"].append(row)
+                        state["total"] += K + 1
+                        state["dev"] = None
+                    base[b, t, r] = hit[0]
+                    shift[b, t, r] = hit[1]
+                    max_span = max(max_span, hit[2])
+        if state["dev"] is None:
+            # pow2-padded upload: the kernel's flat operand shape only
+            # changes on pow2 crossings (a per-new-term recompile would
+            # be a first-query stall); the zero tail also absorbs the
+            # sentinel candidate's at_j + 1 read past the last row
+            flat = np.concatenate(state["rows"])
+            Lp = 1
+            while Lp < len(flat) + 1:
+                Lp <<= 1
+            buf = np.zeros(Lp, np.int32)
+            buf[:len(flat)] = flat
+            state["dev"] = jnp.asarray(buf)
         steps = 4
         while (1 << steps) < max_span + 1:
             steps += 4  # bucket compiles: steps in {4, 8, ...}
-        return boff, steps
+        return state["dev"], base, shift, steps
 
     @staticmethod
     def _pruned_counts(cand_counts, dfs, nd, thresholds, B,
@@ -1365,7 +1409,7 @@ class PrunedPlanMixin(StringSearchTopK):
             from ..ops.pruned import pruned_fulltext_topk_bs
 
             rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
-            boff, rbs_steps = self._pruned_bs_boff(
+            bflat, bbase, bshift, rbs_steps = self._pruned_bs_boff(
                 index, rng_i, capb, rbs_steps
             )
             if self.PRUNED_BS_ACCUM:
@@ -1381,7 +1425,8 @@ class PrunedPlanMixin(StringSearchTopK):
                 jnp.asarray(idf), jnp.asarray(thr),
                 omc_arr, None,
                 jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
-                jnp.asarray(boff) if boff is not None else None,
+                (bflat, jnp.asarray(bbase), jnp.asarray(bshift))
+                if bflat is not None else None,
                 hp=self.PRUNED_BS_HP, cap=capb, k=kb,
                 bs_steps=rbs_steps, has_omc=has_omc,
                 nom_accum=self.PRUNED_BS_ACCUM,
@@ -1696,7 +1741,7 @@ class HybridSearchTopK(PrunedPlanMixin):
             from ..ops.pruned import pruned_hybrid_topk_int8_bs
 
             rng_i, rng_f, rbs_steps = self._pruned_bs_inputs(plans)
-            boff, rbs_steps = self._pruned_bs_boff(
+            bflat, bbase, bshift, rbs_steps = self._pruned_bs_boff(
                 index, rng_i, capb, rbs_steps
             )
             if self.PRUNED_BS_ACCUM:
@@ -1715,7 +1760,8 @@ class HybridSearchTopK(PrunedPlanMixin):
                 jnp.asarray(q), jnp.asarray(sims), omc_arr,
                 None,
                 jnp.asarray(pre_fdesc) if self.PRUNED_BS_ACCUM else None,
-                jnp.asarray(boff) if boff is not None else None,
+                (bflat, jnp.asarray(bbase), jnp.asarray(bshift))
+                if bflat is not None else None,
                 hp=self.PRUNED_BS_HP, cap=capb, k=kb,
                 bs_steps=rbs_steps, has_omc=has_omc,
                 V=V, nprobe=nprobe, window=window,

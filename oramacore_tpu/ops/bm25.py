@@ -426,6 +426,40 @@ def bm25_search_grouped_packed(
 
     vals, idx = topk_2level(s, k)
 
+    if G <= 16:
+        # small group spaces: the masked-merge scan beats the global
+        # sort (hardware @10M: 364 ms sort-path vs 175 ms scan @G=8;
+        # the sort wins from ~G=20 up and is G-independent — 370 ms
+        # @G=64 vs 812 ms scan, RESULTS.md round-5)
+        ch = min(cap, 1 << max(9, 21 - (max(G, 1) - 1).bit_length()))
+        garange = jnp.arange(G, dtype=jnp.int32)
+        init = (
+            jnp.full((B, G, R), -jnp.inf, jnp.float32),
+            jnp.zeros((B, G, R), jnp.int32),
+        )
+
+        def step(carry, ci):
+            cv, cd = carry
+            off = ci * ch
+            gid_c = jax.lax.dynamic_slice(gid, (off,), (ch,))
+            s_c = jax.lax.dynamic_slice(s, (0, off), (B, ch))
+            gm = gid_c[None, :] == garange[:, None]
+            sk = jnp.where(gm[None], s_c[:, None, :], -jnp.inf)
+            v, i = jax.lax.top_k(jnp.concatenate([cv, sk], axis=2), R)
+            d_new = jnp.broadcast_to(
+                (off + jax.lax.iota(jnp.int32, ch))[None, None, :],
+                (B, G, ch),
+            )
+            d = jnp.take_along_axis(
+                jnp.concatenate([cd, d_new], axis=2), i, axis=2
+            )
+            return (v, d), None
+
+        (gvals, gdocs), _ = jax.lax.scan(
+            step, init, jnp.arange(cap // ch)
+        )
+        return vals, idx, counts, gvals, gdocs
+
     gidk = jnp.where(
         keep & (gid[None, :] >= 0), gid[None, :], jnp.int32(G)
     )

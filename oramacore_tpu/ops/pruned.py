@@ -769,7 +769,8 @@ def _rescore_bsearch(
     cand,                      # int32[B, C] ascending (cap = empty)
     *,
     bs_steps: int,
-    boff=None,                 # int32[B, T, NR, K+1] bucket offsets
+    boff=None,                 # (flat int32[L], base int32[B, T, NR],
+    #                            shift int32[B, T, NR]) static tables
     cap: int = 0,              # pow2 doc-space bound (with boff only)
 ):
     """v4 phase 2: binary-search EACH CANDIDATE into its ranges.
@@ -792,15 +793,16 @@ def _rescore_bsearch(
     (every stored posting has tf >= 1), unfiltered. Everything else
     keeps the v3 streaming rescore, whose df is counted on device.
 
-    boff (optional, with pow2 `cap`): per-range BUCKET OFFSETS — the
-    doc space divides into K = boff.shape[-1]-1 uniform buckets and
-    boff[..., j] = count of the range's postings with doc < j*(cap/K)
-    (host searchsorted at plan time, search_exec._pruned_bs_boff). The
-    binary search then runs only inside the candidate's bucket window
+    boff (optional, with pow2 `cap`): STATIC per-range bucket-offset
+    tables as (flat, base, shift) — range (b, t, r)'s offsets row
+    starts at flat[base[b, t, r]] with per-range resolution
+    K_r = cap >> shift[b, t, r]; flat[base + j] = count of the range's
+    postings with doc < j << shift (search_exec._pruned_bs_boff builds
+    rows lazily per slab generation, device-resident). The binary
+    search then runs only inside the candidate's bucket window
     [lo, hi), cutting rounds from log2(range len) to log2(max bucket
-    span) — measured HBM-latency-bound at ~58M probes/s, so round
-    count IS the rescore cost (RESULTS.md round-4 session 4 micro).
-    Results are bit-identical with or without boff.
+    span) — the bsearch chain is HBM-latency-bound, so round count IS
+    the rescore cost. Results are bit-identical with or without boff.
 
     Returns (scores f32[B, C], matched f32[B, C])."""
     P = p_doc.shape[0]
@@ -809,13 +811,13 @@ def _rescore_bsearch(
     ln = rng_ln[..., None]
     shape4 = cq.shape[:1] + st.shape[1:3] + cq.shape[-1:]
     if boff is not None:
-        K = boff.shape[-1] - 1
-        shift = (cap // K).bit_length() - 1            # cap, K pow2
-        b_idx = jnp.broadcast_to(
-            jnp.clip(cand >> shift, 0, K - 1)[:, None, None, :], shape4
+        flat, b_base, b_shift = boff
+        j = jax.lax.shift_right_logical(
+            jnp.broadcast_to(cq, shape4), b_shift[..., None]
         )
-        pos = jnp.take_along_axis(boff, b_idx, axis=-1)
-        hi = jnp.take_along_axis(boff, b_idx + 1, axis=-1)
+        at_j = b_base[..., None] + j
+        pos = jnp.take(flat, at_j)
+        hi = jnp.take(flat, at_j + 1)
     else:
         pos = jnp.zeros(shape4, jnp.int32)             # (B, T, NR, C)
         hi = ln

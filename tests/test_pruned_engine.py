@@ -964,7 +964,7 @@ def test_pruned_bs_bucket_index_engages(monkeypatch):
 
     def spy(self, index, rng_i, capb, bs_steps):
         out = orig(self, index, rng_i, capb, bs_steps)
-        calls.append(out[1])
+        calls.append(out[0] is not None)  # flat table built
         return out
 
     monkeypatch.setattr(
