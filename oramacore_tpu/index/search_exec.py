@@ -698,7 +698,16 @@ class PrunedPlanMixin(StringSearchTopK):
         Bb = round_up_pow2(B, 1)
         T = max(p.starts.shape[0] for p in plans)
         Tb = round_up_pow2(T, 1)
-        lch = cls.PRUNED_LCH
+        # small-corpus clamp (r5 mesh compile audit): the worklist
+        # chunk width drives the compiled kernel's inner shapes — a
+        # 16-doc dryrun corpus otherwise compiles 32768-wide chunk ops
+        # (13.7 s token_scores span, all compile). Pow2 ladder keeps
+        # the shape-key census logarithmic; the 10M tier still lands
+        # on PRUNED_LCH.
+        max_rl = max(
+            (int(p.lens.max()) if p.lens.size else 1) for p in plans
+        )
+        lch = min(cls.PRUNED_LCH, round_up_pow2(max_rl, 128))
 
         # --- nomination prefixes -----------------------------------------
         def pre_of(p):
@@ -1362,7 +1371,10 @@ class PrunedPlanMixin(StringSearchTopK):
             omc_arr = self._get_device_omc(omc, omc_key, capb)
         else:
             omc_arr = jnp.ones((1,), jnp.float32)
-        C = self.PRUNED_CANDIDATES
+        # small-corpus clamp (r5 mesh compile audit): a candidate
+        # budget past the doc space only inflates compiled shapes (C >=
+        # cap already nominates every doc, so results are unchanged)
+        C = min(self.PRUNED_CANDIDATES, round_up_pow2(cap, 8))
         has_filter = mask is not None
         fmask_arr = jnp.ones((1,), jnp.float32)
         cand_in = None
@@ -1413,7 +1425,7 @@ class PrunedPlanMixin(StringSearchTopK):
                 index, rng_i, capb, rbs_steps
             )
             if self.PRUNED_BS_ACCUM:
-                Cb = self.PRUNED_BS_C
+                Cb = min(self.PRUNED_BS_C, round_up_pow2(cap, 8))
             else:
                 Cb = pre_idesc.shape[2] * pre_idesc.shape[3] * \
                     self.PRUNED_BS_HP
@@ -1431,7 +1443,7 @@ class PrunedPlanMixin(StringSearchTopK):
                 bs_steps=rbs_steps, has_omc=has_omc,
                 nom_accum=self.PRUNED_BS_ACCUM,
                 lp=lp if self.PRUNED_BS_ACCUM else 0,
-                C=self.PRUNED_BS_C if self.PRUNED_BS_ACCUM else 0,
+                C=Cb if self.PRUNED_BS_ACCUM else 0,
             )
         else:
             kb = min(round_up_pow2(k, 8), C)
@@ -1745,7 +1757,7 @@ class HybridSearchTopK(PrunedPlanMixin):
                 index, rng_i, capb, rbs_steps
             )
             if self.PRUNED_BS_ACCUM:
-                Cb = self.PRUNED_BS_C
+                Cb = min(self.PRUNED_BS_C, round_up_pow2(cap, 8))
             else:
                 Cb = pre_idesc.shape[2] * pre_idesc.shape[3] * \
                     self.PRUNED_BS_HP
@@ -1770,7 +1782,7 @@ class HybridSearchTopK(PrunedPlanMixin):
                 rescale_hi=float(rescale[1]) if rescale else 1.0,
                 nom_accum=self.PRUNED_BS_ACCUM,
                 lp=lp if self.PRUNED_BS_ACCUM else 0,
-                C=self.PRUNED_BS_C if self.PRUNED_BS_ACCUM else 0,
+                C=Cb if self.PRUNED_BS_ACCUM else 0,
             )
         else:
             kb = min(round_up_pow2(k, 8), Ct)

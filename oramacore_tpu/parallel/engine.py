@@ -1188,9 +1188,18 @@ class ShardedStringExec:
         Bb = round_up_pow2(B, 1)
         T = max(p.starts.shape[0] for p in plans)
         Tb = round_up_pow2(T, 1)
-        lch = PM.PRUNED_LCH
+        # small-corpus clamps (r5 mesh compile audit): the worklist
+        # chunk width and candidate budget drive the compiled shard_map
+        # shapes — a dryrun-size corpus otherwise compiles 32768-wide
+        # chunk ops and (B, 1024) candidate state (13.6 s token_scores,
+        # all compile). Pow2 ladders; the 10M tier is unchanged, and
+        # C >= per-shard cap nominates every doc so results hold.
+        max_rl = max(
+            (int(p.lens.max()) if p.lens.size else 1) for p in plans
+        )
+        lch = min(PM.PRUNED_LCH, round_up_pow2(max_rl, 128))
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
-        C = PM.PRUNED_CANDIDATES
+        C = min(PM.PRUNED_CANDIDATES, round_up_pow2(cap_l, 8))
 
         # ---- nomination prefixes: global descriptors -> per-shard ----
         def pre_of(p):
@@ -1601,6 +1610,10 @@ class ShardedStringExec:
         dev_slab, boundaries, bprefix = self.ensure_slab(index)
         D = self.D
         lch = PM.PRUNED_LCH
+        if plan is not None and getattr(plan, "lens", None) is not None \
+                and plan.lens.size:
+            # small-corpus compile clamp (see _pruned_shard_inputs)
+            lch = min(lch, round_up_pow2(int(plan.lens.max()), 128))
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
         p_doc, p_tf, p_etf, _p_flen = dev_slab
         has_filter = mask is not None
@@ -1667,14 +1680,17 @@ class ShardedStringExec:
                 )
                 V = round_up_pow2(
                     min(HYBRID_INT8_CANDIDATES,
-                        int(mat8.shape[0] * mat8.shape[1])), 8
+                        int(mat8.shape[0] * mat8.shape[1]),
+                        round_up_pow2(cap, 8)), 8
                 )
                 from ..index.vector_index import IVF_NPROBE
 
                 nprobe = min(IVF_NPROBE, int(unit_cen.shape[0]))
                 vstep = self._get_facet_vec_reps_step(
                     cap_l=int(cap_l), V=V, nprobe=int(nprobe),
-                    window=int(window), pad=lch,
+                    # pad must hold the V probe rows (lch can clamp
+                    # below V on small corpora — r5 compile clamps)
+                    window=int(window), pad=max(lch, V),
                     has_filter=has_filter,
                     has_rescale=rescale is not None,
                     rescale_lo=float(rescale[0]) if rescale else 0.0,
@@ -1871,7 +1887,8 @@ class ShardedStringExec:
                 self._pruned_bs_shard_inputs(boundaries, bprefix, plans)
             )
             if PM.PRUNED_BS_ACCUM:
-                C = PM.PRUNED_BS_C
+                C = min(PM.PRUNED_BS_C,
+                        round_up_pow2(cap_l, 8))
             else:
                 hp = PM.PRUNED_BS_HP
                 C = (h["s_pre_st"].shape[2] * h["s_pre_st"].shape[3]
@@ -2281,7 +2298,8 @@ class ShardedStringExec:
         nprobe = min(IVF_NPROBE, int(unit_cen.shape[0]))
         V = round_up_pow2(
             min(candidates or HYBRID_INT8_CANDIDATES,
-                int(mat8.shape[0] * mat8.shape[1])),
+                int(mat8.shape[0] * mat8.shape[1]),
+                round_up_pow2(cap, 8)),
             8,
         )
         has_filter = mask is not None
@@ -2308,7 +2326,8 @@ class ShardedStringExec:
                 self._pruned_bs_shard_inputs(boundaries, bprefix, plans)
             )
             if PM.PRUNED_BS_ACCUM:
-                C = PM.PRUNED_BS_C
+                C = min(PM.PRUNED_BS_C,
+                        round_up_pow2(cap_l, 8))
             else:
                 hp = PM.PRUNED_BS_HP
                 C = (h["s_pre_st"].shape[2] * h["s_pre_st"].shape[3]
@@ -2811,7 +2830,8 @@ class ShardedBatchExec(ShardedStringExec):
 
                 V = round_up_pow2(
                     min(candidates or HYBRID_INT8_CANDIDATES,
-                        int(mat8.shape[0] * mat8.shape[1])), 8
+                        int(mat8.shape[0] * mat8.shape[1]),
+                        round_up_pow2(cap, 8)), 8
                 )
                 from ..index.vector_index import IVF_NPROBE
 

@@ -914,20 +914,34 @@ def test_rescore_bsearch_bucket_index_parity():
         rng.choice(cap + 1, size=(2, 128)), axis=1
     ).astype(np.int32)  # incl. cap sentinels
 
+    # flat-table triple (r5 format): one row per range, per-range
+    # shift — uniform K here, mixed resolutions via a halved-K row for
+    # one range (exercises the per-range shift path)
     K = 64
-    grid = np.arange(1, K) * (cap // K)
-    boff = np.zeros((2, 2, 2, K + 1), np.int32)
+    sh = int(np.log2(cap // K))
+    rows = [np.zeros(2, np.int32)]   # dummy row
+    base = np.zeros((2, 2, 2), np.int32)
+    shift = np.full((2, 2, 2), int(np.log2(cap)), np.int32)
+    total = 2
     mx = 1
     for b in range(2):
         for t in range(2):
             for r in range(2):
                 s0, n = int(st[b, t, r]), int(ln[b, t, r])
-                row = np.empty(K + 1, np.int32)
+                sh_r = sh + 1 if (b, t, r) == (0, 1, 1) else sh
+                K_r = cap >> sh_r
+                grid = np.arange(1, K_r, dtype=np.int64) << sh_r
+                row = np.empty(K_r + 1, np.int32)
                 row[0] = 0
-                row[1:K] = np.searchsorted(p_doc[s0:s0 + n], grid)
-                row[K] = n
-                boff[b, t, r] = row
+                if K_r > 1:
+                    row[1:K_r] = np.searchsorted(p_doc[s0:s0 + n], grid)
+                row[K_r] = n
+                base[b, t, r] = total
+                shift[b, t, r] = sh_r
+                rows.append(row)
+                total += K_r + 1
                 mx = max(mx, int(np.diff(row).max()))
+    flat = np.concatenate(rows + [np.zeros(1, np.int32)])
     steps2 = 4
     while (1 << steps2) < mx + 1:
         steps2 += 4
@@ -937,7 +951,10 @@ def test_rescore_bsearch_bucket_index_parity():
     )]
     sa, ma = _rescore_bsearch(*args, bs_steps=12)
     sb, mb = _rescore_bsearch(
-        *args, bs_steps=steps2, boff=jnp.asarray(boff), cap=cap,
+        *args, bs_steps=steps2,
+        boff=(jnp.asarray(flat), jnp.asarray(base),
+              jnp.asarray(shift)),
+        cap=cap,
     )
     assert np.array_equal(np.asarray(ma), np.asarray(mb))
     assert np.array_equal(np.asarray(sa), np.asarray(sb))
