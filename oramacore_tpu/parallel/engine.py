@@ -1199,7 +1199,12 @@ class ShardedStringExec:
         )
         lch = min(PM.PRUNED_LCH, round_up_pow2(max_rl, 128))
         cap_l = round_up_pow2((cap + D - 1) // D, 128)
-        C = min(PM.PRUNED_CANDIDATES, round_up_pow2(cap_l, 8))
+        # clamp by the GLOBAL cap, not cap_l: the small-filter
+        # cand-given gate compares the filter's GLOBAL selection count
+        # against C, and the read side flags those counts exact under
+        # the unclamped constant — a per-shard clamp desynchronized
+        # the two (filtered-mesh count regression, r5)
+        C = min(PM.PRUNED_CANDIDATES, round_up_pow2(cap, 8))
 
         # ---- nomination prefixes: global descriptors -> per-shard ----
         def pre_of(p):
