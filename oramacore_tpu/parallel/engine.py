@@ -325,6 +325,123 @@ class ShardedStringExec:
         self._steps[key] = step
         return step
 
+    def _get_grouped_step(self, *, lr, cap_l, k, G, R, exact,
+                          has_mask, has_omc):
+        """Fused GROUP-BY over the mesh (r5, VERDICT r4 #5 mesh
+        parity): each shard scores its doc slice (psum'd df), sorts it
+        by (gid, -score, global doc) — the single-device sort kernel's
+        key — slices its per-group first-R pages off the run starts,
+        and the (B, G, D, R) gathered pages merge with one 2-key sort
+        per group so the final order is (-score, doc asc) globally,
+        identical to the host flow and the single-device kernel."""
+        key = ("grouped", lr, cap_l, k, G, R, exact, has_mask, has_omc)
+        step = self._steps.get(key)
+        if step is not None:
+            return step
+        mesh, D = self.mesh, self.D
+
+        def shard_fn(p_doc, p_tf, p_etf, p_flen, starts, lens,
+                     weights, field_b, avg, n_docs, thr, mask, omc,
+                     gid):
+            B = weights.shape[0]
+            m = mask[0] if has_mask else jnp.ones((B, cap_l), bool)
+            scores, matched = bm25_score_batch(
+                p_doc[0], p_tf[0], p_etf[0], p_flen[0],
+                starts[0], lens[0], weights, field_b, avg, n_docs, m,
+                lr=lr, exact=exact, cap=cap_l, axis_name="d",
+            )
+            s = scores * omc[0][None, :] if has_omc else scores
+            keep = (matched >= thr[:, None]) & (scores > 0.0)
+            counts = jax.lax.psum(
+                jnp.sum(keep, axis=1).astype(jnp.int32), "d"
+            )
+            s = jnp.where(keep, s, -jnp.inf)
+            local_vals, local_idx = jax.lax.top_k(s, k)
+            sid = jax.lax.axis_index("d").astype(jnp.int32)
+            local_ids = local_idx * D + sid
+            all_vals = jax.lax.all_gather(local_vals, "d", axis=1)
+            all_ids = jax.lax.all_gather(local_ids, "d", axis=1)
+            vals, sel = jax.lax.top_k(all_vals.reshape(B, D * k), k)
+            ids = jnp.take_along_axis(
+                all_ids.reshape(B, D * k), sel, axis=1
+            )
+            # ---- per-group pages: local 3-key sort + run slicing ----
+            gidl = gid[0]
+            gidk = jnp.where(
+                keep & (gidl[None, :] >= 0), gidl[None, :], jnp.int32(G)
+            )
+            neg = jnp.where(gidk < G, -s, jnp.inf)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, cap_l), 1)
+            gdoc = jnp.broadcast_to(iota * D + sid, (B, cap_l))
+            gk, ns, dd = jax.lax.sort(
+                (gidk, neg, gdoc), dimension=1, num_keys=3
+            )
+            queries = jnp.arange(G + 1, dtype=jnp.int32)[None, :]
+            pos = jnp.zeros((B, G + 1), jnp.int32)
+            step_ = 1
+            while step_ * 2 <= cap_l:
+                step_ *= 2
+            while step_ >= 1:
+                probe = pos + step_
+                pv = jnp.take_along_axis(
+                    gk, jnp.minimum(probe, cap_l) - 1, axis=1
+                )
+                pos = jnp.where(
+                    (probe <= cap_l) & (pv < queries), probe, pos
+                )
+                step_ >>= 1
+            g_start = pos[:, :G]
+            g_end = pos[:, 1:]
+            page_ix = g_start[:, :, None] + jnp.arange(
+                R, dtype=jnp.int32
+            )
+            in_run = page_ix < g_end[:, :, None]
+            clip = jnp.minimum(page_ix, cap_l - 1).reshape(B, G * R)
+            pns = jnp.where(
+                in_run,
+                jnp.take_along_axis(ns, clip, axis=1).reshape(B, G, R),
+                jnp.inf,
+            )
+            pdd = jnp.where(
+                in_run,
+                jnp.take_along_axis(dd, clip, axis=1).reshape(B, G, R),
+                0,
+            )
+            ans = jax.lax.all_gather(pns, "d", axis=2).reshape(
+                B, G, D * R
+            )
+            add = jax.lax.all_gather(pdd, "d", axis=2).reshape(
+                B, G, D * R
+            )
+            mns, mdd = jax.lax.sort((ans, add), dimension=2, num_keys=2)
+            head_ns = mns[:, :, :R]
+            fin = jnp.isfinite(head_ns)
+            gvals = jnp.where(fin, -head_ns, -jnp.inf)
+            gdocs = jnp.where(fin, mdd[:, :, :R], 0)
+            return vals, ids, counts, gvals, gdocs
+
+        fn = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P("d", None), P("d", None), P("d", None), P("d", None),
+                P("d", None, None, None), P("d", None, None, None),
+                P(None, None, None), P(None, None, None),
+                P(None, None, None), P(None), P(None),
+                P("d", None, None) if has_mask else P(None, None),
+                P("d", None) if has_omc else P(None),
+                P("d", None),
+            ),
+            out_specs=(
+                P(None, None), P(None, None), P(None),
+                P(None, None, None), P(None, None, None),
+            ),
+            check_vma=False,
+        )
+        step = jax.jit(fn)
+        self._steps[key] = step
+        return step
+
     def search_topk_sorted(
         self,
         index: StringIndex,
@@ -728,6 +845,136 @@ class ShardedStringExec:
         if with_bitmap:
             return vals, ids, np.asarray(counts[:B]), bitmaps
         return vals, ids, np.asarray(counts[:B])
+
+    def search_topk_grouped(
+        self,
+        index: StringIndex,
+        plans: Sequence[QueryPlan],
+        n_docs: Sequence[float],
+        cap: int,
+        k: int,
+        gid_col: np.ndarray,        # int32[cap] group ids (-1 = none)
+        gid_key,                    # device-cache key (None = no cache)
+        n_groups: int,
+        max_results: int,
+        exact: bool = False,
+        doc_masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+        thresholds: Optional[Sequence[float]] = None,
+        omc: Optional[np.ndarray] = None,
+        omc_key: Optional[int] = None,
+    ):
+        """Mesh analog of search_exec.search_topk_grouped (same return
+        contract): shard-local (gid, -score, doc) sorts + run slicing,
+        merged across shards with one 2-key sort per group
+        (_get_grouped_step). The group-id column doc-shards like the
+        slab and caches on device by (gid_key, cap_l)."""
+        dev_slab, boundaries, bprefix = self.ensure_slab(index)
+        D = self.D
+        B = len(plans)
+        T = max(p.starts.shape[0] for p in plans)
+        NR = max(p.starts.shape[1] for p in plans)
+        Tb = round_up_pow2(T, 1)
+        NRb = round_up_pow2(NR, 1)
+        g_starts = np.zeros((B, Tb, NRb), np.int32)
+        g_lens = np.zeros((B, Tb, NRb), np.int32)
+        weights = np.zeros((B, Tb, NRb), np.float32)
+        field_b = np.full((B, Tb, NRb), 0.75, np.float32)
+        avg = np.ones((B, Tb, NRb), np.float32)
+        nd = np.ones((B,), np.float32)
+        thr = np.zeros((B,), np.float32)
+        for i, p in enumerate(plans):
+            t, r = p.starts.shape
+            g_starts[i, :t, :r] = p.starts
+            g_lens[i, :t, :r] = p.lens
+            weights[i, :t, :r] = p.weights
+            field_b[i, :t, :r] = p.field_b
+            avg[i, :t, :r] = p.avg_flen
+            nd[i] = max(float(n_docs[i]), 1.0)
+            if thresholds is not None and thresholds[i]:
+                thr[i] = thresholds[i]
+        s_starts, s_lens = self._shard_ranges_on(
+            boundaries, bprefix, D, g_starts, g_lens
+        )
+        lr = round_up_pow2(max(int(s_lens.max()), 1), 8)
+        cap_l = round_up_pow2((cap + D - 1) // D, 128)
+        kb = min(round_up_pow2(k, 8), cap_l)
+        Gb = round_up_pow2(max(n_groups, 1), 8)
+        Rb = min(round_up_pow2(max_results, 8), cap_l)
+
+        has_mask = doc_masks is not None and any(
+            m is not None for m in doc_masks
+        )
+        if has_mask:
+            gm = np.ones((B, cap), bool)
+            for i, m in enumerate(doc_masks):
+                if m is not None:
+                    gm[i, : len(m)] = m
+                    gm[i, len(m):] = False
+            mask_arr = self._partition_docs_axis(gm, cap_l, False)
+        else:
+            mask_arr = np.zeros((1, 1), bool)
+        has_omc = omc is not None
+        if has_omc:
+            go = np.ones((cap,), np.float32)
+            go[: min(len(omc), cap)] = omc[:cap]
+            omc_arr = self._partition_docs_axis(go, cap_l, np.float32(1.0))
+        else:
+            omc_arr = np.zeros((1,), np.float32)
+
+        from ..index.search_exec import _MISS
+
+        sh1 = NamedSharding(self.mesh, P("d", None))
+        gkey = (gid_key, cap_l) if gid_key is not None else None
+        gid_dev = _MISS
+        if gkey is not None:
+            gid_dev = self._fmask_dev.get(gkey)
+        if gid_dev is _MISS:
+            gcol = np.full((cap,), -1, np.int32)
+            gcol[: min(len(gid_col), cap)] = gid_col[:cap]
+            gid_dev = jax.device_put(
+                self._partition_docs_axis(gcol, cap_l, np.int32(-1)),
+                sh1,
+            )
+            if gkey is not None:
+                gid_dev = self._fmask_dev.put(gkey, gid_dev)
+
+        step = self._get_grouped_step(
+            lr=int(lr), cap_l=int(cap_l), k=int(kb), G=int(Gb),
+            R=int(Rb), exact=exact, has_mask=has_mask, has_omc=has_omc,
+        )
+        p_doc, p_tf, p_etf, p_flen = dev_slab
+        sh4 = NamedSharding(self.mesh, P("d", None, None, None))
+        vals, ids, counts, gvals, gdocs = step(
+            p_doc, p_tf, p_etf, p_flen,
+            jax.device_put(s_starts, sh4), jax.device_put(s_lens, sh4),
+            jnp.asarray(weights), jnp.asarray(field_b), jnp.asarray(avg),
+            jnp.asarray(nd), jnp.asarray(thr),
+            jax.device_put(
+                mask_arr, NamedSharding(self.mesh, P("d", None, None))
+            ) if has_mask else jnp.asarray(mask_arr),
+            jax.device_put(omc_arr, sh1)
+            if has_omc else jnp.asarray(omc_arr),
+            gid_dev,
+        )
+        gvals = np.asarray(gvals[:B, :n_groups])
+        gdocs = np.asarray(gdocs[:B, :n_groups])
+        group_pages = [
+            [
+                [
+                    (int(d), float(v))
+                    for d, v in zip(gdocs[b, g], gvals[b, g])
+                    if np.isfinite(v) and int(d) < cap
+                ][:max_results]
+                for g in range(n_groups)
+            ]
+            for b in range(B)
+        ]
+        return (
+            np.asarray(vals[:B, :k]),
+            np.asarray(ids[:B, :k]),
+            np.asarray(counts[:B]),
+            group_pages,
+        )
 
     # ------------------------------------------------------------------
     # Int8/IVF vector sharding (the >=2M-row tier): probe UNITS partition

@@ -706,11 +706,11 @@ class ReadSide:
                 and not consequences
                 and len(indexes) == 1
                 and isinstance(mode, FulltextMode)
-                and (
-                    mode.term.strip() and self.sharded_mesh is None
-                    or not mode.term.strip()
-                )
             ):
+                # termful group-by rides the fused kernel on ONE chip
+                # AND the mesh (r5: ShardedStringExec.search_topk_grouped
+                # — shard-local sorts + one 2-key merge sort per group);
+                # match-all keeps the vectorized host flow everywhere
                 device_group_spec = self._device_group_spec(idx, params)
             fused_ok = (
                 (not params.facets or fulltext_facets or pruned_facets)

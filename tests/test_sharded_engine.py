@@ -170,3 +170,97 @@ def test_sharded_engine_through_http_api():
                 sharded.stop()
 
     asyncio.run(run())
+
+
+def test_sharded_engine_group_by_matches_single_device(monkeypatch):
+    """Termful group-by rides the fused mesh kernel (r5:
+    ShardedStringExec.search_topk_grouped — shard-local
+    (gid, -score, doc) sorts + one 2-key merge sort per group): groups,
+    per-group ranked pages, main hits and counts must equal the
+    single-device engine — string, bool, NUMERIC and multi-property
+    keys, incl. OMC docs and tombstones."""
+    import jax
+
+    from oramacore_tpu.parallel import engine as eng
+
+    assert len(jax.devices()) >= 8
+    mesh_calls = []
+    orig = eng.ShardedStringExec.search_topk_grouped
+
+    def spy(self, *a, **kw):
+        mesh_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(eng.ShardedStringExec, "search_topk_grouped", spy)
+    with tempfile.TemporaryDirectory() as t1, \
+            tempfile.TemporaryDirectory() as t2:
+        single, coll_s = _build(t1, 0)
+        sharded, coll_m = _build(t2, 8)
+        try:
+            assert sharded.read_side.sharded_mesh is not None
+            for w, c in ((single.write_side, coll_s),
+                         (sharded.write_side, coll_m)):
+                w.delete_documents(
+                    "c", "main", c.write_api_key,
+                    [str(i) for i in range(0, 200, 17)],
+                )
+            single.read_side.pump()
+            sharded.read_side.pump()
+            single.read_side.commit(force=True)
+            sharded.read_side.commit(force=True)
+            for q in (
+                {"term": "orange banana",
+                 "groupBy": {"properties": ["flag"], "maxResults": 4}},
+                {"term": "apple",
+                 "groupBy": {"properties": ["n"], "maxResults": 3}},
+                {"term": "grape melon",
+                 "groupBy": {"properties": ["flag", "n"],
+                             "maxResults": 2}},
+            ):
+                a = single.read_side.search(
+                    "c", coll_s.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                b = sharded.read_side.search(
+                    "c", coll_m.read_api_key,
+                    SearchParams.from_json(dict(q)),
+                )
+                ga = {
+                    tuple(g.values): [
+                        (h.id, round(h.score, 4)) for h in g.result
+                    ]
+                    for g in (a.groups or [])
+                }
+                gb = {
+                    tuple(g.values): [
+                        (h.id, round(h.score, 4)) for h in g.result
+                    ]
+                    for g in (b.groups or [])
+                }
+                assert set(ga) == set(gb), (q, set(ga), set(gb))
+                for combo in ga:
+                    pa, pb = ga[combo], gb[combo]
+                    assert len(pa) == len(pb), (q, combo, pa, pb)
+                    sa = [s for _, s in pa]
+                    sb = [s for _, s in pb]
+                    assert np.allclose(sa, sb, atol=1e-3), (
+                        q, combo, pa, pb,
+                    )
+                    # tie runs may reorder between kernel shapes
+                    i = 0
+                    while i < len(sa):
+                        j = i
+                        while j + 1 < len(sa) and abs(
+                            sa[j + 1] - sa[i]
+                        ) <= 1e-3:
+                            j += 1
+                        assert {d for d, _ in pa[i:j + 1]} == {
+                            d for d, _ in pb[i:j + 1]
+                        }, (q, combo, pa, pb)
+                        i = j + 1
+                assert b.count == a.count, q
+                assert ga, q
+            assert mesh_calls, "mesh grouped step did not engage"
+        finally:
+            single.stop()
+            sharded.stop()
