@@ -562,8 +562,8 @@ class ReadSide:
             # (doc, token) sort per query, distinct matched docs per
             # bucket off the run-end reps — no dense kernel, no bitmap.
             # Needs a term (match-all uses the presence mask) and every
-            # facet field device-compatible (single-valued; strings <=
-            # 256 values). Thresholded queries ride it too (the reps
+            # facet field device-compatible (strings <= 1024 values;
+            # multi-valued via pair tables <= 8 values/doc). Thresholded queries ride it too (the reps
             # kernel counts distinct matched tokens per doc run) — they
             # reach here only when scoring itself took the pruned path
             # (exactCount or small-filter, _pruned_eligible).
@@ -1301,7 +1301,11 @@ class ReadSide:
                 ))
             elif facet.kind == "string" and name in idx.filters.strings:
                 col = idx.filters.strings[name]
-                if len(col._values) > 256:
+                # 1024: the hist kernel is G-independent to there
+                # (68.7 ms @G=64 == 71.6 ms @G=1024 at a 2M worklist,
+                # r5 hardware micro — bandwidth-bound on the worklist,
+                # not the one-hot width)
+                if len(col._values) > 1024:
                     return None
                 G = max(len(col._values), 1)
                 if col.single_valued():

@@ -1193,3 +1193,41 @@ def test_pruned_hybrid_exact_count_facets(monkeypatch):
         assert device_calls
     finally:
         ctx.close()
+
+
+def test_pruned_facets_wide_string_column(monkeypatch):
+    """String facets up to 1024 distinct values ride the device path
+    (r5: the hist kernel is G-independent to 1024 — 72 ms at a 2M
+    worklist on hardware): counts must equal the dense flow for a
+    300-value column."""
+    from oramacore_tpu.index import search_exec
+
+    device_calls = []
+    orig = search_exec.PrunedPlanMixin.facet_counts_pruned
+
+    def spy(self, *a, **kw):
+        device_calls.append(True)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(
+        search_exec.PrunedPlanMixin, "facet_counts_pruned", spy
+    )
+    ctx = TestContext()
+    try:
+        coll = ctx.create_collection()
+        idx = coll.create_index()
+        docs = [{
+            "id": str(i),
+            "t": "apple banana" if i % 2 else "apple cherry",
+            "cat": f"v{i % 300:03d}",
+        } for i in range(600)]
+        idx.insert_documents(docs)
+        ctx.commit_all()
+        params = {"term": "apple banana", "limit": 10,
+                  "facets": {"cat": {}}}
+        dense, pruned = _search_both(ctx, coll, params)
+        assert dense.facets["cat"].values == pruned.facets["cat"].values
+        assert len(dense.facets["cat"].values) > 128
+        assert device_calls
+    finally:
+        ctx.close()
