@@ -1023,7 +1023,7 @@ def main():
             bsb_truth[B] = np.asarray(ids)
         log("bsb: dense ground truth ready")
 
-        for B in (8, 64, 256):
+        for B in (8, 64, 256, 512):
             try:
                 variants, sb = build_bsb_variants(B)
             except Exception as e:
