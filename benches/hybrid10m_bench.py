@@ -833,7 +833,7 @@ def main():
                           ("accum", 1024), ("accum", 2048)):
             for B in (8, 64, 256):
                 variants = []
-                for s in range(3):
+                for s in range(5):
                     (pre_i, pre_f, rng_i, rng_f, idf, scalars, bs,
                      _t) = build_bs_plans(B, seed=7 + s)
                     variants.append((
@@ -898,9 +898,9 @@ def main():
                 bsh_truth[B] = np.asarray(ids)
             log("bsh: dense hybrid ground truth ready")
 
-        for B in (8, 64, 128):
+        for B in (8, 64, 128, 256):
             variants = []
-            for s_ in range(3):
+            for s_ in range(5):
                 (pre_i, pre_f, rng_i, rng_f, idf, scalars, bs,
                  _t) = build_bs_plans(B, seed=7 + s_)
                 variants.append((
@@ -972,7 +972,7 @@ def main():
             z = jnp.zeros(st.shape + (1,), jnp.int32)
             return jnp.concatenate([z, pos, lnq], axis=-1)
 
-        def build_bsb_variants(B, n=3):
+        def build_bsb_variants(B, n=5):
             """(variant list, bucketed steps) for batch size B. boff is
             the kernel's r5 flat-table triple (flat, base, shift) —
             here built uniform-K on device and flattened row-major with
@@ -1091,7 +1091,7 @@ def main():
                 bshb_truth[B] = np.asarray(ids)
             log("bshb: dense hybrid ground truth ready")
 
-        for B in (8, 64):
+        for B in (8, 64, 256):
             try:
                 variants, sb = build_bsb_variants(B)
             except Exception as e:
