@@ -1,9 +1,11 @@
 """Randomized equivalence for the fused search paths (round-3 session 4).
 
-Oracle: appending `group_by` to any search forces the legacy dense
-dict flow (fused_ok=False) WITHOUT changing the ranked page, the match
-count, or facet values — so every random search must agree with its
-group_by-forced twin across:
+Oracle: appending `group_by` with maxResults > 64 to any search
+forces the legacy dense dict flow (fused_ok=False; r5 note — a plain
+group_by no longer forces anything, the device group path covers it)
+WITHOUT changing the ranked page, the match count, or facet values —
+so every random search must agree with its group_by-forced twin
+across:
 
 - fused facet bitmaps (fulltext + hybrid, filtered quirk included)
 - fused sort-by (device sort column, fieldless tail, ties)
@@ -82,7 +84,8 @@ def test_fused_paths_match_forced_dense(ctx_corpus):
     for trial in range(40):
         q = _random_query(rng)
         fused = coll.search(dict(q))
-        forced = coll.search({**q, "group_by": {"properties": ["cat"]}})
+        forced = coll.search({**q, "group_by": {
+            "properties": ["cat"], "max_results": 100}})
         fids = [(h.id, round(h.score, 5)) for h in fused.hits]
         dids = [(h.id, round(h.score, 5)) for h in forced.hits]
         assert fids == dids, (trial, q, fids, dids)

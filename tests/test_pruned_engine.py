@@ -2,8 +2,8 @@
 
 With `reader_side.pruning = "on"` the ReadSide routes eligible fused
 searches through ops/pruned.py (search_exec.PrunedPlanMixin). On small
-corpora the prefix (8192) and candidate budget (1024) cover everything,
-so hits and scores must match the dense path EXACTLY; match counts are
+corpora the prefix (65536 default since r5) and candidate budget cover
+everything, so hits and scores must match the dense path EXACTLY; match counts are
 union-probability estimates on the pruned path (documented in
 config.ReaderSideConfig.pruning) and are only sanity-checked.
 """
