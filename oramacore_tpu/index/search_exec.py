@@ -648,6 +648,10 @@ class PrunedPlanMixin(StringSearchTopK):
     (commit stores every range impact-ordered, string_index._pack_segment,
     so each range's first `lp` postings ARE its top-impact prefix)."""
 
+    # nomination clip for plans built WITHOUT with_prefix (a fallback
+    # path — eligible pruned searches always carry with_prefix plans
+    # whose prefix ranges come from the commit-time blocks, depth
+    # string_index.PREFIX_LEN = 65536 since r5)
     PRUNED_PREFIX = 8192
     PRUNED_CANDIDATES = 1024
     # multi-valued device facets: max DISTINCT values one doc may hold
@@ -1391,9 +1395,9 @@ class PrunedPlanMixin(StringSearchTopK):
             # measured non-monotonicity: accum1024 runs 106 QPS @B=64
             # but 72 @B=256 on TPU v5e (RESULTS.md round-4 session 2) —
             # dispatch larger batches as chunks whose nominator sort
-            # width fits PRUNED_BS_SORT_BUDGET (engine-default lp=8192
-            # batches run unsplit to B=256+, the measured-fastest
-            # shape; the zipf arm, RESULTS.md round-4 session 5). v3
+            # width fits PRUNED_BS_SORT_BUDGET (at the r5 default
+            # lp=65536 a B=64 chunk is the measured-fastest shape:
+            # 592/577/599 QPS at B=64/256/512, RESULTS.md round-5). v3
             # shapes are NOT split (their pathology is the inverse:
             # 12 QPS @B=64, 47 @B=256).
             S = self._pruned_bs_chunk(plans)
